@@ -1,0 +1,125 @@
+"""Text-analysis expressions for the ``documents`` table (SURVEY.md
+§2.5 E-4; training-data-pipeline text ops).
+
+All built-in string/array functions — tokenization, counting, ratio
+math and fingerprinting stay inside codegen. Every helper documents
+its exact DuckDB-SQL twin so `__spark_entry__.oracle_sql` can assert
+value parity. Regex patterns are restricted to the ASCII subset where
+Java regex (Spark) and RE2-ish (DuckDB) agree.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists for the language-ID heuristic.
+# Order of LANGS is the tie-break (first wins on equal scores).
+LANG_STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "et", "de", "un", "une", "est", "que", "pour", "dans"],
+    "es": ["el", "la", "y", "de", "un", "una", "es", "que", "por", "para"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu", "von", "mit"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"],
+}
+LANGS = list(LANG_STOPWORDS)
+
+# English stopwords double as the generic quality-scoring list.
+QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def normalize_text(text: Column) -> Column:
+    """lower + whitespace collapse + trim.
+
+    DuckDB: ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``.
+    """
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the normalized text.
+
+    DuckDB: ``string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')``.
+    """
+    return F.split(normalize_text(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint = md5 of the normalized text — md5 is
+    byte-identical across Spark and DuckDB (unlike xxhash64/hash()).
+
+    DuckDB: ``md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))``.
+    """
+    return F.md5(normalize_text(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII punctuation.
+
+    DuckDB: ``(length(text) - length(regexp_replace(text,
+    '[!-/:-@\\[-`{-~]', '', 'g'))) / greatest(length(text), 1)``.
+    """
+    stripped = F.regexp_replace(text, r"[!-/:-@\[-`{-~]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(
+        F.length(text), F.lit(1)
+    ).cast("double")
+
+
+def stopword_ratio(text: Column, stopwords: List[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords.
+
+    DuckDB: ``len(list_filter(<tokens>, t -> list_contains(<list>, t)))
+    / greatest(len(<tokens>), 1)``.
+    """
+    stops = stopwords if stopwords is not None else QUALITY_STOPWORDS
+    toks = tokens(text)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in stops]))
+    )
+    return hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0, 1]:
+    0.4·stopword_ratio + 0.3·min(1, tokens/100) + 0.3·(1 − punct_ratio).
+    """
+    length_score = F.least(F.lit(1.0), token_count(text) / F.lit(100.0))
+    return (
+        0.4 * stopword_ratio(text)
+        + 0.3 * length_score
+        + 0.3 * (1.0 - punct_ratio(text))
+    )
+
+
+def lang_scores(text: Column) -> Dict[str, Column]:
+    """Per-language stopword hit counts over the token set."""
+    toks = tokens(text)
+    return {
+        lang: F.size(
+            F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in stops]))
+        )
+        for lang, stops in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram/stopword language-ID heuristic: argmax of per-language
+    stopword hits; ties resolve to the earlier language in LANGS;
+    all-zero scores → 'und' (undetermined).
+
+    DuckDB twin: ``CASE WHEN greatest(...) = 0 THEN 'und' WHEN s_en =
+    greatest(...) THEN 'en' WHEN s_fr = ... END`` — a first-match CASE
+    chain over the max score.
+    """
+    scores = lang_scores(text)
+    m = F.greatest(*[scores[lang] for lang in LANGS])
+    result = F.when(m == 0, F.lit("und"))
+    for lang in LANGS:
+        result = result.when(scores[lang] == m, F.lit(lang))
+    return result

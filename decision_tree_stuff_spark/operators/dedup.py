@@ -1,0 +1,324 @@
+"""Deduplication operators over the ``documents`` table (E-1, E-2).
+
+Four families, all shuffle-planned for 100 TB:
+
+* exact: one hash groupBy on the dedup key — map-side combine makes
+  the shuffle proportional to distinct keys, not rows.
+* n-gram Jaccard: blocked token-join — candidate pairs only form
+  inside small blocks, so the join never goes quadratic in the corpus.
+* MinHash + LSH banding: signature per doc (narrow, one groupBy),
+  band-bucket join for candidates — the classic sub-quadratic near-dup
+  path; Jaccard is estimated from signature agreement.
+* SimHash: 64-bit sign fingerprint per doc via one groupBy with 64
+  conditional sums; near-dups via 16-bit band blocking + hamming
+  verification (``bit_count(a XOR b)``).
+
+Exact and Jaccard are ANSI-SQL-expressible (DuckDB oracle ✔); MinHash
+and SimHash depend on Spark's xxhash64 and get rows-only checks.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from decision_tree_stuff_spark.functions.text import tokens
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: List[str], id_col: str
+) -> DataFrame:
+    """E-1: exact dedup — keep the smallest id per duplicate group.
+
+    ``dropDuplicates`` keeps an *arbitrary* row per key (first seen per
+    partition) — nondeterministic under shuffle, so we use min(id):
+    deterministic, oracle-checkable, same single shuffle. Returns
+    (key_cols..., id_col, dup_count).
+    """
+    return df.groupBy(*key_cols).agg(
+        F.min(F.col(id_col)).alias(id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (id, token) pairs — the set representation."""
+    return (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: Optional[List[str]] = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """E-2a: exact token-set Jaccard near-dup pairs within blocks.
+
+    Plan: tokenize → distinct (id, token) → self-join on token (and
+    block equality) → pair common-token counts → join per-doc set
+    sizes → Jaccard = common / (|A| + |B| − common).
+
+    Scale: the token join shuffles on (token [+ block]) — linear in
+    total token occurrences; blocking (e.g. on lang) caps pair
+    formation. Hot tokens skew the join: at real scale drop tokens
+    with document frequency above a cap first (cheap extra groupBy) —
+    omitted here because the oracle must match exactly.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
+    jaccard rounded to 6dp for float-stable comparison.
+    """
+    block_cols = block_cols or []
+    toks = _doc_tokens(docs, id_col, text_col)
+    if block_cols:
+        blocks = docs.select(F.col(id_col), *block_cols)
+        toks = toks.join(blocks, id_col)
+
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+
+    a = toks.select(
+        F.col(id_col).alias("id_a"),
+        F.col("token"),
+        *[F.col(c).alias(f"a_{c}") for c in block_cols],
+    )
+    b = toks.select(
+        F.col(id_col).alias("id_b"),
+        F.col("token"),
+        *[F.col(c).alias(f"b_{c}") for c in block_cols],
+    )
+    cond = [a["token"] == b["token"], a["id_a"] < b["id_b"]]
+    for c in block_cols:
+        cond.append(F.col(f"a_{c}") == F.col(f"b_{c}"))
+    common = (
+        a.join(b, cond)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tokens").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tokens").alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """E-2b: MinHash signature per document.
+
+    sig_i(doc) = min over tokens of xxhash64(i, token) — one exploded
+    frame, one groupBy with ``num_hashes`` min aggregates (map-side
+    combined; shuffle is |docs| × num_hashes, independent of text
+    size). xxhash64 is Spark-native and deterministic across runs.
+    """
+    toks = _doc_tokens(docs, id_col, text_col)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """E-2b: near-dup candidate pairs via LSH banding over MinHash.
+
+    Signatures are split into ``bands`` bands of r = num_hashes/bands
+    values; docs sharing any band hash become candidates (probability
+    ≈ 1−(1−j^r)^b). Estimated Jaccard = fraction of agreeing signature
+    components. The band join shuffles on (band, band_hash) — tiny
+    rows, sub-quadratic; the signature frame is reused across bands so
+    it is cached by the caller if iterating.
+
+    Returns (id_a, id_b, est_jaccard ≥ threshold).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes)
+
+    band_rows = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"sig_{b * r + j}") for j in range(r)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+
+    a = band_rows.select(
+        F.col(id_col).alias("id_a"), "band", "band_hash"
+    )
+    b = band_rows.select(
+        F.col(id_col).alias("id_b"), "band", "band_hash"
+    )
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(agree / F.lit(float(num_hashes)), 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E-2c: 64-bit SimHash fingerprint per document.
+
+    Explode token *occurrences* (multiset — frequency is the weight),
+    then one groupBy with 64 conditional sums: bit j of the result is
+    set iff Σ_tokens (±1 per occurrence, + when bit j of xxhash64(token)
+    is set) > 0. Single shuffle of |docs| × 64 longs.
+    """
+    occ = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    h = F.xxhash64(F.col("token"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(64)
+    ]
+    votes = occ.groupBy(id_col).agg(*aggs)
+    # assemble the 64-bit fingerprint; bit 63 via signed overflow is
+    # avoided by building from two 32-bit halves
+    lo = sum(
+        (F.when(F.col(f"v_{j}") > 0, 1).otherwise(0) * F.lit(1 << j)).cast("bigint")
+        for j in range(32)
+    )
+    hi = sum(
+        (F.when(F.col(f"v_{j + 32}") > 0, 1).otherwise(0) * F.lit(1 << j)).cast(
+            "bigint"
+        )
+        for j in range(32)
+    )
+    return votes.select(
+        F.col(id_col),
+        lo.alias("simhash_lo"),
+        hi.alias("simhash_hi"),
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """E-2c: near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Blocking: split the 64-bit fingerprint into four 16-bit chunks —
+    any pair within hamming ≤ 3·16 shares at least one exact chunk
+    (pigeonhole for max_hamming ≤ 3 per-chunk guarantee holds when
+    max_hamming < 4; for larger radii this is an approximate blocker,
+    which is the standard trade). Verification = popcount(xor).
+    """
+    sh = simhash(docs, id_col, text_col)
+    chunks = sh.select(
+        F.col(id_col),
+        "simhash_lo",
+        "simhash_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash_lo"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(2)
+                ]
+                + [
+                    F.struct(
+                        F.lit(c + 2).alias("chunk_id"),
+                        F.shiftright(F.col("simhash_hi"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(2)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash_lo", "simhash_hi", "cc.chunk_id", "cc.chunk")
+
+    a = chunks.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash_lo").alias("a_lo"),
+        F.col("simhash_hi").alias("a_hi"),
+        "chunk_id",
+        "chunk",
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash_lo").alias("b_lo"),
+        F.col("simhash_hi").alias("b_hi"),
+        "chunk_id",
+        "chunk",
+    )
+    hamming = F.bit_count(
+        F.col("a_lo").bitwiseXOR(F.col("b_lo"))
+    ) + F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,149 @@
+"""Similarity search over the ``embeddings`` table (E-3).
+
+* ``cosine_topk`` — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, one narrow projection computes cosine,
+  ``row_number`` over (query) picks k. At 100 TB the corpus side never
+  shuffles — the only exchange is the final per-query top-k, which
+  Catalyst executes as partial top-k per partition (WindowGroupLimit
+  pushdown) before the tiny shuffle.
+* ``sign_lsh_topk`` — the scale path: deterministic sign-bit buckets
+  (hyperplanes = coordinate axes of the first ``n_bits`` dims), search
+  only the query's bucket. Recall trades off with n_bits; both sides
+  (Spark + DuckDB oracle) can compute the bucket exactly, so this is
+  fully oracle-checkable, unlike random-hyperplane LSH.
+* ``embedding_near_dup_pairs`` — cosine near-dup pairs within sign
+  buckets (E-2d embedding-cosine near-dup).
+
+Cosines are rounded to 6dp before ranking/thresholding so Spark and
+DuckDB double arithmetic agree; ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from decision_tree_stuff_spark.functions.array_math import cosine_similarity
+
+
+def _sign_bucket(vec, n_bits: int):
+    """Bucket id from the signs of the first n_bits coordinates.
+
+    DuckDB twin: ``sum over i of CASE WHEN embedding[i+1] >= 0 THEN
+    2^i ELSE 0 END`` (1-based list index).
+    """
+    return sum(
+        F.when(vec.getItem(i) >= 0.0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_bits)
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors (self excluded) for each query id.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank 1..k by
+    (cosine desc, neighbor_id asc).
+    """
+    queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(queries))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col("query_vec"), F.col(vec_col)), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sign_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket. Same output shape as ``cosine_topk``; recall < 1 by
+    design. The bucket equi-join replaces the cross join — candidate
+    count drops ~2^n_bits-fold on isotropic data."""
+    with_bucket = embeddings.withColumn(
+        "bucket", _sign_bucket(F.col(vec_col), n_bits)
+    )
+    queries = with_bucket.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col("bucket"),
+    )
+    scored = (
+        with_bucket.join(F.broadcast(queries), "bucket")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col("query_vec"), F.col(vec_col)), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E-2d: pairs with cosine ≥ threshold, blocked by sign bucket.
+
+    High-cosine pairs almost surely agree on leading-coordinate signs,
+    so the bucket self-join finds them without a quadratic cross join.
+    Returns (id_a, id_b, cosine)."""
+    with_bucket = embeddings.select(
+        F.col(id_col), F.col(vec_col), _sign_bucket(F.col(vec_col), n_bits).alias("bucket")
+    )
+    a = with_bucket.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    b = with_bucket.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,686 @@
+"""The driver-facing query matrix: every implemented operator from
+SURVEY.md §2 as a ``(spark, sf_dir) -> DataFrame`` builder, paired
+with an exact DuckDB-SQL oracle (``ORACLE_SQL``) where the operator is
+ANSI-expressible.
+
+Float-parity rules (both sides, always):
+* probabilities / averages / ratios / cosines → ROUND(x, 6)
+* large-magnitude sums (prices) → ROUND(x, 2)
+* counts stay exact integers; timestamps are epoch-second BIGINTs
+* rank/limit decisions use deterministic secondary keys so both
+  engines select the same rows before hashing.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from decision_tree_stuff_spark.dtree import DecisionNode, DecisionTree, DecisionTreeParams
+from decision_tree_stuff_spark.functions.text import (
+    LANG_STOPWORDS,
+    LANGS,
+    QUALITY_STOPWORDS,
+    fingerprint,
+)
+from decision_tree_stuff_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from decision_tree_stuff_spark.operators.sessionize import sessionize, tumbling_counts
+from decision_tree_stuff_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    sign_lsh_topk,
+)
+from decision_tree_stuff_spark.operators.textstats import document_stats, tf_idf
+from decision_tree_stuff_spark.splitting import SplitParams, compute_all_splits
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------
+# Shared fragments
+# ---------------------------------------------------------------------
+
+FEATURES = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+FEATURES_SMALL = ["l_discount", "l_quantity"]
+QUERY_IDS = list(range(10))
+
+# Derived binary label on lineitem (FIXTURES.md F-4).
+BASE_SQL = """base AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+         CAST(l_discount > 0.05 AS BIGINT) AS class
+  FROM lineitem
+)"""
+
+MELT_SQL = "melt AS (\n  " + "\n  UNION ALL ".join(
+    f"SELECT class, '{f}' AS variable, {f} AS value FROM base" for f in FEATURES
+) + "\n)"
+
+MELT_IDS_SQL = "melt AS (\n  " + "\n  UNION ALL ".join(
+    f"SELECT l_orderkey, l_linenumber, '{f}' AS variable, {f} AS value FROM lineitem"
+    for f in FEATURES_SMALL
+) + "\n)"
+
+# Normalized whitespace tokens of a text column (DuckDB side).
+TOKS_SQL = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+def _h_sql(p: str) -> str:
+    """Binary entropy H(p) with the degenerate p∈{0,1} → 0 (matches
+    EntropySplitMetric.eval_from_p1_expr's NULL/NaN → 0)."""
+    return (
+        f"CASE WHEN ({p}) <= 0.0 OR ({p}) >= 1.0 THEN 0.0 "
+        f"ELSE -(1.0-({p}))*log2(1.0-({p})) - ({p})*log2({p}) END"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine in explicit double math — element order and double
+    promotion match functions.array_math.cosine_similarity exactly."""
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({x}, {y}), "
+            f"x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+        )
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+def _bucket_sql(col: str, n_bits: int) -> str:
+    """Sign-bit bucket (1-based DuckDB list index ↔ getItem(i))."""
+    return "(" + " + ".join(
+        f"CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(n_bits)
+    ) + ")"
+
+
+def _sqllist(strings) -> str:
+    return "[" + ", ".join(f"'{s}'" for s in strings) + "]"
+
+
+def _stop_hits_sql(stopwords) -> str:
+    return (
+        f"len(list_filter({TOKS_SQL}, t -> list_contains({_sqllist(stopwords)}, t)))"
+    )
+
+
+def _lineitem_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        (F.col("l_discount") > 0.05).cast("bigint").alias("class"),
+    )
+
+
+def _lineitem_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Features + class only — key columns excluded so they are not
+    split candidates (Q-5: every numeric non-class column is one)."""
+    return _lineitem_base(spark, sf_dir).select(*FEATURES, "class")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read nanos as LONG and convert to a µs timestamp.
+    The oracle truncates to µs the same way (epoch_ns // 1000)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Core operators (SURVEY.md §2.1) on lineitem + derived binary class
+# ---------------------------------------------------------------------
+
+def q_o01_filter_split(spark, sf_dir):
+    """O-1 predicate filter-split (left half)."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+    left, _right = SplitParams("l_quantity", 25.0).split(df)
+    return left
+
+
+def q_o02_unpivot(spark, sf_dir):
+    """O-2 wide→long unpivot."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", *FEATURES_SMALL
+    )
+    return df.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=FEATURES_SMALL,
+        variableColumnName="variable",
+        valueColumnName="value",
+    )
+
+
+def _melted_with_threshold(spark, sf_dir):
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", *FEATURES_SMALL
+    )
+    melted = df.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=FEATURES_SMALL,
+        variableColumnName="variable",
+        valueColumnName="value",
+    )
+    w = Window.partitionBy("variable")
+    return melted.withColumn("threshold", F.avg("value").over(w))
+
+
+def q_o03_window_threshold(spark, sf_dir):
+    """O-3 per-group scalar window (mean threshold per variable)."""
+    return _melted_with_threshold(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "variable",
+        "value",
+        F.round("threshold", 6).alias("threshold"),
+    )
+
+
+def q_o04_side_tag(spark, sf_dir):
+    """O-4 derived boolean side-membership column."""
+    return _melted_with_threshold(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "variable",
+        "value",
+        (F.col("value") <= F.col("threshold")).alias("left"),
+    )
+
+
+def q_o05_conditional_agg(spark, sf_dir):
+    """O-5 hash group-by with conditional mean + null→0 per side."""
+    scored = compute_all_splits(_lineitem_features(spark, sf_dir), "class", "entropy", "mean")
+    return scored.select(
+        "variable",
+        F.round("threshold", 6).alias("threshold"),
+        F.round("left_p1", 6).alias("left_p1"),
+        F.round("right_p1", 6).alias("right_p1"),
+    )
+
+
+def q_o06_split_scores(spark, sf_dir):
+    """O-6 impurity scoring over every candidate."""
+    scored = compute_all_splits(_lineitem_features(spark, sf_dir), "class", "entropy", "mean")
+    return scored.select(
+        "variable",
+        F.round("threshold", 6).alias("threshold"),
+        F.round("left_p1", 6).alias("left_p1"),
+        F.round("right_p1", 6).alias("right_p1"),
+        F.round("metric", 6).alias("metric"),
+    )
+
+
+def q_o07_best_split(spark, sf_dir):
+    """O-7 ordered top-1 candidate (deterministic tie-break)."""
+    scored = compute_all_splits(_lineitem_features(spark, sf_dir), "class", "entropy", "mean")
+    return scored.limit(1).select(
+        "variable",
+        F.round("threshold", 6).alias("threshold"),
+        F.round("metric", 6).alias("metric"),
+    )
+
+
+def q_o08_majority(spark, sf_dir):
+    """O-8 majority vote (mode) with deterministic tie-break."""
+    return (
+        _lineitem_base(spark, sf_dir)
+        .groupBy(F.col("class").alias("label"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("label").asc())
+        .limit(1)
+    )
+
+
+def q_o09_constant_label(spark, sf_dir):
+    """O-9 constant prediction column (leaf inference)."""
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(1).cast("tinyint").alias("prediction"),
+    )
+
+
+INFERENCE_TREE = {
+    "l_discount <= 0.05": {"class": 0},
+    "l_discount > 0.05": {
+        "l_quantity <= 25.0": {"class": 0},
+        "l_quantity > 25.0": {"class": 1},
+    },
+}
+
+
+def q_o11_tree_inference(spark, sf_dir):
+    """O-11 fused tree inference: depth-2 tree as one nested CASE WHEN."""
+    node = DecisionNode.from_dict(INFERENCE_TREE)
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        node.to_expr().cast("tinyint").alias("prediction"),
+    )
+
+
+def q_o12_scalar_stats(spark, sf_dir):
+    """O-12 fused scalar aggregate: count + class-sum + p1 + entropy in
+    ONE pass (the reference runs three; SURVEY.md §3.1)."""
+    from decision_tree_stuff_spark.splitting import EntropySplitMetric
+
+    return _lineitem_base(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("class").alias("n1"),
+        F.round(F.avg("class"), 6).alias("p1"),
+        F.round(
+            EntropySplitMetric.eval_from_p1_expr(F.avg("class")), 6
+        ).alias("entropy"),
+    )
+
+
+def q_tree_fit_transform(spark, sf_dir):
+    """O-13 full fit + O-11 transform (multi-query algorithm — no
+    single-SQL oracle; driver records rows-only)."""
+    base = _lineitem_base(spark, sf_dir)
+    dt = DecisionTree(
+        DecisionTreeParams([], "class", "mean", "entropy", max_depth=3)
+    )
+    dt.fit(base.select(*FEATURES, "class"))
+    return dt.transform(base).select("l_orderkey", "l_linenumber", "prediction")
+
+
+# ---------------------------------------------------------------------
+# Extension operators (SURVEY.md §2.5)
+# ---------------------------------------------------------------------
+
+def q_e1_exact_dedup(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    return exact_dedup(docs, ["fp"], "doc_id")
+
+
+def q_e2_jaccard_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("bigint")
+    )
+    return ngram_jaccard_pairs(
+        docs, block_cols=["lang", "len_bucket"], threshold=0.8
+    )
+
+
+def q_e2_minhash_pairs(spark, sf_dir):
+    """MinHash LSH near-dup candidates (xxhash64-based → rows-only check)."""
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
+
+
+def q_e2_simhash_dups(spark, sf_dir):
+    """SimHash hamming near-dups (xxhash64-based → rows-only check)."""
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=8)
+
+
+def q_e2_embedding_near_dups(spark, sf_dir):
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4, n_bits=6)
+
+
+def q_e3_cosine_topk(spark, sf_dir):
+    return cosine_topk(_emb(spark, sf_dir), QUERY_IDS, k=5)
+
+
+def q_e3_sign_lsh_topk(spark, sf_dir):
+    return sign_lsh_topk(_emb(spark, sf_dir), QUERY_IDS, k=5, n_bits=8)
+
+
+def q_e4_document_stats(spark, sf_dir):
+    return document_stats(_docs(spark, sf_dir))
+
+
+def q_e4_tf_idf(spark, sf_dir):
+    return tf_idf(_docs(spark, sf_dir))
+
+
+def q_e5_tumbling_counts(spark, sf_dir):
+    return tumbling_counts(_events(spark, sf_dir))
+
+
+def q_e5_sessions(spark, sf_dir):
+    return sessionize(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------
+# Relational coverage: multi-way joins + wide aggregation
+# ---------------------------------------------------------------------
+
+def q_rel_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (group-by agg over lineitem)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_rel_top_customers(spark, sf_dir):
+    """Revenue-per-customer 3-way join; dims broadcast explicitly."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------
+# Oracle SQL (DuckDB) — exact twins of the above
+# ---------------------------------------------------------------------
+
+_G_SQL = f"""WITH {BASE_SQL},
+{MELT_SQL},
+t AS (SELECT *, AVG(value) OVER (PARTITION BY variable) AS threshold FROM melt),
+g AS (
+  SELECT variable, threshold,
+         COALESCE(AVG(CASE WHEN value <= threshold THEN class END), 0.0) AS left_p1,
+         COALESCE(AVG(CASE WHEN value > threshold THEN class END), 0.0) AS right_p1
+  FROM t GROUP BY variable, threshold
+)"""
+
+_METRIC_SQL = f"({_h_sql('left_p1')}) + ({_h_sql('right_p1')})"
+
+_DOCSTATS_SR = f"{_stop_hits_sql(QUALITY_STOPWORDS)} / CAST(greatest(len({TOKS_SQL}), 1) AS DOUBLE)"
+_DOCSTATS_PR = (
+    "(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))"
+    " / CAST(greatest(length(text), 1) AS DOUBLE)"
+)
+_LANG_SCORES = {lang: _stop_hits_sql(stops) for lang, stops in LANG_STOPWORDS.items()}
+_LANG_MAX = "greatest(" + ", ".join(_LANG_SCORES[lang] for lang in LANGS) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _LANG_MAX + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {_LANG_SCORES[lang]} = {_LANG_MAX} THEN '{lang}'" for lang in LANGS
+    )
+    + " END"
+)
+
+ORACLE_SQL: Dict[str, str] = {
+    "o01_filter_split": """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem WHERE l_quantity <= 25.0
+""",
+    "o02_unpivot": f"WITH {MELT_IDS_SQL} SELECT * FROM melt",
+    "o03_window_threshold": f"""
+WITH {MELT_IDS_SQL}
+SELECT l_orderkey, l_linenumber, variable, value,
+       round(AVG(value) OVER (PARTITION BY variable), 6) AS threshold
+FROM melt
+""",
+    "o04_side_tag": f"""
+WITH {MELT_IDS_SQL}
+SELECT l_orderkey, l_linenumber, variable, value,
+       value <= AVG(value) OVER (PARTITION BY variable) AS left
+FROM melt
+""",
+    "o05_conditional_agg": f"""
+{_G_SQL}
+SELECT variable, round(threshold, 6) AS threshold,
+       round(left_p1, 6) AS left_p1, round(right_p1, 6) AS right_p1
+FROM g
+""",
+    "o06_split_scores": f"""
+{_G_SQL}
+SELECT variable, round(threshold, 6) AS threshold,
+       round(left_p1, 6) AS left_p1, round(right_p1, 6) AS right_p1,
+       round({_METRIC_SQL}, 6) AS metric
+FROM g
+""",
+    "o07_best_split": f"""
+{_G_SQL}
+SELECT variable, round(threshold, 6) AS threshold,
+       round({_METRIC_SQL}, 6) AS metric
+FROM g
+ORDER BY {_METRIC_SQL} ASC, variable ASC
+LIMIT 1
+""",
+    "o08_majority": f"""
+WITH {BASE_SQL}
+SELECT class AS label, CAST(count(*) AS BIGINT) AS cnt
+FROM base GROUP BY class
+ORDER BY cnt DESC, label ASC
+LIMIT 1
+""",
+    "o09_constant_label": """
+SELECT l_orderkey, l_linenumber, CAST(1 AS TINYINT) AS prediction FROM lineitem
+""",
+    "o11_tree_inference": """
+SELECT l_orderkey, l_linenumber,
+       CAST(CASE WHEN l_discount <= 0.05 THEN 0
+                 ELSE CASE WHEN l_quantity <= 25.0 THEN 0 ELSE 1 END
+            END AS TINYINT) AS prediction
+FROM lineitem
+""",
+    "o12_scalar_stats": f"""
+WITH {BASE_SQL}
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(class) AS BIGINT) AS n1,
+       round(avg(class), 6) AS p1,
+       round({_h_sql('avg(class)')}, 6) AS entropy
+FROM base
+""",
+    "e1_exact_dedup": """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS doc_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY 1
+""",
+    "e2_jaccard_pairs": f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, lang, len_bucket, tok AS token FROM (
+    SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+           unnest({TOKS_SQL}) AS tok
+    FROM documents
+  ) u WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM toks a JOIN toks b
+    ON a.token = b.token AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) >= 0.8
+""",
+    "e2_embedding_near_dups": f"""
+WITH wb AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding', 6)} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
+""",
+    "e3_cosine_topk": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({', '.join(str(i) for i in QUERY_IDS)})
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_cos_sql('q.qv', 'e.embedding')}, 6) AS cosine
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM s
+) t WHERE rank <= 5
+""",
+    "e3_sign_lsh_topk": f"""
+WITH wb AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding', 8)} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM wb
+  WHERE vec_id IN ({', '.join(str(i) for i in QUERY_IDS)})
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_cos_sql('q.qv', 'e.embedding')}, 6) AS cosine
+  FROM q JOIN wb e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM s
+) t WHERE rank <= 5
+""",
+    "e4_document_stats": f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_actual,
+       CAST(len({TOKS_SQL}) AS INT) AS n_tokens,
+       round({_DOCSTATS_SR}, 6) AS stopword_ratio,
+       round({_DOCSTATS_PR}, 6) AS punct_ratio,
+       round(0.4*({_DOCSTATS_SR})
+           + 0.3*least(1.0, len({TOKS_SQL}) / 100.0)
+           + 0.3*(1.0 - ({_DOCSTATS_PR})), 6) AS quality,
+       {_LANG_CASE} AS lang_guess,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+    "e4_tf_idf": f"""
+WITH occ AS (
+  SELECT doc_id, tok AS token FROM (
+    SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+  ) u WHERE tok <> ''
+),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY 1, 2),
+dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM occ) d GROUP BY 1
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT t.doc_id, t.token, t.tf, f.df,
+       round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / f.df), 6) AS tfidf
+FROM tf t JOIN dfreq f USING (token) CROSS JOIN n
+""",
+    "e5_tumbling_counts": """
+WITH ev AS (
+  SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events
+)
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM ev GROUP BY 1, 2
+""",
+    "e5_sessions": """
+WITH ev AS (
+  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value FROM events
+),
+o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+    "rel_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    "rel_top_customers": """
+SELECT c_custkey, c_name, n_name,
+       round(sum(o_totalprice), 2) AS total_spent,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY total_spent DESC, c_custkey ASC
+LIMIT 10
+""",
+}
+
+SPARK_QUERIES: Dict[str, QueryFn] = {
+    "o01_filter_split": q_o01_filter_split,
+    "o02_unpivot": q_o02_unpivot,
+    "o03_window_threshold": q_o03_window_threshold,
+    "o04_side_tag": q_o04_side_tag,
+    "o05_conditional_agg": q_o05_conditional_agg,
+    "o06_split_scores": q_o06_split_scores,
+    "o07_best_split": q_o07_best_split,
+    "o08_majority": q_o08_majority,
+    "o09_constant_label": q_o09_constant_label,
+    "o11_tree_inference": q_o11_tree_inference,
+    "o12_scalar_stats": q_o12_scalar_stats,
+    "tree_fit_transform": q_tree_fit_transform,   # no oracle (O-13)
+    "e1_exact_dedup": q_e1_exact_dedup,
+    "e2_jaccard_pairs": q_e2_jaccard_pairs,
+    "e2_minhash_pairs": q_e2_minhash_pairs,       # no oracle (xxhash64)
+    "e2_simhash_dups": q_e2_simhash_dups,         # no oracle (xxhash64)
+    "e2_embedding_near_dups": q_e2_embedding_near_dups,
+    "e3_cosine_topk": q_e3_cosine_topk,
+    "e3_sign_lsh_topk": q_e3_sign_lsh_topk,
+    "e4_document_stats": q_e4_document_stats,
+    "e4_tf_idf": q_e4_tf_idf,
+    "e5_tumbling_counts": q_e5_tumbling_counts,
+    "e5_sessions": q_e5_sessions,
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_top_customers": q_rel_top_customers,
+}
