@@ -1,0 +1,100 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ...}.
+
+Timings execute the full plan into Spark's noop sink (no driver
+collect — we measure compute, not py4j serialization); `tree_fit`
+times the training recursion itself (driver-coordinated multi-job).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from decision_tree_stuff_spark.dtree import DecisionTree, DecisionTreeParams  # noqa: E402
+from decision_tree_stuff_spark.queries import SPARK_QUERIES, _lineitem_base, FEATURES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "o03_window_threshold",
+    "o06_split_scores",
+    "o11_tree_inference",
+    "e1_exact_dedup",
+    "e2_jaccard_pairs",
+    "e2_minhash_pairs",
+    "e2_simhash_dups",
+    "e2_embedding_near_dups",
+    "e3_cosine_topk",
+    "e4_document_stats",
+    "e4_tf_idf",
+    "e5_tumbling_counts",
+    "e5_sessions",
+    "rel_pricing_summary",
+    "rel_top_customers",
+]
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("decision_tree_stuff_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup — not timed
+    _noop_write(spark.read.parquet(f"{SF_DIR}/lineitem.parquet"))
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    base = _lineitem_base(spark, SF_DIR)
+    dt = DecisionTree(DecisionTreeParams([], "class", "mean", "entropy", max_depth=4))
+    dt.fit(base.select(*FEATURES, "class"))
+    timings["tree_fit"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _noop_write(dt.transform(base))
+    timings["tree_transform"] = round(time.time() - t0, 3)
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _noop_write(SPARK_QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -124,19 +124,24 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
 ) -> DataFrame:
-    """E-2b: MinHash signature per document.
+    """E-2b: MinHash signature per document, as ONE array column.
 
-    sig_i(doc) = min over tokens of xxhash64(i, token) — one exploded
+    sig[i](doc) = min over tokens of xxhash64(i, token) — one exploded
     frame, one groupBy with ``num_hashes`` min aggregates (map-side
     combined; shuffle is |docs| × num_hashes, independent of text
-    size). xxhash64 is Spark-native and deterministic across runs.
+    size), assembled into ``sig: array<bigint>`` so downstream joins
+    carry a single column instead of 64. xxhash64 is Spark-native and
+    deterministic across runs.
     """
     toks = _doc_tokens(docs, id_col, text_col)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"sig_{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"s{i}")
         for i in range(num_hashes)
     ]
-    return toks.groupBy(id_col).agg(*aggs)
+    return toks.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col),
+        F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -152,15 +157,17 @@ def minhash_lsh_pairs(
     Signatures are split into ``bands`` bands of r = num_hashes/bands
     values; docs sharing any band hash become candidates (probability
     ≈ 1−(1−j^r)^b). Estimated Jaccard = fraction of agreeing signature
-    components. The band join shuffles on (band, band_hash) — tiny
-    rows, sub-quadratic; the signature frame is reused across bands so
-    it is cached by the caller if iterating.
+    components, computed with ``zip_with`` over the two signature
+    arrays — the pair join carries one array column per side, not
+    2×num_hashes scalar columns. The signature frame feeds both the
+    band explosion and the verification join → persist it for the
+    duration of the plan (two consumers, one computation).
 
     Returns (id_a, id_b, est_jaccard ≥ threshold).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes)
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes).persist()
 
     band_rows = sigs.select(
         F.col(id_col),
@@ -170,7 +177,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            *[F.col(f"sig_{b * r + j}") for j in range(r)]
+                            *[F.col("sig").getItem(b * r + j) for j in range(r)]
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
@@ -179,12 +186,8 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.band_hash")
 
-    a = band_rows.select(
-        F.col(id_col).alias("id_a"), "band", "band_hash"
-    )
-    b = band_rows.select(
-        F.col(id_col).alias("id_b"), "band", "band_hash"
-    )
+    a = band_rows.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = band_rows.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     cand = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -192,17 +195,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sa = sigs.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_hashes)],
-    )
-    sb = sigs.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(num_hashes)],
-    )
-    agree = sum(
-        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     return (
         cand.join(sa, "id_a")
