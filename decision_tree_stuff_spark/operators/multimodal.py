@@ -1,0 +1,155 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travels as an opaque ``binary`` payload column plus a typed
+metadata struct — the schema, partitioning and Arrow-batched UDF
+plumbing are real and tested; only the codec step is stubbed
+(`decode_media` raises ``NotImplementedError``: no image/audio libs in
+this container) with a deterministic fake feature extractor standing
+in so the pipeline shape can be exercised end-to-end.
+
+Scale notes:
+* Payloads stay on executors — nothing here collects binary to the
+  driver. At 100 TB the payload column dominates scan size; metadata
+  queries (`meta.*` filters, kind counts) prune it via parquet column
+  pruning, so keep payload in its own column, never inside a struct
+  with hot metadata.
+* Feature extraction uses ``mapInPandas`` (Arrow batches) — the
+  Python boundary is batch-at-a-time, not row-at-a-time, and output
+  partitioning inherits the scan (no shuffle).
+* Frame sampling is pure Spark (sequence + explode + binary
+  substring): no UDF.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_TYPE = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("meta", MEDIA_META_TYPE, False),
+    ]
+)
+
+KINDS = ["image", "audio", "video"]
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table derived from ``documents`` —
+    payload = UTF-8 bytes of the text, kind/meta derived from the id.
+    Exists so the binary-column pipeline runs against real testdata
+    without shipping binaries."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in KINDS]), (F.col(id_col) % 3 + 1).cast("int")
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            (F.col(id_col) % 640 + 16).cast("int").alias("width"),
+            (F.col(id_col) % 480 + 16).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col(id_col) % 24 + 1).cast("int").alias("n_frames"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, fmt: str):
+    """STUB: real codec decode (PIL/libav/opencv) — the libraries are
+    not available in this container. The Spark-side plumbing
+    (schema, batching, partitioning) is real; swap this function for
+    the actual decoder in production."""
+    raise NotImplementedError(
+        f"media decode for format {fmt!r} requires codec libraries "
+        "not present in this environment"
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("features", ArrayType(DoubleType()), False),
+    ]
+)
+
+
+def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload.
+
+    The feature math is a deterministic byte-histogram-moment fake
+    (stands in for the stubbed decoder, see `decode_media`), but the
+    execution path — ``mapInPandas``, Arrow transfer, per-batch
+    vectorized numpy, schema contract — is exactly the production
+    shape. One narrow stage, no shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                if len(arr) == 0:
+                    arr = np.zeros(1)
+                # deterministic "embedding": moments of byte-value
+                # buckets — replace with decode_media + model in prod
+                buckets = np.array_split(arr, n_features)
+                out_feats.append(
+                    [float(round(b.mean() if len(b) else 0.0, 6)) for b in buckets]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "features": out_feats,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4, frame_bytes: int = 16) -> DataFrame:
+    """Frame sampling for video rows — pure Spark, no UDF:
+    ``sequence`` over frame indices, ``explode``, binary ``substring``
+    slices a per-frame payload window. Returns
+    (media_id, frame_idx, frame_payload)."""
+    video = media.where(F.col("kind") == "video")
+    idx = F.explode(
+        F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
+    ).alias("frame_idx")
+    return video.select("media_id", idx, "payload").select(
+        "media_id",
+        "frame_idx",
+        F.substring(
+            F.col("payload"), F.col("frame_idx") * frame_bytes + 1, frame_bytes
+        ).alias("frame_payload"),
+    )

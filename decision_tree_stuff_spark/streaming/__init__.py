@@ -1,0 +1,122 @@
+"""Structured Streaming variants of the event-time operators (E-5).
+
+The batch operators in ``operators.sessionize`` are written on the
+same primitives (``F.window`` / ``F.session_window``) so the
+streaming versions are the identical aggregation with a watermark
+bolted on — one definition of window semantics, two execution modes.
+
+Late data: the watermark bounds state; events older than
+(max event time − watermark) are dropped by the engine. State store:
+session windows use the builtin session-window state operator —
+``spark.sql.streaming.statePolicy`` defaults apply; at scale set
+RocksDB state store + state TTL via the usual confs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet physical schema with TIMESTAMP(NANOS) read as long
+# (spark.sql.legacy.parquet.nanosAsLong=true)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files
+    (ns-timestamps read as long, converted to µs timestamps — same
+    convention as the batch reader in queries._events)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def stream_tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling-window counts — same shape as the batch
+    ``tumbling_counts``; watermark bounds state and admits late data
+    up to its horizon."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming session windows — stateful session-window aggregation
+    with watermark-bounded state (merges sessions across micro-batches
+    until the watermark passes the session end)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
+    """Execute a streaming aggregation to completion over currently
+    available input (availableNow trigger) into an in-memory table;
+    returns the finished StreamingQuery. Test/debug harness — real
+    deployments write to kafka/delta with checkpointing."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,142 @@
+"""Multimodal plumbing + Structured Streaming tests.
+
+The multimodal decode is stubbed (no codec libs in the container) but
+the Spark-side contract — schema, Arrow batching, partition
+inheritance, determinism — is exercised for real. Streaming tests
+assert the streaming aggregations equal their batch twins on the same
+input (one window-semantics definition, two execution modes).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from decision_tree_stuff_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    decode_media,
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
+from decision_tree_stuff_spark.operators.sessionize import sessionize, tumbling_counts
+from decision_tree_stuff_spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    stream_sessionize,
+    stream_tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return synthesize_media(docs)
+
+
+def test_media_schema_and_kinds(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    meta = media.select("meta.width", "meta.n_frames").first()
+    assert meta["width"] >= 16 and meta["n_frames"] >= 1
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x01", "png")
+
+
+def test_extract_features_contract(media):
+    feats = extract_features(media, n_features=8)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    assert all(len(r["features"]) == 8 for r in rows)
+    # payload length survives the Arrow round-trip exactly
+    n = media.select(F.length("payload").alias("n"), "media_id").collect()
+    nb = {r["media_id"]: r["n"] for r in n}
+    assert all(r["n_bytes"] == nb[r["media_id"]] for r in rows)
+    # deterministic across runs
+    again = extract_features(media, n_features=8).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+    # narrow stage: no shuffle in the plan
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_sample_frames(media):
+    frames = sample_frames(media, every_n=4, frame_bytes=16)
+    rows = frames.collect()
+    assert rows, "expected video rows"
+    assert all(r["frame_idx"] % 4 == 0 for r in rows)
+    assert all(len(r["frame_payload"]) <= 16 for r in rows)
+    # all source rows are videos
+    n_videos = media.where(F.col("kind") == "video").count()
+    assert frames.select("media_id").distinct().count() == n_videos
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _batch_events(spark, sf_dir):
+    from decision_tree_stuff_spark.queries import _events
+
+    return _events(spark, sf_dir)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, events_stream_dir):
+    stream = stream_tumbling_counts(read_events_stream(spark, events_stream_dir))
+    q = run_stream_to_memory(stream, "tumbling_test", mode="complete")
+    got = spark.table("tumbling_test")
+    want = tumbling_counts(_batch_events(spark, sf_dir))
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    q.stop()
+
+
+def test_stream_sessionize_equals_batch(spark, sf_dir, events_stream_dir):
+    stream = stream_sessionize(read_events_stream(spark, events_stream_dir))
+    q = run_stream_to_memory(stream, "sessions_test", mode="complete")
+    got = spark.table("sessions_test")
+    want = sessionize(_batch_events(spark, sf_dir))
+    cols = ["user_id", "session_start", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    q.stop()
+
+
+def test_stream_sessionize_merges_across_micro_batches(
+    spark, sf_dir, tmp_path_factory
+):
+    """The stateful path: sessions spanning micro-batch boundaries must
+    merge. Four time-ordered file chunks → four micro-batches; result
+    must equal batch exactly. (Arrival disorder beyond the watermark
+    horizon is dropped by design — that contract is exercised by
+    feeding ordered chunks here.)"""
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("events_chunks")
+    t = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    quarter = t.num_rows // 4
+    for i in range(4):
+        n = quarter if i < 3 else t.num_rows - 3 * quarter
+        pq.write_table(t.slice(i * quarter, n), f"{d}/part{i}.parquet")
+
+    stream = stream_sessionize(read_events_stream(spark, str(d)))
+    q = run_stream_to_memory(stream, "sessions_multibatch", mode="complete")
+    got = spark.table("sessions_multibatch")
+    want = sessionize(_batch_events(spark, sf_dir))
+    cols = ["user_id", "session_start", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    q.stop()
