@@ -78,6 +78,9 @@ def ngram_jaccard_pairs(
     if block_cols:
         blocks = docs.select(F.col(id_col), *block_cols)
         toks = toks.join(blocks, id_col)
+    # three consumers (sizes + both self-join branches) — no persist
+    # needed: Catalyst's ReusedExchange dedups the identical shuffle
+    # subplans (verified: persisting was a net loss at sf0.1)
 
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
 
@@ -156,7 +159,11 @@ def minhash_lsh_pairs(
 
     Signatures are split into ``bands`` bands of r = num_hashes/bands
     values; docs sharing any band hash become candidates (probability
-    ≈ 1−(1−j^r)^b). Estimated Jaccard = fraction of agreeing signature
+    ≈ 1−(1−j^r)^b). Tune banding to the threshold: the S-curve knee
+    sits at (1/b)^(1/r) — b=16/r=4 targets j≈0.5, b=8/r=8 targets
+    j≈0.77; a mistuned (too many) band count floods the candidate set
+    with below-threshold pairs that verification then has to reject.
+    Estimated Jaccard = fraction of agreeing signature
     components, computed with ``zip_with`` over the two signature
     arrays — the pair join carries one array column per side, not
     2×num_hashes scalar columns. The signature frame feeds both the

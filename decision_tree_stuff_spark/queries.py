@@ -330,8 +330,10 @@ def q_e2_jaccard_pairs(spark, sf_dir):
 
 
 def q_e2_minhash_pairs(spark, sf_dir):
-    """MinHash LSH near-dup candidates (xxhash64-based → rows-only check)."""
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
+    """MinHash LSH near-dup candidates (xxhash64-based → rows-only
+    check). bands=8/r=8 puts the LSH S-curve knee at j≈0.77,
+    matching the 0.7 threshold."""
+    return minhash_lsh_pairs(_docs(spark, sf_dir), bands=8, threshold=0.7)
 
 
 def q_e2_simhash_dups(spark, sf_dir):
