@@ -280,7 +280,12 @@ class DecisionTree:
 
     # -- training ------------------------------------------------------
 
-    def fit(self, dataset: DataFrame, prune: bool = False) -> None:
+    def fit(
+        self,
+        dataset: DataFrame,
+        prune: bool = False,
+        strategy: str = "depth_first",
+    ) -> None:
         """Train — reference dtree.py:203-254 semantics.
 
         One fused aggregate computes (row-count, class-sum) — the
@@ -288,7 +293,19 @@ class DecisionTree:
         entropy query, height; dtree.py:206,211-213,219) in a single
         job; entropy and majority derive from those two numbers on the
         driver (labels are binary {0,1}).
+
+        ``strategy='level_wise'`` trains the identical tree with the
+        PLANET-style plan (2 jobs per depth instead of 2 per node —
+        see plans/level_wise.py for the crossover analysis).
         """
+        if strategy == "level_wise":
+            from decision_tree_stuff_spark.plans import fit_level_wise
+
+            fitted = fit_level_wise(self._params, dataset, prune=prune)
+            self._root = fitted._root
+            self._entropy = fitted._entropy
+            return
+        assert strategy == "depth_first", f"unknown strategy {strategy!r}"
         class_name = self._params.class_column
         row = dataset.agg(
             F.count(F.lit(1)).alias("n"),

@@ -1,0 +1,119 @@
+"""MLlib-style Estimator/Model facade (SURVEY.md §1.1, §2.2: optional
+wrapper so the engine slots into ``pyspark.ml`` Pipelines).
+
+Note MLlib's own ``DecisionTreeClassifier`` can NOT reproduce the
+reference's trees — it weights child impurities by size, the reference
+does not (SURVEY.md §2.4 Q-1) — hence this wrapper around our own
+trainer rather than a delegation.
+"""
+
+from __future__ import annotations
+
+from pyspark import keyword_only
+from pyspark.ml import Estimator, Model
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame
+
+from decision_tree_stuff_spark.dtree import DecisionTree, DecisionTreeParams
+
+
+class _HasTreeParams(Params):
+    classCol = Param(
+        Params._dummy(), "classCol", "binary {0,1} label column",
+        typeConverter=TypeConverters.toString,
+    )
+    splittingMethod = Param(
+        Params._dummy(), "splittingMethod", "mean | median | midpoint",
+        typeConverter=TypeConverters.toString,
+    )
+    splitMetric = Param(
+        Params._dummy(), "splitMetric", "entropy | gini",
+        typeConverter=TypeConverters.toString,
+    )
+    minSplitSamples = Param(
+        Params._dummy(), "minSplitSamples", "minimum rows to split",
+        typeConverter=TypeConverters.toInt,
+    )
+    minSplitEntropy = Param(
+        Params._dummy(), "minSplitEntropy", "minimum node entropy to split",
+        typeConverter=TypeConverters.toFloat,
+    )
+    maxDepth = Param(
+        Params._dummy(), "maxDepth", "max depth; -1 = unlimited",
+        typeConverter=TypeConverters.toInt,
+    )
+    strategy = Param(
+        Params._dummy(), "strategy", "depth_first | level_wise",
+        typeConverter=TypeConverters.toString,
+    )
+    prune = Param(
+        Params._dummy(), "prune", "collapse uniform subtrees after fit",
+        typeConverter=TypeConverters.toBoolean,
+    )
+
+
+class DecisionTreeStuffClassifier(Estimator, _HasTreeParams):
+    """``Estimator`` facade: every numeric non-label column is a
+    feature (reference quirk Q-5 — no VectorAssembler needed)."""
+
+    @keyword_only
+    def __init__(
+        self,
+        classCol: str = "class",
+        splittingMethod: str = "mean",
+        splitMetric: str = "entropy",
+        minSplitSamples: int = 0,
+        minSplitEntropy: float = 0.0,
+        maxDepth: int = -1,
+        strategy: str = "depth_first",
+        prune: bool = False,
+    ):
+        super().__init__()
+        self._setDefault(
+            classCol="class",
+            splittingMethod="mean",
+            splitMetric="entropy",
+            minSplitSamples=0,
+            minSplitEntropy=0.0,
+            maxDepth=-1,
+            strategy="depth_first",
+            prune=False,
+        )
+        self._set(**self._input_kwargs)
+
+    def _fit(self, dataset: DataFrame) -> "DecisionTreeStuffModel":
+        params = DecisionTreeParams(
+            feature_columns=[],
+            class_column=self.getOrDefault("classCol"),
+            splitting_method=self.getOrDefault("splittingMethod"),
+            split_metric=self.getOrDefault("splitMetric"),
+            min_split_samples=self.getOrDefault("minSplitSamples"),
+            min_split_entropy=self.getOrDefault("minSplitEntropy"),
+            max_depth=self.getOrDefault("maxDepth"),
+        )
+        tree = DecisionTree(params)
+        tree.fit(
+            dataset,
+            prune=self.getOrDefault("prune"),
+            strategy=self.getOrDefault("strategy"),
+        )
+        return DecisionTreeStuffModel(tree)
+
+
+class DecisionTreeStuffModel(Model):
+    """Fitted model: ``transform`` adds the TINYINT ``prediction``
+    column via the compiled tree expression (one projection)."""
+
+    def __init__(self, tree: DecisionTree):
+        super().__init__()
+        self.tree = tree
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        return self.tree.transform(dataset)
+
+    def save_json(self, path: str) -> None:
+        self.tree.save_json(path)
+
+    @classmethod
+    def load_json(cls, path: str) -> "DecisionTreeStuffModel":
+        return cls(DecisionTree.load_json(path))

@@ -209,11 +209,25 @@ SPLIT_METHOD_LOOKUP: Dict[str, Type[SplittingMethod]] = {
 
 
 def resolve_metric(metric: MetricOrStr) -> Type[SplitMetric]:
-    return SPLIT_METRIC_LOOKUP[metric] if isinstance(metric, str) else metric
+    if isinstance(metric, str):
+        if metric not in SPLIT_METRIC_LOOKUP:
+            raise ValueError(
+                f"unknown split metric {metric!r}; "
+                f"valid: {sorted(SPLIT_METRIC_LOOKUP)}"
+            )
+        return SPLIT_METRIC_LOOKUP[metric]
+    return metric
 
 
 def resolve_method(method: MethodOrStr) -> Type[SplittingMethod]:
-    return SPLIT_METHOD_LOOKUP[method] if isinstance(method, str) else method
+    if isinstance(method, str):
+        if method not in SPLIT_METHOD_LOOKUP:
+            raise ValueError(
+                f"unknown splitting method {method!r}; "
+                f"valid: {sorted(SPLIT_METHOD_LOOKUP)}"
+            )
+        return SPLIT_METHOD_LOOKUP[method]
+    return method
 
 
 _NUMERIC_PREFIXES = (
