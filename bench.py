@@ -76,6 +76,13 @@ def main() -> None:
     _noop_write(dt.transform(base))
     timings["tree_transform"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    dt_lw = DecisionTree(
+        DecisionTreeParams([], "class", "mean", "entropy", max_depth=4)
+    )
+    dt_lw.fit(base.select(*FEATURES, "class"), strategy="level_wise")
+    timings["tree_fit_level_wise"] = round(time.time() - t0, 3)
+
     for name in BENCH_QUERIES:
         t0 = time.time()
         _noop_write(SPARK_QUERIES[name](spark, SF_DIR))

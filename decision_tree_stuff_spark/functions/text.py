@@ -50,6 +50,47 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style tokenization approximated in the regex subset Java and
+# RE2 share (no lookaheads): letter runs | digit runs | single
+# non-alnum-non-space chars, over the normalized text.
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish subword-boundary tokens.
+
+    DuckDB: ``regexp_extract_all(<norm>, '[a-z]+|[0-9]+|[^a-z0-9 ]')``
+    (group 0 is DuckDB's default; Spark must pass idx=0 explicitly).
+    """
+    return F.regexp_extract_all(normalize_text(text), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
+def shingle_fingerprint(text: Column, k: int = 8) -> Column:
+    """Rolling-hash document fingerprint: minimum md5 over all
+    character k-shingles of the normalized text (the min-hash member
+    of a winnowing scheme; md5 because it is the one hash Spark and
+    DuckDB share byte-for-byte).
+
+    DuckDB: ``list_min(list_transform(range(1, greatest(length(t)-k+2, 2)),
+    i -> md5(substr(t, CAST(i AS INT), k))))`` over the same
+    normalized text.
+    """
+    t = normalize_text(text)
+    # sequence() is upper-INCLUSIVE (DuckDB's range() is exclusive):
+    # last start index is len-k+1, else a truncated trailing shingle
+    # sneaks into the min
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - k + 1, F.lit(1))),
+            lambda i: F.md5(F.substring(t, i, k)),
+        )
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint = md5 of the normalized text — md5 is
     byte-identical across Spark and DuckDB (unlike xxhash64/hash()).

@@ -11,10 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from decision_tree_stuff_spark.functions.text import (
+    bpe_ish_token_count,
     fingerprint,
     lang_id,
     punct_ratio,
     quality_score,
+    shingle_fingerprint,
     stopword_ratio,
     token_count,
     tokens,
@@ -31,11 +33,13 @@ def document_stats(
         F.col(id_col),
         F.length(t).alias("n_chars_actual"),
         token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_tokens_bpe"),
         F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         F.round(quality_score(t), 6).alias("quality"),
         lang_id(t).alias("lang_guess"),
         fingerprint(t).alias("fingerprint"),
+        shingle_fingerprint(t).alias("shingle_fp"),
     )
 
 

@@ -576,17 +576,24 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ) t WHERE rank <= 5
 """,
     "e4_document_stats": f"""
+WITH d AS (
+  SELECT *, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents
+)
 SELECT doc_id,
        CAST(length(text) AS INT) AS n_chars_actual,
        CAST(len({TOKS_SQL}) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+         AS n_tokens_bpe,
        round({_DOCSTATS_SR}, 6) AS stopword_ratio,
        round({_DOCSTATS_PR}, 6) AS punct_ratio,
        round(0.4*({_DOCSTATS_SR})
            + 0.3*least(1.0, len({TOKS_SQL}) / 100.0)
            + 0.3*(1.0 - ({_DOCSTATS_PR})), 6) AS quality,
        {_LANG_CASE} AS lang_guess,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
-FROM documents
+       md5(norm) AS fingerprint,
+       list_min(list_transform(range(1, greatest(length(norm)-8+2, 2)),
+           i -> md5(substr(norm, CAST(i AS INT), 8)))) AS shingle_fp
+FROM d
 """,
     "e4_tf_idf": f"""
 WITH occ AS (
