@@ -1,0 +1,45 @@
+"""Parquet sinks with layout control.
+
+The reference has no data sinks at all (only a JSON model file,
+SURVEY.md §2.3); these exist for the pipeline use case: materializing
+operator outputs at 100 TB requires controlling file layout up front.
+
+* ``write_partitioned``: hive-style directory partitioning — readers
+  filtering on the partition column scan only matching directories
+  (partition pruning; pinned by tests/test_sinks.py).
+* ``write_sorted_within_partitions``: per-file ordering for better
+  min/max row-group statistics → parquet predicate pushdown can skip
+  whole row groups on range predicates.
+
+Partition-count discipline: ``coalesce`` (not ``repartition``) before
+writing when reducing file counts — it avoids a shuffle; use
+``repartition(cols)`` only when co-locating by key is the goal.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: List[str],
+    mode: str = "overwrite",
+    max_files_per_partition: Optional[int] = None,
+) -> None:
+    out = df
+    if max_files_per_partition is not None:
+        out = out.repartition(max_files_per_partition, *partition_cols)
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_sorted_within_partitions(
+    df: DataFrame,
+    path: str,
+    sort_cols: List[str],
+    mode: str = "overwrite",
+) -> None:
+    df.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)

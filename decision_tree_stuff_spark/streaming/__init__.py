@@ -106,6 +106,21 @@ def stream_sessionize(
     )
 
 
+def stream_exact_dedup(
+    events: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with
+    state bounded by the watermark (``dropDuplicatesWithinWatermark``
+    — duplicate arrivals beyond the horizon are not caught, which is
+    the standard state/completeness trade at 100 TB/day volumes)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
     """Execute a streaming aggregation to completion over currently
     available input (availableNow trigger) into an in-memory table;

@@ -1,0 +1,60 @@
+"""Sink layout + partition pruning + streaming dedup tests."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from decision_tree_stuff_spark.sources.sinks import (
+    write_partitioned,
+    write_sorted_within_partitions,
+)
+from decision_tree_stuff_spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    stream_exact_dedup,
+)
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, ["lang"])
+
+    assert glob.glob(f"{out}/lang=en/*.parquet"), "hive-style layout expected"
+
+    back = spark.read.parquet(out).where(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan[-600:]
+    assert back.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_sorted_write_roundtrip(spark, sf_dir, tmp_path):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    out = str(tmp_path / "li_sorted")
+    write_sorted_within_partitions(li, out, ["l_quantity"])
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_stream_exact_dedup(spark, sf_dir, tmp_path):
+    """Duplicate the events file → the stream must emit each event_id
+    exactly once."""
+    import shutil
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
+
+    stream = stream_exact_dedup(
+        read_events_stream(spark, str(d)), key_cols=["event_id"]
+    )
+    q = run_stream_to_memory(stream, "dedup_test", mode="append")
+    got = spark.table("dedup_test")
+    n_unique = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+    q.stop()
