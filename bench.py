@@ -35,9 +35,11 @@ BENCH_QUERIES = [
     "e2_simhash_dups",
     "e2_embedding_near_dups",
     "e3_cosine_topk",
+    "e3_ivf_topk",
     "e4_document_stats",
     "e4_tf_idf",
     "e5_tumbling_counts",
+    "e5_sliding_counts",
     "e5_sessions",
     "rel_pricing_summary",
     "rel_top_customers",

@@ -44,6 +44,31 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in duration/slide
+    overlapping windows (``F.window`` with a slide). Oracle twin:
+    unnest the per-event list of window starts (truncate to the slide
+    grain, subtract 0..duration/slide-1 slides) and aggregate.
+    Returns (window_start BIGINT epoch-sec, n_events, sum_value)."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), duration, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

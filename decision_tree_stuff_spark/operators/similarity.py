@@ -114,6 +114,74 @@ def sign_lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize vectors to their
+    nearest centroid cell, search only the query's cell (nprobe=1).
+
+    Centroids here are the ``n_centroids`` lowest-id vectors — a
+    deterministic, training-free quantizer so the DuckDB oracle can
+    reproduce the assignment exactly; at real scale you'd k-means
+    sample-train them (the plan shape is unchanged: centroids stay a
+    broadcast table either way). Assignment = argmax rounded cosine
+    with centroid-id tie-break (deterministic across engines).
+
+    Scale: assignment is a broadcast nested-loop over C centroids —
+    C×dim work per row, no shuffle of the corpus; the cell equi-join
+    replaces the cross join, cutting candidates ~C-fold.
+    """
+    centroids = embeddings.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    cells = (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "cid",
+            F.round(cosine_similarity(F.col(vec_col), F.col("cvec")), 6).alias(
+                "ccos"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    queries = cells.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col("cid"),
+    )
+    scored = (
+        cells.join(F.broadcast(queries), "cid")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col("query_vec"), F.col(vec_col)), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -31,10 +31,15 @@ from decision_tree_stuff_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
-from decision_tree_stuff_spark.operators.sessionize import sessionize, tumbling_counts
+from decision_tree_stuff_spark.operators.sessionize import (
+    sessionize,
+    sliding_counts,
+    tumbling_counts,
+)
 from decision_tree_stuff_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     sign_lsh_topk,
 )
 from decision_tree_stuff_spark.operators.textstats import document_stats, tf_idf
@@ -353,6 +358,14 @@ def q_e3_sign_lsh_topk(spark, sf_dir):
     return sign_lsh_topk(_emb(spark, sf_dir), QUERY_IDS, k=5, n_bits=8)
 
 
+def q_e3_ivf_topk(spark, sf_dir):
+    return ivf_topk(_emb(spark, sf_dir), QUERY_IDS, k=5, n_centroids=16)
+
+
+def q_e5_sliding_counts(spark, sf_dir):
+    return sliding_counts(_events(spark, sf_dir))
+
+
 def q_e4_document_stats(spark, sf_dir):
     return document_stats(_docs(spark, sf_dir))
 
@@ -575,6 +588,46 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM s
 ) t WHERE rank <= 5
 """,
+    "e3_ivf_topk": f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round({_cos_sql('e.embedding', 'c.cvec')}, 6) DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid FROM cells
+  WHERE vec_id IN ({', '.join(str(i) for i in QUERY_IDS)})
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_cos_sql('q.qv', 'e.embedding')}, 6) AS cosine
+  FROM q JOIN cells e ON e.cid = q.cid AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM s
+) t WHERE rank <= 5
+""",
+    "e5_sliding_counts": """
+WITH ev AS (
+  SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, value FROM events
+),
+x AS (
+  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) - 3600 * o.o AS window_start,
+         value
+  FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS o) o
+)
+SELECT window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM x GROUP BY 1
+""",
     "e4_document_stats": f"""
 WITH d AS (
   SELECT *, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents
@@ -686,6 +739,8 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e2_embedding_near_dups": q_e2_embedding_near_dups,
     "e3_cosine_topk": q_e3_cosine_topk,
     "e3_sign_lsh_topk": q_e3_sign_lsh_topk,
+    "e3_ivf_topk": q_e3_ivf_topk,
+    "e5_sliding_counts": q_e5_sliding_counts,
     "e4_document_stats": q_e4_document_stats,
     "e4_tf_idf": q_e4_tf_idf,
     "e5_tumbling_counts": q_e5_tumbling_counts,
