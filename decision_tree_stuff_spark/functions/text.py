@@ -46,6 +46,32 @@ def tokens(text: Column) -> Column:
     return F.split(normalize_text(text), " ")
 
 
+def tokens_from_norm(norm: Column) -> Column:
+    """Tokens of an ALREADY-normalized column. Use when several
+    expressions share one normalization: Catalyst does not eliminate
+    common subexpressions across lambda boundaries, so inlining
+    ``normalize_text`` into each consumer re-runs the regex per
+    consumer (and per array element inside ``transform`` lambdas —
+    measured 6× on document_stats)."""
+    return F.split(norm, " ")
+
+
+def stop_hits(toks: Column, stopwords: List[str]) -> Column:
+    """Count of tokens present in the stopword list."""
+    return F.size(F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in stopwords])))
+
+
+def shingle_fingerprint_from_norm(norm: Column, k: int = 8) -> Column:
+    """Min-md5 k-shingle fingerprint over a pre-normalized column —
+    see ``shingle_fingerprint``."""
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - k + 1, F.lit(1))),
+            lambda i: F.md5(F.substring(norm, i, k)),
+        )
+    )
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
@@ -79,16 +105,12 @@ def shingle_fingerprint(text: Column, k: int = 8) -> Column:
     i -> md5(substr(t, CAST(i AS INT), k))))`` over the same
     normalized text.
     """
-    t = normalize_text(text)
     # sequence() is upper-INCLUSIVE (DuckDB's range() is exclusive):
     # last start index is len-k+1, else a truncated trailing shingle
-    # sneaks into the min
-    return F.array_min(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(t) - k + 1, F.lit(1))),
-            lambda i: F.md5(F.substring(t, i, k)),
-        )
-    )
+    # sneaks into the min. NOTE: inlines the normalization into every
+    # lambda iteration — for bulk use, project the norm column once
+    # and call shingle_fingerprint_from_norm.
+    return shingle_fingerprint_from_norm(normalize_text(text), k)
 
 
 def fingerprint(text: Column) -> Column:
