@@ -89,6 +89,9 @@ def main() -> None:
         t0 = time.time()
         _noop_write(SPARK_QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
+        # drop caches left by operators (e.g. MinHash signatures) so
+        # later queries aren't taxed by earlier queries' memory
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

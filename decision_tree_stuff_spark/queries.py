@@ -386,6 +386,61 @@ def q_e5_sessions(spark, sf_dir):
 # Relational coverage: multi-way joins + wide aggregation
 # ---------------------------------------------------------------------
 
+def q_skew_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation — the oracle is the plain GROUP BY
+    (salting must be result-invisible)."""
+    from decision_tree_stuff_spark.operators.skew import salted_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity"
+    )
+    out = salted_agg(
+        li, ["l_returnflag"], sums={"l_quantity": "sq"}, count_alias="n", salt=16
+    )
+    return out.select(
+        "l_returnflag", F.round("sq", 2).alias("sq"), F.col("n")
+    )
+
+
+def q_e6_media_meta(spark, sf_dir):
+    """Multimodal table plumbing: synthesized media metadata + payload
+    byte length (payload is binary; the meta arithmetic and byte count
+    are SQL-expressible so this one is oracle-checked)."""
+    from decision_tree_stuff_spark.operators.multimodal import synthesize_media
+
+    media = synthesize_media(_docs(spark, sf_dir))
+    return media.select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.length("payload").alias("n_bytes"),
+    )
+
+
+def q_e6_media_features(spark, sf_dir):
+    """Arrow-batched (mapInPandas) feature extraction — Python feature
+    math → rows-only check."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    return extract_features(synthesize_media(_docs(spark, sf_dir)), n_features=8)
+
+
+def q_e6_frame_sample(spark, sf_dir):
+    """Video frame sampling (pure Spark binary slicing) — binary
+    payload comparison across engines is brittle → rows-only check."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_media,
+    )
+
+    return sample_frames(synthesize_media(_docs(spark, sf_dir)))
+
+
 def q_rel_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary (group-by agg over lineitem)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -697,6 +752,21 @@ SELECT user_id,
        round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sid
 """,
+    "skew_salted_agg": """
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS sq,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+""",
+    "e6_media_meta": """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+       CAST(doc_id % 640 + 16 AS INT) AS width,
+       CAST(doc_id % 480 + 16 AS INT) AS height,
+       CAST(doc_id % 24 + 1 AS INT) AS n_frames,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes
+FROM documents
+""",
     "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -745,6 +815,10 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e4_tf_idf": q_e4_tf_idf,
     "e5_tumbling_counts": q_e5_tumbling_counts,
     "e5_sessions": q_e5_sessions,
+    "e6_media_meta": q_e6_media_meta,
+    "e6_media_features": q_e6_media_features,  # no oracle (Pandas UDF)
+    "e6_frame_sample": q_e6_frame_sample,      # no oracle (binary compare)
+    "skew_salted_agg": q_skew_salted_agg,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers": q_rel_top_customers,
 }
