@@ -43,3 +43,29 @@ def write_sorted_within_partitions(
     mode: str = "overwrite",
 ) -> None:
     df.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: List[str],
+    n_buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows are hash-partitioned into
+    ``n_buckets`` files by ``bucket_cols`` AT WRITE TIME, so a later
+    join or aggregation on those columns needs NO shuffle — both
+    sides' bucket files align one-to-one. This is the pre-shuffle
+    trade: pay the partitioning once when the table is written, reuse
+    it in every downstream join (the biggest single lever for a
+    repeatedly-joined 100 TB fact table). Requires ``saveAsTable``
+    (bucket metadata lives in the catalog, not the parquet files);
+    tests/test_sinks.py pins the no-Exchange join plan.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -7,6 +7,7 @@ import glob
 from pyspark.sql import functions as F
 
 from decision_tree_stuff_spark.sources.sinks import (
+    write_bucketed_table,
     write_partitioned,
     write_sorted_within_partitions,
 )
@@ -37,6 +38,44 @@ def test_sorted_write_roundtrip(spark, sf_dir, tmp_path):
     out = str(tmp_path / "li_sorted")
     write_sorted_within_partitions(li, out, ["l_quantity"])
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir):
+    """Join of two tables bucketed on the key must not exchange either
+    side — the write-time hash partitioning is reused."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    write_bucketed_table(orders, "b_orders", ["o_orderkey"], 8)
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem",
+        ["o_orderkey"], 8,
+    )
+    # force the sort-merge path: at test scale the sides are tiny and
+    # would broadcast, hiding the bucket alignment we're pinning
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("b_orders")
+        b = spark.table("b_lineitem")
+        joined = a.join(b, "o_orderkey").groupBy("o_orderstatus").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan.split("SortMergeJoin")[1], (
+            "bucketed join must not shuffle its inputs"
+        )
+        want = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderstatus").count()
+        )
+        assert sorted(map(str, joined.collect())) == sorted(map(str, want.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
 def test_stream_exact_dedup(spark, sf_dir, tmp_path):
