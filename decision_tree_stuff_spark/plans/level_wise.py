@@ -24,15 +24,16 @@ guard (Q-2), unweighted scores (Q-1) and (metric, variable)
 tie-breaks (Q-3) — verified by the differential test in
 tests/test_level_wise.py.
 
-When to use which (measured at sf0.1, local[32]): depth-first wins on
-NARROW trees (12 nodes/8 levels: 12s vs 24s) because its per-node
-frames shrink after each split while level-wise re-scans all active
-rows every level; level-wise wins on WIDE trees (27 nodes/depth 6:
-19s vs 30s, 1.5×) and the gap grows with nodes-per-level × per-job
-scheduling latency — on a busy 1000-executor cluster where each job
-round-trip costs seconds rather than local-mode milliseconds,
-level-wise is the only viable plan for deep/bushy trees (O(depth)
-jobs vs O(2^depth)).
+When to use which (measured at sf0.1, local[32]): with the
+depth-first plan's parallel sibling submission (dtree.py), depth-first
+wins both local regimes (narrow 24-node/depth-8: 8.6s vs 24s;
+wide 54-node/depth-6: 9.8s vs 19s) because each node's cached frame
+shrinks as you descend while level-wise re-scans all active rows per
+level. Level-wise's advantage is TOTAL JOB COUNT — O(depth) vs
+O(2^depth) submissions — which matters on a busy shared cluster where
+each job round-trip costs seconds and thread-parallel submission
+saturates the scheduler queue; it is also the only plan whose driver
+memory/thread footprint is independent of tree width.
 """
 
 from __future__ import annotations
