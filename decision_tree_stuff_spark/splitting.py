@@ -346,6 +346,12 @@ def score_all_splits_wide(
     each dict carrying variable/threshold/left_p1/right_p1/left_n/
     right_n/metric so ``fit`` can derive child stats with zero extra
     jobs.
+
+    Width note: the conditional pass emits 6 aggregates per feature in
+    one row (verified working at 80 features / 480 aggs). Past a few
+    thousand columns Spark falls back from codegen to interpreted
+    evaluation (64KB JVM method limit) — still correct, slower; at
+    that width chunk the feature list into several passes.
     """
     metric_cls = resolve_metric(metric)
     method_cls = resolve_method(method)
