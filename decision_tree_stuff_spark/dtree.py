@@ -307,12 +307,24 @@ class DecisionTree:
             return
         assert strategy == "depth_first", f"unknown strategy {strategy!r}"
         class_name = self._params.class_column
+        # min/max ride along in the same job to validate the binary
+        # {0,1} label assumption loudly — non-binary labels would
+        # otherwise train a silently-wrong tree (mean(class) is only a
+        # probability for 0/1 labels; the reference has the same
+        # assumption but fails silently, SURVEY.md §1.2)
         row = dataset.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(class_name)).alias("n1"),
+            F.min(F.col(class_name)).alias("lo"),
+            F.max(F.col(class_name)).alias("hi"),
         ).first()
         n = row["n"]
         n1 = row["n1"] if row["n1"] is not None else 0
+        if n > 0 and not (row["lo"] in (0, 1) and row["hi"] in (0, 1)):
+            raise ValueError(
+                f"class column {class_name!r} must be binary {{0,1}}; "
+                f"found values in [{row['lo']}, {row['hi']}]"
+            )
         self._fit_with_stats(dataset, int(n), int(n1), prune=prune)
 
     def _fit_with_stats(

@@ -194,3 +194,60 @@ def test_pure_node_single_leaf(spark):
     dt = DecisionTree(DecisionTreeParams(["f"]))
     dt.fit(df)
     assert isinstance(dt.learned_tree, LeafNode) and dt.learned_tree.label == 1
+
+
+def test_non_binary_labels_rejected(spark):
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 2), (3.0, 1)], "f double, class bigint"
+    )
+    dt = DecisionTree(DecisionTreeParams(["f"]))
+    try:
+        dt.fit(df)
+        raise AssertionError("expected ValueError for non-binary labels")
+    except ValueError as e:
+        assert "binary" in str(e)
+
+
+def py_prune(tree):
+    """Post-order uniform-subtree collapse on the python-oracle tree
+    (Q-7). The collapsed label equals the uniform leaf label, which is
+    necessarily the node's majority."""
+    if tree[0] == "leaf":
+        return tree
+
+    left = py_prune(tree[3])
+    right = py_prune(tree[4])
+
+    def leafset(t):
+        if t[0] == "leaf":
+            return {t[1]}
+        return leafset(t[3]) | leafset(t[4])
+
+    ls = leafset(("split", tree[1], tree[2], left, right))
+    if len(ls) == 1:
+        return ("leaf", next(iter(ls)))
+    return ("split", tree[1], tree[2], left, right)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=frames(),
+    method=st.sampled_from(["mean", "midpoint"]),
+)
+def test_prune_matches_python_oracle(spark, data, method):
+    feats, rows = data
+    params = DecisionTreeParams(feats, "class", method, "entropy")
+    df = spark.createDataFrame(
+        [tuple(r[a] for a in feats) + (r["class"],) for r in rows],
+        ", ".join(f"{a} double" for a in feats) + ", class bigint",
+    )
+    dt = DecisionTree(params)
+    dt.fit(df, prune=True)
+    py = py_prune(py_fit(rows, feats, "class", method, "entropy", params))
+    assert _tree_equal(dt.learned_tree, py), (
+        f"\nspark: {dt.json()}\npy:    {py}\nrows: {rows}"
+    )
