@@ -87,11 +87,17 @@ def fit_level_wise(
 
     while True:
         # ---- Job A: per-node stats + candidate thresholds ----------
+        extra = (
+            [F.min(F.col(cls)).alias("__lo"), F.max(F.col(cls)).alias("__hi")]
+            if depth == 0
+            else []
+        )
         stat_rows = (
             frame.groupBy(NODE_COL)
             .agg(
                 F.count(F.lit(1)).alias("__n"),
                 F.sum(F.col(cls)).alias("__n1"),
+                *extra,
                 *[
                     method_cls.threshold_expr(F.col(a)).alias(f"__t{i}")
                     for i, a in enumerate(attrs)
@@ -101,6 +107,13 @@ def fit_level_wise(
         )
         if not stat_rows:
             break
+        if depth == 0:
+            lo, hi = stat_rows[0]["__lo"], stat_rows[0]["__hi"]
+            if not (lo in (0, 1) and hi in (0, 1)):
+                raise ValueError(
+                    f"class column {cls!r} must be binary {{0,1}}; "
+                    f"found values in [{lo}, {hi}]"
+                )
 
         eligible: List[dict] = []
         for row in stat_rows:

@@ -455,6 +455,21 @@ def q_rel_pricing_summary(spark, sf_dir):
     )
 
 
+def q_rel_rollup(spark, sf_dir):
+    """ROLLUP aggregation: per-(returnflag, linestatus) revenue with
+    subtotals and grand total — Catalyst expands the grouping sets in
+    one pass (Expand + single shuffle)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                    ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def q_rel_top_customers(spark, sf_dir):
     """Revenue-per-customer 3-way join; dims broadcast explicitly."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -776,6 +791,13 @@ SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
+    "rel_rollup": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
     "rel_top_customers": """
 SELECT c_custkey, c_name, n_name,
        round(sum(o_totalprice), 2) AS total_spent,
@@ -820,5 +842,6 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e6_frame_sample": q_e6_frame_sample,      # no oracle (binary compare)
     "skew_salted_agg": q_skew_salted_agg,
     "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_rollup": q_rel_rollup,
     "rel_top_customers": q_rel_top_customers,
 }
