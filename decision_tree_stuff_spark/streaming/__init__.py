@@ -5,11 +5,15 @@ same primitives (``F.window`` / ``F.session_window``) so the
 streaming versions are the identical aggregation with a watermark
 bolted on — one definition of window semantics, two execution modes.
 
-Late data: the watermark bounds state; events older than
-(max event time − watermark) are dropped by the engine. State store:
-session windows use the builtin session-window state operator —
-``spark.sql.streaming.statePolicy`` defaults apply; at scale set
-RocksDB state store + state TTL via the usual confs.
+Late data: the watermark bounds state and defines the correctness
+contract — results equal the batch computation whenever event-time
+disorder across micro-batches stays within the watermark horizon
+(pinned by tests). Beyond the horizon behavior is output-mode- and
+operator-dependent (observed: severely late input may be excluded in
+multi-batch runs); deployments that must absorb arbitrary lateness
+widen the watermark and pay the state. State store: session windows
+use the builtin session-window state operator; at scale configure the
+RocksDB state store via the usual confs.
 """
 
 from __future__ import annotations
