@@ -193,6 +193,23 @@ def _melted_with_threshold(spark, sf_dir):
     return melted.withColumn("threshold", F.avg("value").over(w))
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_o02b_pivot(spark, sf_dir):
+    """Long→wide pivot (inverse of O-2): per-user event-type counts.
+    Explicit value list keeps the output schema static — at scale an
+    inferred pivot needs an extra distinct pass and can explode the
+    column count."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
 def q_o03_window_threshold(spark, sf_dir):
     """O-3 per-group scalar window (mean threshold per variable)."""
     return _melted_with_threshold(spark, sf_dir).select(
@@ -527,6 +544,15 @@ SELECT l_orderkey, l_linenumber, l_quantity, l_discount
 FROM lineitem WHERE l_quantity <= 25.0
 """,
     "o02_unpivot": f"WITH {MELT_IDS_SQL} SELECT * FROM melt",
+    "o02b_pivot": """
+SELECT user_id,
+       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+       CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+       CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+FROM events GROUP BY user_id
+""",
     "o03_window_threshold": f"""
 WITH {MELT_IDS_SQL}
 SELECT l_orderkey, l_linenumber, variable, value,
@@ -814,6 +840,7 @@ LIMIT 10
 SPARK_QUERIES: Dict[str, QueryFn] = {
     "o01_filter_split": q_o01_filter_split,
     "o02_unpivot": q_o02_unpivot,
+    "o02b_pivot": q_o02b_pivot,
     "o03_window_threshold": q_o03_window_threshold,
     "o04_side_tag": q_o04_side_tag,
     "o05_conditional_agg": q_o05_conditional_agg,
