@@ -195,6 +195,9 @@ def minhash_lsh_pairs(
 
     a = band_rows.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = band_rows.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    # Catalyst rewrites distinct to the same partial-aggregated
+    # Aggregate a groupBy would plan — measured equivalent in
+    # fresh-JVM A/B at sf0.1
     cand = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -205,11 +208,7 @@ def minhash_lsh_pairs(
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     agree = F.aggregate(
-        F.zip_with(
-            F.col("sig_a"),
-            F.col("sig_b"),
-            lambda x, y: F.when(x == y, 1).otherwise(0),
-        ),
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     )
