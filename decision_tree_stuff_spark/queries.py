@@ -472,6 +472,28 @@ def q_rel_pricing_summary(spark, sf_dir):
     )
 
 
+def q_rel_disjunctive_join(spark, sf_dir):
+    """TPC-H Q19-flavored disjunctive join-filter aggregate: revenue
+    from lineitem×part rows matching any of three brand/size/quantity
+    conjunctions. Exercises OR-of-ANDs predicate handling: Catalyst
+    extracts the common join key, pushes the per-side conjuncts into
+    the scans, and broadcasts the part side."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30))
+    )
+    return j.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_rel_rollup(spark, sf_dir):
     """ROLLUP aggregation: per-(returnflag, linestatus) revenue with
     subtotals and grand total — Catalyst expands the grouping sets in
@@ -817,6 +839,14 @@ SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
+    "rel_disjunctive_join": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 5)
+   OR (p_brand = 'Brand#3' AND p_size <= 30)
+""",
     "rel_rollup": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -869,6 +899,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e6_frame_sample": q_e6_frame_sample,      # no oracle (binary compare)
     "skew_salted_agg": q_skew_salted_agg,
     "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_disjunctive_join": q_rel_disjunctive_join,
     "rel_rollup": q_rel_rollup,
     "rel_top_customers": q_rel_top_customers,
 }

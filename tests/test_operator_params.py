@@ -1,0 +1,53 @@
+"""Parameter-path coverage for operators whose defaults the gate
+queries exercise but whose knobs they don't."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from decision_tree_stuff_spark.operators.dedup import exact_dedup
+from decision_tree_stuff_spark.operators.multimodal import sample_frames, synthesize_media
+from decision_tree_stuff_spark.operators.sessionize import sessionize
+from decision_tree_stuff_spark.operators.similarity import cosine_topk
+from decision_tree_stuff_spark.operators.textstats import tf_idf
+
+
+def test_exact_dedup_multi_key(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = exact_dedup(docs, ["lang", "source"], "doc_id")
+    assert out.count() == docs.select("lang", "source").distinct().count()
+    total = out.agg(F.sum("dup_count")).first()[0]
+    assert total == docs.count()
+
+
+def test_cosine_topk_unknown_query_ids_empty(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert cosine_topk(emb, [10**9], k=3).count() == 0
+
+
+def test_tf_idf_min_df_filters(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    all_terms = tf_idf(docs, min_df=1)
+    common_only = tf_idf(docs, min_df=100)
+    assert common_only.count() < all_terms.count()
+    assert common_only.agg(F.min("df")).first()[0] >= 100
+
+
+def test_sessionize_gap_monotonicity(spark, sf_dir):
+    from decision_tree_stuff_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    wide = sessionize(ev, gap="4 hours").count()
+    narrow = sessionize(ev, gap="5 minutes").count()
+    assert wide < narrow, "wider gap must merge into fewer sessions"
+
+
+def test_sample_frames_every_frame(spark, sf_dir):
+    media = synthesize_media(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    every = sample_frames(media, every_n=1)
+    total_frames = (
+        media.where(F.col("kind") == "video")
+        .agg(F.sum("meta.n_frames"))
+        .first()[0]
+    )
+    assert every.count() == total_frames
