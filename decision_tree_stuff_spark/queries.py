@@ -255,6 +255,21 @@ def q_o06_split_scores(spark, sf_dir):
     )
 
 
+def q_o06b_split_scores_median_gini(spark, sf_dir):
+    """O-6 variant exercising the exact-median splitter and gini
+    metric through the gate (the primary queries use mean/entropy)."""
+    scored = compute_all_splits(
+        _lineitem_features(spark, sf_dir), "class", "gini", "median"
+    )
+    return scored.select(
+        "variable",
+        F.round("threshold", 6).alias("threshold"),
+        F.round("left_p1", 6).alias("left_p1"),
+        F.round("right_p1", 6).alias("right_p1"),
+        F.round("metric", 6).alias("metric"),
+    )
+
+
 def q_o07_best_split(spark, sf_dir):
     """O-7 ordered top-1 candidate (deterministic tie-break)."""
     scored = compute_all_splits(_lineitem_features(spark, sf_dir), "class", "entropy", "mean")
@@ -600,6 +615,26 @@ SELECT variable, round(threshold, 6) AS threshold,
        round({_METRIC_SQL}, 6) AS metric
 FROM g
 """,
+    "o06b_split_scores_median_gini": f"""
+WITH {BASE_SQL},
+{MELT_SQL},
+med AS (
+  SELECT variable, quantile_cont(value, 0.5) AS threshold
+  FROM melt GROUP BY variable
+),
+g AS (
+  SELECT m.variable, med.threshold,
+         COALESCE(AVG(CASE WHEN m.value <= med.threshold THEN m.class END), 0.0) AS left_p1,
+         COALESCE(AVG(CASE WHEN m.value > med.threshold THEN m.class END), 0.0) AS right_p1
+  FROM melt m JOIN med ON m.variable = med.variable
+  GROUP BY m.variable, med.threshold
+)
+SELECT variable, round(threshold, 6) AS threshold,
+       round(left_p1, 6) AS left_p1, round(right_p1, 6) AS right_p1,
+       round((1.0 - (1.0-left_p1)*(1.0-left_p1) - left_p1*left_p1)
+           + (1.0 - (1.0-right_p1)*(1.0-right_p1) - right_p1*right_p1), 6) AS metric
+FROM g
+""",
     "o07_best_split": f"""
 {_G_SQL}
 SELECT variable, round(threshold, 6) AS threshold,
@@ -875,6 +910,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "o04_side_tag": q_o04_side_tag,
     "o05_conditional_agg": q_o05_conditional_agg,
     "o06_split_scores": q_o06_split_scores,
+    "o06b_split_scores_median_gini": q_o06b_split_scores_median_gini,
     "o07_best_split": q_o07_best_split,
     "o08_majority": q_o08_majority,
     "o09_constant_label": q_o09_constant_label,
