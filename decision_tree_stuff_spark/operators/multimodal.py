@@ -92,6 +92,8 @@ def decode_media(payload: bytes, fmt: str):
     )
 
 
+N_MEDIA_FEATURES = 8
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -119,11 +121,15 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
                 arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
                 if len(arr) == 0:
                     arr = np.zeros(1)
-                # deterministic "embedding": moments of byte-value
-                # buckets — replace with decode_media + model in prod
+                # deterministic "embedding": per-bucket byte-value
+                # means — replace with decode_media + model in prod.
+                # Means stay UNrounded: byte values are integers, so
+                # sum/len is bit-exact and cross-engine reproducible;
+                # consumers round at the edge (Python round() is
+                # half-even, which diverges from SQL half-away ties).
                 buckets = np.array_split(arr, n_features)
                 out_feats.append(
-                    [float(round(b.mean() if len(b) else 0.0, 6)) for b in buckets]
+                    [float(b.mean()) if len(b) else 0.0 for b in buckets]
                 )
             yield pd.DataFrame(
                 {

@@ -140,15 +140,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read nanos as LONG and convert to a µs timestamp.
-    The oracle truncates to µs the same way (epoch_ns // 1000)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    """events with the TIMESTAMP(NANOS) column read via explicit
+    schema + exact `ts DIV 1000` µs truncation (see sources.load_table
+    — no session-conf mutation, no double-division ulp loss; the
+    oracle truncates identically with epoch_ns // 1000). Every
+    downstream event-time op here is timezone-independent (F.window
+    aligns on epoch micros; outputs are epoch-second BIGINTs)."""
+    from decision_tree_stuff_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "events")
 
 
 # ---------------------------------------------------------------------
@@ -452,14 +452,29 @@ def q_e6_media_meta(spark, sf_dir):
 
 
 def q_e6_media_features(spark, sf_dir):
-    """Arrow-batched (mapInPandas) feature extraction — Python feature
-    math → rows-only check."""
+    """Arrow-batched (mapInPandas) feature extraction, flattened to
+    scalar columns f0..f7 (the harness canonicalizes via pandas, which
+    cannot hash array cells). The byte-bucket-mean math is exact
+    integer-sum arithmetic, so a DuckDB oracle reproduces it
+    bit-for-bit (payloads are ASCII → ord(substr) == byte value)."""
     from decision_tree_stuff_spark.operators.multimodal import (
+        N_MEDIA_FEATURES,
         extract_features,
         synthesize_media,
     )
 
-    return extract_features(synthesize_media(_docs(spark, sf_dir)), n_features=8)
+    feats = extract_features(
+        synthesize_media(_docs(spark, sf_dir)), n_features=N_MEDIA_FEATURES
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[
+            F.round(F.col("features").getItem(i), 6).alias(f"f{i}")
+            for i in range(N_MEDIA_FEATURES)
+        ],
+    )
 
 
 def q_e6_frame_sample(spark, sf_dir):
@@ -865,6 +880,45 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes
 FROM documents
 """,
+    # np.array_split(payload, 8) bucket means: the first (l % 8)
+    # buckets hold (l // 8 + 1) bytes, the rest (l // 8). Payload is
+    # the UTF-8 text (ASCII in this corpus), so ord(substr(text,i,1))
+    # IS byte i; integer sums make avg() bit-exact across engines.
+    "e6_media_features": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         text, octet_length(encode(text)) AS l
+  FROM documents
+),
+byt AS (
+  SELECT media_id,
+         CASE WHEN (i - 1) < (l % 8) * (l // 8 + 1)
+              THEN (i - 1) // (l // 8 + 1)
+              ELSE (l % 8) + ((i - 1) - (l % 8) * (l // 8 + 1))
+                   // greatest(l // 8, 1)
+         END AS bucket,
+         ord(substr(text, CAST(i AS INT), 1)) AS b
+  FROM (SELECT media_id, l, text, unnest(range(1, l + 1)) AS i FROM m
+        WHERE l > 0) p
+),
+f AS (
+  SELECT media_id,
+"""
+    + ",\n".join(
+        f"         round(coalesce(avg(CASE WHEN bucket = {i} THEN b END), 0.0), 6)"
+        f" AS f{i}"
+        for i in range(8)
+    )
+    + """
+  FROM byt GROUP BY 1
+)
+SELECT m.media_id, m.kind, CAST(m.l AS BIGINT) AS n_bytes,
+"""
+    + ",\n".join(f"       coalesce(f.f{i}, 0.0) AS f{i}" for i in range(8))
+    + """
+FROM m LEFT JOIN f USING (media_id)
+""",
     "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -931,7 +985,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e5_tumbling_counts": q_e5_tumbling_counts,
     "e5_sessions": q_e5_sessions,
     "e6_media_meta": q_e6_media_meta,
-    "e6_media_features": q_e6_media_features,  # no oracle (Pandas UDF)
+    "e6_media_features": q_e6_media_features,
     "e6_frame_sample": q_e6_frame_sample,      # no oracle (binary compare)
     "skew_salted_agg": q_skew_salted_agg,
     "rel_pricing_summary": q_rel_pricing_summary,

@@ -11,6 +11,29 @@ free — at 100 TB these scans parallelize per file/row-group with
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet physical schema with its TIMESTAMP(NANOS) column read
+# as a raw INT64 — an explicit schema sidesteps Spark's nanos-type
+# rejection without mutating any session conf (readers stay
+# side-effect-free on shared sessions).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
 
 TABLES = [
     "region",
@@ -29,16 +52,17 @@ TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     assert name in TABLES, f"unknown table {name!r}"
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-        # rejects; read nanos as long, convert to µs timestamps (same
-        # convention as queries._events and the DuckDB oracle)
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        # events.parquet stores TIMESTAMP(NANOS); the explicit schema
+        # reads the column as raw INT64 nanos, converted to µs with
+        # exact integer division. `ts DIV 1000`, NOT `/1000` + cast:
+        # double division has >1000 ns of ulp for epoch-ns ≥ ~1.75e18
+        # (mid-2025), silently shifting events across window/session
+        # boundaries. The DuckDB oracle truncates identically
+        # (epoch_ns(ts) // 1000).
+        raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
+            f"{sf_dir}/{name}.parquet"
         )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

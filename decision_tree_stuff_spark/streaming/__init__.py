@@ -19,42 +19,31 @@ RocksDB state store via the usual confs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
-# events.parquet physical schema with TIMESTAMP(NANOS) read as long
-# (spark.sql.legacy.parquet.nanosAsLong=true)
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from decision_tree_stuff_spark.sources import EVENTS_RAW_SCHEMA
+
+__all__ = [
+    "EVENTS_RAW_SCHEMA",
+    "read_events_stream",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_sessionize",
+    "stream_exact_dedup",
+    "run_stream_to_memory",
+]
 
 
 def read_events_stream(spark, events_dir: str) -> DataFrame:
-    """File-source stream over a directory of events parquet files
-    (ns-timestamps read as long, converted to µs timestamps — same
-    convention as the batch reader in queries._events)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """File-source stream over a directory of events parquet files.
+    The explicit schema reads TIMESTAMP(NANOS) as raw INT64 (no
+    session-conf mutation); exact integer division to µs — same
+    convention as the batch reader (sources.load_table)."""
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def stream_tumbling_counts(
