@@ -13,8 +13,10 @@ Four families, all shuffle-planned for 100 TB:
   conditional sums; near-dups via 16-bit band blocking + hamming
   verification (``bit_count(a XOR b)``).
 
-Exact and Jaccard are ANSI-SQL-expressible (DuckDB oracle ✔); MinHash
-and SimHash depend on Spark's xxhash64 and get rows-only checks.
+Exact and Jaccard are ANSI-SQL-expressible (DuckDB oracle ✔). MinHash
+supports two hash families: xxhash64 (prod default; rows-only check)
+and md5 (byte-identical in DuckDB → full value oracle). SimHash
+depends on xxhash64 bit patterns and stays rows-only.
 """
 
 from __future__ import annotations
@@ -57,6 +59,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     block_cols: Optional[List[str]] = None,
     threshold: float = 0.5,
+    max_df: Optional[int] = None,
 ) -> DataFrame:
     """E-2a: exact token-set Jaccard near-dup pairs within blocks.
 
@@ -66,15 +69,29 @@ def ngram_jaccard_pairs(
 
     Scale: the token join shuffles on (token [+ block]) — linear in
     total token occurrences; blocking (e.g. on lang) caps pair
-    formation. Hot tokens skew the join: at real scale drop tokens
-    with document frequency above a cap first (cheap extra groupBy) —
-    omitted here because the oracle must match exactly.
+    formation. ``max_df`` is the hot-token guard: tokens appearing in
+    more than ``max_df`` documents are dropped from the set
+    representation BEFORE the self-join (one extra groupBy + a
+    broadcast anti-join against the small hot-token list). Without it
+    a single token with document frequency d pins one reducer with
+    d·(d−1)/2 candidate pairs — the quadratic blow-up that kills this
+    join at 100 TB; near-dup signal lives in the rare tokens anyway.
+    Jaccard is then computed over the capped token sets (sizes count
+    surviving tokens only), which the SQL oracle mirrors exactly.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
     jaccard rounded to 6dp for float-stable comparison.
     """
     block_cols = block_cols or []
     toks = _doc_tokens(docs, id_col, text_col)
+    if max_df is not None:
+        hot = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("token")
+        )
+        toks = toks.join(F.broadcast(hot), "token", "left_anti")
     if block_cols:
         blocks = docs.select(F.col(id_col), *block_cols)
         toks = toks.join(blocks, id_col)
@@ -121,24 +138,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_component(i: int, token, hash_fn: str):
+    """The i-th member of the MinHash family applied to a token.
+
+    * ``xxhash64`` (prod default): Spark-native, seeded by prefixing
+      the index — bigint, fastest.
+    * ``md5``: md5 of ``"{i}|" + token`` — the ONE hash Spark and
+      DuckDB share byte-for-byte, so signatures (lexicographic min of
+      lowercase-hex strings) are value-checkable against a SQL oracle.
+      Same min-wise independence argument, ~2× wider shuffle rows.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(i), token)
+    if hash_fn == "md5":
+        return F.md5(F.concat(F.lit(f"{i}|"), token))
+    raise ValueError(f"unknown minhash hash_fn {hash_fn!r}")
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """E-2b: MinHash signature per document, as ONE array column.
 
-    sig[i](doc) = min over tokens of xxhash64(i, token) — one exploded
+    sig[i](doc) = min over tokens of hash_i(token) — one exploded
     frame, one groupBy with ``num_hashes`` min aggregates (map-side
     combined; shuffle is |docs| × num_hashes, independent of text
-    size), assembled into ``sig: array<bigint>`` so downstream joins
-    carry a single column instead of 64. xxhash64 is Spark-native and
-    deterministic across runs.
+    size), assembled into ``sig: array<bigint|string>`` so downstream
+    joins carry a single column instead of 64. See
+    ``_minhash_component`` for the hash-family choice.
     """
     toks = _doc_tokens(docs, id_col, text_col)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"s{i}")
+        F.min(_minhash_component(i, F.col("token"), hash_fn)).alias(f"s{i}")
         for i in range(num_hashes)
     ]
     return toks.groupBy(id_col).agg(*aggs).select(
@@ -154,6 +189,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """E-2b: near-dup candidate pairs via LSH banding over MinHash.
 
@@ -174,7 +210,15 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes).persist()
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, hash_fn).persist()
+
+    def band_hash(b: int):
+        cols = [F.col("sig").getItem(b * r + j) for j in range(r)]
+        if hash_fn == "md5":
+            # md5 of the '|'-joined component hex strings — the DuckDB
+            # oracle reproduces this key exactly
+            return F.md5(F.concat_ws("|", *cols))
+        return F.xxhash64(*cols)
 
     band_rows = sigs.select(
         F.col(id_col),
@@ -183,9 +227,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig").getItem(b * r + j) for j in range(r)]
-                        ).alias("band_hash"),
+                        band_hash(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]

@@ -366,11 +366,32 @@ def q_e2_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_e2_jaccard_capped(spark, sf_dir):
+    """Jaccard near-dups with the hot-token document-frequency cap —
+    the 100 TB-safe variant (tokens in > max_df docs never enter the
+    self-join). Jaccard is over the capped token sets."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("bigint")
+    )
+    return ngram_jaccard_pairs(
+        docs, block_cols=["lang", "len_bucket"], threshold=0.8, max_df=390
+    )
+
+
 def q_e2_minhash_pairs(spark, sf_dir):
     """MinHash LSH near-dup candidates (xxhash64-based → rows-only
     check). bands=8/r=8 puts the LSH S-curve knee at j≈0.77,
     matching the 0.7 threshold."""
     return minhash_lsh_pairs(_docs(spark, sf_dir), bands=8, threshold=0.7)
+
+
+def q_e2_minhash_md5_pairs(spark, sf_dir):
+    """MinHash LSH with the md5 hash family — byte-identical in DuckDB,
+    so the flagship LLM-dedup path gets a full value-level oracle
+    (xxhash64 stays the prod default; same plan shape either way)."""
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), bands=8, threshold=0.7, hash_fn="md5"
+    )
 
 
 def q_e2_simhash_dups(spark, sf_dir):
@@ -478,14 +499,18 @@ def q_e6_media_features(spark, sf_dir):
 
 
 def q_e6_frame_sample(spark, sf_dir):
-    """Video frame sampling (pure Spark binary slicing) — binary
-    payload comparison across engines is brittle → rows-only check."""
+    """Video frame sampling (pure Spark binary slicing). The binary
+    frame payload is hex-encoded for the gate (Spark ``hex`` ↔ DuckDB
+    ``hex``, both uppercase) so the slice bytes are value-checked."""
     from decision_tree_stuff_spark.operators.multimodal import (
         sample_frames,
         synthesize_media,
     )
 
-    return sample_frames(synthesize_media(_docs(spark, sf_dir)))
+    frames = sample_frames(synthesize_media(_docs(spark, sf_dir)))
+    return frames.select(
+        "media_id", "frame_idx", F.hex("frame_payload").alias("frame_hex")
+    )
 
 
 def q_rel_pricing_summary(spark, sf_dir):
@@ -588,6 +613,22 @@ _LANG_CASE = (
         f"WHEN {_LANG_SCORES[lang]} = {_LANG_MAX} THEN '{lang}'" for lang in LANGS
     )
     + " END"
+)
+
+# md5-MinHash oracle fragments (e2_minhash_md5_pairs): 64 min-md5
+# aggregates, 8 bands of 8, banding key = md5 of '|'-joined members —
+# the exact twin of minhash_lsh_pairs(hash_fn='md5').
+_MH_N, _MH_BANDS = 64, 8
+_MH_R = _MH_N // _MH_BANDS
+_MH_SIG_AGGS = ",\n".join(
+    f"         min(md5('{i}|' || token)) AS s{i}" for i in range(_MH_N)
+)
+_MH_BAND_KEYS = ",\n           ".join(
+    "md5(" + " || '|' || ".join(f"s{b * _MH_R + j}" for j in range(_MH_R)) + ")"
+    for b in range(_MH_BANDS)
+)
+_MH_AGREE = " + ".join(
+    f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(_MH_N)
 )
 
 ORACLE_SQL: Dict[str, str] = {
@@ -711,6 +752,60 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) >= 0.8
+""",
+    "e2_jaccard_capped": f"""
+WITH toks0 AS (
+  SELECT DISTINCT doc_id, lang, len_bucket, tok AS token FROM (
+    SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+           unnest({TOKS_SQL}) AS tok
+    FROM documents
+  ) u WHERE tok <> ''
+),
+keep AS (SELECT token FROM toks0 GROUP BY token HAVING count(*) <= 390),
+toks AS (SELECT t.* FROM toks0 t JOIN keep USING (token)),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM toks a JOIN toks b
+    ON a.token = b.token AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) >= 0.8
+""",
+    "e2_minhash_md5_pairs": f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok AS token FROM (
+    SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+  ) u WHERE tok <> ''
+),
+sig AS (
+  SELECT doc_id,
+{_MH_SIG_AGGS}
+  FROM toks GROUP BY 1
+),
+bands AS (
+  SELECT doc_id,
+         unnest(range(0, {_MH_BANDS})) AS band,
+         unnest([{_MH_BAND_KEYS}]) AS band_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(({_MH_AGREE}) / {_MH_N}.0, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE round(({_MH_AGREE}) / {_MH_N}.0, 6) >= 0.7
 """,
     "e2_embedding_near_dups": f"""
 WITH wb AS (
@@ -919,6 +1014,19 @@ SELECT m.media_id, m.kind, CAST(m.l AS BIGINT) AS n_bytes,
     + """
 FROM m LEFT JOIN f USING (media_id)
 """,
+    # sample_frames: kind='video' ⇔ doc_id % 3 = 2; frame slice i =
+    # payload bytes [16i, 16i+16) ⇔ hex chars [32i+1, 32i+32] (both
+    # engines' hex() is uppercase; short/empty tail slices agree).
+    "e6_frame_sample": """
+WITH v AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+         CAST(doc_id % 24 + 1 AS INT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       substr(h, CAST(32 * frame_idx + 1 AS BIGINT), 32) AS frame_hex
+FROM (SELECT media_id, h, unnest(range(0, n_frames, 4)) AS frame_idx FROM v) fr
+""",
     "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -973,7 +1081,9 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "tree_fit_transform": q_tree_fit_transform,   # no oracle (O-13)
     "e1_exact_dedup": q_e1_exact_dedup,
     "e2_jaccard_pairs": q_e2_jaccard_pairs,
+    "e2_jaccard_capped": q_e2_jaccard_capped,
     "e2_minhash_pairs": q_e2_minhash_pairs,       # no oracle (xxhash64)
+    "e2_minhash_md5_pairs": q_e2_minhash_md5_pairs,
     "e2_simhash_dups": q_e2_simhash_dups,         # no oracle (xxhash64)
     "e2_embedding_near_dups": q_e2_embedding_near_dups,
     "e3_cosine_topk": q_e3_cosine_topk,
@@ -986,7 +1096,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e5_sessions": q_e5_sessions,
     "e6_media_meta": q_e6_media_meta,
     "e6_media_features": q_e6_media_features,
-    "e6_frame_sample": q_e6_frame_sample,      # no oracle (binary compare)
+    "e6_frame_sample": q_e6_frame_sample,
     "skew_salted_agg": q_skew_salted_agg,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_disjunctive_join": q_rel_disjunctive_join,

@@ -59,3 +59,45 @@ def test_jaccard_pairs_match_brute_force(spark, docs, threshold):
     }
     want = py_jaccard_pairs(docs, threshold)
     assert got == want, f"\ndocs={docs}\ngot={got}\nwant={want}"
+
+
+def test_max_df_cap_kills_hot_token_pairs(spark):
+    """Every doc shares one hot token; without the cap that token alone
+    forms C(n,2) candidate pairs (threshold=0 surfaces them all). With
+    the cap the hot token never enters the join, while a genuinely
+    near-dup pair sharing rare tokens still comes out."""
+    n = 40
+    rows = [(i, f"the unique{i}", "en") for i in range(n)]
+    # one true near-dup pair on rare tokens (ids n, n+1)
+    rows += [(n, "rare alpha beta gamma", "en"), (n + 1, "rare alpha beta delta", "en")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+    uncapped = ngram_jaccard_pairs(df, block_cols=["lang"], threshold=0.0)
+    capped = ngram_jaccard_pairs(df, block_cols=["lang"], threshold=0.0, max_df=10)
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    # hot token 'the' joins all 40 docs pairwise: >= C(40,2) candidates
+    assert n_uncapped >= n * (n - 1) // 2
+    # cap drops 'the' (df=41 > 10); only rare-token pairs remain
+    assert n_capped < n_uncapped / 100
+    survivors = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert (n, n + 1) in survivors
+    # jaccard over capped sets: |{rare,alpha,beta}∩{...}|=3, |∪|=5
+    assert survivors[(n, n + 1)] == 0.6
+
+
+def test_minhash_md5_family_matches_xxhash_on_exact_dups(spark):
+    """Identical docs must reach est_jaccard=1.0 under BOTH hash
+    families (md5 exists for oracle parity; xxhash64 is prod)."""
+    from decision_tree_stuff_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+            (2, "totally different words here")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for fam in ("xxhash64", "md5"):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in minhash_lsh_pairs(
+                df, bands=8, threshold=0.7, hash_fn=fam
+            ).collect()
+        }
+        assert pairs == {(0, 1): 1.0}, fam
