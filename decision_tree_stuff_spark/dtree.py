@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import abc
 import json
+import threading
 from typing import Any, Dict, List, NamedTuple, Optional, Type, Union
 
 from pyspark.sql import Column, DataFrame
@@ -58,6 +59,16 @@ from decision_tree_stuff_spark.splitting import (
 PREDICTION_TYPE = "tinyint"  # reference emits pl.UInt8 (dtree.py:65,134);
 # Spark has no unsigned ints — TINYINT is the documented mapping
 # (SURVEY.md §1.2; values are only 0/1 so signedness is immaterial).
+
+
+# Cap on concurrently-running sibling-subtree fit threads (the
+# depth-first fit spawns one thread per internal node whose children
+# both split — unbounded, that scales with the tree frontier and
+# floods a shared cluster's scheduler). Slots are taken NON-blocking:
+# when the cap is reached recursion simply proceeds sequentially, so
+# no fit ever waits on the semaphore and deadlock is impossible.
+# 64 ≈ 2× this box's cores; tune per driver.
+_SIBLING_FIT_SLOTS: threading.BoundedSemaphore = threading.BoundedSemaphore(64)
 
 
 def get_majority(classes: DataFrame, class_column: Optional[str] = None) -> int:
@@ -317,13 +328,21 @@ class DecisionTree:
             F.sum(F.col(class_name)).alias("n1"),
             F.min(F.col(class_name)).alias("lo"),
             F.max(F.col(class_name)).alias("hi"),
+            # interior values ({0, 0.5, 1}) pass a min/max-only guard
+            # yet silently train a wrong tree — count them explicitly
+            F.count(
+                F.when(~F.col(class_name).isin(0, 1), F.lit(1))
+            ).alias("bad"),
         ).first()
         n = row["n"]
         n1 = row["n1"] if row["n1"] is not None else 0
-        if n > 0 and not (row["lo"] in (0, 1) and row["hi"] in (0, 1)):
+        if n > 0 and (
+            row["bad"] > 0 or not (row["lo"] in (0, 1) and row["hi"] in (0, 1))
+        ):
             raise ValueError(
                 f"class column {class_name!r} must be binary {{0,1}}; "
-                f"found values in [{row['lo']}, {row['hi']}]"
+                f"found {row['bad']} non-{{0,1}} values in "
+                f"[{row['lo']}, {row['hi']}]"
             )
         self._fit_with_stats(dataset, int(n), int(n1), prune=prune)
 
@@ -406,23 +425,24 @@ class DecisionTree:
                     and EntropySplitMetric.eval_py(right_stats[1] / right_stats[0])
                     != 0.0
                 )
-                if both_split:
-                    import threading
-
+                if both_split and _SIBLING_FIT_SLOTS.acquire(blocking=False):
                     errs: list = []
 
-                    def run(subtree, frame, stats):
+                    def run(subtree, frame, stats, slot: bool):
                         try:
                             subtree._fit_with_stats(frame, *stats, prune)
                         except BaseException as exc:  # propagate to caller
                             errs.append(exc)
+                        finally:
+                            if slot:
+                                _SIBLING_FIT_SLOTS.release()
 
                     t = threading.Thread(
                         target=run,
-                        args=(self._left_subtree, left_df, left_stats),
+                        args=(self._left_subtree, left_df, left_stats, True),
                     )
                     t.start()
-                    run(self._right_subtree, right_df, right_stats)
+                    run(self._right_subtree, right_df, right_stats, False)
                     t.join()
                     if errs:
                         raise errs[0]
@@ -451,9 +471,22 @@ class DecisionTree:
             self._root.right = self._right_subtree.learned_tree  # type: ignore[union-attr]
 
     def leaf_classes(self) -> List[int]:
-        """Reference dtree.py:256-260."""
+        """Reference dtree.py:256-260. Trees adopted whole (level-wise
+        fit, ``from_dict``) carry the full structure in ``_root``
+        without subtree wrappers — walk the node graph directly then,
+        same left-to-right order as the wrapper recursion."""
         if isinstance(self._root, LeafNode):
             return [self._root.label]
+        if self._left_subtree is None and self._right_subtree is None:
+            assert isinstance(self._root, DecisionNode)
+
+            def walk(node: TreeNode) -> List[int]:
+                if isinstance(node, LeafNode):
+                    return [node.label]
+                assert isinstance(node, DecisionNode)
+                return walk(node.left) + walk(node.right)
+
+            return walk(self._root)
         assert self._left_subtree is not None and self._right_subtree is not None
         return self._left_subtree.leaf_classes() + self._right_subtree.leaf_classes()
 

@@ -39,7 +39,7 @@ memory/thread footprint is independent of tree width.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
@@ -80,7 +80,7 @@ def fit_level_wise(
     frame = dataset.select(*attrs, cls, F.lit(1).alias(NODE_COL)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    prev_frame: Optional[DataFrame] = None
+    root_entropy = -float("inf")
     depth = 0
     # nodes whose (n, n1) are already known from the parent's Job B
     known_stats: Dict[int, tuple] = {}
@@ -88,7 +88,14 @@ def fit_level_wise(
     while True:
         # ---- Job A: per-node stats + candidate thresholds ----------
         extra = (
-            [F.min(F.col(cls)).alias("__lo"), F.max(F.col(cls)).alias("__hi")]
+            [
+                F.min(F.col(cls)).alias("__lo"),
+                F.max(F.col(cls)).alias("__hi"),
+                # interior values pass the min/max guard — count them
+                F.count(F.when(~F.col(cls).isin(0, 1), F.lit(1))).alias(
+                    "__bad"
+                ),
+            ]
             if depth == 0
             else []
         )
@@ -109,11 +116,14 @@ def fit_level_wise(
             break
         if depth == 0:
             lo, hi = stat_rows[0]["__lo"], stat_rows[0]["__hi"]
-            if not (lo in (0, 1) and hi in (0, 1)):
+            bad = stat_rows[0]["__bad"]
+            if bad > 0 or not (lo in (0, 1) and hi in (0, 1)):
                 raise ValueError(
                     f"class column {cls!r} must be binary {{0,1}}; "
-                    f"found values in [{lo}, {hi}]"
+                    f"found {bad} non-{{0,1}} values in [{lo}, {hi}]"
                 )
+            n0, n10 = int(stat_rows[0]["__n"]), int(stat_rows[0]["__n1"] or 0)
+            root_entropy = EntropySplitMetric.eval_py(n10 / n0) if n0 else 0.0
 
         eligible: List[dict] = []
         for row in stat_rows:
@@ -238,8 +248,7 @@ def fit_level_wise(
         prev_frame, frame = frame, routed.select(
             *attrs, cls, child.alias(NODE_COL)
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        if prev_frame is not None:
-            prev_frame.unpersist()
+        prev_frame.unpersist()
         known_stats = new_known
         depth += 1
 
@@ -270,6 +279,7 @@ def fit_level_wise(
 
     tree = DecisionTree(params)
     tree._root = root  # noqa: SLF001 — plans module is package-internal
+    tree._entropy = root_entropy  # gate entropy of the full dataset (Q-4)
     return tree
 
 
