@@ -114,35 +114,89 @@ def sign_lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 65536,
+    iters: int = 10,
+):
+    """Deterministic sampled Lloyd k-means for the IVF quantizer.
+
+    The standard IVF training path at scale: training touches only a
+    bounded sample (top-``sample_size`` by id — a partial top-k scan,
+    not a full sort), runs driver-side numpy, and the full corpus only
+    ever sees the resulting broadcast centroid table. Determinism:
+    fixed init (first ``n_centroids`` sample vectors), fixed iteration
+    count, argmax ties to the lowest centroid index.
+
+    Returns ``[(cid, [float, ...]), ...]`` ready for
+    ``spark.createDataFrame(..., 'cid int, cvec array<double>')``.
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_centroids].copy()
+    for _ in range(iters):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        for j in range(n_centroids):
+            members = assign == j
+            if members.any():
+                C[j] = X[members].mean(axis=0)
+    return [(j, [float(v) for v in C[j]]) for j in range(n_centroids)]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list,
     k: int = 5,
     n_centroids: int = 16,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_mode: str = "first",
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize vectors to their
-    nearest centroid cell, search only the query's cell (nprobe=1).
+    nearest centroid cell; each query searches its ``nprobe`` nearest
+    cells (corpus vectors always live in exactly one cell, so probing
+    more cells unions disjoint candidate sets — recall rises, cost
+    grows ~linearly in nprobe).
 
-    Centroids here are the ``n_centroids`` lowest-id vectors — a
-    deterministic, training-free quantizer so the DuckDB oracle can
-    reproduce the assignment exactly; at real scale you'd k-means
-    sample-train them (the plan shape is unchanged: centroids stay a
-    broadcast table either way). Assignment = argmax rounded cosine
-    with centroid-id tie-break (deterministic across engines).
+    ``centroid_mode='first'`` (default) uses the ``n_centroids``
+    lowest-id vectors — a deterministic, training-free quantizer the
+    DuckDB oracle reproduces exactly. ``'kmeans'`` sample-trains the
+    quantizer (``train_ivf_centroids``) for materially better cells —
+    the production choice; same plan shape either way (centroids stay
+    a broadcast table). Assignment = argmax rounded cosine with
+    centroid-id tie-break (deterministic across engines).
 
     Scale: assignment is a broadcast nested-loop over C centroids —
     C×dim work per row, no shuffle of the corpus; the cell equi-join
-    replaces the cross join, cutting candidates ~C-fold.
+    replaces the cross join, cutting candidates ~(C/nprobe)-fold.
     """
-    centroids = embeddings.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
+    if centroid_mode == "kmeans":
+        centroids = embeddings.sparkSession.createDataFrame(
+            train_ivf_centroids(embeddings, n_centroids, id_col, vec_col),
+            "cid int, cvec array<double>",
+        )
+    else:
+        assert centroid_mode == "first", f"unknown centroid_mode {centroid_mode!r}"
+        centroids = embeddings.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
     w_assign = Window.partitionBy(id_col).orderBy(
         F.col("ccos").desc(), F.col("cid").asc()
     )
-    cells = (
+    assigned = (
         embeddings.crossJoin(F.broadcast(centroids))
         .select(
             F.col(id_col),
@@ -153,10 +207,11 @@ def ivf_topk(
             ),
         )
         .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select(id_col, vec_col, "cid")
     )
-    queries = cells.where(F.col(id_col).isin(query_ids)).select(
+    cells = assigned.where(F.col("rn") == 1).select(id_col, vec_col, "cid")
+    queries = assigned.where(
+        F.col(id_col).isin(query_ids) & (F.col("rn") <= nprobe)
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
         F.col("cid"),

@@ -415,6 +415,12 @@ def q_e3_ivf_topk(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), QUERY_IDS, k=5, n_centroids=16)
 
 
+def q_e3_ivf_topk_nprobe2(spark, sf_dir):
+    """IVF with nprobe=2 — each query searches its two nearest cells
+    (higher recall, same plan shape); oracle probes rn <= 2."""
+    return ivf_topk(_emb(spark, sf_dir), QUERY_IDS, k=5, n_centroids=16, nprobe=2)
+
+
 def q_e5_sliding_counts(spark, sf_dir):
     return sliding_counts(_events(spark, sf_dir))
 
@@ -877,6 +883,32 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM s
 ) t WHERE rank <= 5
 """,
+    "e3_ivf_topk_nprobe2": f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round({_cos_sql('e.embedding', 'c.cvec')}, 6) DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid FROM asg
+  WHERE rn <= 2 AND vec_id IN ({', '.join(str(i) for i in QUERY_IDS)})
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_cos_sql('q.qv', 'e.embedding')}, 6) AS cosine
+  FROM q JOIN cells e ON e.cid = q.cid AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM s
+) t WHERE rank <= 5
+""",
     "e5_sliding_counts": """
 WITH ev AS (
   SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, value FROM events
@@ -1089,6 +1121,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e3_cosine_topk": q_e3_cosine_topk,
     "e3_sign_lsh_topk": q_e3_sign_lsh_topk,
     "e3_ivf_topk": q_e3_ivf_topk,
+    "e3_ivf_topk_nprobe2": q_e3_ivf_topk_nprobe2,
     "e5_sliding_counts": q_e5_sliding_counts,
     "e4_document_stats": q_e4_document_stats,
     "e4_tf_idf": q_e4_tf_idf,

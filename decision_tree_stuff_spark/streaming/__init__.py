@@ -71,6 +71,32 @@ def stream_tumbling_counts(
     )
 
 
+def stream_sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sliding-window counts — same aggregation as the batch
+    ``sliding_counts`` (each event lands in duration/slide overlapping
+    windows); the watermark bounds how long an open window's state
+    waits for late events."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

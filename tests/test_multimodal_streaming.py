@@ -106,6 +106,19 @@ def test_stream_tumbling_equals_batch(spark, sf_dir, events_stream_dir):
     q.stop()
 
 
+def test_stream_sliding_equals_batch(spark, sf_dir, events_stream_dir):
+    from decision_tree_stuff_spark.operators.sessionize import sliding_counts
+    from decision_tree_stuff_spark.streaming import stream_sliding_counts
+
+    stream = stream_sliding_counts(read_events_stream(spark, events_stream_dir))
+    q = run_stream_to_memory(stream, "sliding_test", mode="complete")
+    got = spark.table("sliding_test")
+    want = sliding_counts(_batch_events(spark, sf_dir))
+    cols = ["window_start", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    q.stop()
+
+
 def test_stream_sessionize_equals_batch(spark, sf_dir, events_stream_dir):
     stream = stream_sessionize(read_events_stream(spark, events_stream_dir))
     q = run_stream_to_memory(stream, "sessions_test", mode="complete")

@@ -42,3 +42,42 @@ def test_sign_lsh_results_are_true_neighbors(spark, sf_dir):
     rows = joined.collect()
     assert rows
     assert all(r["cosine"] == r["true_cos"] for r in rows)
+
+
+def test_ivf_nprobe_recall_ladder(spark):
+    """Raising nprobe must raise recall, clear 0.95 well below a full
+    probe, and reach exactly 1.0 when every cell is probed (IVF
+    degenerates to brute force).
+
+    Note on the bar: the sf0.01 embeddings are isotropic 64-dim
+    vectors — no cluster structure — so recall tracks the probed
+    corpus fraction (~nprobe/n_centroids) and plateaus ≈0.92 for
+    small nprobe regardless of quantizer (measured: k-means-trained
+    centroids score *lower* than the degenerate first-k cells here).
+    On real clusterable embeddings nprobe=2 is where 0.95 lives."""
+    from decision_tree_stuff_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(10))
+    exact = _pairs(cosine_topk(emb, qids, k=5))
+
+    def recall(nprobe):
+        got = _pairs(ivf_topk(emb, qids, k=5, n_centroids=16, nprobe=nprobe))
+        return len(exact & got) / len(exact)
+
+    r1, r2, r12, r16 = recall(1), recall(2), recall(12), recall(16)
+    assert r2 >= r1, f"nprobe=2 recall {r2:.2f} below nprobe=1 {r1:.2f}"
+    assert r12 >= 0.95, f"nprobe=12 recall too low: {r12:.2f}"
+    assert r16 == 1.0, f"full probe must equal brute force: {r16:.2f}"
+
+
+def test_ivf_kmeans_centroids_deterministic(spark):
+    """The sampled-Lloyd quantizer must be bit-deterministic (fixed
+    init, fixed iterations) — retraining yields identical centroids."""
+    from decision_tree_stuff_spark.operators.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = train_ivf_centroids(emb, n_centroids=8)
+    b = train_ivf_centroids(emb, n_centroids=8)
+    assert a == b
+    assert len(a) == 8 and all(len(vec) == 64 for _, vec in a)
