@@ -24,6 +24,9 @@ from decision_tree_stuff_spark.queries import SPARK_QUERIES, _lineitem_base, FEA
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# A/B knobs (defaults = the recorded protocol)
+AQE = os.environ.get("SPARK_GRAFT_AQE", "true")
+SHUFFLE = os.environ.get("SPARK_GRAFT_SHUFFLE", str(CPUS))
 
 BENCH_QUERIES = [
     "o03_window_threshold",
@@ -54,8 +57,8 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("decision_tree_stuff_spark-bench")
-        .config("spark.sql.shuffle.partitions", str(CPUS))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", SHUFFLE)
+        .config("spark.sql.adaptive.enabled", AQE)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")

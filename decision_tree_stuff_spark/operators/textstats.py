@@ -77,10 +77,12 @@ def tf_idf(
 ) -> DataFrame:
     """Token TF-IDF: tf = occurrences in doc, idf = ln(N / df).
 
-    Two groupBys (term counts; document frequency) + one broadcastable
-    scalar (corpus size). The df frame is tiny (vocab-sized) → its
-    join back to term counts broadcasts. Returns
-    (id, token, tf, df, tfidf)."""
+    Two groupBys (term counts; document frequency) + the corpus size
+    as a broadcast 1-row aggregate cross-joined INTO the plan — not a
+    separate ``.count()`` action, which would cost one extra driver
+    job per invocation. The df frame is tiny (vocab-sized) → its join
+    back to term counts broadcasts. Returns (id, token, tf, df,
+    tfidf)."""
     occ = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).where(F.col("token") != "")
@@ -92,13 +94,19 @@ def tf_idf(
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_df)
     )
-    n_docs = docs.select(id_col).distinct().count()
-    return tf.join(F.broadcast(dfreq), "token").select(
-        F.col(id_col),
-        F.col("token"),
-        F.col("tf"),
-        F.col("df"),
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    n_docs = docs.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("__n_docs")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("token"),
+            F.col("tf"),
+            F.col("df"),
+            F.round(
+                F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )

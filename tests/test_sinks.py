@@ -93,7 +93,12 @@ def test_stream_exact_dedup(spark, sf_dir, tmp_path):
     )
     q = run_stream_to_memory(stream, "dedup_test", mode="append")
     got = spark.table("dedup_test")
-    n_unique = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # events.parquet has a TIMESTAMP(NANOS) column — a bare
+    # spark.read.parquet rejects it; load_table applies the explicit
+    # INT64 schema.
+    from decision_tree_stuff_spark.sources import load_table
+
+    n_unique = load_table(spark, sf_dir, "events").count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
     q.stop()
