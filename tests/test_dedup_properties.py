@@ -48,13 +48,21 @@ def py_jaccard_pairs(docs, threshold):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(docs=corpora(), threshold=st.sampled_from([0.3, 0.5, 0.8]))
-def test_jaccard_pairs_match_brute_force(spark, docs, threshold):
+@given(
+    docs=corpora(),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+    prefix_filter=st.booleans(),
+)
+def test_jaccard_pairs_match_brute_force(spark, docs, threshold, prefix_filter):
+    """Both the PPJoin prefix plan (default) and the naive self-join
+    baseline must equal brute-force Python set math — this is the
+    exactness proof-by-testing for the prefix filter."""
     df = spark.createDataFrame(docs, "doc_id bigint, text string, lang string")
     got = {
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in ngram_jaccard_pairs(
-            df, block_cols=["lang"], threshold=threshold
+            df, block_cols=["lang"], threshold=threshold,
+            prefix_filter=prefix_filter,
         ).collect()
     }
     want = py_jaccard_pairs(docs, threshold)
