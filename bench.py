@@ -88,17 +88,28 @@ def main() -> None:
     dt_lw.fit(base.select(*FEATURES, "class"), strategy="level_wise")
     timings["tree_fit_level_wise"] = round(time.time() - t0, 3)
 
+    def _drain_session_garbage() -> None:
+        # Spark's ContextCleaner releases finished shuffles/broadcasts
+        # only when the JVM collects their references; in one long-lived
+        # local JVM nothing forces that, and the backlog inflates later
+        # queries ~1.5-3x (measured: jaccard 4.4s isolated vs 8-14s after
+        # the fit preamble; two forced GCs restore 4.4s). On a real
+        # cluster per-executor GC runs continuously, so between-query
+        # collection is what makes per-query numbers comparable.
+        spark.catalog.clearCache()
+        for _ in range(2):
+            spark._jvm.System.gc()
+        time.sleep(0.5)
+
     for name in BENCH_QUERIES:
         # min of two runs — single-run numbers on a shared box swing
         # 2-3x from GC/page-cache noise (observed on e1/minhash)
         best = float("inf")
         for _ in range(2):
+            _drain_session_garbage()
             t0 = time.time()
             _noop_write(SPARK_QUERIES[name](spark, SF_DIR))
             best = min(best, time.time() - t0)
-            # drop caches left by operators (e.g. MinHash signatures) so
-            # later queries aren't taxed by earlier queries' memory
-            spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
