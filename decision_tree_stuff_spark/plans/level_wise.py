@@ -54,6 +54,7 @@ from decision_tree_stuff_spark.dtree import (
 )
 from decision_tree_stuff_spark.splitting import (
     EntropySplitMetric,
+    chunked_groupby_agg_rows,
     resolve_method,
     resolve_metric,
     splittable_attributes,
@@ -99,18 +100,23 @@ def fit_level_wise(
             if depth == 0
             else []
         )
-        stat_rows = (
-            frame.groupBy(NODE_COL)
-            .agg(
-                F.count(F.lit(1)).alias("__n"),
-                F.sum(F.col(cls)).alias("__n1"),
-                *extra,
-                *[
-                    method_cls.threshold_expr(F.col(a)).alias(f"__t{i}")
-                    for i, a in enumerate(attrs)
+        # chunked past AGG_CHUNK_COLUMNS expressions (>1000-feature
+        # frames) so every job stays inside whole-stage codegen; one
+        # identical job otherwise
+        stat_rows = list(
+            chunked_groupby_agg_rows(
+                frame,
+                NODE_COL,
+                [
+                    F.count(F.lit(1)).alias("__n"),
+                    F.sum(F.col(cls)).alias("__n1"),
+                    *extra,
+                    *[
+                        method_cls.threshold_expr(F.col(a)).alias(f"__t{i}")
+                        for i, a in enumerate(attrs)
+                    ],
                 ],
-            )
-            .collect()
+            ).values()
         )
         if not stat_rows:
             break
@@ -181,9 +187,7 @@ def fit_level_wise(
             aggs.append(F.count(F.when(~left, F.lit(1))).alias(f"rn{i}"))
             aggs.append(F.sum(F.when(left, c)).alias(f"ls{i}"))
             aggs.append(F.sum(F.when(~left, c)).alias(f"rs{i}"))
-        side_rows = {
-            r[NODE_COL]: r for r in joined.groupBy(NODE_COL).agg(*aggs).collect()
-        }
+        side_rows = chunked_groupby_agg_rows(joined, NODE_COL, aggs)
 
         # ---- driver: score candidates, pick best per node ----------
         new_known: Dict[int, tuple] = {}

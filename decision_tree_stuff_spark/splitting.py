@@ -26,7 +26,7 @@ from __future__ import annotations
 import abc
 import math
 from dataclasses import dataclass
-from typing import Any, Dict, List, Type, Union
+from typing import Any, Dict, List, Optional, Type, Union
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -326,12 +326,56 @@ def compute_all_splits(
     return scored
 
 
+# Max aggregate expressions per job for the wide-agg paths. One giant
+# agg past a few thousand expressions trips the 64KB JVM method limit:
+# whole-stage codegen bails to interpreted evaluation (correct, ~5-10x
+# slower) and very wide rows stress the driver's plan serialization.
+# Chunking bounds every job at a codegen-friendly width; ≤ the cap the
+# plan is byte-identical to the unchunked one (single job). The fit
+# paths cache the input frame, so extra chunk jobs re-scan memory, not
+# parquet.
+AGG_CHUNK_COLUMNS = 1024
+
+
+def chunked_agg_row(
+    df: DataFrame, aggs: List[Column], chunk: Optional[int] = None
+) -> Dict[str, Any]:
+    """``df.agg(*aggs).first()`` as ⌈len/chunk⌉ jobs, merged into one
+    dict — the >1000-feature path for ``score_all_splits_wide``.
+    ``chunk=None`` reads the module's ``AGG_CHUNK_COLUMNS`` at call
+    time (monkeypatch-able in tests)."""
+    chunk = chunk or AGG_CHUNK_COLUMNS
+    out: Dict[str, Any] = {}
+    for i in range(0, len(aggs), chunk):
+        out.update(df.agg(*aggs[i : i + chunk]).first().asDict())
+    return out
+
+
+def chunked_groupby_agg_rows(
+    df: DataFrame,
+    key: str,
+    aggs: List[Column],
+    chunk: Optional[int] = None,
+) -> Dict[Any, Dict[str, Any]]:
+    """``df.groupBy(key).agg(*aggs).collect()`` as ⌈len/chunk⌉ jobs,
+    merged into {key: row-dict} — the wide-feature path for the
+    level-wise planner (keys must be consistent across chunks, which
+    holds for any deterministic grouping column)."""
+    chunk = chunk or AGG_CHUNK_COLUMNS
+    out: Dict[Any, Dict[str, Any]] = {}
+    for i in range(0, len(aggs), chunk):
+        for r in df.groupBy(key).agg(*aggs[i : i + chunk]).collect():
+            out.setdefault(r[key], {}).update(r.asDict())
+    return out
+
+
 def score_all_splits_wide(
     samples: DataFrame,
     class_column: str,
     metric: MetricOrStr,
     method: MethodOrStr,
     attrs: List[str] | None = None,
+    agg_chunk_columns: Optional[int] = None,
 ) -> List[Dict[str, Any]]:
     """Same candidate table as ``compute_all_splits``, shuffle-free.
 
@@ -348,19 +392,24 @@ def score_all_splits_wide(
     jobs.
 
     Width note: the conditional pass emits 6 aggregates per feature in
-    one row (verified working at 80 features / 480 aggs). Past a few
-    thousand columns Spark falls back from codegen to interpreted
-    evaluation (64KB JVM method limit) — still correct, slower; at
-    that width chunk the feature list into several passes.
+    one row. Past ``agg_chunk_columns`` expressions the pass is split
+    into several jobs (``chunked_agg_row``) so each stays inside
+    whole-stage codegen (64KB JVM method limit) — identical results,
+    and identical single-job plans at normal widths.
     """
     metric_cls = resolve_metric(metric)
     method_cls = resolve_method(method)
     if attrs is None:
         attrs = splittable_attributes(samples, class_column)
 
-    thr_row = samples.agg(
-        *[method_cls.threshold_expr(F.col(a)).alias(f"t{i}") for i, a in enumerate(attrs)]
-    ).first()
+    thr_row = chunked_agg_row(
+        samples,
+        [
+            method_cls.threshold_expr(F.col(a)).alias(f"t{i}")
+            for i, a in enumerate(attrs)
+        ],
+        agg_chunk_columns,
+    )
     thresholds = {a: thr_row[f"t{i}"] for i, a in enumerate(attrs)}
 
     cls_col = F.col(class_column)
@@ -376,7 +425,7 @@ def score_all_splits_wide(
         aggs.append(F.sum(F.when(~left, cls_col)).alias(f"rs{i}"))
     if not live_attrs:
         return []
-    row = samples.agg(*aggs).first()
+    row = chunked_agg_row(samples, aggs, agg_chunk_columns)
 
     candidates: List[Dict[str, Any]] = []
     for i, a in enumerate(live_attrs):
