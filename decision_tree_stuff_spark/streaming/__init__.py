@@ -25,12 +25,46 @@ from decision_tree_stuff_spark.sources import EVENTS_RAW_SCHEMA
 __all__ = [
     "EVENTS_RAW_SCHEMA",
     "read_events_stream",
+    "rocksdb_state_store_confs",
     "stream_tumbling_counts",
     "stream_sliding_counts",
     "stream_sessionize",
     "stream_exact_dedup",
     "run_stream_to_memory",
 ]
+
+
+def rocksdb_state_store_confs(
+    changelog_checkpointing: bool = True,
+    bounded_memory: bool = True,
+) -> dict:
+    """Session confs for the RocksDB state store — the 100 TB path for
+    stateful streaming.
+
+    The default (HDFS-backed) provider keeps every key in executor
+    heap: a windowed agg or dedup whose key space outgrows the heap
+    OOMs. RocksDB spills state to local SSD, bounds heap usage, and
+    with changelog checkpointing uploads per-batch *deltas* instead of
+    full snapshots — state size then scales with disk, not memory, and
+    checkpoint cost with churn, not total state.
+
+    Apply before the query starts (``for k, v in
+    rocksdb_state_store_confs().items(): spark.conf.set(k, v)``).
+    Works against stock PySpark — the provider ships in Spark's JVM
+    (verified: stream≡batch under this provider in tests).
+    """
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+            str(changelog_checkpointing).lower(),
+        # one shared block cache across all state store instances on an
+        # executor instead of per-instance native allocations
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage":
+            str(bounded_memory).lower(),
+    }
 
 
 def read_events_stream(spark, events_dir: str) -> DataFrame:

@@ -153,3 +153,31 @@ def test_stream_sessionize_merges_across_micro_batches(
     cols = ["user_id", "session_start", "n_events", "sum_value"]
     assert _rows(got, cols) == _rows(want, cols)
     q.stop()
+
+
+def test_stream_session_window_under_rocksdb_state_store(
+    spark, sf_dir, events_stream_dir
+):
+    """Same stream≡batch contract with the RocksDB state store — the
+    at-scale provider (state on disk, not heap) must be a pure
+    execution detail with zero result drift."""
+    from decision_tree_stuff_spark.streaming import rocksdb_state_store_confs
+
+    confs = rocksdb_state_store_confs()
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        stream = stream_sessionize(read_events_stream(spark, events_stream_dir))
+        q = run_stream_to_memory(stream, "sessions_rocksdb", mode="complete")
+        got = spark.table("sessions_rocksdb")
+        want = sessionize(_batch_events(spark, sf_dir))
+        cols = ["user_id", "session_start", "n_events", "sum_value"]
+        assert _rows(got, cols) == _rows(want, cols)
+        q.stop()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
