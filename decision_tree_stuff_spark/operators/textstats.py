@@ -110,3 +110,70 @@ def tf_idf(
             ).alias("tfidf"),
         )
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    §A1.1 use line/ngram repetition to drop boilerplate docs; our
+    corpus has no line structure, so the granularity is tokens and
+    token bigrams).
+
+    Per document:
+      * n_tokens
+      * top_token_frac   — occurrences of the most frequent token / n
+      * dup_token_frac   — fraction of tokens whose token-type occurs
+                           more than once
+      * dup_bigram_frac  — same over adjacent-token bigrams (0.0 for
+                           single-token docs)
+
+    Plan: one narrow projection (normalize once), bigrams built with an
+    index lambda over the token array (shuffle-free, no self-join, no
+    per-doc window sort), then two map-side-combinable groupBy trees —
+    (doc, gram) → doc — joined on doc id. Shuffle keys are (doc_id,
+    gram): high-cardinality, unskewed, linear in corpus size. All
+    fractions rounded to 6dp for oracle-stable doubles.
+    """
+    toks_arr = tokens_from_norm(normalize_text(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col),
+        F.filter(toks_arr, lambda x: x != "").alias("__toks"),
+    )
+    bigrams = F.expr(
+        "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(__toks, i + 2)))"
+    )
+
+    def _dup_stats(grams: DataFrame, n_name: str, top_name: str, dup_name: str):
+        counts = grams.groupBy(id_col, "gram").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return counts.groupBy(id_col).agg(
+            F.sum("c").alias(n_name),
+            F.max("c").alias(top_name),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+            ).alias(dup_name),
+        )
+
+    tok_stats = _dup_stats(
+        base.select(F.col(id_col), F.explode("__toks").alias("gram")),
+        "__n", "__top", "__dup",
+    )
+    bg_stats = _dup_stats(
+        base.select(F.col(id_col), F.explode(bigrams).alias("gram")),
+        "__bn", "__btop", "__bdup",
+    )
+    return (
+        tok_stats.join(bg_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__n").alias("n_tokens"),
+            F.round(F.col("__top") / F.col("__n"), 6).alias("top_token_frac"),
+            F.round(F.col("__dup") / F.col("__n"), 6).alias("dup_token_frac"),
+            F.round(
+                F.coalesce(F.col("__bdup") / F.col("__bn"), F.lit(0.0)), 6
+            ).alias("dup_bigram_frac"),
+        )
+    )

@@ -449,6 +449,12 @@ def q_e4_tf_idf(spark, sf_dir):
     return tf_idf(_docs(spark, sf_dir))
 
 
+def q_e4_repetition_stats(spark, sf_dir):
+    from decision_tree_stuff_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_e5_tumbling_counts(spark, sf_dir):
     return tumbling_counts(_events(spark, sf_dir))
 
@@ -975,6 +981,44 @@ SELECT t.doc_id, t.token, t.tf, f.df,
        round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / f.df), 6) AS tfidf
 FROM tf t JOIN dfreq f USING (token) CROSS JOIN n
 """,
+    "e4_repetition_stats": f"""
+WITH base AS (
+  SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks FROM documents
+),
+tokc AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS gram FROM base) t GROUP BY 1, 2
+),
+tstats AS (
+  SELECT doc_id, sum(c) AS n, max(c) AS top,
+         coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup
+  FROM tokc GROUP BY 1
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM base
+),
+bgc AS (
+  SELECT doc_id, gram, count(*) AS c FROM (
+    SELECT doc_id,
+           tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+             AS gram
+    FROM pos
+  ) g WHERE gram IS NOT NULL GROUP BY 1, 2
+),
+bstats AS (
+  SELECT doc_id, sum(c) AS bn,
+         coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS bdup
+  FROM bgc GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       round(t.top / CAST(t.n AS DOUBLE), 6) AS top_token_frac,
+       round(t.dup / CAST(t.n AS DOUBLE), 6) AS dup_token_frac,
+       round(coalesce(b.bdup / CAST(b.bn AS DOUBLE), 0.0), 6)
+         AS dup_bigram_frac
+FROM tstats t LEFT JOIN bstats b USING (doc_id)
+""",
     "e5_tumbling_counts": """
 WITH ev AS (
   SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value FROM events
@@ -1141,6 +1185,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e5_sliding_counts": q_e5_sliding_counts,
     "e4_document_stats": q_e4_document_stats,
     "e4_tf_idf": q_e4_tf_idf,
+    "e4_repetition_stats": q_e4_repetition_stats,
     "e5_tumbling_counts": q_e5_tumbling_counts,
     "e5_sessions": q_e5_sessions,
     "e6_media_meta": q_e6_media_meta,

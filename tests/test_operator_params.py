@@ -51,3 +51,32 @@ def test_sample_frames_every_frame(spark, sf_dir):
         .first()[0]
     )
     assert every.count() == total_frames
+
+
+def test_repetition_stats_handcrafted(spark):
+    from decision_tree_stuff_spark.operators.textstats import repetition_stats
+
+    rows = [
+        # "a a a b": n=4, top=3/4, dup=3/4; bigrams [a a, a a, a b]:
+        # "a a" twice of 3 -> 2/3
+        (0, "a a a b"),
+        # all distinct: zero repetition
+        (1, "x y z"),
+        # single token: no bigrams -> 0.0, top=1
+        (2, "solo"),
+        # exact doubled text: "p q p q" bigrams [p q, q p, p q] -> 2/3
+        (3, "p q p q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[0]["n_tokens"] == 4
+    assert got[0]["top_token_frac"] == 0.75
+    assert got[0]["dup_token_frac"] == 0.75
+    assert got[0]["dup_bigram_frac"] == round(2 / 3, 6)
+    assert got[1]["dup_token_frac"] == 0.0
+    assert got[1]["dup_bigram_frac"] == 0.0
+    assert got[2]["n_tokens"] == 1
+    assert got[2]["top_token_frac"] == 1.0
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["dup_token_frac"] == 1.0
+    assert got[3]["dup_bigram_frac"] == round(2 / 3, 6)
