@@ -394,6 +394,23 @@ def q_e2_jaccard_capped(spark, sf_dir):
     )
 
 
+def q_e7_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: Jaccard pairs → connected
+    components (min-label propagation) → canonical keep flag. The
+    oracle is a DuckDB recursive CTE computing min-reachable-id over
+    the same pair set — transitive closure, so a doc two hops from the
+    canonical copy still lands in its cluster."""
+    from decision_tree_stuff_spark.operators.clustering import dedup_clusters
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("bigint")
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, block_cols=["lang", "len_bucket"], threshold=0.8
+    )
+    return dedup_clusters(docs, pairs)
+
+
 def q_e2_minhash_pairs(spark, sf_dir):
     """MinHash LSH near-dup candidates (xxhash64-based → rows-only
     check). bands=8/r=8 puts the LSH S-curve knee at j≈0.77,
@@ -806,6 +823,43 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) >= 0.8
 """,
+    "e7_dedup_clusters": f"""
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id, lang, len_bucket, tok AS token FROM (
+    SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+           unnest({TOKS_SQL}) AS tok
+    FROM documents
+  ) u WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+pc AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM toks a JOIN toks b
+    ON a.token = b.token AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT id_a, id_b
+  FROM pc
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM jp
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lab) AS cluster_id,
+       min(lab) = node AS is_kept
+FROM reach GROUP BY node
+""",
     "e2_minhash_md5_pairs": f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, tok AS token FROM (
@@ -1174,6 +1228,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e1_exact_dedup": q_e1_exact_dedup,
     "e2_jaccard_pairs": q_e2_jaccard_pairs,
     "e2_jaccard_capped": q_e2_jaccard_capped,
+    "e7_dedup_clusters": q_e7_dedup_clusters,
     "e2_minhash_pairs": q_e2_minhash_pairs,       # no oracle (xxhash64)
     "e2_minhash_md5_pairs": q_e2_minhash_md5_pairs,
     "e2_simhash_dups": q_e2_simhash_dups,         # no oracle (xxhash64)

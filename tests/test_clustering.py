@@ -1,0 +1,79 @@
+"""Connected-components / dedup-cluster tests (operators/clustering.py).
+
+Hand-built graphs pin the semantics (transitive closure, min-id
+canonical, isolated nodes); the corpus-level path is value-checked
+against the DuckDB recursive-CTE oracle via test_oracle_parity
+(e7_dedup_clusters).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from decision_tree_stuff_spark.operators.clustering import (
+    connected_components,
+    dedup_clusters,
+    dedup_keep,
+)
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+
+
+def _pairs(spark, pairs):
+    return spark.createDataFrame(
+        list(pairs) or [(None, None)], "id_a bigint, id_b bigint"
+    ).where("id_a IS NOT NULL")
+
+
+def test_chain_merges_transitively(spark):
+    # 1-2, 2-3, 3-4 is one component even though 1 and 4 never pair
+    out = connected_components(
+        _nodes(spark, [1, 2, 3, 4, 9]), _pairs(spark, [(1, 2), (2, 3), (3, 4)])
+    )
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_two_components_and_isolates(spark):
+    out = connected_components(
+        _nodes(spark, [1, 2, 3, 10, 11, 20]),
+        _pairs(spark, [(2, 3), (10, 11), (11, 10)]),
+    )
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 10: 10, 11: 10, 20: 20}
+
+
+def test_long_chain_converges(spark):
+    # adversarial diameter: 0-1-2-...-11 (propagation needs ~log
+    # rounds via doubling of the min label along the chain)
+    n = 12
+    out = connected_components(
+        _nodes(spark, range(n)), _pairs(spark, [(i, i + 1) for i in range(n - 1)])
+    )
+    assert {r.cluster_id for r in out.collect()} == {0}
+
+
+def test_no_pairs_all_kept(spark):
+    out = dedup_clusters(_nodes(spark, [5, 6]), _pairs(spark, []))
+    rows = {(r.doc_id, r.cluster_id, r.is_kept) for r in out.collect()}
+    assert rows == {(5, 5, True), (6, 6, True)}
+
+
+def test_dedup_keep_semi_join_preserves_columns(spark):
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id bigint, text string"
+    )
+    kept = dedup_keep(docs, _pairs(spark, [(1, 2)]))
+    assert sorted(kept.columns) == ["doc_id", "text"]
+    assert {r.doc_id for r in kept.collect()} == {1, 3}
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(
+            _nodes(spark, range(9)),
+            _pairs(spark, [(i, i + 1) for i in range(8)]),
+            max_rounds=2,
+        )
