@@ -1,0 +1,171 @@
+"""Deterministic sampling, global shuffle, and sequence packing — the
+data-selection / data-ordering stages of an LLM training pipeline.
+
+Everything here is *hash-deterministic*: no RNG state, no
+``rand()`` — the decision for a row is a pure function of its key and
+a seed string, so reruns, retries, and speculative task re-execution
+all agree (Spark's ``sample()`` is NOT stable under partition
+re-computation), and a DuckDB oracle can reproduce every bit. The
+uniform variate is the md5 hex digest of ``"{seed}|{key}"`` compared
+lexicographically against a precomputed 32-hex-char threshold
+(md5 is the one hash family Spark and DuckDB share byte-for-byte;
+both engines compare ASCII hex strings bytewise).
+
+Global-order operators (shuffle position, packing offsets) avoid the
+classic scale-killer — ``row_number() OVER (ORDER BY ...)`` with no
+partition key collapses onto ONE task — with a two-phase plan:
+
+1. bucket = first 2 hex chars of the shuffle key (256 buckets);
+2. per-bucket rank/cumsum via a window PARTITIONED by bucket
+   (parallel, each bucket ~N/256 rows);
+3. bucket base offsets = one 256-row aggregate, cumulated on the
+   driver-sized frame and broadcast back.
+
+Because the bucket is a *prefix* of the shuffle key, ordering by
+(bucket, key) equals ordering by key, so phase-2 + phase-3 reproduce
+the exact global ``row_number``/prefix-sum — the DuckDB oracle runs
+the naive single-node window and values match bit-for-bit.
+
+Reference scope: beyond the reference (training-data-pipeline
+extension mandate).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: number of hex chars in an md5 digest
+_MD5_HEX = 32
+#: prefix chars used for the two-phase bucket (256 buckets)
+_BUCKET_CHARS = 2
+
+
+def rate_threshold(rate: float) -> str:
+    """The 32-hex-char string t with P[md5 < t] = rate under the
+    uniform-digest model. Computed once in Python and embedded in both
+    engines' plans, so float rounding of ``rate`` cannot diverge."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate == 1.0:
+        # 16**32 formats to 33 chars starting '1', which compares
+        # BELOW most 32-char digests bytewise; 'g' sorts above every
+        # hex char in both engines
+        return "g"
+    return format(int(rate * 16**_MD5_HEX), f"0{_MD5_HEX}x")
+
+
+def hash_key(key_cols: List[str], seed: str) -> Column:
+    """md5("{seed}|{k1}|{k2}|...") — the deterministic uniform."""
+    parts = [F.lit(seed)] + [F.col(c).cast("string") for c in key_cols]
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_cols: List[str], seed: str = "seed"
+) -> DataFrame:
+    """Keep rows whose hash-uniform falls below ``rate``. One narrow
+    filter — no shuffle, fully pushed into the scan stage; stable
+    under retries and across engines."""
+    return df.where(hash_key(key_cols, seed) < F.lit(rate_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Dict[str, float],
+    key_cols: List[str],
+    seed: str = "seed",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum hash sampling (e.g. per-language mixture weights in
+    a corpus recipe). ``rates`` maps stratum value → keep rate; strata
+    not listed use ``default_rate``. Same shuffle-free shape — the
+    threshold is a CASE over the stratum column."""
+    thr: Column = F.lit(rate_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(rate_threshold(rate))
+        ).otherwise(thr)
+    return df.where(hash_key(key_cols, seed) < thr)
+
+
+def _with_bucketed_key(
+    df: DataFrame, key_cols: List[str], seed: str
+) -> DataFrame:
+    hk = hash_key(key_cols, seed)
+    return df.withColumn("_hk", hk).withColumn(
+        "_bucket", F.substring("_hk", 1, _BUCKET_CHARS)
+    )
+
+
+def _bucket_bases(keyed: DataFrame, value_col: Optional[str]) -> DataFrame:
+    """Per-bucket exclusive prefix totals: for each bucket, the sum of
+    ``value_col`` (or row count) over all *earlier* buckets. 256 rows —
+    the unpartitioned window here is driver-sized by construction."""
+    agg = F.count(F.lit(1)) if value_col is None else F.sum(value_col)
+    per_bucket = keyed.groupBy("_bucket").agg(agg.cast("bigint").alias("_total"))
+    w = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    return per_bucket.select(
+        "_bucket", F.coalesce(F.sum("_total").over(w), F.lit(0)).alias("_base")
+    )
+
+
+def global_shuffle(
+    df: DataFrame, key_cols: List[str], seed: str = "seed"
+) -> DataFrame:
+    """Deterministic global permutation: every row gets ``shuffle_pos``
+    = its 0-based rank under (md5 key, tie-break on key_cols). Output
+    ordering is carried by the column, not the partitioning — write it
+    bucketed/sorted or sort-on-read downstream."""
+    keyed = _with_bucketed_key(df, key_cols, seed)
+    w = Window.partitionBy("_bucket").orderBy("_hk", *key_cols)
+    bases = _bucket_bases(keyed, None)
+    return (
+        keyed.withColumn("_rank", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(bases), "_bucket")
+        .withColumn("shuffle_pos", F.col("_base") + F.col("_rank") - 1)
+        .drop("_hk", "_bucket", "_rank", "_base")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    n_tokens_col: str,
+    seq_len: int,
+    key_cols: List[str],
+    seed: str = "seed",
+) -> DataFrame:
+    """Concat-and-chunk packing metadata (GPT-style): documents are
+    laid out in deterministic shuffle order and the token stream is
+    cut every ``seq_len`` tokens. Each document gets the pack that
+    contains its first token (``pack_id``) and its offset inside that
+    pack (``pack_offset``); a document with
+    ``pack_offset + n_tokens > seq_len`` straddles into the next
+    pack(s) — this operator emits the layout, the byte-level splitter
+    consumes it.
+
+    start(doc) = exclusive prefix-sum of token counts in shuffle
+    order, computed with the two-phase bucket plan (see module doc) —
+    no single-task window at any size."""
+    keyed = _with_bucketed_key(df, key_cols, seed)
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_hk", *key_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = _bucket_bases(keyed, n_tokens_col)
+    start = F.col("_base") + F.coalesce(
+        F.sum(F.col(n_tokens_col).cast("bigint")).over(w), F.lit(0)
+    )
+    return (
+        keyed.join(F.broadcast(bases), "_bucket")
+        .withColumn("_start", start)
+        # integer DIV, not float division + cast: a double's ulp
+        # exceeds 1 once the token stream passes 2^53 (≈9e15 tokens —
+        # reachable at 100 TB), shifting pack boundaries
+        .withColumn("pack_id", F.expr(f"_start DIV {int(seq_len)}"))
+        .withColumn("pack_offset", F.col("_start") % seq_len)
+        .drop("_hk", "_bucket", "_base", "_start")
+    )

@@ -42,6 +42,7 @@ from decision_tree_stuff_spark.operators.similarity import (
     ivf_topk,
     sign_lsh_topk,
 )
+from decision_tree_stuff_spark.operators.sampling import rate_threshold
 from decision_tree_stuff_spark.operators.textstats import document_stats, tf_idf
 from decision_tree_stuff_spark.splitting import SplitParams, compute_all_splits
 
@@ -452,6 +453,62 @@ def q_e3_ivf_topk_nprobe2(spark, sf_dir):
     """IVF with nprobe=2 — each query searches its two nearest cells
     (higher recall, same plan shape); oracle probes rn <= 2."""
     return ivf_topk(_emb(spark, sf_dir), QUERY_IDS, k=5, n_centroids=16, nprobe=2)
+
+
+SAMPLE_RATE, SAMPLE_SEED = 0.2, "s42"
+STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
+STRATA_DEFAULT, STRATA_SEED = 0.05, "mix1"
+SHUFFLE_SEED, PACK_SEED, PACK_SEQ_LEN = "sh1", "pk1", 512
+
+
+def q_e8_sample(spark, sf_dir):
+    """Hash-deterministic 20% corpus sample — pure filter, no shuffle,
+    stable under task retries (unlike ``DataFrame.sample``)."""
+    from decision_tree_stuff_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(
+        _docs(spark, sf_dir), SAMPLE_RATE, ["doc_id"], seed=SAMPLE_SEED
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_e8_stratified_sample(spark, sf_dir):
+    """Per-language mixture weights (the corpus-recipe op): en 50%,
+    de 25%, fr 10%, everything else 5%."""
+    from decision_tree_stuff_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        "lang",
+        STRATA_RATES,
+        ["doc_id"],
+        seed=STRATA_SEED,
+        default_rate=STRATA_DEFAULT,
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_e8_global_shuffle(spark, sf_dir):
+    """Deterministic global permutation with exact 0-based positions —
+    two-phase bucketed rank (no single-task window); oracle is the
+    naive single-node row_number."""
+    from decision_tree_stuff_spark.operators.sampling import global_shuffle
+
+    return global_shuffle(
+        _docs(spark, sf_dir).select("doc_id"), ["doc_id"], seed=SHUFFLE_SEED
+    )
+
+
+def q_e8_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing layout at seq_len=512: shuffle-ordered
+    exclusive token prefix-sum → (pack_id, pack_offset) per doc."""
+    from decision_tree_stuff_spark.operators.sampling import pack_sequences
+    from decision_tree_stuff_spark.functions.text import token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, "n_tokens", PACK_SEQ_LEN, ["doc_id"], seed=PACK_SEED
+    )
 
 
 def q_e5_sliding_counts(spark, sf_dir):
@@ -985,6 +1042,47 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM s
 ) t WHERE rank <= 5
 """,
+    "e8_sample": f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE md5('{SAMPLE_SEED}|' || CAST(doc_id AS VARCHAR))
+      < '{rate_threshold(SAMPLE_RATE)}'
+""",
+    "e8_stratified_sample": f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE md5('{STRATA_SEED}|' || CAST(doc_id AS VARCHAR)) <
+      CASE lang
+        WHEN 'de' THEN '{rate_threshold(STRATA_RATES["de"])}'
+        WHEN 'en' THEN '{rate_threshold(STRATA_RATES["en"])}'
+        WHEN 'fr' THEN '{rate_threshold(STRATA_RATES["fr"])}'
+        ELSE '{rate_threshold(STRATA_DEFAULT)}'
+      END
+""",
+    "e8_global_shuffle": f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)), doc_id
+       ) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+""",
+    "e8_pack_sequences": f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({TOKS_SQL}) AS INT) AS n_tokens,
+         md5('{PACK_SEED}|' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY hk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS strt
+  FROM d
+)
+SELECT doc_id, n_tokens,
+       strt // {PACK_SEQ_LEN} AS pack_id,
+       strt % {PACK_SEQ_LEN} AS pack_offset
+FROM s
+""",
     "e5_sliding_counts": """
 WITH ev AS (
   SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, value FROM events
@@ -1237,6 +1335,10 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e3_sign_lsh_topk": q_e3_sign_lsh_topk,
     "e3_ivf_topk": q_e3_ivf_topk,
     "e3_ivf_topk_nprobe2": q_e3_ivf_topk_nprobe2,
+    "e8_sample": q_e8_sample,
+    "e8_stratified_sample": q_e8_stratified_sample,
+    "e8_global_shuffle": q_e8_global_shuffle,
+    "e8_pack_sequences": q_e8_pack_sequences,
     "e5_sliding_counts": q_e5_sliding_counts,
     "e4_document_stats": q_e4_document_stats,
     "e4_tf_idf": q_e4_tf_idf,

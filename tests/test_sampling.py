@@ -1,0 +1,119 @@
+"""Sampling / shuffle / packing tests (operators/sampling.py).
+
+Value parity vs DuckDB is covered by test_oracle_parity (e8_*); these
+pin the operator semantics and the two-phase-plan invariants.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from decision_tree_stuff_spark.operators.sampling import (
+    deterministic_sample,
+    global_shuffle,
+    pack_sequences,
+    rate_threshold,
+    stratified_sample,
+)
+
+
+def _ids(spark, n):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_rate_threshold_edges():
+    assert rate_threshold(0.0) == "0" * 32
+    assert rate_threshold(1.0) == "g"
+    assert len(rate_threshold(0.2)) == 32
+    with pytest.raises(ValueError):
+        rate_threshold(1.5)
+
+
+def test_sample_matches_python_md5(spark):
+    # the engine decision must equal hashlib's digest comparison
+    out = {
+        r.doc_id
+        for r in deterministic_sample(
+            _ids(spark, 200), 0.3, ["doc_id"], seed="t"
+        ).collect()
+    }
+    thr = rate_threshold(0.3)
+    expected = {
+        i
+        for i in range(200)
+        if hashlib.md5(f"t|{i}".encode()).hexdigest() < thr
+    }
+    assert out == expected
+    assert 0 < len(out) < 200
+
+
+def test_sample_is_stable_and_nested(spark):
+    df = _ids(spark, 500)
+    a = {r.doc_id for r in deterministic_sample(df, 0.2, ["doc_id"], "s").collect()}
+    b = {r.doc_id for r in deterministic_sample(df, 0.2, ["doc_id"], "s").collect()}
+    assert a == b
+    # smaller rate with same seed is a subset (threshold monotone)
+    c = {r.doc_id for r in deterministic_sample(df, 0.1, ["doc_id"], "s").collect()}
+    assert c <= a
+
+
+def test_stratified_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zz") for i in range(1000)],
+        "doc_id bigint, lang string",
+    )
+    out = stratified_sample(
+        df, "lang", {"en": 1.0}, ["doc_id"], seed="s", default_rate=0.0
+    ).collect()
+    assert {r.lang for r in out} == {"en"}
+    assert len(out) == 500
+
+
+def test_global_shuffle_is_permutation(spark):
+    rows = global_shuffle(_ids(spark, 777), ["doc_id"], seed="p").collect()
+    assert sorted(r.shuffle_pos for r in rows) == list(range(777))
+    # deterministic
+    again = global_shuffle(_ids(spark, 777), ["doc_id"], seed="p").collect()
+    assert {(r.doc_id, r.shuffle_pos) for r in rows} == {
+        (r.doc_id, r.shuffle_pos) for r in again
+    }
+    # a different seed is a different permutation
+    other = global_shuffle(_ids(spark, 777), ["doc_id"], seed="q").collect()
+    assert {(r.doc_id, r.shuffle_pos) for r in rows} != {
+        (r.doc_id, r.shuffle_pos) for r in other
+    }
+
+
+def test_pack_sequences_layout(spark):
+    df = _ids(spark, 300).withColumn("n_tokens", F.lit(100))
+    out = pack_sequences(df, "n_tokens", 512, ["doc_id"], seed="k").collect()
+    # token stream = 300 docs x 100 tokens cut every 512: starts are
+    # 0,100,...; offsets cycle mod 512; pack ids cover the full stream
+    starts = sorted(r.pack_id * 512 + r.pack_offset for r in out)
+    assert starts == [100 * i for i in range(300)]
+    assert max(r.pack_id for r in out) == (299 * 100) // 512
+
+
+def test_pack_sequences_matches_driver_side_cumsum(spark):
+    # irregular sizes: compare against a pure-Python prefix sum under
+    # the same (md5, id) order
+    import hashlib as hl
+
+    sizes = {i: (i * 37) % 190 + 1 for i in range(250)}
+    df = spark.createDataFrame(
+        [(i, n) for i, n in sizes.items()], "doc_id bigint, n_tokens int"
+    )
+    out = {
+        r.doc_id: (r.pack_id, r.pack_offset)
+        for r in pack_sequences(df, "n_tokens", 256, ["doc_id"], seed="z").collect()
+    }
+    order = sorted(
+        sizes, key=lambda i: (hl.md5(f"z|{i}".encode()).hexdigest(), i)
+    )
+    acc = 0
+    for i in order:
+        assert out[i] == (acc // 256, acc % 256), f"doc {i}"
+        acc += sizes[i]
