@@ -511,6 +511,25 @@ def q_e8_pack_sequences(spark, sf_dir):
     )
 
 
+DECON_N, DECON_THRESHOLD = 3, 0.2
+
+
+def q_e9_decontamination(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 play the
+    eval set; flag training docs containing ≥ 20% of a benchmark
+    doc's token 3-grams (asymmetric containment, not Jaccard — a
+    leaked benchmark item inside a long doc must still score 1.0)."""
+    from decision_tree_stuff_spark.operators.decontam import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    return ngram_contamination(
+        docs.where("doc_id % 97 <> 0"),
+        docs.where("doc_id % 97 = 0"),
+        n=DECON_N,
+        threshold=DECON_THRESHOLD,
+    )
+
+
 def q_e5_sliding_counts(spark, sf_dir):
     return sliding_counts(_events(spark, sf_dir))
 
@@ -1042,6 +1061,29 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM s
 ) t WHERE rank <= 5
 """,
+    "e9_decontamination": f"""
+WITH grams AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(toks) - {DECON_N} + 2, 1)),
+             i -> array_to_string(toks[i:i + {DECON_N} - 1], ' '))) AS gram
+    FROM (SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks
+          FROM documents) d
+  ) g GROUP BY 1, 2
+),
+tg AS (SELECT doc_id AS train_id, gram FROM grams WHERE train_id % 97 <> 0),
+bg AS (SELECT doc_id AS bench_id, gram FROM grams WHERE bench_id % 97 = 0),
+sizes AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_n FROM bg GROUP BY 1),
+matched AS (
+  SELECT train_id, bench_id, CAST(count(*) AS BIGINT) AS matched
+  FROM tg JOIN bg USING (gram) GROUP BY 1, 2
+)
+SELECT train_id, bench_id, matched, bench_n,
+       round(matched / CAST(bench_n AS DOUBLE), 6) AS containment
+FROM matched JOIN sizes USING (bench_id)
+WHERE round(matched / CAST(bench_n AS DOUBLE), 6) >= {DECON_THRESHOLD}
+""",
     "e8_sample": f"""
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE md5('{SAMPLE_SEED}|' || CAST(doc_id AS VARCHAR))
@@ -1335,6 +1377,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e3_sign_lsh_topk": q_e3_sign_lsh_topk,
     "e3_ivf_topk": q_e3_ivf_topk,
     "e3_ivf_topk_nprobe2": q_e3_ivf_topk_nprobe2,
+    "e9_decontamination": q_e9_decontamination,
     "e8_sample": q_e8_sample,
     "e8_stratified_sample": q_e8_stratified_sample,
     "e8_global_shuffle": q_e8_global_shuffle,

@@ -1,0 +1,67 @@
+"""Decontamination tests (operators/decontam.py). Corpus-level value
+parity vs DuckDB runs via test_oracle_parity (e9_decontamination)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from decision_tree_stuff_spark.operators.decontam import (
+    decontaminate,
+    ngram_contamination,
+    token_ngrams,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_token_ngrams_values(spark):
+    out = token_ngrams(_df(spark, [(1, "a b c d")]), "doc_id", "text", 3)
+    assert {r.gram for r in out.collect()} == {"a b c", "b c d"}
+
+
+def test_short_docs_have_no_grams(spark):
+    out = token_ngrams(_df(spark, [(1, "a b"), (2, "")]), "doc_id", "text", 3)
+    assert out.count() == 0
+
+
+def test_containment_is_asymmetric(spark):
+    # benchmark doc fully embedded in a much longer training doc:
+    # containment = 1.0 even though Jaccard is small
+    bench = _df(spark, [(100, "x y z w")])
+    train = _df(spark, [(1, "a b c d e f g h x y z w p q r s t u v")])
+    out = ngram_contamination(train, bench, n=3, threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.train_id, r.bench_id, r.containment) == (1, 100, 1.0)
+    assert r.matched == r.bench_n == 2
+
+
+def test_threshold_filters(spark):
+    bench = _df(spark, [(100, "x y z w v")])  # 3 distinct 3-grams
+    train = _df(spark, [(1, "x y z only")])   # shares exactly 1
+    assert (
+        ngram_contamination(train, bench, n=3, threshold=0.5).count() == 0
+    )
+    got = ngram_contamination(train, bench, n=3, threshold=0.3).collect()
+    assert [(r.matched, r.bench_n) for r in got] == [(1, 3)]
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    bench = _df(spark, [(100, "x y z w")])
+    train = _df(spark, [(1, "x y z w tail"), (2, "totally unrelated words here")])
+    kept = decontaminate(train, bench, n=3, threshold=0.9)
+    assert [r.doc_id for r in kept.collect()] == [2]
+    assert kept.columns == train.columns
+
+
+def test_max_df_drops_boilerplate_grams(spark):
+    # the shared gram appears in > max_df training docs -> excluded
+    bench = _df(spark, [(100, "x y z")])
+    train = _df(spark, [(i, f"x y z doc{i}") for i in range(1, 6)])
+    assert ngram_contamination(train, bench, n=3, threshold=0.5).count() == 5
+    assert (
+        ngram_contamination(train, bench, n=3, threshold=0.5, max_df=3).count()
+        == 0
+    )
