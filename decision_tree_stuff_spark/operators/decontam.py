@@ -35,20 +35,31 @@ def token_ngrams(
     i -> array_to_string(toks[i:i+n-1], ' '))`` over
     ``list_filter(<TOKS>, t -> t <> '')``.
     """
-    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    # project the token array ONCE: Catalyst does not eliminate common
+    # subexpressions across lambda boundaries, so inlining tokens()
+    # into the transform re-runs the normalization regex per array
+    # element (measured 10× on this operator; same pitfall as
+    # functions.text.tokens_from_norm)
+    tokd = df.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("_toks"),
+    )
+    t = F.col("_toks")
     # sequence(1, 0) yields a DESCENDING [1, 0] (not empty) and the
     # slice at index 0 throws — docs shorter than n tokens need the
     # explicit empty-array branch
     grams = F.when(
-        F.size(toks) >= n,
+        F.size(t) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
-        .distinct()
+    # per-doc array_distinct makes (id, gram) globally unique at
+    # explode time — the set semantics come for free inside the
+    # projection, with NO global distinct shuffle
+    return tokd.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
     )
 
 
