@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "e3_ivf_topk",
     "e4_document_stats",
     "e4_tf_idf",
+    "e7_dedup_clusters",
+    "e8_sample",
+    "e8_global_shuffle",
+    "e8_pack_sequences",
+    "e9_decontamination",
     "e5_tumbling_counts",
     "e5_sliding_counts",
     "e5_sessions",
