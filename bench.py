@@ -107,11 +107,16 @@ def main() -> None:
         time.sleep(0.5)
 
     for name in BENCH_QUERIES:
-        # min of two runs — single-run numbers on a shared box swing
-        # 2-3x from GC/page-cache noise (observed on e1/minhash)
+        # Drain ONCE per query (backlog from prior queries), then time
+        # two back-to-back runs and keep the min: run 1 absorbs the
+        # whole-stage-codegen compile (up to ~18 s cold for the
+        # 64-aggregate MinHash plan), run 2 measures warm steady
+        # state. Draining BETWEEN the pair was measured to re-inflate
+        # run 2 (5.2→9.5 s on minhash): System.gc() can unload the
+        # generated classes run 2 would reuse.
+        _drain_session_garbage()
         best = float("inf")
         for _ in range(2):
-            _drain_session_garbage()
             t0 = time.time()
             _noop_write(SPARK_QUERIES[name](spark, SF_DIR))
             best = min(best, time.time() - t0)
