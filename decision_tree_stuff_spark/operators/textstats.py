@@ -112,6 +112,42 @@ def tf_idf(
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.45,
+    max_top_token_frac: float = 0.12,
+    max_dup_bigram_frac: float = 0.1,
+) -> DataFrame:
+    """The composed C4/Gopher-style keep decision: a document survives
+    iff its heuristic quality score clears ``min_quality`` AND neither
+    repetition signal flags it as boilerplate. This is the form the
+    rules ship in real corpus pipelines — individual stats are
+    diagnostics, the conjunction is the filter.
+
+    Plan: ``document_stats`` is one narrow projection,
+    ``repetition_stats`` two agg trees; both sides end hash-partitioned
+    by ``id_col`` so the join adds no extra exchange beyond theirs.
+    Returns the kept (id, quality, lang_guess, top_token_frac,
+    dup_bigram_frac) — join back to ``docs`` for the payload.
+    """
+    ds = document_stats(docs, id_col, text_col).select(
+        id_col, "quality", "lang_guess"
+    )
+    rs = repetition_stats(docs, id_col, text_col).select(
+        id_col, "top_token_frac", "dup_bigram_frac"
+    )
+    return (
+        ds.join(rs, id_col)
+        .where(
+            (F.col("quality") >= min_quality)
+            & (F.col("top_token_frac") <= max_top_token_frac)
+            & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+        )
+    )
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

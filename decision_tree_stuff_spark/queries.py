@@ -542,6 +542,14 @@ def q_e4_tf_idf(spark, sf_dir):
     return tf_idf(_docs(spark, sf_dir))
 
 
+def q_e4_quality_filter(spark, sf_dir):
+    """The composed corpus filter: quality ≥ 0.45 AND not repetitive
+    (C4/Gopher-style conjunction of the e4 diagnostics)."""
+    from decision_tree_stuff_spark.operators.textstats import quality_filter
+
+    return quality_filter(_docs(spark, sf_dir))
+
+
 def q_e4_repetition_stats(spark, sf_dir):
     from decision_tree_stuff_spark.operators.textstats import repetition_stats
 
@@ -1350,6 +1358,20 @@ LIMIT 10
 """,
 }
 
+# Composed keep-decision: reuses the two e4 oracle bodies verbatim as
+# CTEs — the filter compares the same ROUNDED values both engines
+# already agree on, so the kept set is identical by construction.
+ORACLE_SQL["e4_quality_filter"] = f"""
+WITH ds AS ({ORACLE_SQL["e4_document_stats"]}),
+rs AS ({ORACLE_SQL["e4_repetition_stats"]})
+SELECT ds.doc_id, ds.quality, ds.lang_guess,
+       rs.top_token_frac, rs.dup_bigram_frac
+FROM ds JOIN rs USING (doc_id)
+WHERE ds.quality >= 0.45
+  AND rs.top_token_frac <= 0.12
+  AND rs.dup_bigram_frac <= 0.1
+"""
+
 SPARK_QUERIES: Dict[str, QueryFn] = {
     "o01_filter_split": q_o01_filter_split,
     "o02_unpivot": q_o02_unpivot,
@@ -1386,6 +1408,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e4_document_stats": q_e4_document_stats,
     "e4_tf_idf": q_e4_tf_idf,
     "e4_repetition_stats": q_e4_repetition_stats,
+    "e4_quality_filter": q_e4_quality_filter,
     "e5_tumbling_counts": q_e5_tumbling_counts,
     "e5_sessions": q_e5_sessions,
     "e6_media_meta": q_e6_media_meta,
