@@ -97,6 +97,43 @@ def test_pack_sequences_layout(spark):
     assert max(r.pack_id for r in out) == (299 * 100) // 512
 
 
+def test_stream_deterministic_sample_equals_batch(spark, sf_dir, tmp_path):
+    """The sampler is a stateless hash filter — it must run unchanged
+    on a streaming DataFrame (append mode, no watermark needed) and
+    select exactly the rows its batch twin selects."""
+    import shutil
+
+    from decision_tree_stuff_spark.queries import _events
+    from decision_tree_stuff_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+
+    stream = deterministic_sample(
+        read_events_stream(spark, str(d)), 0.25, ["user_id", "ts"], "st"
+    )
+    q = run_stream_to_memory(stream, "sample_stream_test", mode="append")
+    try:
+        cols = ["user_id", "ts", "event_type", "value"]
+
+        def rows(df):
+            return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+        got = rows(spark.table("sample_stream_test"))
+        want = rows(
+            deterministic_sample(
+                _events(spark, sf_dir), 0.25, ["user_id", "ts"], "st"
+            )
+        )
+        assert got == want and 0 < len(got)
+    finally:
+        q.stop()
+
+
 def test_pack_sequences_matches_driver_side_cumsum(spark):
     # irregular sizes: compare against a pure-Python prefix sum under
     # the same (md5, id) order
