@@ -515,7 +515,7 @@ DECON_N, DECON_THRESHOLD = 3, 0.2
 
 
 def q_e9_decontamination(spark, sf_dir):
-    """Benchmark decontamination: docs with doc_id % 97 == 0 play the
+    """Benchmark decontamination: docs with doc_id % 7 == 0 play the
     eval set; flag training docs containing ≥ 20% of a benchmark
     doc's token 3-grams (asymmetric containment, not Jaccard — a
     leaked benchmark item inside a long doc must still score 1.0)."""
@@ -523,8 +523,8 @@ def q_e9_decontamination(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     return ngram_contamination(
-        docs.where("doc_id % 97 <> 0"),
-        docs.where("doc_id % 97 = 0"),
+        docs.where("doc_id % 7 <> 0"),
+        docs.where("doc_id % 7 = 0"),
         n=DECON_N,
         threshold=DECON_THRESHOLD,
     )
@@ -1080,8 +1080,8 @@ WITH grams AS (
           FROM documents) d
   ) g GROUP BY 1, 2
 ),
-tg AS (SELECT doc_id AS train_id, gram FROM grams WHERE train_id % 97 <> 0),
-bg AS (SELECT doc_id AS bench_id, gram FROM grams WHERE bench_id % 97 = 0),
+tg AS (SELECT doc_id AS train_id, gram FROM grams WHERE train_id % 7 <> 0),
+bg AS (SELECT doc_id AS bench_id, gram FROM grams WHERE bench_id % 7 = 0),
 sizes AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_n FROM bg GROUP BY 1),
 matched AS (
   SELECT train_id, bench_id, CAST(count(*) AS BIGINT) AS matched
