@@ -10,13 +10,13 @@ keep-set (smallest id per component — deterministic, like
 ``exact_dedup``'s min-id rule).
 
 Scale notes (100 TB):
-* Each round is two shuffles (edge×label join + min-combine), both
-  map-side combinable; rounds needed = graph diameter. Near-dup
-  components are star/clique-shaped (diameter ≲ 3-4), so 3-5 rounds
-  is the practical ceiling — for adversarial long-chain graphs the
-  published O(log n)-round alternative is large-star/small-star
-  (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  SoCC'14); this propagation IS its small-star half.
+* Each round is three shuffles (edge×label join + min-combine +
+  pointer-doubling self-join), all map-side combinable; rounds needed
+  = O(log diameter) thanks to the doubling step (cf. Shiloach-Vishkin
+  and the large-star/small-star family — Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14). Near-dup components
+  are star/clique-shaped (diameter ≲ 3-4) so 2-4 rounds in practice;
+  an adversarial 10⁶-node path still finishes in ~20.
 * Lineage is truncated every round with ``localCheckpoint`` —
   without it the iterated join plan nests one level per round and
   the optimizer re-analyzes O(rounds²) nodes. On a production
@@ -49,8 +49,18 @@ def connected_components(
 
     ``nodes`` must contain every id (isolated nodes label themselves).
     Returns (id_col, cluster_id). Deterministic; raises if the
-    propagation has not converged after ``max_rounds`` (diameter
-    greater than ``max_rounds`` — switch to large-star/small-star).
+    propagation has not converged after ``max_rounds``.
+
+    Each round does neighbor-min propagation AND pointer doubling
+    (``label ← label[label]`` — Shiloach-Vishkin-style shortcutting):
+    the min label travels ≥ 2× the distance per round, so convergence
+    is O(log diameter) rounds, not O(diameter) — a path graph of 10⁶
+    nodes converges in ~20 rounds instead of 10⁶. Cost: one extra
+    |nodes|-sized self-join per round, cheap next to the edge join.
+    The shortcut lookup is always defined (a label is the min of
+    reachable node ids, hence itself a node) and monotone (labels
+    only decrease), so the decimal label-sum convergence test is
+    unaffected.
     """
     ca, cb = pair_cols
     # materialize the pair source ONCE before symmetrizing: the
@@ -80,12 +90,24 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(
+            nbr_min, labels["node"] == nbr_min["dst"], "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "label"
+            ),
+        )
+        # pointer doubling: jump to the label's own label
+        hop = stepped.select(
+            F.col("node").alias("h_node"), F.col("label").alias("h_label")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
+            stepped.join(hop, stepped["label"] == hop["h_node"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
+                    F.col("label"), F.coalesce("h_label", "label")
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -102,7 +124,7 @@ def connected_components(
         prev = cur
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_rounds} rounds "
-        "(graph diameter too large — use large-star/small-star)"
+        "(diameter > 2^max_rounds — raise max_rounds)"
     )
 
 

@@ -55,6 +55,18 @@ def test_long_chain_converges(spark):
     assert {r.cluster_id for r in out.collect()} == {0}
 
 
+def test_adversarial_chain_converges_in_log_rounds(spark):
+    # 200-node path, diameter 199: plain propagation would need ~200
+    # rounds; pointer doubling must land well inside 10
+    n = 200
+    out = connected_components(
+        _nodes(spark, range(n)),
+        _pairs(spark, [(i, i + 1) for i in range(n - 1)]),
+        max_rounds=10,
+    )
+    assert {r.cluster_id for r in out.collect()} == {0}
+
+
 def test_no_pairs_all_kept(spark):
     out = dedup_clusters(_nodes(spark, [5, 6]), _pairs(spark, []))
     rows = {(r.doc_id, r.cluster_id, r.is_kept) for r in out.collect()}
