@@ -9,6 +9,8 @@ against the DuckDB recursive-CTE oracle via test_oracle_parity
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from decision_tree_stuff_spark.operators.clustering import (
     connected_components,
@@ -80,6 +82,61 @@ def test_dedup_keep_semi_join_preserves_columns(spark):
     kept = dedup_keep(docs, _pairs(spark, [(1, 2)]))
     assert sorted(kept.columns) == ["doc_id", "text"]
     assert {r.doc_id for r in kept.collect()} == {1, 3}
+
+
+def _py_union_find(n, pairs):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component min = min over members (roots are not min by
+    # construction here, so resolve then min-reduce)
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for i in members:
+            out[i] = m
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_components_match_union_find(spark, data):
+    """Differential: the distributed propagation (with pointer
+    doubling) must equal a pure-Python union-find on random graphs —
+    catches wrong-direction propagation, missed symmetrization, and
+    premature-convergence bugs that hand-built graphs can't."""
+    n = data.draw(st.integers(2, 14))
+    pairs = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            max_size=12,
+        )
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            _nodes(spark, range(n)), _pairs(spark, pairs)
+        ).collect()
+    }
+    assert got == _py_union_find(n, pairs), f"n={n} pairs={pairs}"
 
 
 def test_nonconvergence_raises(spark):
