@@ -81,6 +81,42 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV source with a MANDATORY explicit schema.
+
+    Schema inference on CSV is a full extra pass over the data before
+    the real scan even starts — at 100 TB that is a second 100 TB read
+    — and inferred types drift between loads (an all-null partition
+    infers string). ``mode=FAILFAST`` surfaces malformed rows at scan
+    time instead of silently nulling columns (PERMISSIVE, the default,
+    turns data corruption into wrong query results downstream).
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("delimiter", delimiter)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """JSON-lines source, explicit schema, FAILFAST — same rationale
+    as ``read_csv``: no inference pass, no silent nulls. Nested struct
+    fields project with pushdown (``ReadSchema`` prunes subfields)."""
+    return (
+        spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (mirrors the DuckDB oracle's
     pre-registered views) so queries can be written in pure SQL."""
