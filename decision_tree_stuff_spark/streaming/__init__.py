@@ -31,6 +31,7 @@ __all__ = [
     "stream_sessionize",
     "stream_exact_dedup",
     "run_stream_to_memory",
+    "run_stream_to_parquet",
 ]
 
 
@@ -172,6 +173,35 @@ def stream_exact_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    mode: str = "append",
+    partition_by: list = None,
+):
+    """Execute a stream into a parquet file sink with a checkpoint —
+    the durable path: exactly-once via the checkpoint's WAL + file
+    manifest, restart-safe (a new query with the same checkpoint
+    resumes from the last committed batch instead of reprocessing).
+    File sinks only support append mode, so the upstream aggregation
+    must be watermarked for Spark to know when a window is final.
+    ``partition_by`` maps event-time windows to hive partitions so
+    downstream reads prune by time."""
+    w = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    q = w.start()
+    q.awaitTermination()
+    return q
 
 
 def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):

@@ -119,6 +119,38 @@ def test_stream_sliding_equals_batch(spark, sf_dir, events_stream_dir):
     q.stop()
 
 
+def test_stream_parquet_sink_append_and_exactly_once(
+    spark, sf_dir, events_stream_dir, tmp_path
+):
+    """Durable file sink: watermarked tumbling counts stream into
+    parquet (append mode emits only watermark-closed windows → a
+    subset of the batch result), and a RESTART on the same checkpoint
+    reprocesses nothing — the exactly-once property the checkpoint
+    manifest exists for."""
+    from decision_tree_stuff_spark.streaming import run_stream_to_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = stream_tumbling_counts(
+            read_events_stream(spark, events_stream_dir)
+        )
+        q = run_stream_to_parquet(stream, out, ckpt)
+        q.stop()
+
+    run()
+    got = spark.read.parquet(out)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    got_rows = _rows(got, cols)
+    want_rows = _rows(tumbling_counts(_batch_events(spark, sf_dir)), cols)
+    assert 0 < len(got_rows) <= len(want_rows)
+    assert set(got_rows) <= set(want_rows), "sink emitted a non-batch row"
+
+    # second run, same checkpoint, same input: nothing new to commit
+    run()
+    assert _rows(spark.read.parquet(out), cols) == got_rows
+
+
 def test_stream_sessionize_equals_batch(spark, sf_dir, events_stream_dir):
     stream = stream_sessionize(read_events_stream(spark, events_stream_dir))
     q = run_stream_to_memory(stream, "sessions_test", mode="complete")
