@@ -71,6 +71,45 @@ def deterministic_sample(
     return df.where(hash_key(key_cols, seed) < F.lit(rate_threshold(rate)))
 
 
+def hash_split(
+    df: DataFrame,
+    fractions: Dict[str, float],
+    key_cols: List[str],
+    seed: str = "seed",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic named partitioning (train/val/test): every row is
+    assigned exactly one split by which hash interval its uniform
+    falls in. Fractions must sum to 1.0 (±1e-9). Shuffle-free, stable
+    under retries, disjoint and exhaustive by construction — the
+    failure mode this prevents is the classic ``rand() < 0.9`` split
+    whose membership changes across job reruns, leaking val rows into
+    a later training run.
+
+    Interval edges are cumulative-fraction thresholds in sorted split
+    name order, so the assignment is reproducible from (fractions,
+    seed) alone.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    hk = hash_key(key_cols, seed)
+    acc = 0.0
+    expr = None
+    # iterate in sorted name order: the edge layout is part of the
+    # contract (same fractions+seed → same rows in every engine)
+    names = sorted(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = hk < F.lit(rate_threshold(min(acc, 1.0)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -456,6 +456,20 @@ def q_e3_ivf_topk_nprobe2(spark, sf_dir):
 
 
 SAMPLE_RATE, SAMPLE_SEED = 0.2, "s42"
+SPLIT_FRACTIONS, SPLIT_SEED = {"train": 0.8, "val": 0.1, "test": 0.1}, "split1"
+
+
+def q_e8_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment — disjoint,
+    exhaustive, stable across reruns (unlike rand()-based splits)."""
+    from decision_tree_stuff_spark.operators.sampling import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        SPLIT_FRACTIONS,
+        ["doc_id"],
+        seed=SPLIT_SEED,
+    )
 STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
 STRATA_DEFAULT, STRATA_SEED = 0.05, "mix1"
 SHUFFLE_SEED, PACK_SEED, PACK_SEQ_LEN = "sh1", "pk1", 512
@@ -1107,6 +1121,31 @@ WHERE md5('{STRATA_SEED}|' || CAST(doc_id AS VARCHAR)) <
         ELSE '{rate_threshold(STRATA_DEFAULT)}'
       END
 """,
+    # CASE edges below use the SAME Python accumulation as
+    # sampling.hash_split (sorted split names, cumulative floats) so
+    # both engines compare against byte-identical threshold strings.
+    "e8_hash_split": (
+        lambda names, edges: f"""
+SELECT doc_id, lang,
+       CASE
+         WHEN md5('{SPLIT_SEED}|' || CAST(doc_id AS VARCHAR)) < '{edges[0]}'
+           THEN '{names[0]}'
+         WHEN md5('{SPLIT_SEED}|' || CAST(doc_id AS VARCHAR)) < '{edges[1]}'
+           THEN '{names[1]}'
+         ELSE '{names[2]}'
+       END AS split
+FROM documents
+"""
+    )(
+        sorted(SPLIT_FRACTIONS),
+        [
+            rate_threshold(sorted(SPLIT_FRACTIONS.items())[0][1]),
+            rate_threshold(
+                sorted(SPLIT_FRACTIONS.items())[0][1]
+                + sorted(SPLIT_FRACTIONS.items())[1][1]
+            ),
+        ],
+    ),
     "e8_global_shuffle": f"""
 SELECT doc_id,
        CAST(row_number() OVER (
@@ -1402,6 +1441,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e9_decontamination": q_e9_decontamination,
     "e8_sample": q_e8_sample,
     "e8_stratified_sample": q_e8_stratified_sample,
+    "e8_hash_split": q_e8_hash_split,
     "e8_global_shuffle": q_e8_global_shuffle,
     "e8_pack_sequences": q_e8_pack_sequences,
     "e5_sliding_counts": q_e5_sliding_counts,

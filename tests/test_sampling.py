@@ -60,6 +60,35 @@ def test_sample_is_stable_and_nested(spark):
     assert c <= a
 
 
+def test_hash_split_disjoint_exhaustive_and_stable(spark):
+    from decision_tree_stuff_spark.operators.sampling import hash_split
+
+    df = _ids(spark, 2000)
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"], "s")
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert len(rows) == 2000  # exactly one split per row
+    counts = {}
+    for s in rows.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    # membership is a pure function of (key, seed): rerun identical
+    again = {
+        r.doc_id: r.split
+        for r in hash_split(
+            df, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"], "s"
+        ).collect()
+    }
+    assert rows == again
+
+
+def test_hash_split_fraction_validation(spark):
+    from decision_tree_stuff_spark.operators.sampling import hash_split
+
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        hash_split(_ids(spark, 5), {"a": 0.5, "b": 0.4}, ["doc_id"])
+
+
 def test_stratified_rates(spark):
     df = spark.createDataFrame(
         [(i, "en" if i % 2 else "zz") for i in range(1000)],
