@@ -382,25 +382,46 @@ def minhash_lsh_pairs(
     )
 
 
+def _simhash_bit(token, j: int, hash_fn: str):
+    """Bit j (0..63) of the per-token hash, as a 0/1 int Column.
+
+    * ``xxhash64``: native bigint, bit via shift+mask (prod default).
+    * ``md5``: bit j lives in hex digit j//4 of the digest (low nibble
+      bit j%4) — extractable with identical arithmetic in DuckDB
+      (``(strpos('0123456789abcdef', substr(md5(t), j/4+1, 1))-1)
+      >> (j%4) & 1``), giving the fingerprint a value-level oracle.
+    """
+    if hash_fn == "xxhash64":
+        return F.shiftright(F.xxhash64(token), j).bitwiseAND(F.lit(1))
+    if hash_fn == "md5":
+        nib = F.conv(F.substring(F.md5(token), j // 4 + 1, 1), 16, 10).cast(
+            "int"
+        )
+        return F.shiftright(nib, j % 4).bitwiseAND(F.lit(1))
+    raise ValueError(f"unknown simhash hash_fn {hash_fn!r}")
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """E-2c: 64-bit SimHash fingerprint per document.
 
     Explode token *occurrences* (multiset — frequency is the weight),
     then one groupBy with 64 conditional sums: bit j of the result is
-    set iff Σ_tokens (±1 per occurrence, + when bit j of xxhash64(token)
-    is set) > 0. Single shuffle of |docs| × 64 longs.
+    set iff Σ_tokens (±1 per occurrence, + when bit j of hash(token)
+    is set) > 0. Single shuffle of |docs| × 64 longs. See
+    ``_simhash_bit`` for the hash-family choice (xxhash64 prod,
+    md5 oracle-checkable).
     """
     occ = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).where(F.col("token") != "")
-    h = F.xxhash64(F.col("token"))
     aggs = [
         F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(_simhash_bit(F.col("token"), j, hash_fn) == 1, 1).otherwise(-1)
         ).alias(f"v_{j}")
         for j in range(64)
     ]

@@ -433,6 +433,16 @@ def q_e2_simhash_dups(spark, sf_dir):
     return simhash_near_dups(_docs(spark, sf_dir), max_hamming=8)
 
 
+def q_e2_simhash_md5(spark, sf_dir):
+    """SimHash fingerprints with the md5 bit family — byte-identical
+    in DuckDB (nibble extraction), so the sketch math (weighted bit
+    votes → sign) is value-checked end to end; xxhash64 stays the
+    prod default with the same plan."""
+    from decision_tree_stuff_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), hash_fn="md5")
+
+
 def q_e2_embedding_near_dups(spark, sf_dir):
     return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4, n_bits=6)
 
@@ -758,6 +768,27 @@ _LANG_CASE = (
     + " END"
 )
 
+# md5-SimHash oracle fragments (e2_simhash_md5): bit j of md5 = low
+# nibble bit j%4 of hex digit j//4; vote sums and sign-bit assembly
+# mirror operators.dedup.simhash exactly.
+def _sh_bit_sql(j: int) -> str:
+    return (
+        f"(((strpos('0123456789abcdef', substr(md5(token), {j // 4 + 1}, 1))"
+        f" - 1) >> {j % 4}) & 1)"
+    )
+
+
+_SH_VOTES = ",\n".join(
+    f"         sum(CASE WHEN {_sh_bit_sql(j)} = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(64)
+)
+_SH_LO = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32)
+)
+_SH_HI = " + ".join(
+    f"CASE WHEN v{j + 32} > 0 THEN {1 << j} ELSE 0 END" for j in range(32)
+)
+
 # md5-MinHash oracle fragments (e2_minhash_md5_pairs): 64 min-md5
 # aggregates, 8 bands of 8, banding key = md5 of '|'-joined members —
 # the exact twin of minhash_lsh_pairs(hash_fn='md5').
@@ -957,6 +988,22 @@ reach(node, lab) AS (
 SELECT node AS doc_id, min(lab) AS cluster_id,
        min(lab) = node AS is_kept
 FROM reach GROUP BY node
+""",
+    "e2_simhash_md5": f"""
+WITH occ AS (
+  SELECT doc_id, tok AS token FROM (
+    SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+  ) u WHERE tok <> ''
+),
+votes AS (
+  SELECT doc_id,
+{_SH_VOTES}
+  FROM occ GROUP BY 1
+)
+SELECT doc_id,
+       CAST({_SH_LO} AS BIGINT) AS simhash_lo,
+       CAST({_SH_HI} AS BIGINT) AS simhash_hi
+FROM votes
 """,
     "e2_minhash_md5_pairs": f"""
 WITH toks AS (
@@ -1433,6 +1480,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e2_minhash_pairs": q_e2_minhash_pairs,       # no oracle (xxhash64)
     "e2_minhash_md5_pairs": q_e2_minhash_md5_pairs,
     "e2_simhash_dups": q_e2_simhash_dups,         # no oracle (xxhash64)
+    "e2_simhash_md5": q_e2_simhash_md5,
     "e2_embedding_near_dups": q_e2_embedding_near_dups,
     "e3_cosine_topk": q_e3_cosine_topk,
     "e3_sign_lsh_topk": q_e3_sign_lsh_topk,
