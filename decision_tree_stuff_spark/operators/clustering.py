@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from decision_tree_stuff_spark.utils import release_local_checkpoint
+
 
 def connected_components(
     nodes: DataFrame,
@@ -75,7 +77,7 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    pairs.unpersist()
+    release_local_checkpoint(pairs)
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
@@ -84,48 +86,56 @@ def connected_components(
         return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
 
     prev = label_sum(labels)
-    for _ in range(max_rounds):
-        nbr_min = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        stepped = labels.join(
-            nbr_min, labels["node"] == nbr_min["dst"], "left"
-        ).select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                "label"
-            ),
-        )
-        # pointer doubling: jump to the label's own label
-        hop = stepped.select(
-            F.col("node").alias("h_node"), F.col("label").alias("h_label")
-        )
-        new_labels = (
-            stepped.join(hop, stepped["label"] == hop["h_node"], "left")
-            .select(
+    # try/finally: on the non-convergence raise (or any mid-round
+    # error) the checkpointed edges + current labels blocks must not
+    # outlive the call — a caller that catches and retries with a
+    # higher max_rounds would otherwise accumulate executor storage
+    try:
+        for _ in range(max_rounds):
+            nbr_min = (
+                edges.join(labels, edges["src"] == labels["node"])
+                .groupBy("dst")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            stepped = labels.join(
+                nbr_min, labels["node"] == nbr_min["dst"], "left"
+            ).select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce("h_label", "label")
-                ).alias("label"),
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
             )
-            .localCheckpoint(eager=True)
+            # pointer doubling: jump to the label's own label
+            hop = stepped.select(
+                F.col("node").alias("h_node"), F.col("label").alias("h_label")
+            )
+            new_labels = (
+                stepped.join(hop, stepped["label"] == hop["h_node"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("h_label", "label")
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            cur = label_sum(new_labels)
+            old_labels, labels = labels, new_labels
+            release_local_checkpoint(old_labels)
+            if cur == prev:
+                # labels is checkpointed — safe to drop the edge blocks
+                return labels.select(
+                    F.col("node").alias(id_col),
+                    F.col("label").alias("cluster_id"),
+                )
+            prev = cur
+        release_local_checkpoint(labels)
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds "
+            "(diameter > 2^max_rounds — raise max_rounds)"
         )
-        cur = label_sum(new_labels)
-        old_labels, labels = labels, new_labels
-        old_labels.unpersist()
-        if cur == prev:
-            # labels is checkpointed — safe to drop the edge blocks
-            edges.unpersist()
-            return labels.select(
-                F.col("node").alias(id_col), F.col("label").alias("cluster_id")
-            )
-        prev = cur
-    raise RuntimeError(
-        f"connected_components: no fixpoint after {max_rounds} rounds "
-        "(diameter > 2^max_rounds — raise max_rounds)"
-    )
+    finally:
+        release_local_checkpoint(edges)
 
 
 def dedup_clusters(

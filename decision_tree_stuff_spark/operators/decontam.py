@@ -79,9 +79,18 @@ def ngram_contamination(
     containment rounded to 6dp for cross-engine float stability.
     ``bench_n`` counts the benchmark doc's distinct n-grams; documents
     shorter than n tokens have none and can never match.
+
+    ``max_df`` (document frequency measured on the TRAIN side) drops
+    hot boilerplate grams from BOTH sides, including the ``bench_n``
+    denominator — capping only the train side would deflate
+    containment (a fully-leaked bench doc carrying one hot gram could
+    never reach 1.0) and under-flag contamination.
     """
     tg = token_ngrams(train, train_id, text_col, n).withColumnRenamed(
         train_id, "train_id"
+    )
+    bg = token_ngrams(bench, bench_id, text_col, n).withColumnRenamed(
+        bench_id, "bench_id"
     )
     if max_df is not None:
         hot = (
@@ -91,9 +100,7 @@ def ngram_contamination(
             .select("gram")
         )
         tg = tg.join(F.broadcast(hot), "gram", "left_anti")
-    bg = token_ngrams(bench, bench_id, text_col, n).withColumnRenamed(
-        bench_id, "bench_id"
-    )
+        bg = bg.join(F.broadcast(hot), "gram", "left_anti")
     sizes = bg.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_n"))
     matched = (
         tg.join(F.broadcast(bg), "gram")

@@ -322,14 +322,22 @@ def minhash_lsh_pairs(
     components, computed with ``zip_with`` over the two signature
     arrays — the pair join carries one array column per side, not
     2×num_hashes scalar columns. The signature frame feeds both the
-    band explosion and the verification join → persist it for the
-    duration of the plan (two consumers, one computation).
+    band explosion and the verification join (three consumers) → it is
+    materialized ONCE with an eager ``localCheckpoint``. NOT
+    ``persist()``: persisted frames are pinned by the session's
+    CacheManager until an explicit unpersist, and this function cannot
+    unpersist before returning (the result plan still reads sigs) —
+    the r2 version leaked one cached signature copy per call.
+    Checkpoint blocks are released by the ContextCleaner as soon as
+    the caller drops the returned DataFrame.
 
     Returns (id_a, id_b, est_jaccard ≥ threshold).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, hash_fn).persist()
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes, hash_fn
+    ).localCheckpoint(eager=True)
 
     def band_hash(b: int):
         cols = [F.col("sig").getItem(b * r + j) for j in range(r)]

@@ -130,9 +130,26 @@ def stratified_sample(
     return df.where(hash_key(key_cols, seed) < thr)
 
 
+#: internal working columns of the two-phase global-order plan —
+#: ``withColumn`` silently REPLACES same-named input columns, so a
+#: caller frame already carrying one of these would be corrupted and
+#: then dropped without error; refuse up front instead
+_RESERVED_COLS = ("_hk", "_bucket", "_rank", "_base", "_start")
+
+
+def _check_reserved(df: DataFrame) -> None:
+    clash = [c for c in df.columns if c in _RESERVED_COLS]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with reserved internal names "
+            f"{_RESERVED_COLS} — rename them before calling"
+        )
+
+
 def _with_bucketed_key(
     df: DataFrame, key_cols: List[str], seed: str
 ) -> DataFrame:
+    _check_reserved(df)
     hk = hash_key(key_cols, seed)
     return df.withColumn("_hk", hk).withColumn(
         "_bucket", F.substring("_hk", 1, _BUCKET_CHARS)

@@ -142,6 +142,12 @@ def train_ivf_centroids(
         .limit(sample_size)
         .collect()
     )
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"train_ivf_centroids: sample has {len(rows)} vectors but "
+            f"n_centroids={n_centroids} — reduce n_centroids or provide "
+            "more data (init takes the first n_centroids sample vectors)"
+        )
     X = np.array([r[1] for r in rows], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = X[:n_centroids].copy()

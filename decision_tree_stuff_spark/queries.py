@@ -114,20 +114,27 @@ def _stop_hits_sql(stopwords) -> str:
     )
 
 
-# Memoized raw scans keyed by (session, path): repeated query builds
-# (bench min-of-2, the 38-query driver gate) reuse the analyzed
+# Memoized raw scans, per session × path: repeated query builds
+# (bench min-of-N, the 38-query driver gate) reuse the analyzed
 # relation and its InMemoryFileIndex instead of re-listing files and
 # re-reading parquet footers on every invocation — pure fixed-overhead
 # savings; the returned DataFrame is immutable so sharing is safe. On
 # a cluster the same trick is "define the table once" (catalog table).
-_SCAN_CACHE: Dict[tuple, DataFrame] = {}
+# WeakKeyDictionary on the session: entries die with the session
+# (stopped sessions are not pinned for process lifetime). Files at a
+# path are assumed immutable while the session lives.
+import weakref
+
+_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, Dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    key = (spark, path)
-    if key not in _SCAN_CACHE:
-        _SCAN_CACHE[key] = spark.read.parquet(path)
-    return _SCAN_CACHE[key]
+    per_session = _SCAN_CACHE.setdefault(spark, {})
+    if path not in per_session:
+        per_session[path] = spark.read.parquet(path)
+    return per_session[path]
 
 
 def _lineitem_base(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,19 +49,30 @@ TABLES = [
 ]
 
 
-# Memoized per (session, dir, table): repeat loads (bench min-of-2,
+# Memoized per session × (dir, table): repeat loads (bench min-of-N,
 # the driver's 38-query gate) reuse the analyzed scan instead of
 # re-listing files / re-reading footers. DataFrames are immutable —
 # sharing is safe; cluster equivalent is a catalog table definition.
-_LOAD_CACHE: dict = {}
+# WeakKeyDictionary on the session: entries die with the session, so
+# a long-lived driver process cycling sessions cannot pin stale
+# DataFrames for process lifetime. Assumes the parquet files at a
+# path are immutable for the session's life (rewriting them under a
+# live session returns the stale file listing — drop the session or
+# call ``_LOAD_CACHE.clear()``).
+import weakref
+
+_LOAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     assert name in TABLES, f"unknown table {name!r}"
-    key = (spark, sf_dir, name)
-    if key in _LOAD_CACHE:
-        return _LOAD_CACHE[key]
-    _LOAD_CACHE[key] = df = _load_table_uncached(spark, sf_dir, name)
+    per_session = _LOAD_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in per_session:
+        return per_session[key]
+    per_session[key] = df = _load_table_uncached(spark, sf_dir, name)
     return df
 
 

@@ -65,3 +65,25 @@ def test_max_df_drops_boilerplate_grams(spark):
         ngram_contamination(train, bench, n=3, threshold=0.5, max_df=3).count()
         == 0
     )
+
+
+def test_max_df_caps_bench_denominator_too(spark):
+    # bench doc = 1 hot gram + 2 rare grams; a train doc leaks both
+    # rare grams. With the hot gram excluded from bench_n as well,
+    # containment = 2/2 = 1.0; a train-side-only cap would have
+    # computed 2/3 and under-flagged the leak.
+    bench = _df(spark, [(100, "x y z a b c d")])  # grams: xyz yza zab abc bcd
+    hot_rows = [(i, f"x y z filler{i} pad{i}") for i in range(1, 6)]
+    leak = [(50, "prefix words a b c d suffix")]  # carries abc bcd (+zab? no)
+    train = _df(spark, hot_rows + leak)
+    out = ngram_contamination(train, bench, n=3, threshold=0.9, max_df=3)
+    got = {(r.train_id, r.bench_id): (r.matched, r.bench_n, r.containment)
+           for r in out.collect()}
+    # hot gram 'x y z' df=5 > 3 → dropped from both sides; bench
+    # grams left: {y z a, z a b, a b c, b c d}; doc 50 matches
+    # {a b c, b c d} → 2/4 = 0.5 < 0.9 → absent. Lower threshold:
+    out2 = ngram_contamination(train, bench, n=3, threshold=0.5, max_df=3)
+    got2 = {(r.train_id, r.bench_id): (r.matched, r.bench_n)
+            for r in out2.collect()}
+    assert got == {}
+    assert got2 == {(50, 100): (2, 4)}

@@ -1,0 +1,92 @@
+"""Storage-hygiene assertions: operators must not pin executor blocks
+past their own plan (VERDICT r2 'What's wrong' #3 and ADVICE r2 on
+clustering's error path).
+
+``DataFrame.persist()`` registers in the session CacheManager and is
+pinned until an explicit unpersist; ``localCheckpoint`` blocks are
+RDD-level and reaped by the ContextCleaner with the frame. The tests
+assert (a) the CacheManager stays empty across the fuzzy-dedup ops and
+(b) explicit RDD-level unpersists bring persistentRDDs back to
+baseline on both success and error paths.
+"""
+
+from __future__ import annotations
+
+import gc
+
+import pytest
+from pyspark.sql import functions as F
+
+from decision_tree_stuff_spark.operators.clustering import connected_components
+from decision_tree_stuff_spark.operators.dedup import minhash_lsh_pairs
+
+
+def _cache_manager_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def _docs(spark):
+    rows = [(i, f"tok{i} alpha beta gamma delta common text body") for i in range(40)]
+    rows += [(100 + i, "alpha beta gamma delta common text body extra") for i in range(5)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_lsh_pairs_leaves_cache_manager_empty(spark):
+    """r2 leaked one persisted signature frame per call; the
+    localCheckpoint rewrite must leave the CacheManager untouched."""
+    spark.catalog.clearCache()
+    assert _cache_manager_empty(spark)
+    out = minhash_lsh_pairs(_docs(spark), threshold=0.5)
+    out.collect()
+    assert _cache_manager_empty(spark)
+
+
+def test_minhash_checkpoint_blocks_reaped_after_drop(spark):
+    """The signature checkpoint must be collectable once the caller
+    drops the result — not pinned for session lifetime."""
+    before = _persistent_rdd_count(spark)
+    out = minhash_lsh_pairs(_docs(spark), threshold=0.5)
+    out.collect()
+    del out
+    for _ in range(20):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if _persistent_rdd_count(spark) <= before:
+            break
+    assert _persistent_rdd_count(spark) <= before
+
+
+def test_connected_components_unpersists_on_nonconvergence(spark):
+    """Error path: edges + labels blocks must be released before the
+    RuntimeError propagates (caller may catch and retry)."""
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
+    )
+    before = _persistent_rdd_count(spark)
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(nodes, pairs, max_rounds=2)
+    assert _persistent_rdd_count(spark) <= before
+
+
+def test_connected_components_success_path_releases_edges(spark):
+    """Success path: only the returned labels checkpoint may remain,
+    and it must be reaped once the caller drops the frame."""
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    before = _persistent_rdd_count(spark)
+    out = connected_components(nodes, pairs)
+    out.collect()
+    del out
+    for _ in range(20):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if _persistent_rdd_count(spark) <= before:
+            break
+    assert _persistent_rdd_count(spark) <= before
