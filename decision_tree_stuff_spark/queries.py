@@ -164,12 +164,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with the TIMESTAMP(NANOS) column read via explicit
-    schema + exact `ts DIV 1000` µs truncation (see sources.load_table
-    — no session-conf mutation, no double-division ulp loss; the
-    oracle truncates identically with epoch_ns // 1000). Every
-    downstream event-time op here is timezone-independent (F.window
-    aligns on epoch micros; outputs are epoch-second BIGINTs)."""
+    """events read with the footer's actual timestamp unit honored
+    (sources.read_events: plain typed read for MICROS — the current
+    driver data — raw-INT64 + exact `ts DIV 1000` truncation only for
+    NANOS). Every downstream event-time op here is
+    timezone-independent (F.window aligns on epoch micros; outputs
+    are epoch-second BIGINTs)."""
     from decision_tree_stuff_spark.sources import load_table
 
     return load_table(spark, sf_dir, "events")

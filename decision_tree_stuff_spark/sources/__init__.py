@@ -20,10 +20,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events.parquet physical schema with its TIMESTAMP(NANOS) column read
-# as a raw INT64 — an explicit schema sidesteps Spark's nanos-type
+# events.parquet fallback schema for data generations that store `ts`
+# as TIMESTAMP(NANOS): the raw-INT64 read sidesteps Spark's nanos-type
 # rejection without mutating any session conf (readers stay
-# side-effect-free on shared sessions).
+# side-effect-free on shared sessions). Only used when the parquet
+# footer actually declares nanosecond precision — see
+# events_ts_unit(); the current driver data is TIMESTAMP(MICROS) and
+# takes the plain-read path.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -76,20 +79,76 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events_ts_unit(path: str) -> str:
+    """Time unit ('ns'|'us'|'ms'|'s') of the `ts` column, read from the
+    parquet footer.
+
+    The driver regenerates events.parquet between rounds and has
+    already switched precision once (NANOS -> MICROS in round 3, which
+    silently broke a unit-assuming reader). Sniffing the footer is a
+    single-file metadata read on the driver — O(KB), never a data scan
+    — so the reader tracks whatever the current generation stores.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        assert parts, f"no parquet part files under {path}"
+        path = parts[0]
+    return pq.read_schema(path).field("ts").type.unit
+
+
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); the explicit schema
-        # reads the column as raw INT64 nanos, converted to µs with
-        # exact integer division. `ts DIV 1000`, NOT `/1000` + cast:
-        # double division has >1000 ns of ulp for epoch-ns ≥ ~1.75e18
-        # (mid-2025), silently shifting events across window/session
-        # boundaries. The DuckDB oracle truncates identically
-        # (epoch_ns(ts) // 1000).
-        raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
-            f"{sf_dir}/{name}.parquet"
-        )
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return read_events(spark, f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """events reader that honors the footer's actual timestamp unit.
+
+    MICROS (current data): Spark's plain read maps the
+    isAdjustedToUTC=false column to TIMESTAMP_NTZ, which (a)
+    watermarks reject and (b) makes `unix_timestamp` session-tz
+    dependent. Reading under an explicit schema with TimestampType
+    (LTZ) instead takes the stored micros as UTC instants — same
+    integer values, no tz-dependent reinterpretation (a `cast` from
+    NTZ would shift by the session offset; the schema override does
+    not) — matching the DuckDB oracle's `epoch(ts)`. NANOS: Spark
+    rejects the type, so the explicit schema reads the column as raw
+    INT64 nanos, converted to µs with exact integer division.
+    `ts DIV 1000`, NOT `/1000` + cast: double division has >1000 ns
+    of ulp for epoch-ns >= ~1.75e18 (mid-2025), silently shifting
+    events across window/session boundaries.
+    """
+    if events_ts_unit(path) == "ns":
+        raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.schema(events_ltz_schema(spark, path)).parquet(path)
+
+
+def events_ltz_schema(spark: SparkSession, path: str) -> StructType:
+    """Footer-derived schema with every TIMESTAMP_NTZ field swapped to
+    TIMESTAMP (LTZ) — column set tracks the data, only the timestamp
+    semantics are pinned."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    plain = spark.read.parquet(path).schema
+    return StructType(
+        [
+            StructField(
+                f.name,
+                TimestampType()
+                if isinstance(f.dataType, TimestampNTZType)
+                else f.dataType,
+                f.nullable,
+            )
+            for f in plain
+        ]
+    )
 
 
 def read_csv(

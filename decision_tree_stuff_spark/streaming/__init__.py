@@ -70,15 +70,29 @@ def rocksdb_state_store_confs(
 
 def read_events_stream(spark, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files.
-    The explicit schema reads TIMESTAMP(NANOS) as raw INT64 (no
-    session-conf mutation); exact integer division to µs — same
-    convention as the batch reader (sources.load_table)."""
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+
+    Same unit-sniffing convention as the batch reader
+    (sources.read_events): the parquet footer decides whether `ts` is
+    native MICROS (plain typed read) or NANOS (raw INT64 + exact
+    integer division to µs). readStream needs an explicit schema
+    either way, so the MICROS path derives it from the batch reader's
+    analyzed schema instead of hardcoding a unit.
+    """
+    from decision_tree_stuff_spark.sources import events_ts_unit, read_events
+
+    if events_ts_unit(events_dir) == "ns":
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    schema = read_events(spark, events_dir).schema
+    return (
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def stream_tumbling_counts(

@@ -93,9 +93,8 @@ def test_stream_exact_dedup(spark, sf_dir, tmp_path):
     )
     q = run_stream_to_memory(stream, "dedup_test", mode="append")
     got = spark.table("dedup_test")
-    # events.parquet has a TIMESTAMP(NANOS) column — a bare
-    # spark.read.parquet rejects it; load_table applies the explicit
-    # INT64 schema.
+    # load_table routes through the unit-sniffing events reader so the
+    # batch count matches whatever precision the data stores.
     from decision_tree_stuff_spark.sources import load_table
 
     n_unique = load_table(spark, sf_dir, "events").count()
