@@ -321,15 +321,27 @@ def minhash_lsh_pairs(
     Estimated Jaccard = fraction of agreeing signature
     components, computed with ``zip_with`` over the two signature
     arrays — the pair join carries one array column per side, not
-    2×num_hashes scalar columns. The signature frame feeds both the
-    band explosion and the verification join (three consumers) → it is
-    materialized ONCE with an eager ``localCheckpoint``. NOT
-    ``persist()``: persisted frames are pinned by the session's
-    CacheManager until an explicit unpersist, and this function cannot
-    unpersist before returning (the result plan still reads sigs) —
-    the r2 version leaked one cached signature copy per call.
-    Checkpoint blocks are released by the ContextCleaner as soon as
-    the caller drops the returned DataFrame.
+    2×num_hashes scalar columns.
+
+    Staging (measured across three designs at sf0.1): the band-bucket
+    self-join fans out quadratically inside hot buckets, so it must
+    run on SKINNY rows (id, band, band_hash — 16 B) with the distinct
+    collapsing multi-band duplicates BEFORE anything expensive; the
+    64-element zip_with verification then touches only distinct
+    candidate pairs. Folding the sig arrays into the band join
+    ("verify-in-join", no materialization) looked cheaper on paper but
+    measured 2-8× slower: every exploded bucket pair paid the
+    zip_with, ×bands duplicate matches. The signature frame feeds the
+    band explosion and both verification sides → ``persist()``, ONE
+    computation, and the blocks are freed by a ``weakref.finalize``
+    the moment the caller drops the returned DataFrame
+    (utils.unpersist_when_dropped). Unlike the r3
+    ``localCheckpoint(eager=True)`` (blocks lost = plan dead, release
+    timing left to the ContextCleaner), ``unpersist`` on a persisted
+    frame keeps lineage — a late re-execution just recomputes — so the
+    finalizer can never corrupt a still-referenced derived plan, and
+    the r2 session-lifetime CacheManager pin is gone
+    (tests/test_resource_hygiene.py).
 
     Returns (id_a, id_b, est_jaccard ≥ threshold).
     """
@@ -337,7 +349,7 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     sigs = minhash_signatures(
         docs, id_col, text_col, num_hashes, hash_fn
-    ).localCheckpoint(eager=True)
+    ).persist()
 
     def band_hash(b: int):
         cols = [F.col("sig").getItem(b * r + j) for j in range(r)]
@@ -349,18 +361,10 @@ def minhash_lsh_pairs(
 
     band_rows = sigs.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_hash(b).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.band_hash")
+        F.posexplode(
+            F.array(*[band_hash(b).alias(f"b{b}") for b in range(bands)])
+        ).alias("band", "band_hash"),
+    )
 
     a = band_rows.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = band_rows.select(F.col(id_col).alias("id_b"), "band", "band_hash")
@@ -381,13 +385,16 @@ def minhash_lsh_pairs(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return (
+    out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("est_jaccard", F.round(agree / F.lit(float(num_hashes)), 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    from decision_tree_stuff_spark.utils import unpersist_when_dropped
+
+    return unpersist_when_dropped(out, sigs)
 
 
 def _simhash_bit(token, j: int, hash_fn: str):

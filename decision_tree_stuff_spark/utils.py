@@ -24,6 +24,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def unpersist_when_dropped(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Free ``cached``'s storage when the caller drops ``result``.
+
+    For operators that persist an intermediate feeding multiple
+    branches of the RETURNED lazy plan: the function cannot unpersist
+    before returning (the plan still reads the cache), and leaving the
+    entry forever pins it in the session CacheManager (the r2 minhash
+    leak). A ``weakref.finalize`` on the returned DataFrame unpersists
+    the intermediate as soon as the result object is garbage-collected
+    — prompt under CPython refcounting, and SAFE at any time because
+    ``unpersist`` (unlike releasing a localCheckpoint's blocks) keeps
+    lineage: a derived plan executed after release silently recomputes
+    instead of failing. Holds only the java-side DataFrame ref, so the
+    Python ``cached`` wrapper itself can die earlier.
+    """
+    import weakref
+
+    jdf = cached._jdf
+
+    def _release(jdf=jdf):
+        try:
+            jdf.unpersist(False)
+        except Exception:  # JVM already gone at interpreter exit
+            pass
+
+    weakref.finalize(result, _release)
+    return result
+
+
 def release_local_checkpoint(df: DataFrame) -> bool:
     """Eagerly free the storage blocks behind a ``localCheckpoint``-ed
     DataFrame. Returns True if blocks were released, False if the

@@ -35,29 +35,34 @@ def _docs(spark):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
-def test_minhash_lsh_pairs_leaves_cache_manager_empty(spark):
-    """r2 leaked one persisted signature frame per call; the
-    localCheckpoint rewrite must leave the CacheManager untouched."""
+def test_minhash_cache_released_when_result_dropped(spark):
+    """r2 leaked one persisted signature frame per call (CacheManager
+    pin for session lifetime). The r4 design persists the signature
+    frame for the plan's duration but releases it via a
+    weakref.finalize the moment the caller drops the result — no JVM
+    GC involved, the unpersist is an explicit py4j call fired by
+    CPython refcounting."""
     spark.catalog.clearCache()
     assert _cache_manager_empty(spark)
-    out = minhash_lsh_pairs(_docs(spark), threshold=0.5)
-    out.collect()
-    assert _cache_manager_empty(spark)
-
-
-def test_minhash_checkpoint_blocks_reaped_after_drop(spark):
-    """The signature checkpoint must be collectable once the caller
-    drops the result — not pinned for session lifetime."""
     before = _persistent_rdd_count(spark)
     out = minhash_lsh_pairs(_docs(spark), threshold=0.5)
     out.collect()
     del out
-    for _ in range(20):
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        if _persistent_rdd_count(spark) <= before:
-            break
-    assert _persistent_rdd_count(spark) <= before
+    gc.collect()
+    assert _cache_manager_empty(spark)
+    assert _persistent_rdd_count(spark) == before
+
+
+def test_minhash_result_still_valid_after_sibling_release(spark):
+    """unpersist keeps lineage: a plan derived from the pairs frame
+    must still execute correctly (recompute, not fail) even after the
+    original result object was dropped and its cache released."""
+    out = minhash_lsh_pairs(_docs(spark), threshold=0.5)
+    derived = out.where(F.col("est_jaccard") >= 0.9)
+    n_first = derived.count()
+    del out
+    gc.collect()
+    assert derived.count() == n_first
 
 
 def test_connected_components_unpersists_on_nonconvergence(spark):
