@@ -134,7 +134,9 @@ def stratified_sample(
 #: ``withColumn`` silently REPLACES same-named input columns, so a
 #: caller frame already carrying one of these would be corrupted and
 #: then dropped without error; refuse up front instead
-_RESERVED_COLS = ("_hk", "_bucket", "_rank", "_base", "_start")
+_RESERVED_COLS = (
+    "_hk", "_bucket", "_rank", "_base", "_start", "_n", "_toks", "_pos", "_piece",
+)
 
 
 def _check_reserved(df: DataFrame) -> None:
@@ -224,4 +226,86 @@ def pack_sequences(
         .withColumn("pack_id", F.expr(f"_start DIV {int(seq_len)}"))
         .withColumn("pack_offset", F.col("_start") % seq_len)
         .drop("_hk", "_bucket", "_base", "_start")
+    )
+
+
+def pack_materialize(
+    df: DataFrame,
+    tokens_col: str,
+    seq_len: int,
+    key_cols: List[str],
+    seed: str = "seed",
+) -> DataFrame:
+    """The packed sequences THEMSELVES (not just the layout): documents
+    are concatenated in deterministic shuffle order and the token
+    stream is cut every ``seq_len`` tokens, straddling documents SPLIT
+    across pack boundaries. Returns one row per pack:
+    (pack_id, n_tokens, tokens array<...>) — every pack except the
+    last holds exactly ``seq_len`` tokens.
+
+    Distributed shape: the same two-phase bucketed prefix-sum as
+    ``pack_sequences`` gives each doc its global token start; each doc
+    then EXPLODES into one row per pack it overlaps
+    (``sequence(start DIV L, (start+n-1) DIV L)`` — a doc touches
+    ceil((offset+n)/L) packs, so fan-out is (total_tokens/L) rows
+    overall, independent of skew), carrying only the ``slice`` of its
+    token array that lands in that pack. One groupBy(pack_id)
+    reassembles pieces in offset order. Per-pack state is bounded by
+    ``seq_len`` elements — collect_list here is safe at any corpus
+    size because a pack, by construction, never exceeds ``seq_len``
+    tokens. Zero-token docs are dropped (they occupy no pack space;
+    prefix sums are unchanged)."""
+    L = int(seq_len)
+    keyed = _with_bucketed_key(df, key_cols, seed)
+    keyed = keyed.withColumn(
+        "_n", F.size(F.col(tokens_col)).cast("bigint")
+    ).where(F.col("_n") > 0)
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_hk", *key_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = _bucket_bases(keyed, "_n")
+    start = F.col("_base") + F.coalesce(F.sum("_n").over(w), F.lit(0))
+    laid = (
+        keyed.join(F.broadcast(bases), "_bucket")
+        .withColumn("_start", start)
+        .select(F.col(tokens_col).alias("_toks"), "_n", "_start")
+    )
+    pieces = laid.select(
+        F.explode(
+            F.sequence(
+                F.expr(f"_start DIV {L}"), F.expr(f"(_start + _n - 1) DIV {L}")
+            )
+        ).alias("pack_id"),
+        "_toks",
+        "_n",
+        "_start",
+    ).select(
+        "pack_id",
+        # offset of this piece inside the pack (0 unless the doc
+        # starts mid-pack)
+        F.greatest(F.col("_start") - F.col("pack_id") * L, F.lit(0)).alias(
+            "_pos"
+        ),
+        F.expr(
+            f"slice(_toks, CAST(greatest(pack_id * {L} - _start, 0) + 1 AS INT), "
+            f"CAST(least((pack_id + 1) * {L}, _start + _n) "
+            f"- greatest(pack_id * {L}, _start) AS INT))"
+        ).alias("_piece"),
+    )
+    return (
+        pieces.groupBy("pack_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_piece")))
+                    ),
+                    lambda s: s["_piece"],
+                )
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("bigint"))
+        .select("pack_id", "n_tokens", "tokens")
     )

@@ -435,6 +435,20 @@ def q_e2_minhash_md5_pairs(spark, sf_dir):
     )
 
 
+def q_e7b_minhash_dedup_keep(spark, sf_dir):
+    """The composed fuzzy-dedup pipeline a pretraining-data user
+    actually runs, END TO END as one gate query: md5-MinHash LSH pairs
+    (value-oracled family) → connected components → keep one canonical
+    doc per near-dup cluster. Returns the deduplicated corpus
+    (doc_id, lang, n_chars) — every piece is individually oracled
+    elsewhere; this row checks the composition."""
+    from decision_tree_stuff_spark.operators.clustering import dedup_keep
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, bands=8, threshold=0.7, hash_fn="md5")
+    return dedup_keep(docs, pairs).select("doc_id", "lang", "n_chars")
+
+
 def q_e2_simhash_dups(spark, sf_dir):
     """SimHash hamming near-dups (xxhash64-based → rows-only check)."""
     return simhash_near_dups(_docs(spark, sf_dir), max_hamming=8)
@@ -539,6 +553,25 @@ def q_e8_pack_sequences(spark, sf_dir):
     )
     return pack_sequences(
         docs, "n_tokens", PACK_SEQ_LEN, ["doc_id"], seed=PACK_SEED
+    )
+
+
+def q_e8_pack_materialize(spark, sf_dir):
+    """Physical sequence packing at seq_len=512: the packed token
+    chunks themselves, straddling docs split across pack boundaries.
+    pack_text joins each pack's tokens so the oracle compares scalar
+    columns (driver value-hash does not traverse arrays)."""
+    from decision_tree_stuff_spark.operators.sampling import pack_materialize
+    from decision_tree_stuff_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    packed = pack_materialize(docs, "toks", PACK_SEQ_LEN, ["doc_id"], seed=PACK_SEED)
+    return packed.select(
+        "pack_id",
+        "n_tokens",
+        F.concat_ws(" ", F.col("tokens")).alias("pack_text"),
     )
 
 
@@ -1041,6 +1074,51 @@ JOIN sig sa ON sa.doc_id = id_a
 JOIN sig sb ON sb.doc_id = id_b
 WHERE round(({_MH_AGREE}) / {_MH_N}.0, 6) >= 0.7
 """,
+    "e7b_minhash_dedup_keep": f"""
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id, tok AS token FROM (
+    SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+  ) u WHERE tok <> ''
+),
+sig AS (
+  SELECT doc_id,
+{_MH_SIG_AGGS}
+  FROM toks GROUP BY 1
+),
+bands AS (
+  SELECT doc_id,
+         unnest(range(0, {_MH_BANDS})) AS band,
+         unnest([{_MH_BAND_KEYS}]) AS band_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+jp AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+  WHERE round(({_MH_AGREE}) / {_MH_N}.0, 6) >= 0.7
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM jp
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+kept AS (
+  SELECT node AS doc_id FROM reach GROUP BY node HAVING min(lab) = node
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN kept USING (doc_id)
+""",
     "e2_embedding_near_dups": f"""
 WITH wb AS (
   SELECT vec_id, embedding, {_bucket_sql('embedding', 6)} AS bucket FROM embeddings
@@ -1225,6 +1303,41 @@ SELECT doc_id, n_tokens,
        strt // {PACK_SEQ_LEN} AS pack_id,
        strt % {PACK_SEQ_LEN} AS pack_offset
 FROM s
+""",
+    "e8_pack_materialize": f"""
+WITH d AS (
+  SELECT doc_id, {TOKS_SQL} AS toks,
+         md5('{PACK_SEED}|' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+),
+d2 AS (
+  SELECT doc_id, toks, hk, CAST(len(toks) AS BIGINT) AS n
+  FROM d WHERE len(toks) > 0
+),
+s AS (
+  SELECT toks, n,
+         CAST(coalesce(sum(n) OVER (
+           ORDER BY hk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS strt
+  FROM d2
+),
+p AS (
+  SELECT u.pack AS pack_id,
+         greatest(strt - u.pack * {PACK_SEQ_LEN}, 0) AS pos,
+         list_slice(
+           toks,
+           greatest(u.pack * {PACK_SEQ_LEN} - strt, 0) + 1,
+           least((u.pack + 1) * {PACK_SEQ_LEN}, strt + n) - strt
+         ) AS piece
+  FROM s, unnest(generate_series(
+           strt // {PACK_SEQ_LEN}, (strt + n - 1) // {PACK_SEQ_LEN}
+         )) AS u(pack)
+)
+SELECT pack_id,
+       CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
+       string_agg(array_to_string(piece, ' '), ' ' ORDER BY pos) AS pack_text
+FROM p GROUP BY pack_id
 """,
     "e5_sliding_counts": """
 WITH ev AS (
@@ -1484,6 +1597,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e2_jaccard_pairs": q_e2_jaccard_pairs,
     "e2_jaccard_capped": q_e2_jaccard_capped,
     "e7_dedup_clusters": q_e7_dedup_clusters,
+    "e7b_minhash_dedup_keep": q_e7b_minhash_dedup_keep,
     "e2_minhash_pairs": q_e2_minhash_pairs,       # no oracle (xxhash64)
     "e2_minhash_md5_pairs": q_e2_minhash_md5_pairs,
     "e2_simhash_dups": q_e2_simhash_dups,         # no oracle (xxhash64)
@@ -1499,6 +1613,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e8_hash_split": q_e8_hash_split,
     "e8_global_shuffle": q_e8_global_shuffle,
     "e8_pack_sequences": q_e8_pack_sequences,
+    "e8_pack_materialize": q_e8_pack_materialize,
     "e5_sliding_counts": q_e5_sliding_counts,
     "e4_document_stats": q_e4_document_stats,
     "e4_tf_idf": q_e4_tf_idf,

@@ -183,3 +183,37 @@ def test_pack_sequences_matches_driver_side_cumsum(spark):
     for i in order:
         assert out[i] == (acc // 256, acc % 256), f"doc {i}"
         acc += sizes[i]
+
+
+def test_pack_materialize_physical_packs(spark):
+    """Every pack except the last is exactly seq_len tokens; the
+    concatenated stream equals the docs' tokens laid out in
+    deterministic shuffle order (straddlers split, nothing lost)."""
+    import hashlib as hl
+
+    from decision_tree_stuff_spark.operators.sampling import pack_materialize
+
+    # irregular sizes incl. docs longer than seq_len (multi-straddle)
+    # and an empty doc (must be dropped without shifting offsets)
+    sizes = {i: (i * 61) % 300 for i in range(120)}
+    rows = [(i, [f"t{i}_{j}" for j in range(n)]) for i, n in sizes.items()]
+    df = spark.createDataFrame(rows, "doc_id bigint, toks array<string>")
+    L = 128
+    out = sorted(
+        pack_materialize(df, "toks", L, ["doc_id"], seed="z").collect(),
+        key=lambda r: r.pack_id,
+    )
+
+    total = sum(sizes.values())
+    assert [r.pack_id for r in out] == list(range((total + L - 1) // L))
+    for r in out[:-1]:
+        assert r.n_tokens == L and len(r.tokens) == L
+    assert out[-1].n_tokens == (total % L or L)
+    # stream equality vs the single-node layout
+    order = sorted(
+        (i for i in sizes if sizes[i] > 0),
+        key=lambda i: (hl.md5(f"z|{i}".encode()).hexdigest(), i),
+    )
+    want = [t for i in order for t in (f"t{i}_{j}" for j in range(sizes[i]))]
+    got = [t for r in out for t in r.tokens]
+    assert got == want
