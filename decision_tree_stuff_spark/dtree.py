@@ -54,6 +54,7 @@ from decision_tree_stuff_spark.splitting import (
     resolve_method,
     resolve_metric,
     score_all_splits_wide,
+    splittable_attributes,
 )
 
 PREDICTION_TYPE = "tinyint"  # reference emits pl.UInt8 (dtree.py:65,134);
@@ -254,8 +255,13 @@ class DecisionNode(TreeNode):
 class DecisionTreeParams(NamedTuple):
     """Hyperparameters — reference dtree.py:175-182 (same defaults).
 
-    Q-5: ``feature_columns`` is carried and serialized but NOT
-    consulted during fit — every non-class column is a candidate.
+    Q-5: by default ``feature_columns`` is carried and serialized but
+    NOT consulted during fit — every non-class column is a candidate.
+    ``strict_feature_columns=True`` (opt-in beyond the reference,
+    SURVEY §1.3) makes fit honor a non-empty ``feature_columns``
+    exactly, erroring on unknown/non-numeric names. The flag is
+    serialized only when True, so default models' JSON stays
+    byte-identical to the reference format.
     """
 
     feature_columns: List[str]
@@ -265,6 +271,19 @@ class DecisionTreeParams(NamedTuple):
     min_split_samples: int = 0
     min_split_entropy: float = 0.0
     max_depth: int = -1
+    strict_feature_columns: bool = False
+
+    def fit_feature_columns(self) -> Optional[List[str]]:
+        """The attrs override for fit: the configured columns under
+        strict mode, else None (Q-5 behavior)."""
+        if not self.strict_feature_columns:
+            return None
+        if not self.feature_columns:
+            raise ValueError(
+                "strict_feature_columns=True requires a non-empty "
+                "feature_columns list"
+            )
+        return list(self.feature_columns)
 
 
 class DecisionTree:
@@ -385,11 +404,17 @@ class DecisionTree:
                 dataset.persist(StorageLevel.MEMORY_AND_DISK)
                 cached_here = True
             try:
+                strict_cols = self._params.fit_feature_columns()
                 candidates = score_all_splits_wide(
                     dataset,
                     class_name,
                     self._params.split_metric,
                     self._params.splitting_method,
+                    attrs=splittable_attributes(
+                        dataset, class_name, strict_cols
+                    )
+                    if strict_cols
+                    else None,
                 )
                 if not candidates:
                     return
@@ -534,6 +559,11 @@ class DecisionTree:
 
     def dict(self) -> Dict[str, Any]:
         params = dict(zip(self._params._fields, self._params))
+        # serialize the strict flag only when set: default models keep
+        # the reference's exact JSON key set (golden-dict parity);
+        # from_dict round-trips either form (NamedTuple default)
+        if not params.get("strict_feature_columns"):
+            params.pop("strict_feature_columns", None)
         nodes = self._root.dict() if self._root is not None else None
         return {"params": params, "depth": self._depth, "nodes": nodes}
 

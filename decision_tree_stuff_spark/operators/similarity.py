@@ -114,6 +114,106 @@ def sign_lsh_topk(
     )
 
 
+def hyperplanes(n_planes: int, dim: int, seed: int = 42):
+    """Seeded deterministic Gaussian hyperplanes for random-projection
+    LSH, as plain Python lists — the same literals are embedded in the
+    Spark plan AND the DuckDB oracle SQL, so the two engines bucket
+    identically. numpy's RandomState(seed) is stable across platforms
+    and versions by spec (Mersenne Twister + documented
+    standard_normal stream)."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return [[float(v) for v in row] for row in rs.standard_normal((n_planes, dim))]
+
+
+def _dot_literal(vec, plane):
+    """vec · literal-plane, JVM-side (zip_with + aggregate — no UDF)."""
+    lit = F.array(*[F.lit(v) for v in plane])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _hyperplane_bucket(vec, planes):
+    """Bucket id = sign bits of the vec·plane projections."""
+    return sum(
+        F.when(_dot_literal(vec, h) >= 0.0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, h in enumerate(planes)
+    )
+
+
+def rh_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane (SimHash) LSH buckets.
+
+    Same bucket-equi-join shape (and 100 TB story) as
+    ``sign_lsh_topk`` — corpus never shuffles, queries broadcast — but
+    the bucket comes from the signs of ``n_planes`` seeded Gaussian
+    projections instead of the first coordinates' signs.
+    Coordinate-sign buckets degrade when embeddings are anisotropic
+    (uninformative or off-center leading coordinates randomize or
+    collapse the bucket); random hyperplanes mix ALL dimensions, so
+    P[same bucket] = (1 - theta/pi)^n_planes holds for any embedding
+    geometry (Charikar STOC'02). Deterministic: the plane set is a
+    pure function of (seed, n_planes, dim).
+
+    ``multiprobe``: also probe the ``n_planes`` buckets at Hamming
+    distance 1 from the query's (Lv et al. VLDB'07) — the QUERY side
+    explodes 1+n_planes-fold (still a broadcast equi-join; the corpus
+    side is untouched), trading candidate volume for recall without
+    re-bucketing. A (query, neighbor) pair still joins at most once:
+    the neighbor has one bucket and the probe list is distinct.
+    """
+    planes = hyperplanes(n_planes, dim, seed)
+    with_bucket = embeddings.withColumn(
+        "bucket", _hyperplane_bucket(F.col(vec_col), planes)
+    )
+    queries = with_bucket.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col("bucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        queries = queries.select(
+            "query_id", "query_vec", F.explode(probes).alias("bucket")
+        )
+    scored = (
+        with_bucket.join(F.broadcast(queries), "bucket")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col("query_vec"), F.col(vec_col)), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,

@@ -71,7 +71,7 @@ def fit_level_wise(
     cls = params.class_column
     metric_cls = resolve_metric(params.split_metric)
     method_cls = resolve_method(params.splitting_method)
-    attrs = splittable_attributes(dataset, cls)
+    attrs = splittable_attributes(dataset, cls, params.fit_feature_columns())
     spark = dataset.sparkSession
 
     splits: Dict[int, tuple] = {}      # node_id -> (attr, threshold)

@@ -476,6 +476,21 @@ def q_e3_sign_lsh_topk(spark, sf_dir):
     return sign_lsh_topk(_emb(spark, sf_dir), QUERY_IDS, k=5, n_bits=8)
 
 
+def q_e3_rh_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH top-k: seeded Gaussian projections fix
+    the coordinate-sign bucket's anisotropy collapse; same plan
+    shape. 4 planes + Hamming-1 multiprobe is the measured operating
+    point clearing 0.5 recall on the structureless test embeddings
+    (single-probe 8-bit LSH has ~0 recall there for ANY plane family —
+    expected candidate count < 1 per bucket at 500 vectors). The
+    oracle embeds the identical plane literals."""
+    from decision_tree_stuff_spark.operators.similarity import rh_lsh_topk
+
+    return rh_lsh_topk(
+        _emb(spark, sf_dir), QUERY_IDS, k=5, n_planes=4, dim=64, multiprobe=True
+    )
+
+
 def q_e3_ivf_topk(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), QUERY_IDS, k=5, n_centroids=16)
 
@@ -845,6 +860,26 @@ _MH_AGREE = " + ".join(
     f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(_MH_N)
 )
 
+# random-hyperplane LSH oracle fragments (e3_rh_lsh_topk): the SAME
+# seeded plane literals as the Spark plan (single source of truth:
+# similarity.hyperplanes), projected with list_dot_product.
+from decision_tree_stuff_spark.operators.similarity import (  # noqa: E402
+    hyperplanes as _rh_hyperplanes,
+)
+
+_RH_N_PLANES = 4
+_RH_PLANES = _rh_hyperplanes(_RH_N_PLANES, 64, 42)
+_RH_BUCKET = " + ".join(
+    "CASE WHEN list_dot_product(embedding, ["
+    + ", ".join(repr(v) for v in h)
+    + f"]) >= 0 THEN {1 << i} ELSE 0 END"
+    for i, h in enumerate(_RH_PLANES)
+)
+# Hamming-1 multiprobe list: own bucket + each single bit flipped
+_RH_PROBES = ", ".join(
+    ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(_RH_N_PLANES)]
+)
+
 ORACLE_SQL: Dict[str, str] = {
     "o01_filter_split": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_discount
@@ -1137,6 +1172,28 @@ s AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
          round({_cos_sql('q.qv', 'e.embedding')}, 6) AS cosine
   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM s
+) t WHERE rank <= 5
+""",
+    "e3_rh_lsh_topk": f"""
+WITH wb AS (
+  SELECT vec_id, embedding, {_RH_BUCKET} AS bucket FROM embeddings
+),
+q0 AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM wb
+  WHERE vec_id IN ({', '.join(str(i) for i in QUERY_IDS)})
+),
+q AS (
+  SELECT query_id, qv, unnest([{_RH_PROBES}]) AS bucket FROM q0
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_cos_sql('q.qv', 'e.embedding')}, 6) AS cosine
+  FROM q JOIN wb e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
 )
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, CAST(row_number() OVER (
@@ -1605,6 +1662,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e2_embedding_near_dups": q_e2_embedding_near_dups,
     "e3_cosine_topk": q_e3_cosine_topk,
     "e3_sign_lsh_topk": q_e3_sign_lsh_topk,
+    "e3_rh_lsh_topk": q_e3_rh_lsh_topk,
     "e3_ivf_topk": q_e3_ivf_topk,
     "e3_ivf_topk_nprobe2": q_e3_ivf_topk_nprobe2,
     "e9_decontamination": q_e9_decontamination,

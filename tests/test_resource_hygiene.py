@@ -13,6 +13,7 @@ baseline on both success and error paths.
 from __future__ import annotations
 
 import gc
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -53,16 +54,32 @@ def test_minhash_cache_released_when_result_dropped(spark):
     assert _persistent_rdd_count(spark) == before
 
 
+def _persistent_rdd_ids(spark):
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = m.keysIterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
 def test_minhash_result_still_valid_after_sibling_release(spark):
     """unpersist keeps lineage: a plan derived from the pairs frame
     must still execute correctly (recompute, not fail) even after the
     original result object was dropped and its cache released."""
+    ids_before = _persistent_rdd_ids(spark)
     out = minhash_lsh_pairs(_docs(spark), threshold=0.5)
     derived = out.where(F.col("est_jaccard") >= 0.9)
     n_first = derived.count()
     del out
     gc.collect()
     assert derived.count() == n_first
+    # the recompute re-materialized the derived plan's InMemoryRelation
+    # outside the CacheManager — unpersist those orphan blocks so this
+    # test does not pollute later baselines
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    for rid in _persistent_rdd_ids(spark) - ids_before:
+        m.apply(rid).unpersist(False)
 
 
 def test_connected_components_unpersists_on_nonconvergence(spark):
@@ -94,4 +111,5 @@ def test_connected_components_success_path_releases_edges(spark):
         spark.sparkContext._jvm.System.gc()
         if _persistent_rdd_count(spark) <= before:
             break
+        time.sleep(0.25)  # ContextCleaner drains asynchronously
     assert _persistent_rdd_count(spark) <= before

@@ -81,3 +81,52 @@ def test_ivf_kmeans_centroids_deterministic(spark):
     b = train_ivf_centroids(emb, n_centroids=8)
     assert a == b
     assert len(a) == 8 and all(len(vec) == 64 for _, vec in a)
+
+
+def test_rh_lsh_recall_floor(spark, sf_dir):
+    """Random-hyperplane LSH recall guard on the real (structureless —
+    worst-case for any LSH family) test embeddings. Measured at the
+    4-plane + Hamming-1-multiprobe operating point: 0.40 @ sf0.001
+    (50 vectors), 0.54 @ sf0.01 (500). The floor catches collapse
+    (single-probe 8-bit was 0.00-0.12), not noise."""
+    exact = _pairs(SPARK_QUERIES["e3_cosine_topk"](spark, sf_dir))
+    rh = _pairs(SPARK_QUERIES["e3_rh_lsh_topk"](spark, sf_dir))
+    recall = len(exact & rh) / len(exact)
+    assert recall >= 0.35, f"rh-LSH recall collapsed: {recall:.2f}"
+
+
+def test_rh_lsh_beats_sign_buckets_on_anisotropic_data(spark):
+    """The failure mode rh-LSH exists for: when the leading
+    coordinates are uninformative noise, coordinate-sign buckets
+    assign near-duplicate vectors to random buckets (recall craters),
+    while seeded Gaussian hyperplanes project through ALL dimensions
+    and keep neighbors co-bucketed."""
+    import numpy as np
+
+    from decision_tree_stuff_spark.operators.similarity import (
+        cosine_topk,
+        rh_lsh_topk,
+        sign_lsh_topk,
+    )
+
+    rs = np.random.RandomState(7)
+    # 20 clusters in dims 8..63; dims 0..7 are pure +-noise
+    centers = rs.standard_normal((20, 56)) * 3.0
+    rows = []
+    for i in range(400):
+        c = centers[i % 20]
+        v = np.concatenate([rs.standard_normal(8) * 0.5, c + rs.standard_normal(56) * 0.1])
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qids = list(range(10))
+
+    exact = _pairs(cosine_topk(emb, qids, k=5))
+    sign = _pairs(sign_lsh_topk(emb, qids, k=5, n_bits=8))
+    rh = _pairs(rh_lsh_topk(emb, qids, k=5, n_planes=8, dim=64, seed=42))
+    sign_recall = len(exact & sign) / len(exact)
+    rh_recall = len(exact & rh) / len(exact)
+    assert rh_recall >= 0.8, f"rh-LSH recall {rh_recall:.2f}"
+    assert rh_recall > sign_recall, (
+        f"rh {rh_recall:.2f} should beat coordinate-sign {sign_recall:.2f} "
+        "on anisotropic embeddings"
+    )
