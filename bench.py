@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "e3_rh_lsh_topk",
     "e7b_minhash_dedup_keep",
     "e8_pack_materialize",
+    "e2_minhash_km_pairs",
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so
@@ -66,9 +67,12 @@ DUCKDB_SLOW_CUTOFF_SEC = 5.0  # one run is enough evidence past this
 # finish inside the driver's budget — a >3 min single twin can't.
 DUCKDB_TWIN_EXCLUDED = {
     "e7b_minhash_dedup_keep": (
-        "DNF: >180 s at sf0.1 (64 min-md5 aggregates over every "
-        "(doc, token) + banded self-join + recursive-CTE closure); "
-        "Spark runs the same composition in ~33 s"
+        "DNF: >290 s at sf0.1 — the recursive-CTE transitive closure "
+        "enumerates every (node, reachable-label) pair, quadratic in "
+        "cluster size on the LSH pair graph (the md5km signature "
+        "itself is fast: its e2_minhash_km_pairs twin runs in ~8 s). "
+        "Spark's pointer-doubling label propagation runs the full "
+        "composition in ~24 s; twin still value-verifies at sf0.01"
     ),
 }
 

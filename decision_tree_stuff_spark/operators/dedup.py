@@ -257,6 +257,13 @@ def _jaccard_allpairs_naive(toks: DataFrame, id_col: str,
     )
 
 
+#: modulus for the md5km family: largest 32-bit prime. i*(h2%P) tops
+#: out at 63 × 4.3e9 ≈ 2.7e11 — no bigint overflow at any num_hashes
+#: ≤ a few thousand; the 4.3e9 value space makes min-collisions
+#: between distinct tokens negligible at corpus vocabulary sizes.
+MINHASH_KM_P = 4294967291
+
+
 def _minhash_component(i: int, token, hash_fn: str):
     """The i-th member of the MinHash family applied to a token.
 
@@ -266,11 +273,26 @@ def _minhash_component(i: int, token, hash_fn: str):
       DuckDB share byte-for-byte, so signatures (lexicographic min of
       lowercase-hex strings) are value-checkable against a SQL oracle.
       Same min-wise independence argument, ~2× wider shuffle rows.
+    * ``md5km``: Kirsch-Mitzenmacher double hashing — h_i = (h1 +
+      i·h2) mod P with h1/h2 = two 60-bit halves of ONE md5 per token
+      (Kirsch & Mitzenmacher, ESA'06: two independent hashes suffice
+      to simulate a family). 1 md5 + integer arithmetic instead of
+      ``num_hashes`` md5s per token (the md5-family profile is
+      hash-bound: 64× fewer digests ≈ an order of magnitude on the
+      signature stage), components are BIGINTs (narrower shuffle than
+      hex strings), and the arithmetic is reproduced exactly in
+      DuckDB (``('0x' || substr(md5(t), ..))::BIGINT`` — verified
+      equal to Spark's ``conv(substr(md5(t), ..), 16, 10)``).
     """
     if hash_fn == "xxhash64":
         return F.xxhash64(F.lit(i), token)
     if hash_fn == "md5":
         return F.md5(F.concat(F.lit(f"{i}|"), token))
+    if hash_fn == "md5km":
+        d = F.md5(token)
+        h1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("bigint") % MINHASH_KM_P
+        h2 = F.conv(F.substring(d, 17, 15), 16, 10).cast("bigint") % MINHASH_KM_P
+        return (h1 + F.lit(i) * h2) % MINHASH_KM_P
     raise ValueError(f"unknown minhash hash_fn {hash_fn!r}")
 
 
@@ -291,10 +313,30 @@ def minhash_signatures(
     ``_minhash_component`` for the hash-family choice.
     """
     toks = _doc_tokens(docs, id_col, text_col)
-    aggs = [
-        F.min(_minhash_component(i, F.col("token"), hash_fn)).alias(f"s{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "md5km":
+        # ONE md5 per token, materialized in a projection BELOW the
+        # aggregate so the 64 min-aggs see plain column arithmetic —
+        # never 64 digest computations (independent of codegen
+        # common-subexpression elimination)
+        d = F.md5(F.col("token"))
+        toks = toks.select(
+            id_col,
+            (F.conv(F.substring(d, 1, 15), 16, 10).cast("bigint")
+             % MINHASH_KM_P).alias("_h1"),
+            (F.conv(F.substring(d, 17, 15), 16, 10).cast("bigint")
+             % MINHASH_KM_P).alias("_h2"),
+        )
+        aggs = [
+            F.min(
+                (F.col("_h1") + F.lit(i) * F.col("_h2")) % MINHASH_KM_P
+            ).alias(f"s{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(_minhash_component(i, F.col("token"), hash_fn)).alias(f"s{i}")
+            for i in range(num_hashes)
+        ]
     return toks.groupBy(id_col).agg(*aggs).select(
         F.col(id_col),
         F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig"),
@@ -353,9 +395,11 @@ def minhash_lsh_pairs(
 
     def band_hash(b: int):
         cols = [F.col("sig").getItem(b * r + j) for j in range(r)]
-        if hash_fn == "md5":
-            # md5 of the '|'-joined component hex strings — the DuckDB
-            # oracle reproduces this key exactly
+        if hash_fn in ("md5", "md5km"):
+            # md5 of the '|'-joined component strings (hex digests for
+            # md5, decimal bigints for md5km — BIGINT→string renders
+            # identically in both engines) — the DuckDB oracle
+            # reproduces this key exactly
             return F.md5(F.concat_ws("|", *cols))
         return F.xxhash64(*cols)
 

@@ -437,16 +437,27 @@ def q_e2_minhash_md5_pairs(spark, sf_dir):
 
 def q_e7b_minhash_dedup_keep(spark, sf_dir):
     """The composed fuzzy-dedup pipeline a pretraining-data user
-    actually runs, END TO END as one gate query: md5-MinHash LSH pairs
-    (value-oracled family) → connected components → keep one canonical
-    doc per near-dup cluster. Returns the deduplicated corpus
-    (doc_id, lang, n_chars) — every piece is individually oracled
-    elsewhere; this row checks the composition."""
+    actually runs, END TO END as one gate query: MinHash LSH pairs
+    (md5km double-hash family — value-oracled, one digest per token)
+    → connected components → keep one canonical doc per near-dup
+    cluster. Returns the deduplicated corpus (doc_id, lang, n_chars)
+    — every piece is individually oracled elsewhere; this row checks
+    the composition."""
     from decision_tree_stuff_spark.operators.clustering import dedup_keep
 
     docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, bands=8, threshold=0.7, hash_fn="md5")
+    pairs = minhash_lsh_pairs(docs, bands=8, threshold=0.7, hash_fn="md5km")
     return dedup_keep(docs, pairs).select("doc_id", "lang", "n_chars")
+
+
+def q_e2_minhash_km_pairs(spark, sf_dir):
+    """MinHash LSH with the md5km (Kirsch-Mitzenmacher) family: one
+    md5 per token, 64 components by modular double hashing — the
+    value-oracled family that is also FAST (the md5-string family
+    pays 64 digests/token; this pays 1)."""
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), bands=8, threshold=0.7, hash_fn="md5km"
+    )
 
 
 def q_e2_simhash_dups(spark, sf_dir):
@@ -860,6 +871,27 @@ _MH_AGREE = " + ".join(
     f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END" for i in range(_MH_N)
 )
 
+# md5km (Kirsch-Mitzenmacher) fragments: ONE md5 per token split into
+# two 60-bit halves, components h_i = (h1 + i*h2) mod P — exact twin
+# of minhash_lsh_pairs(hash_fn='md5km'). DuckDB's ('0x'||hex)::BIGINT
+# equals Spark's conv(hex, 16, 10) (verified value-for-value).
+_KM_P = 4294967291
+_KM_HASHES = f"""
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 15))::BIGINT % {_KM_P} AS h1,
+         ('0x' || substr(md5(token), 17, 15))::BIGINT % {_KM_P} AS h2
+  FROM toks
+"""
+_KM_SIG_AGGS = ",\n".join(
+    f"         min((h1 + {i} * h2) % {_KM_P}) AS s{i}" for i in range(_MH_N)
+)
+_KM_BAND_KEYS = ",\n           ".join(
+    "md5(concat_ws('|', "
+    + ", ".join(f"s{b * _MH_R + j}" for j in range(_MH_R))
+    + "))"
+    for b in range(_MH_BANDS)
+)
+
 # random-hyperplane LSH oracle fragments (e3_rh_lsh_topk): the SAME
 # seeded plane literals as the Spark plan (single source of truth:
 # similarity.hyperplanes), projected with list_dot_product.
@@ -1115,15 +1147,16 @@ WITH RECURSIVE toks AS (
     SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
   ) u WHERE tok <> ''
 ),
+km AS ({_KM_HASHES}),
 sig AS (
   SELECT doc_id,
-{_MH_SIG_AGGS}
-  FROM toks GROUP BY 1
+{_KM_SIG_AGGS}
+  FROM km GROUP BY 1
 ),
 bands AS (
   SELECT doc_id,
          unnest(range(0, {_MH_BANDS})) AS band,
-         unnest([{_MH_BAND_KEYS}]) AS band_key
+         unnest([{_KM_BAND_KEYS}]) AS band_key
   FROM sig
 ),
 cand AS (
@@ -1153,6 +1186,36 @@ kept AS (
 )
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN kept USING (doc_id)
+""",
+    "e2_minhash_km_pairs": f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok AS token FROM (
+    SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+  ) u WHERE tok <> ''
+),
+km AS ({_KM_HASHES}),
+sig AS (
+  SELECT doc_id,
+{_KM_SIG_AGGS}
+  FROM km GROUP BY 1
+),
+bands AS (
+  SELECT doc_id,
+         unnest(range(0, {_MH_BANDS})) AS band,
+         unnest([{_KM_BAND_KEYS}]) AS band_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(({_MH_AGREE}) / {_MH_N}.0, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE round(({_MH_AGREE}) / {_MH_N}.0, 6) >= 0.7
 """,
     "e2_embedding_near_dups": f"""
 WITH wb AS (
@@ -1657,6 +1720,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e7b_minhash_dedup_keep": q_e7b_minhash_dedup_keep,
     "e2_minhash_pairs": q_e2_minhash_pairs,       # no oracle (xxhash64)
     "e2_minhash_md5_pairs": q_e2_minhash_md5_pairs,
+    "e2_minhash_km_pairs": q_e2_minhash_km_pairs,
     "e2_simhash_dups": q_e2_simhash_dups,         # no oracle (xxhash64)
     "e2_simhash_md5": q_e2_simhash_md5,
     "e2_embedding_near_dups": q_e2_embedding_near_dups,

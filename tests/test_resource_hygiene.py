@@ -106,10 +106,14 @@ def test_connected_components_success_path_releases_edges(spark):
     out = connected_components(nodes, pairs)
     out.collect()
     del out
-    for _ in range(20):
+    # release path is a 4-stage async chain (CPython GC -> py4j detach
+    # -> JVM GC -> ContextCleaner); give it a generous deadline with
+    # early exit — typically done in <1 s, but a loaded box can lag
+    deadline = time.time() + 30
+    while time.time() < deadline:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         if _persistent_rdd_count(spark) <= before:
             break
-        time.sleep(0.25)  # ContextCleaner drains asynchronously
+        time.sleep(0.5)
     assert _persistent_rdd_count(spark) <= before
