@@ -10,6 +10,8 @@ free — at 100 TB these scans parallelize per file/row-group with
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -185,6 +187,36 @@ def read_jsonl(
     return (
         spark.read.schema(schema).option("mode", "FAILFAST").json(path)
     )
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: Optional[StructType] = None
+) -> DataFrame:
+    """ORC source. Self-describing like parquet, so the schema is
+    optional — pass one to pin column types against drift across file
+    batches (mixed producers). Spark's native vectorized ORC reader
+    gives the same pushdown/pruning guarantees as parquet
+    (``PushedFilters`` / ``ReadSchema`` in explain), so every operator
+    here runs unchanged on ORC lakes."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: Optional[list] = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC sink, zstd by default (better ratio than the zlib default
+    at comparable speed on modern cores); optional hive partitioning
+    for downstream partition pruning."""
+    w = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

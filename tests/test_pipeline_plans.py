@@ -92,3 +92,67 @@ def test_decontam_prunes_scan_to_id_and_text(spark, sf_dir):
     assert "struct<doc_id:bigint,text:string>" in plan, (
         "gram build must read only (doc_id, text):\n" + plan[-600:]
     )
+
+
+def test_pack_materialize_two_phase_and_bounded_groups(spark, sf_dir):
+    """The physical packer must keep the two-phase bucketed prefix-sum
+    (no single-task window on the big side) and reassemble packs with
+    a hash aggregate keyed by pack_id — per-group state is bounded by
+    seq_len, never a global sort or collect."""
+    from decision_tree_stuff_spark.functions.text import tokens
+    from decision_tree_stuff_spark.operators.sampling import pack_materialize
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    plan = _plan(pack_materialize(df, "toks", 512, ["doc_id"], "s"))
+    assert "hashpartitioning(_bucket" in plan
+    assert "BroadcastExchange" in plan
+    head = plan.split("BroadcastExchange")[0]
+    assert "Exchange SinglePartition" not in head, (
+        "prefix-sum window collapsed to one partition:\n" + head[:800]
+    )
+    assert "hashpartitioning(pack_id" in plan
+    assert "Sort [pack_id" not in plan.split("ObjectHashAggregate")[0], (
+        "pack reassembly must be a hash aggregate, not a global sort"
+    )
+
+
+def test_rh_lsh_broadcasts_queries_not_corpus(spark, sf_dir):
+    """rh-LSH joins the corpus to a BROADCAST query side — the only
+    hash exchange allowed is the top-k window's (on query_id, i.e. on
+    candidate rows, already bucket-filtered); the corpus itself must
+    never shuffle (the whole point of the bucket equi-join at
+    100 TB)."""
+    import re
+
+    from decision_tree_stuff_spark.operators.similarity import rh_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(
+        rh_lsh_topk(emb, list(range(10)), k=5, n_planes=4, multiprobe=True)
+    )
+    assert "BroadcastExchange" in plan
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys and all(k == "query_id" for k in keys), (
+        f"corpus-side shuffle detected (exchange keys {keys}):\n"
+        + plan[:800]
+    )
+
+
+def test_minhash_verification_runs_after_pair_dedup(spark, sf_dir):
+    """The measured staging property (r4): the 64-element zip_with
+    verification must consume the DEDUPLICATED candidate pairs — in
+    the top-down plan print the zip_with projection sits ABOVE the
+    (id_a, id_b) aggregate. Folding verification into the band join
+    (zip_with below the dedup) measured 2-8x slower: it pays the
+    array comparison once per exploded bucket match x bands."""
+    from decision_tree_stuff_spark.operators.dedup import minhash_lsh_pairs
+
+    plan = _plan(
+        minhash_lsh_pairs(_docs(spark, sf_dir), bands=8, threshold=0.7)
+    )
+    assert "zip_with" in plan and "HashAggregate(keys=[id_a" in plan
+    assert plan.index("zip_with") < plan.index("HashAggregate(keys=[id_a"), (
+        "verification must be applied above the candidate-pair dedup"
+    )

@@ -5,6 +5,7 @@ pass, no silent nulls) and fail loudly on malformed input."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -68,3 +69,54 @@ def test_operators_run_on_csv_source(spark, docs, tmp_path):
     }
     kept_parquet = {r.doc_id for r in quality_filter(docs).collect()}
     assert kept_csv == kept_parquet and kept_csv
+
+
+def test_orc_round_trip_with_partitioning_and_pushdown(spark, docs, tmp_path):
+    """ORC round-trips exactly; a lang-partitioned write prunes
+    partitions and pushes filters at the scan (same guarantees the
+    parquet path pins in test_plans)."""
+    from decision_tree_stuff_spark.sources import read_orc, write_orc
+
+    p = str(tmp_path / "docs_orc")
+    write_orc(docs, p, partition_by=["lang"])
+    back = read_orc(spark, p)
+    assert _rows(back) == _rows(docs)
+
+    one_lang = [r.lang for r in docs.select("lang").distinct().collect()][0]
+    q = read_orc(spark, p).where(F.col("lang") == one_lang).where(
+        F.col("n_chars") > 100
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang" in plan.split(
+        "PartitionFilters"
+    )[1][:80], "lang filter must prune partitions, not scan+filter"
+    assert "PushedFilters: [" in plan and "n_chars" in plan.split(
+        "PushedFilters"
+    )[1][:120], "n_chars predicate must push to the ORC reader"
+    got = {r.doc_id for r in q.collect()}
+    want = {
+        r.doc_id
+        for r in docs.where(
+            (F.col("lang") == one_lang) & (F.col("n_chars") > 100)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_operator_runs_unchanged_on_orc(spark, docs, tmp_path):
+    """The dedup operator is format-agnostic: identical results over
+    an ORC copy of the corpus."""
+    from decision_tree_stuff_spark.operators.dedup import exact_dedup
+    from decision_tree_stuff_spark.sources import read_orc, write_orc
+
+    p = str(tmp_path / "docs_orc2")
+    write_orc(docs, p)
+    a = {
+        tuple(r)
+        for r in exact_dedup(docs, ["text"], "doc_id").collect()
+    }
+    b = {
+        tuple(r)
+        for r in exact_dedup(read_orc(spark, p), ["text"], "doc_id").collect()
+    }
+    assert a == b
