@@ -12,5 +12,11 @@ Public surface mirrors the reference package exports
 """
 
 from decision_tree_stuff_spark.dtree import DecisionTree, DecisionTreeParams
+from decision_tree_stuff_spark.forest import DecisionForest, ForestParams
 
-__all__ = ["DecisionTree", "DecisionTreeParams"]
+__all__ = [
+    "DecisionTree",
+    "DecisionTreeParams",
+    "DecisionForest",
+    "ForestParams",
+]

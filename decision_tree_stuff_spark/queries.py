@@ -370,6 +370,28 @@ def q_tree_fit_transform(spark, sf_dir):
     return dt.transform(base).select("l_orderkey", "l_linenumber", "prediction")
 
 
+def q_forest_fit_transform(spark, sf_dir):
+    """Bagged 3-tree forest fit + majority-vote transform (ensemble
+    extension, forest.py — multi-query fit, no single-SQL oracle;
+    driver records rows-only). Inference stays ONE projection: the
+    vote is a sum of the trees' fused CASE expressions."""
+    from decision_tree_stuff_spark.forest import DecisionForest, ForestParams
+
+    base = _lineitem_base(spark, sf_dir)
+    forest = DecisionForest(
+        ForestParams(
+            DecisionTreeParams([], "class", "mean", "entropy", max_depth=3),
+            n_trees=3,
+            sample_rate=0.7,
+            seed="gate",
+        )
+    )
+    forest.fit(base.select(*FEATURES, "class"), key_cols=list(FEATURES))
+    return forest.transform(base).select(
+        "l_orderkey", "l_linenumber", "prediction"
+    )
+
+
 # ---------------------------------------------------------------------
 # Extension operators (SURVEY.md §2.5)
 # ---------------------------------------------------------------------
@@ -1713,6 +1735,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "o11_tree_inference": q_o11_tree_inference,
     "o12_scalar_stats": q_o12_scalar_stats,
     "tree_fit_transform": q_tree_fit_transform,   # no oracle (O-13)
+    "forest_fit_transform": q_forest_fit_transform,  # no oracle (ensemble fit)
     "e1_exact_dedup": q_e1_exact_dedup,
     "e2_jaccard_pairs": q_e2_jaccard_pairs,
     "e2_jaccard_capped": q_e2_jaccard_capped,
