@@ -213,3 +213,74 @@ def repetition_stats(
             ).alias("dup_bigram_frac"),
         )
     )
+
+
+def corpus_profile(
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    approximate: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-group corpus profile: doc count, token volume, vocabulary
+    size, and length quartiles — the dataset card a pipeline publishes
+    after each processing stage.
+
+    Two modes with identical schema:
+
+    * ``approximate=False`` (default; the DuckDB-oracled gate):
+      exact ``count_distinct`` over (group, token) and exact
+      ``percentile`` quartiles. Exact distinct-token counting shuffles
+      every distinct (group, token) pair and exact percentiles
+      materialize each group's lengths in one task's memory — fine at
+      bench scale, the wrong plan at 100 TB.
+    * ``approximate=True`` (the 100 TB path): HyperLogLog++
+      ``approx_count_distinct(rsd)`` — fixed ~kilobytes of sketch per
+      group, merged map-side, NO distinct shuffle — and
+      ``approx_percentile`` (GK sketch, bounded memory). Guaranteed
+      accuracy handled in tests/test_textstats_profile.py against the
+      exact mode. Not value-oracle-able (sketch internals differ
+      across engines), hence the mode split.
+
+    Output: (group_col, n_docs, n_tokens, n_distinct_tokens,
+    len_p25/p50/p75) — bigints + doubles, deterministic in exact mode.
+    """
+    toks = docs.select(
+        F.col(group_col), F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    if approximate:
+        distinct_agg = F.approx_count_distinct("token", rsd)
+    else:
+        distinct_agg = F.count_distinct(F.col("token"))
+    per_group = toks.groupBy(group_col).agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        distinct_agg.alias("n_distinct_tokens"),
+    )
+    lengths = docs.select(
+        F.col(group_col), F.length(text_col).cast("double").alias("len")
+    )
+    if approximate:
+        q = lengths.groupBy(group_col).agg(
+            F.approx_percentile("len", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000).alias("q")
+        )
+    else:
+        q = lengths.groupBy(group_col).agg(
+            F.percentile("len", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("q")
+        )
+    quart = q.select(
+        group_col,
+        F.col("q").getItem(0).alias("len_p25"),
+        F.col("q").getItem(1).alias("len_p50"),
+        F.col("q").getItem(2).alias("len_p75"),
+    )
+    return per_group.join(quart, group_col).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "n_distinct_tokens",
+        "len_p25",
+        "len_p50",
+        "len_p75",
+    )

@@ -668,6 +668,26 @@ def q_e4_repetition_stats(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_e4_corpus_profile(spark, sf_dir):
+    """Per-lang corpus profile, EXACT mode (the oracled gate; the
+    approximate HLL/GK mode is the 100 TB path, tolerance-tested vs
+    this in tests/test_textstats_profile.py). Quartiles rounded to
+    2 dp — both engines interpolate in double and can differ in the
+    last ulp."""
+    from decision_tree_stuff_spark.operators.textstats import corpus_profile
+
+    prof = corpus_profile(_docs(spark, sf_dir), group_col="lang")
+    return prof.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round("len_p25", 2).alias("len_p25"),
+        F.round("len_p50", 2).alias("len_p50"),
+        F.round("len_p75", 2).alias("len_p75"),
+    )
+
+
 def q_e5_tumbling_counts(spark, sf_dir):
     return tumbling_counts(_events(spark, sf_dir))
 
@@ -1481,6 +1501,30 @@ SELECT pack_id,
        string_agg(array_to_string(piece, ' '), ' ' ORDER BY pos) AS pack_text
 FROM p GROUP BY pack_id
 """,
+    "e4_corpus_profile": f"""
+WITH toks AS (
+  SELECT lang, doc_id, tok AS token FROM (
+    SELECT lang, doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+  ) u WHERE tok <> ''
+),
+g AS (
+  SELECT lang,
+         count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_tokens,
+         count(DISTINCT token) AS n_distinct_tokens
+  FROM toks GROUP BY 1
+),
+q AS (
+  SELECT lang,
+         round(quantile_cont(len(text)::DOUBLE, 0.25), 2) AS len_p25,
+         round(quantile_cont(len(text)::DOUBLE, 0.5), 2) AS len_p50,
+         round(quantile_cont(len(text)::DOUBLE, 0.75), 2) AS len_p75
+  FROM documents GROUP BY 1
+)
+SELECT g.lang, n_docs, n_tokens, n_distinct_tokens,
+       len_p25, len_p50, len_p75
+FROM g JOIN q ON g.lang = q.lang
+""",
     "e5_sliding_counts": """
 WITH ev AS (
   SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, value FROM events
@@ -1763,6 +1807,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e4_document_stats": q_e4_document_stats,
     "e4_tf_idf": q_e4_tf_idf,
     "e4_repetition_stats": q_e4_repetition_stats,
+    "e4_corpus_profile": q_e4_corpus_profile,
     "e4_quality_filter": q_e4_quality_filter,
     "e5_tumbling_counts": q_e5_tumbling_counts,
     "e5_sessions": q_e5_sessions,

@@ -1,0 +1,66 @@
+"""corpus_profile: the approximate (HLL++ / GK-sketch) 100 TB mode
+must track the exact oracled mode within its configured error bounds,
+and its plan must not shuffle distinct (group, token) pairs."""
+
+from __future__ import annotations
+
+from decision_tree_stuff_spark.operators.textstats import corpus_profile
+
+
+def _by_group(df):
+    return {r["lang"]: r.asDict() for r in df.collect()}
+
+
+def test_approx_profile_within_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = _by_group(corpus_profile(docs))
+    approx = _by_group(corpus_profile(docs, approximate=True, rsd=0.02))
+    assert set(exact) == set(approx)
+    for lang, e in exact.items():
+        a = approx[lang]
+        # exact aggregates are identical in both modes
+        assert a["n_docs"] == e["n_docs"]
+        assert a["n_tokens"] == e["n_tokens"]
+        # HLL++ with rsd=0.02: allow 5 sigma
+        rel = abs(a["n_distinct_tokens"] - e["n_distinct_tokens"]) / max(
+            e["n_distinct_tokens"], 1
+        )
+        assert rel <= 0.10, (lang, a["n_distinct_tokens"], e["n_distinct_tokens"])
+    # approx_percentile guarantees RANK error (returns a real data
+    # point near the requested rank), not value error — check each
+    # approximate quartile lies inside the exact value range for
+    # rank +-5% (generous vs the sketch's 1/accuracy bound; keeps the
+    # test meaningful on small per-group doc counts where neighboring
+    # ranks can differ by tens of chars)
+    from pyspark.sql import functions as F
+
+    for lang in exact:
+        lens = docs.where(F.col("lang") == lang).select(
+            F.length("text").cast("double").alias("len")
+        )
+        for k, p in (("len_p25", 0.25), ("len_p50", 0.5), ("len_p75", 0.75)):
+            lo, hi = lens.agg(
+                F.percentile("len", F.array(F.lit(max(p - 0.05, 0.0)),
+                                            F.lit(min(p + 0.05, 1.0))))
+            ).first()[0]
+            assert lo <= approx[lang][k] <= hi, (lang, k, approx[lang][k], lo, hi)
+
+
+def test_approx_profile_avoids_distinct_token_shuffle(spark, sf_dir):
+    """The approximate plan's aggregate carries HLL sketch buffers —
+    it must NOT expand to the exact mode's count(DISTINCT token)
+    double-shuffle (Expand + two Exchanges over every token pair)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact_plan = (
+        corpus_profile(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        corpus_profile(docs, approximate=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "approx_count_distinct" in approx_plan
+    # the exact plan pays an Expand for the multi-distinct; approx must not
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
