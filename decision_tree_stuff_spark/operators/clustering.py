@@ -103,8 +103,17 @@ def connected_components(
     pairs = ckpt(pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst")))
     edges = ckpt(pairs.union(pairs.select(F.col("dst"), F.col("src"))).distinct())
     release_local_checkpoint(pairs)
+    # r4: iterate ONLY over edge-incident nodes. A near-dup graph is
+    # sparse — the overwhelming majority of a corpus is isolated — so
+    # every per-round join/shuffle shrinks from |corpus| to |touched
+    # nodes| (3-6x at the bench SFs, more at 100 TB). Isolated nodes
+    # join back self-labeled at the end via an anti-join against the
+    # FINAL labels checkpoint (never against edges, whose blocks are
+    # released in the finally below).
     labels = ckpt(
-        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
     )
 
     def label_sum(df: DataFrame):
@@ -148,11 +157,20 @@ def connected_components(
             old_labels, labels = labels, new_labels
             release_local_checkpoint(old_labels)
             if cur == prev:
-                # labels is checkpointed — safe to drop the edge blocks
-                return labels.select(
+                # labels is checkpointed — safe to drop the edge
+                # blocks. Isolated nodes (never incident to an edge)
+                # label themselves; the anti-join reads only the
+                # labels checkpoint and the caller's nodes frame.
+                touched = labels.select(
                     F.col("node").alias(id_col),
                     F.col("label").alias("cluster_id"),
                 )
+                isolated = nodes.select(F.col(id_col)).join(
+                    touched.select(id_col), id_col, "anti"
+                ).select(
+                    F.col(id_col), F.col(id_col).alias("cluster_id")
+                )
+                return touched.union(isolated)
             prev = cur
         release_local_checkpoint(labels)
         raise RuntimeError(

@@ -120,3 +120,36 @@ def test_operator_runs_unchanged_on_orc(spark, docs, tmp_path):
         for r in exact_dedup(read_orc(spark, p), ["text"], "doc_id").collect()
     }
     assert a == b
+
+
+def test_stream_document_stats_equals_batch(spark, docs, sf_dir, tmp_path):
+    """document_stats is one stateless projection, so the text-quality
+    scorer runs unchanged on a streaming source (append mode, no
+    state) and scores every document identically to batch — the shape
+    of an ingest-time quality gate."""
+    import shutil
+
+    from decision_tree_stuff_spark.operators.textstats import document_stats
+    from decision_tree_stuff_spark.streaming import run_stream_to_memory
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "documents.parquet")
+
+    stream = document_stats(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = run_stream_to_memory(stream, "doc_stats_stream", mode="append")
+    try:
+        cols = ["doc_id", "quality", "lang_guess"]
+
+        def rows(df):
+            return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+        got = rows(spark.table("doc_stats_stream"))
+        want = rows(document_stats(docs))
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
