@@ -110,6 +110,29 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def k_fold(
+    df: DataFrame,
+    k: int,
+    key_cols: List[str],
+    seed: str = "seed",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation: fold =
+    (60-bit integer prefix of the row's md5 uniform) mod k. Same
+    contract as ``hash_split``: shuffle-free, retry-stable, disjoint
+    and exhaustive, reproducible from (seed, k) alone — and the
+    integer arithmetic is engine-portable (DuckDB twin:
+    ``('0x' || substr(md5, 1, 15))::BIGINT % k``). Folds are balanced
+    in expectation (hash-uniform), not exactly equal-sized — exact
+    balance would need a global rank, which no CV protocol requires.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hk = hash_key(key_cols, seed)
+    fold = F.conv(F.substring(hk, 1, 15), 16, 10).cast("bigint") % k
+    return df.withColumn(fold_col, fold.cast("int"))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

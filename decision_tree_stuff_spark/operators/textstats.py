@@ -30,6 +30,13 @@ def document_stats(
     """One-pass per-document text statistics (all ratios rounded to
     6dp for oracle-stable doubles).
 
+    Tokenizer quirk (shared bit-for-bit with the DuckDB twin, pinned
+    in tests/test_null_robustness.py): empty/whitespace text
+    normalizes to '' whose whitespace split is [''] — ``n_tokens``
+    reports 1 for such docs. Ratios are guarded (greatest(n, 1)) so
+    quality stays defined; null text propagates null stats,
+    distinguishable from empty.
+
     The normalized text is projected ONCE and every downstream
     expression references that column — Catalyst does not eliminate
     common subexpressions across lambda boundaries, so the naive
@@ -253,10 +260,25 @@ def corpus_profile(
         distinct_agg = F.approx_count_distinct("token", rsd)
     else:
         distinct_agg = F.count_distinct(F.col("token"))
-    per_group = toks.groupBy(group_col).agg(
-        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    tok_stats = toks.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         distinct_agg.alias("n_distinct_tokens"),
+    )
+    # n_docs counts EVERY doc in the group (a dataset card must not
+    # silently exclude empty/null-text docs); token stats left-join in
+    # with zero defaults for all-empty groups
+    per_group = (
+        docs.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(tok_stats, group_col, "left")
+        .select(
+            group_col,
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct_tokens", F.lit(0)).alias(
+                "n_distinct_tokens"
+            ),
+        )
     )
     lengths = docs.select(
         F.col(group_col), F.length(text_col).cast("double").alias("len")

@@ -549,6 +549,17 @@ def q_e8_hash_split(spark, sf_dir):
         ["doc_id"],
         seed=SPLIT_SEED,
     )
+def q_e8_kfold(spark, sf_dir):
+    """Deterministic 5-fold CV assignment: md5-prefix integer mod k —
+    shuffle-free, retry-stable, engine-portable arithmetic."""
+    from decision_tree_stuff_spark.operators.sampling import k_fold
+
+    return k_fold(
+        _docs(spark, sf_dir).select("doc_id", "lang"), 5, ["doc_id"],
+        seed="cv",
+    )
+
+
 STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
 STRATA_DEFAULT, STRATA_SEED = 0.05, "mix1"
 SHUFFLE_SEED, PACK_SEED, PACK_SEQ_LEN = "sh1", "pk1", 512
@@ -1405,6 +1416,12 @@ SELECT doc_id, lang, source, n_chars FROM documents
 WHERE md5('{SAMPLE_SEED}|' || CAST(doc_id AS VARCHAR))
       < '{rate_threshold(SAMPLE_RATE)}'
 """,
+    "e8_kfold": f"""
+SELECT doc_id, lang,
+       CAST(('0x' || substr(md5('cv|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 5 AS INT) AS fold
+FROM documents
+""",
     "e8_stratified_sample": f"""
 SELECT doc_id, lang, n_chars FROM documents
 WHERE md5('{STRATA_SEED}|' || CAST(doc_id AS VARCHAR)) <
@@ -1507,12 +1524,18 @@ WITH toks AS (
     SELECT lang, doc_id, unnest({TOKS_SQL}) AS tok FROM documents
   ) u WHERE tok <> ''
 ),
-g AS (
+t AS (
   SELECT lang,
-         count(DISTINCT doc_id) AS n_docs,
          count(*) AS n_tokens,
          count(DISTINCT token) AS n_distinct_tokens
   FROM toks GROUP BY 1
+),
+g AS (
+  SELECT d.lang, count(*) AS n_docs,
+         coalesce(any_value(t.n_tokens), 0) AS n_tokens,
+         coalesce(any_value(t.n_distinct_tokens), 0) AS n_distinct_tokens
+  FROM documents d LEFT JOIN t ON d.lang = t.lang
+  GROUP BY 1
 ),
 q AS (
   SELECT lang,
@@ -1800,6 +1823,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e8_sample": q_e8_sample,
     "e8_stratified_sample": q_e8_stratified_sample,
     "e8_hash_split": q_e8_hash_split,
+    "e8_kfold": q_e8_kfold,
     "e8_global_shuffle": q_e8_global_shuffle,
     "e8_pack_sequences": q_e8_pack_sequences,
     "e8_pack_materialize": q_e8_pack_materialize,

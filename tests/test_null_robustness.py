@@ -1,0 +1,88 @@
+"""Null/empty-input behavior: a real corpus has null text, empty
+docs, and empty tables. Operators must have a DEFINED, non-crashing
+behavior on each — pinned here so refactors keep it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from decision_tree_stuff_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from decision_tree_stuff_spark.operators.sampling import (
+    deterministic_sample,
+    global_shuffle,
+)
+from decision_tree_stuff_spark.operators.textstats import (
+    corpus_profile,
+    document_stats,
+)
+
+
+@pytest.fixture()
+def dirty(spark):
+    rows = [
+        (0, "normal document with several words", "en"),
+        (1, None, "en"),          # null text
+        (2, "", "en"),            # empty text
+        (3, "   ", "de"),         # whitespace only
+        (4, "normal document with several words", "en"),  # dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_document_stats_null_and_empty_text(dirty):
+    out = {r.doc_id: r for r in document_stats(dirty).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}       # no row silently dropped
+    assert out[0].n_tokens > 0
+    # Documented tokenizer quirk, shared bit-for-bit with the DuckDB
+    # twin: empty/whitespace text normalizes to '' whose split is ['']
+    # -> n_tokens reports 1 (the ratios are guarded; quality stays
+    # well-defined and low). Null text propagates null stats —
+    # distinguishable from empty, never a crash.
+    for i in (2, 3):
+        assert out[i].n_tokens == 1
+        assert out[i].quality is not None
+    assert out[1].n_tokens is None
+
+
+def test_dedup_handles_null_and_empty(dirty):
+    groups = exact_dedup(dirty, ["text"], "doc_id").collect()
+    # 0 and 4 collapse; null text is its own group (SQL groupBy
+    # treats nulls equal); total groups = 4
+    assert len(groups) == 4
+    kept = {r.doc_id for r in groups}
+    assert 0 in kept and 4 not in kept
+
+    # pair emitters: docs without tokens simply emit no pairs
+    pairs = ngram_jaccard_pairs(dirty, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 4)}
+    mh = minhash_lsh_pairs(dirty, threshold=0.5)
+    assert {(r.id_a, r.id_b) for r in mh.collect()} == {(0, 4)}
+
+
+def test_corpus_profile_with_empty_docs(dirty):
+    prof = {r.lang: r for r in corpus_profile(dirty).collect()}
+    # every group appears and n_docs counts ALL its docs — a dataset
+    # card must not silently exclude empty/null-text documents; token
+    # stats default to 0 for all-empty groups
+    assert set(prof) == {"en", "de"}
+    assert prof["en"].n_docs == 4 and prof["de"].n_docs == 1
+    assert prof["en"].n_tokens > 0
+    assert prof["de"].n_tokens == 0 and prof["de"].n_distinct_tokens == 0
+
+
+def test_sampling_on_empty_frame(spark):
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert deterministic_sample(empty, 0.5, ["doc_id"]).count() == 0
+    assert global_shuffle(empty, ["doc_id"]).count() == 0
+
+
+def test_pair_ops_on_empty_frame(spark):
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert minhash_lsh_pairs(empty, threshold=0.5).count() == 0
+    assert ngram_jaccard_pairs(empty, threshold=0.5).count() == 0

@@ -217,3 +217,30 @@ def test_pack_materialize_physical_packs(spark):
     want = [t for i in order for t in (f"t{i}_{j}" for j in range(sizes[i]))]
     got = [t for r in out for t in r.tokens]
     assert got == want
+
+
+def test_k_fold_partitions_and_balance(spark):
+    from decision_tree_stuff_spark.operators.sampling import k_fold
+
+    df = _ids(spark, 5000)
+    out = k_fold(df, 5, ["doc_id"], seed="cv")
+    rows = out.collect()
+    assert len(rows) == 5000                       # exhaustive, no dup rows
+    sizes = {}
+    for r in rows:
+        assert 0 <= r.fold < 5
+        sizes[r.fold] = sizes.get(r.fold, 0) + 1
+    # hash-uniform balance: each fold within 15% of n/k
+    for f in range(5):
+        assert abs(sizes[f] - 1000) < 150, sizes
+    # deterministic
+    again = {(r.doc_id, r.fold) for r in k_fold(df, 5, ["doc_id"], seed="cv").collect()}
+    assert {(r.doc_id, r.fold) for r in rows} == again
+    # plan: shuffle-free projection
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_fold(df, 1, ["doc_id"])

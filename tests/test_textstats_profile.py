@@ -61,6 +61,16 @@ def test_approx_profile_avoids_distinct_token_shuffle(spark, sf_dir):
         .toString()
     )
     assert "approx_count_distinct" in approx_plan
-    # the exact plan pays an Expand for the multi-distinct; approx must not
-    assert "Expand" in exact_plan
-    assert "Expand" not in approx_plan
+    # exact mode must shuffle (lang, token) pairs for the distinct
+    # count; approximate mode merges fixed-size sketches — no exchange
+    # keyed by token anywhere in its plan
+    import re
+
+    def token_exchanges(plan):
+        return [
+            m for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+            if "token" in m
+        ]
+
+    assert token_exchanges(exact_plan), "exact mode should shuffle tokens"
+    assert not token_exchanges(approx_plan), "approx mode must not shuffle tokens"
