@@ -257,6 +257,76 @@ def _jaccard_allpairs_naive(toks: DataFrame, id_col: str,
     )
 
 
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "exact",
+    num_hashes: int = 64,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental dedup: keep only the new docs NOT already present
+    in a historical corpus — the production mode for a growing
+    dataset, where re-deduplicating the full corpus per batch is a
+    non-starter (the corpus side is a 100 TB scan at most; nothing
+    quadratic in it).
+
+    * ``mode='exact'``: anti-join on the normalized-text md5
+      fingerprint — one shuffle keyed by a 32-char hash; at scale the
+      corpus side should be a pre-materialized fingerprint table so
+      this is fingerprint-vs-fingerprint, never text-vs-text.
+    * ``mode='minhash'``: anti-join on LSH band keys — a new doc is
+      dropped if ANY of its bands collides with any corpus band
+      (near-dup in the LSH sense). Sub-quadratic exactly like
+      ``minhash_lsh_pairs``: both sides explode to ``bands`` skinny
+      rows and meet on an equi-join; no pairwise verification is
+      needed for a drop decision (banding already encodes the
+      similarity threshold via the (b, r) S-curve).
+
+    Returns the surviving rows of ``new_docs`` (all columns).
+    Streaming: the exact mode works as a stream-static LEFT ANTI join
+    (new docs stream in, the corpus is the static side) — see
+    tests/test_sources.py.
+    """
+    from decision_tree_stuff_spark.functions.text import fingerprint
+
+    if mode == "exact":
+        new_fp = new_docs.withColumn("__fp", fingerprint(F.col(text_col)))
+        corpus_fp = corpus.select(fingerprint(F.col(text_col)).alias("__fp"))
+        return new_fp.join(corpus_fp, "__fp", "left_anti").drop("__fp")
+    if mode == "minhash":
+        assert num_hashes % bands == 0
+        r = num_hashes // bands
+
+        def band_rows(docs: DataFrame) -> DataFrame:
+            sigs = minhash_signatures(
+                docs, id_col, text_col, num_hashes, hash_fn
+            )
+            cols = [
+                [F.col("sig").getItem(b * r + j) for j in range(r)]
+                for b in range(bands)
+            ]
+            if hash_fn in ("md5", "md5km"):
+                hashes = [F.md5(F.concat_ws("|", *c)) for c in cols]
+            else:
+                hashes = [F.xxhash64(*c) for c in cols]
+            return sigs.select(
+                F.col(id_col),
+                F.posexplode(F.array(*hashes)).alias("band", "band_hash"),
+            )
+
+        hit = (
+            band_rows(new_docs)
+            .join(band_rows(corpus), ["band", "band_hash"], "semi")
+            .select(id_col)
+            .distinct()
+        )
+        return new_docs.join(hit, id_col, "left_anti")
+    raise ValueError(f"unknown dedup mode {mode!r}")
+
+
 #: modulus for the md5km family: largest 32-bit prime. i*(h2%P) tops
 #: out at 63 × 4.3e9 ≈ 2.7e11 — no bigint overflow at any num_hashes
 #: ≤ a few thousand; the 4.3e9 value space makes min-collisions

@@ -412,6 +412,38 @@ def q_e2_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_e1b_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup: new batch (odd doc_ids) anti-joined on
+    normalized-text fingerprint against the historical corpus (even
+    doc_ids) — the production mode for a growing dataset."""
+    from decision_tree_stuff_spark.operators.dedup import dedup_against_corpus
+
+    docs = _docs(spark, sf_dir)
+    survivors = dedup_against_corpus(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        mode="exact",
+    )
+    return survivors.select("doc_id", "lang", "n_chars")
+
+
+def q_e1c_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dup dedup: a new doc is dropped if any md5km
+    LSH band collides with any corpus band — sub-quadratic drop
+    decision, no pairwise verification needed."""
+    from decision_tree_stuff_spark.operators.dedup import dedup_against_corpus
+
+    docs = _docs(spark, sf_dir)
+    survivors = dedup_against_corpus(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        mode="minhash",
+        bands=8,
+        hash_fn="md5km",
+    )
+    return survivors.select("doc_id", "lang", "n_chars")
+
+
 def q_e2_jaccard_capped(spark, sf_dir):
     """Jaccard near-dups with the hot-token document-frequency cap —
     the 100 TB-safe variant (tokens in > max_df docs never enter the
@@ -1240,6 +1272,48 @@ kept AS (
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN kept USING (doc_id)
 """,
+    "e1b_incremental_dedup": """
+WITH fp AS (
+  SELECT doc_id, lang, n_chars,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents
+)
+SELECT n.doc_id, n.lang, n.n_chars
+FROM fp n
+WHERE n.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM fp c WHERE c.doc_id % 2 = 0 AND c.f = n.f
+  )
+""",
+    "e1c_incremental_minhash": f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok AS token FROM (
+    SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+  ) u WHERE tok <> ''
+),
+km AS ({_KM_HASHES}),
+sig AS (
+  SELECT doc_id,
+{_KM_SIG_AGGS}
+  FROM km GROUP BY 1
+),
+bands AS (
+  SELECT doc_id,
+         unnest(range(0, {_MH_BANDS})) AS band,
+         unnest([{_KM_BAND_KEYS}]) AS band_key
+  FROM sig
+),
+hit AS (
+  SELECT DISTINCT a.doc_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM hit h WHERE h.doc_id = d.doc_id)
+""",
     "e2_minhash_km_pairs": f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, tok AS token FROM (
@@ -1804,6 +1878,8 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "tree_fit_transform": q_tree_fit_transform,   # no oracle (O-13)
     "forest_fit_transform": q_forest_fit_transform,  # no oracle (ensemble fit)
     "e1_exact_dedup": q_e1_exact_dedup,
+    "e1b_incremental_dedup": q_e1b_incremental_dedup,
+    "e1c_incremental_minhash": q_e1c_incremental_minhash,
     "e2_jaccard_pairs": q_e2_jaccard_pairs,
     "e2_jaccard_capped": q_e2_jaccard_capped,
     "e7_dedup_clusters": q_e7_dedup_clusters,

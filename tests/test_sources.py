@@ -153,3 +153,42 @@ def test_stream_document_stats_equals_batch(spark, docs, sf_dir, tmp_path):
         assert got == want and len(got) > 0
     finally:
         q.stop()
+
+
+def test_stream_incremental_dedup_against_static_corpus(
+    spark, docs, sf_dir, tmp_path
+):
+    """Production ingest dedup: NEW documents stream in; the
+    historical corpus is the STATIC side of a stream-static left-anti
+    join on the text fingerprint. Structured Streaming plans this
+    natively (no state store — the static side is just a batch
+    relation), and the surviving set equals the batch operator's."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.operators.dedup import dedup_against_corpus
+    from decision_tree_stuff_spark.streaming import run_stream_to_memory
+
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+
+    d = tmp_path / "new_docs_stream"
+    new_batch.write.parquet(str(d))
+
+    stream_new = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    survivors_stream = dedup_against_corpus(stream_new, corpus, mode="exact")
+    q = run_stream_to_memory(survivors_stream, "incr_dedup_stream", mode="append")
+    try:
+        got = {r.doc_id for r in spark.table("incr_dedup_stream").collect()}
+        want = {
+            r.doc_id
+            for r in dedup_against_corpus(new_batch, corpus, mode="exact").collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
