@@ -214,6 +214,52 @@ def rh_lsh_topk(
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    q_i = round(v_i / scale) — 4× (fp32) to 8× (fp64) smaller storage
+    for ANN candidate generation, the standard first compression step
+    for a 100 TB embedding store.
+
+    All JVM-side array lambdas (transform/aggregate) — no UDF.
+    Rounding is written as ``floor(x + 0.5)`` (round-half-up toward
+    +inf for both signs) explicitly because engines disagree on
+    banker's rounding; DuckDB's ``floor`` reproduces it bit-for-bit,
+    which makes the op value-oracle-able. Zero vectors get scale 0 and
+    an all-zero code (guarded division).
+
+    Returns (id_col, scale, qvec array<int>).
+    """
+    vec = F.col(vec_col)
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.when(amax == 0.0, F.transform(vec, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            vec,
+            lambda x: F.floor(x / (amax / F.lit(127.0)) + F.lit(0.5)).cast(
+                "int"
+            ),
+        )
+    )
+    return embeddings.select(F.col(id_col), scale, q.alias("qvec"))
+
+
+def dequantize_embeddings(
+    quantized: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: v_i ≈ q_i * scale. Returns
+    (id_col, embedding array<double>)."""
+    return quantized.select(
+        F.col(id_col),
+        F.transform(
+            F.col("qvec"), lambda x: x.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,

@@ -222,6 +222,48 @@ def repetition_stats(
     )
 
 
+def top_tokens(
+    docs: DataFrame,
+    k: int = 20,
+    group_col: str = "lang",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Vocabulary builder: the k most frequent tokens per group with
+    counts and corpus share — the seed of a tokenizer vocab or a
+    stopword list.
+
+    Plan: one exploded count aggregate (map-side combined — shuffle
+    carries distinct (group, token) pairs, not token instances), then
+    a rank window whose ``row_number() <= k`` Spark rewrites to
+    WindowGroupLimit — each group keeps only k rows through the
+    window exchange instead of sorting whole groups. Deterministic
+    ties: (count desc, token asc). Returns (group, token, n, share,
+    rank)."""
+    toks = docs.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy(group_col, "token").agg(
+        F.count(F.lit(1)).alias("n")
+    ).where(F.col("n") >= min_count)
+    totals = toks.groupBy(group_col).agg(F.count(F.lit(1)).alias("_total"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .join(F.broadcast(totals), group_col)
+        .select(
+            group_col,
+            "token",
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+            "rank",
+        )
+    )
+
+
 def corpus_profile(
     docs: DataFrame,
     group_col: str = "lang",

@@ -541,6 +541,27 @@ def q_e3_sign_lsh_topk(spark, sf_dir):
     return sign_lsh_topk(_emb(spark, sf_dir), QUERY_IDS, k=5, n_bits=8)
 
 
+def q_e3_quantize(spark, sf_dir):
+    """int8 embedding quantization, digested to scalar columns for
+    the value oracle (scale at 6 dp; the int codes as count/sum/
+    min/max/md5-of-joined — exact, array-free comparison)."""
+    from decision_tree_stuff_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale6"),
+        F.aggregate(
+            F.col("qvec"), F.lit(0), lambda a, x: a + x
+        ).alias("qsum"),
+        F.array_min("qvec").alias("qmin"),
+        F.array_max("qvec").alias("qmax"),
+        F.md5(F.concat_ws(",", F.col("qvec"))).alias("qhash"),
+    )
+
+
 def q_e3_rh_lsh_topk(spark, sf_dir):
     """Random-hyperplane LSH top-k: seeded Gaussian projections fix
     the coordinate-sign bucket's anisotropy collapse; same plan
@@ -709,6 +730,14 @@ def q_e4_repetition_stats(spark, sf_dir):
     from decision_tree_stuff_spark.operators.textstats import repetition_stats
 
     return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_e4_top_tokens(spark, sf_dir):
+    """Per-lang top-10 vocabulary with corpus share — WindowGroupLimit
+    keeps k rows per group through the rank exchange."""
+    from decision_tree_stuff_spark.operators.textstats import top_tokens
+
+    return top_tokens(_docs(spark, sf_dir), k=10)
 
 
 def q_e4_corpus_profile(spark, sf_dir):
@@ -1369,6 +1398,25 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM s
 ) t WHERE rank <= 5
 """,
+    "e3_quantize": """
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS scale,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                x -> CAST(floor(x / (list_max(list_transform(embedding, y -> abs(y))) / 127.0) + 0.5) AS INT))
+         END AS qvec
+  FROM embeddings
+)
+SELECT vec_id,
+       round(CAST(scale AS DOUBLE), 6) AS scale6,
+       CAST(list_sum(qvec) AS INT) AS qsum,
+       CAST(list_min(qvec) AS INT) AS qmin,
+       CAST(list_max(qvec) AS INT) AS qmax,
+       md5(array_to_string(qvec, ',')) AS qhash
+FROM q
+""",
     "e3_rh_lsh_topk": f"""
 WITH wb AS (
   SELECT vec_id, embedding, {_RH_BUCKET} AS bucket FROM embeddings
@@ -1591,6 +1639,28 @@ SELECT pack_id,
        CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
        string_agg(array_to_string(piece, ' '), ' ' ORDER BY pos) AS pack_text
 FROM p GROUP BY pack_id
+""",
+    "e4_top_tokens": f"""
+WITH toks AS (
+  SELECT lang, tok AS token FROM (
+    SELECT lang, unnest({TOKS_SQL}) AS tok FROM documents
+  ) u WHERE tok <> ''
+),
+counts AS (
+  SELECT lang, token, count(*) AS n FROM toks GROUP BY 1, 2
+),
+totals AS (
+  SELECT lang, count(*) AS total FROM toks GROUP BY 1
+),
+ranked AS (
+  SELECT c.lang, token, n,
+         round(n / CAST(t.total AS DOUBLE), 6) AS share,
+         CAST(row_number() OVER (
+           PARTITION BY c.lang ORDER BY n DESC, token ASC
+         ) AS INT) AS rank
+  FROM counts c JOIN totals t ON c.lang = t.lang
+)
+SELECT lang, token, n, share, rank FROM ranked WHERE rank <= 10
 """,
     "e4_corpus_profile": f"""
 WITH toks AS (
@@ -1893,6 +1963,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e3_cosine_topk": q_e3_cosine_topk,
     "e3_sign_lsh_topk": q_e3_sign_lsh_topk,
     "e3_rh_lsh_topk": q_e3_rh_lsh_topk,
+    "e3_quantize": q_e3_quantize,
     "e3_ivf_topk": q_e3_ivf_topk,
     "e3_ivf_topk_nprobe2": q_e3_ivf_topk_nprobe2,
     "e9_decontamination": q_e9_decontamination,
@@ -1908,6 +1979,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e4_tf_idf": q_e4_tf_idf,
     "e4_repetition_stats": q_e4_repetition_stats,
     "e4_corpus_profile": q_e4_corpus_profile,
+    "e4_top_tokens": q_e4_top_tokens,
     "e4_quality_filter": q_e4_quality_filter,
     "e5_tumbling_counts": q_e5_tumbling_counts,
     "e5_sessions": q_e5_sessions,

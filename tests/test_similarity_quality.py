@@ -130,3 +130,37 @@ def test_rh_lsh_beats_sign_buckets_on_anisotropic_data(spark):
         f"rh {rh_recall:.2f} should beat coordinate-sign {sign_recall:.2f} "
         "on anisotropic embeddings"
     )
+
+
+def test_quantized_cosine_stays_close(spark, sf_dir):
+    """int8 round-trip: dequantized vectors must preserve pairwise
+    cosine to within the quantization error bound (~1/127 per coord,
+    empirically << 0.01 cosine drift on real embeddings)."""
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.functions.array_math import (
+        cosine_similarity,
+    )
+    from decision_tree_stuff_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    deq = dequantize_embeddings(quantize_embeddings(emb)).select(
+        F.col("vec_id"), F.col("embedding").alias("demb")
+    )
+    drift = (
+        emb.join(deq, "vec_id")
+        .select(
+            F.abs(
+                cosine_similarity(
+                    F.col("embedding").cast("array<double>"), F.col("demb")
+                )
+                - 1.0
+            ).alias("self_cos_err")
+        )
+        .agg(F.max("self_cos_err"))
+        .first()[0]
+    )
+    assert drift < 0.005, drift
