@@ -201,6 +201,43 @@ def dedup_clusters(
     )
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    pair_cols: tuple = ("id_a", "id_b"),
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Deduplicated corpus keeping the HIGHEST-``score_col`` document
+    per near-dup cluster (ties → smallest id) — what a quality-aware
+    pipeline actually wants: when near-duplicates differ (one clean,
+    one boilerplate-ridden), min-id keep is arbitrary; keep-best
+    preserves the best copy.
+
+    Plan: components as usual, then one per-cluster max-struct
+    aggregate — ``max(struct(score, -id))`` picks the winner without a
+    rank window (map-side combinable, one shuffle keyed by
+    cluster_id). Returns the kept rows of ``docs`` (all columns).
+    """
+    comp = connected_components(
+        docs, pairs, id_col, pair_cols, checkpoint_mode=checkpoint_mode
+    )
+    scored = comp.join(
+        docs.select(F.col(id_col), F.col(score_col).alias("_score")), id_col
+    )
+    winners = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("_score"), (-F.col(id_col)).alias("_negid"))
+            ).alias("w")
+        )
+        .select((-F.col("w._negid")).alias(id_col))
+    )
+    return docs.join(winners, id_col, "semi")
+
+
 def dedup_keep(
     docs: DataFrame,
     pairs: DataFrame,

@@ -473,6 +473,22 @@ def q_e7_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs)
 
 
+def q_e7c_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup: per near-dup cluster keep the LONGEST doc
+    (ties → smallest id) instead of the arbitrary min-id copy — the
+    keep rule real pipelines want. Same Jaccard pair graph as e7."""
+    from decision_tree_stuff_spark.operators.clustering import dedup_keep_best
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("bigint")
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, block_cols=["lang", "len_bucket"], threshold=0.8
+    )
+    kept = dedup_keep_best(docs, pairs, score_col="n_chars")
+    return kept.select("doc_id", "lang", "n_chars")
+
+
 def q_e2_minhash_pairs(spark, sf_dir):
     """MinHash LSH near-dup candidates (xxhash64-based → rows-only
     check). bands=8/r=8 puts the LSH S-curve knee at j≈0.77,
@@ -1209,6 +1225,55 @@ reach(node, lab) AS (
 SELECT node AS doc_id, min(lab) AS cluster_id,
        min(lab) = node AS is_kept
 FROM reach GROUP BY node
+""",
+    "e7c_dedup_keep_best": f"""
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id, lang, len_bucket, tok AS token FROM (
+    SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+           unnest({TOKS_SQL}) AS tok
+    FROM documents
+  ) u WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+pc AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM toks a JOIN toks b
+    ON a.token = b.token AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT id_a, id_b
+  FROM pc
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM jp
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+),
+best AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           row_number() OVER (
+             PARTITION BY c.cluster_id
+             ORDER BY d.n_chars DESC, c.doc_id ASC
+           ) AS rn
+    FROM comp c JOIN documents d USING (doc_id)
+  ) t WHERE rn = 1
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN best b ON d.doc_id = b.doc_id
 """,
     "e2_simhash_md5": f"""
 WITH occ AS (
@@ -1954,6 +2019,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e2_jaccard_capped": q_e2_jaccard_capped,
     "e7_dedup_clusters": q_e7_dedup_clusters,
     "e7b_minhash_dedup_keep": q_e7b_minhash_dedup_keep,
+    "e7c_dedup_keep_best": q_e7c_dedup_keep_best,
     "e2_minhash_pairs": q_e2_minhash_pairs,       # no oracle (xxhash64)
     "e2_minhash_md5_pairs": q_e2_minhash_md5_pairs,
     "e2_minhash_km_pairs": q_e2_minhash_km_pairs,

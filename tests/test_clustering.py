@@ -178,3 +178,17 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
 
     with pytest.raises(ValueError):
         connected_components(nodes, pairs, checkpoint_mode="nope")
+
+
+def test_dedup_keep_best_prefers_high_score_then_min_id(spark):
+    from decision_tree_stuff_spark.operators.clustering import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 99), (2, 99), (3, 5), (7, 1)],
+        "doc_id bigint, n_chars bigint",
+    )
+    # cluster {0,1,2}: 1 and 2 tie on score 99 -> keep 1 (smaller id);
+    # cluster {3}: isolated, kept; {7}: isolated, kept
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a bigint, id_b bigint")
+    kept = {r.doc_id for r in dedup_keep_best(docs, pairs, "n_chars").collect()}
+    assert kept == {1, 3, 7}
