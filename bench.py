@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "e7b_minhash_dedup_keep",
     "e8_pack_materialize",
     "e2_minhash_km_pairs",
+    "e1b_incremental_dedup",
+    "e3_quantize",
+    "e4_top_tokens",
+    "e8_kfold",
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so
