@@ -156,3 +156,25 @@ def test_minhash_verification_runs_after_pair_dedup(spark, sf_dir):
     assert plan.index("zip_with") < plan.index("HashAggregate(keys=[id_a"), (
         "verification must be applied above the candidate-pair dedup"
     )
+
+
+def test_incremental_dedup_prunes_corpus_scan(spark, sf_dir):
+    """The historical-corpus side of the incremental dedup anti-join
+    must scan ONLY the text column it fingerprints (plus the filter
+    key) — reading full corpus rows to compute a 16-byte digest is
+    the difference between a 100 TB scan and a projection of it."""
+    from decision_tree_stuff_spark.operators.dedup import dedup_against_corpus
+
+    docs = _docs(spark, sf_dir)
+    out = dedup_against_corpus(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        mode="exact",
+    )
+    plan = _plan(out)
+    assert "LeftAnti" in plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    corpus_scans = [l for l in scans if "text" in l and "lang" not in l]
+    assert corpus_scans, (
+        "corpus side must prune to (id, text):\n" + "\n".join(scans)
+    )
