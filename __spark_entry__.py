@@ -27,13 +27,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator family from SURVEY.md §2 —
+    exactly 50 entries so the driver's 50-row CORRECTNESS window checks
+    every one of them. Near-duplicate variants live in
+    ``decision_tree_stuff_spark.queries.EXTRA_PARITY_QUERIES`` and are
+    value-checked by ``tests/test_oracle_parity.py`` instead."""
     return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query; keys absent here
-    (tree_fit_transform, e2_minhash_pairs, e2_simhash_dups) are
-    multi-query algorithms or depend on Spark-native xxhash64 → the
-    driver records the weaker rows-only check."""
+    """DuckDB twins for every SQL-expressible query; the two keys
+    absent here (tree_fit_transform, forest_fit_transform) are
+    multi-query training algorithms → the driver records the weaker
+    rows-only check for those, by documented design."""
     return dict(ORACLE_SQL)

@@ -20,7 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import SparkSession  # noqa: E402
 
 from decision_tree_stuff_spark.dtree import DecisionTree, DecisionTreeParams  # noqa: E402
-from decision_tree_stuff_spark.queries import SPARK_QUERIES, _lineitem_base, FEATURES  # noqa: E402
+from decision_tree_stuff_spark.queries import ALL_QUERIES, _lineitem_base, FEATURES  # noqa: E402
+
+
+def _progress(msg: str) -> None:
+    # All progress chatter goes to stderr: the driver parses the LAST
+    # stdout line as the result JSON (BENCH_r04 recorded parsed:null
+    # because Spark's console progress bar interleaved \r with it).
+    print(msg, file=sys.stderr, flush=True)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -93,6 +100,7 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", AQE)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
@@ -145,9 +153,10 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            _noop_write(SPARK_QUERIES[name](spark, SF_DIR))
+            _noop_write(ALL_QUERIES[name](spark, SF_DIR))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        _progress(f"spark {name}: {timings[name]}s")
 
     duck = _duckdb_twins()
     common = [n for n in BENCH_QUERIES if n in duck]
@@ -155,6 +164,7 @@ def main() -> None:
     duck_common = round(sum(duck[n] for n in common), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # The result JSON is the ONLY stdout line, flushed last.
     print(
         json.dumps(
             {
@@ -174,7 +184,8 @@ def main() -> None:
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 
@@ -186,7 +197,7 @@ def _duckdb_twins() -> dict:
     CTE doesn't need a second sample to dominate its Spark twin."""
     import duckdb
 
-    from decision_tree_stuff_spark.queries import ORACLE_SQL
+    from decision_tree_stuff_spark.queries import ALL_ORACLE_SQL
     from decision_tree_stuff_spark.sources import TABLES
 
     con = duckdb.connect()
@@ -198,7 +209,7 @@ def _duckdb_twins() -> dict:
         )
     out = {}
     for name in BENCH_QUERIES:
-        sql = ORACLE_SQL.get(name)
+        sql = ALL_ORACLE_SQL.get(name)
         if sql is None or name in DUCKDB_TWIN_EXCLUDED:
             continue
         t0 = time.time()
@@ -209,6 +220,7 @@ def _duckdb_twins() -> dict:
             con.execute(sql).fetchall()
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
+        _progress(f"duckdb {name}: {out[name]}s")
     return out
 
 

