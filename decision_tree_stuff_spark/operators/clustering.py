@@ -161,16 +161,27 @@ def connected_components(
                 # blocks. Isolated nodes (never incident to an edge)
                 # label themselves; the anti-join reads only the
                 # labels checkpoint and the caller's nodes frame.
+                # The semi-join keeps the result keyed strictly on the
+                # caller's nodes frame: an id that appears in pairs
+                # but not in nodes (a violated precondition) is
+                # dropped, not invented — labels for its in-nodes
+                # neighbors still account for it transitively.
                 touched = labels.select(
                     F.col("node").alias(id_col),
                     F.col("label").alias("cluster_id"),
-                )
+                ).join(nodes.select(id_col), id_col, "semi")
                 isolated = nodes.select(F.col(id_col)).join(
                     touched.select(id_col), id_col, "anti"
                 ).select(
                     F.col(id_col), F.col(id_col).alias("cluster_id")
                 )
-                return touched.union(isolated)
+                out = touched.union(isolated)
+                # deterministic-release hook (see release_components):
+                # the final labels checkpoint's blocks are otherwise
+                # reaped only when the JVM GCs the RDD and the
+                # ContextCleaner notices — unbounded later
+                out._dts_final_checkpoint = labels
+                return out
             prev = cur
         release_local_checkpoint(labels)
         raise RuntimeError(
@@ -179,6 +190,23 @@ def connected_components(
         )
     finally:
         release_local_checkpoint(edges)
+
+
+def release_components(labeled: DataFrame) -> bool:
+    """Eagerly free the final labels checkpoint behind a
+    ``connected_components`` / ``dedup_clusters`` result.
+
+    Optional: without it the blocks are still reclaimed, but only via
+    the nondeterministic CPython-GC → py4j → JVM-GC → ContextCleaner
+    chain. Call it when the result (and every plan derived from it)
+    is fully consumed — the checkpoint has no lineage, so the frame
+    must not be evaluated again afterwards. Returns True if blocks
+    were released."""
+    ckpt = getattr(labeled, "_dts_final_checkpoint", None)
+    if ckpt is None:
+        return False
+    del labeled._dts_final_checkpoint
+    return release_local_checkpoint(ckpt)
 
 
 def dedup_clusters(
@@ -194,11 +222,14 @@ def dedup_clusters(
     comp = connected_components(
         docs, pairs, id_col, pair_cols, checkpoint_mode=checkpoint_mode
     )
-    return comp.select(
+    out = comp.select(
         id_col,
         "cluster_id",
         (F.col(id_col) == F.col("cluster_id")).alias("is_kept"),
     )
+    # propagate the deterministic-release hook (release_components)
+    out._dts_final_checkpoint = comp._dts_final_checkpoint
+    return out
 
 
 def dedup_keep_best(

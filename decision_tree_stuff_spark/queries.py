@@ -618,6 +618,8 @@ def q_e8_hash_split(spark, sf_dir):
         ["doc_id"],
         seed=SPLIT_SEED,
     )
+
+
 def q_e8_kfold(spark, sf_dir):
     """Deterministic 5-fold CV assignment: md5-prefix integer mod k —
     shuffle-free, retry-stable, engine-portable arithmetic."""

@@ -40,6 +40,26 @@ EVENTS_RAW_SCHEMA = StructType(
     ]
 )
 
+
+def _events_default_schema() -> StructType:
+    """EVENTS_RAW_SCHEMA with `ts` as TIMESTAMP (LTZ) — the schema the
+    MICROS read path produces. Used by ``read_events_stream`` when the
+    watch directory has no part files yet (the normal file-source
+    streaming setup starts against an empty directory), where footer
+    sniffing has nothing to read."""
+    from pyspark.sql.types import TimestampType
+
+    return StructType(
+        [
+            StructField(
+                f.name,
+                TimestampType() if f.name == "ts" else f.dataType,
+                f.nullable,
+            )
+            for f in EVENTS_RAW_SCHEMA
+        ]
+    )
+
 TABLES = [
     "region",
     "nation",
@@ -98,7 +118,8 @@ def events_ts_unit(path: str) -> str:
 
     if os.path.isdir(path):
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        assert parts, f"no parquet part files under {path}"
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
         path = parts[0]
     return pq.read_schema(path).field("ts").type.unit
 

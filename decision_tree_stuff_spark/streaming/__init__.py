@@ -77,10 +77,30 @@ def read_events_stream(spark, events_dir: str) -> DataFrame:
     integer division to µs). readStream needs an explicit schema
     either way, so the MICROS path derives it from the batch reader's
     analyzed schema instead of hardcoding a unit.
-    """
-    from decision_tree_stuff_spark.sources import events_ts_unit, read_events
 
-    if events_ts_unit(events_dir) == "ns":
+    An initially-EMPTY watch directory (the normal streaming setup —
+    files arrive after the query starts) has no footer to sniff: the
+    stream then starts under the default MICROS/LTZ schema
+    (``sources._events_default_schema``), matching what the driver's
+    current data generation stores. A producer that later drops NANOS
+    files into the empty dir needs the explicit ns path — pre-seed one
+    file or build the stream from EVENTS_RAW_SCHEMA directly.
+    """
+    from decision_tree_stuff_spark.sources import (
+        _events_default_schema,
+        events_ts_unit,
+        read_events,
+    )
+
+    try:
+        unit = events_ts_unit(events_dir)
+    except FileNotFoundError:
+        return (
+            spark.readStream.schema(_events_default_schema())
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+        )
+    if unit == "ns":
         raw = (
             spark.readStream.schema(EVENTS_RAW_SCHEMA)
             .option("maxFilesPerTrigger", 1)

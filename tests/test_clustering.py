@@ -38,6 +38,19 @@ def test_chain_merges_transitively(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
 
 
+def test_result_keyed_on_nodes_frame(spark):
+    # precondition violation (ids in pairs missing from nodes) must not
+    # leak invented rows: the result stays keyed on the caller's nodes
+    # frame, while the out-of-nodes id still transitively connects its
+    # in-nodes neighbors (r4 regression: touched ∪ isolated emitted
+    # edge-endpoint ids that nodes never contained)
+    out = connected_components(
+        _nodes(spark, [1, 3]), _pairs(spark, [(1, 2), (2, 3)])
+    )
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert got == {1: 1, 3: 1}
+
+
 def test_two_components_and_isolates(spark):
     out = connected_components(
         _nodes(spark, [1, 2, 3, 10, 11, 20]),

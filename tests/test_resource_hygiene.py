@@ -13,12 +13,14 @@ baseline on both success and error paths.
 from __future__ import annotations
 
 import gc
-import time
 
 import pytest
 from pyspark.sql import functions as F
 
-from decision_tree_stuff_spark.operators.clustering import connected_components
+from decision_tree_stuff_spark.operators.clustering import (
+    connected_components,
+    release_components,
+)
 from decision_tree_stuff_spark.operators.dedup import minhash_lsh_pairs
 
 
@@ -97,7 +99,11 @@ def test_connected_components_unpersists_on_nonconvergence(spark):
 
 def test_connected_components_success_path_releases_edges(spark):
     """Success path: only the returned labels checkpoint may remain,
-    and it must be reaped once the caller drops the frame."""
+    and release_components must free it deterministically — no
+    GC/ContextCleaner timing involved (the previous GC-deadline
+    version of this test was intermittently red on a loaded box: the
+    CPython-GC -> py4j -> JVM-GC -> ContextCleaner chain has no
+    latency bound)."""
     nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
     pairs = spark.createDataFrame(
         [(0, 1), (1, 2), (4, 5)], "id_a bigint, id_b bigint"
@@ -105,15 +111,7 @@ def test_connected_components_success_path_releases_edges(spark):
     before = _persistent_rdd_count(spark)
     out = connected_components(nodes, pairs)
     out.collect()
-    del out
-    # release path is a 4-stage async chain (CPython GC -> py4j detach
-    # -> JVM GC -> ContextCleaner); give it a generous deadline with
-    # early exit — typically done in <1 s, but a loaded box can lag
-    deadline = time.time() + 30
-    while time.time() < deadline:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        if _persistent_rdd_count(spark) <= before:
-            break
-        time.sleep(0.5)
+    assert release_components(out) is True
     assert _persistent_rdd_count(spark) <= before
+    # idempotent: the hook detaches itself on first call
+    assert release_components(out) is False
