@@ -257,6 +257,62 @@ def _jaccard_allpairs_naive(toks: DataFrame, id_col: str,
     )
 
 
+def _band_hash_exprs(sig_cols: list, bands: int, r: int, hash_fn: str) -> list:
+    """One hash Column per band over ``bands`` groups of ``r``
+    signature components. md5 of the '|'-joined component strings for
+    the oracle-checkable families (hex digests for md5, decimal
+    bigints for md5km — BIGINT→string renders identically in both
+    engines); native xxhash64 otherwise."""
+    groups = [sig_cols[b * r:(b + 1) * r] for b in range(bands)]
+    if hash_fn in ("md5", "md5km"):
+        return [F.md5(F.concat_ws("|", *g)) for g in groups]
+    return [F.xxhash64(*g) for g in groups]
+
+
+def corpus_fingerprints(
+    corpus: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The materialization target for incremental EXACT dedup: one
+    distinct normalized-text fingerprint per corpus document. Persist
+    this once (parquet/Delta) and feed it back via
+    ``dedup_against_corpus(..., corpus_precomputed=True)`` — a daily
+    100 TB pipeline then anti-joins fingerprint-vs-fingerprint and
+    never re-reads, re-normalizes, or re-hashes the corpus text."""
+    from decision_tree_stuff_spark.functions.text import fingerprint
+
+    return corpus.select(
+        fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+
+
+def corpus_band_table(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The materialization target for incremental MINHASH dedup: the
+    corpus's distinct (band, band_hash) LSH keys. A drop decision only
+    needs key membership — not which corpus doc collided — so the
+    distinct collapses the table to ≤ bands × |corpus| skinny rows
+    (far fewer in a self-similar corpus). Persist once; new batches
+    then pay signature cost for THEIR rows only. Parameters must match
+    the later ``dedup_against_corpus`` call (band keys are a function
+    of (num_hashes, bands, hash_fn))."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(corpus, id_col, text_col, num_hashes, hash_fn)
+    hashes = _band_hash_exprs(
+        [F.col("sig").getItem(i) for i in range(num_hashes)], bands, r, hash_fn
+    )
+    return (
+        sigs.select(F.posexplode(F.array(*hashes)).alias("band", "band_hash"))
+        .distinct()
+    )
+
+
 def dedup_against_corpus(
     new_docs: DataFrame,
     corpus: DataFrame,
@@ -266,6 +322,7 @@ def dedup_against_corpus(
     num_hashes: int = 64,
     bands: int = 8,
     hash_fn: str = "xxhash64",
+    corpus_precomputed: bool = False,
 ) -> DataFrame:
     """Incremental dedup: keep only the new docs NOT already present
     in a historical corpus — the production mode for a growing
@@ -274,52 +331,157 @@ def dedup_against_corpus(
     quadratic in it).
 
     * ``mode='exact'``: anti-join on the normalized-text md5
-      fingerprint — one shuffle keyed by a 32-char hash; at scale the
-      corpus side should be a pre-materialized fingerprint table so
-      this is fingerprint-vs-fingerprint, never text-vs-text.
+      fingerprint — one shuffle keyed by a 32-char hash.
     * ``mode='minhash'``: anti-join on LSH band keys — a new doc is
       dropped if ANY of its bands collides with any corpus band
       (near-dup in the LSH sense). Sub-quadratic exactly like
-      ``minhash_lsh_pairs``: both sides explode to ``bands`` skinny
-      rows and meet on an equi-join; no pairwise verification is
-      needed for a drop decision (banding already encodes the
+      ``minhash_lsh_pairs``: both sides reduce to ``bands`` skinny
+      rows per doc and meet on an equi-join; no pairwise verification
+      is needed for a drop decision (banding already encodes the
       similarity threshold via the (b, r) S-curve).
 
+    ``corpus_precomputed=True`` is the production shape: ``corpus`` is
+    then the MATERIALIZED table from ``corpus_fingerprints`` (exact)
+    or ``corpus_band_table`` (minhash) instead of raw documents — the
+    100 TB corpus is tokenized/hashed exactly once, ever, and each
+    batch joins against the persisted key table.
+
     Returns the surviving rows of ``new_docs`` (all columns).
-    Streaming: the exact mode works as a stream-static LEFT ANTI join
-    (new docs stream in, the corpus is the static side) — see
-    tests/test_sources.py.
+
+    Streaming: both modes run as stream-static joins with ``new_docs``
+    as the stream side (see tests/test_sources.py). Exact mode is one
+    LEFT ANTI join on a projected fingerprint. Minhash mode cannot use
+    the batch signature aggregation on a stream (aggregation → join →
+    aggregation is not an allowed streaming chain), so signatures come
+    from the per-row projection (``_minhash_sig_exprs``) and the
+    "ANY band collides" drop becomes ``bands`` CHAINED stream-static
+    LEFT ANTI equi-joins — one per band against the corpus rows for
+    that band. Same result set as batch (stream≡batch pinned); each
+    join is a plain equi-join on a skinny static side, so the plan
+    scales like the batch one.
     """
     from decision_tree_stuff_spark.functions.text import fingerprint
 
     if mode == "exact":
+        if "__fp" in new_docs.columns:
+            # withColumn would silently REPLACE (then drop) a caller
+            # column of this name — same hazard sampling guards with
+            # _check_reserved
+            raise ValueError(
+                "dedup_against_corpus reserves the column name '__fp'; "
+                "rename it on new_docs before calling"
+            )
         new_fp = new_docs.withColumn("__fp", fingerprint(F.col(text_col)))
-        corpus_fp = corpus.select(fingerprint(F.col(text_col)).alias("__fp"))
+        if corpus_precomputed:
+            corpus_fp = corpus.select(F.col("fp").alias("__fp"))
+        else:
+            corpus_fp = corpus.select(
+                fingerprint(F.col(text_col)).alias("__fp")
+            )
         return new_fp.join(corpus_fp, "__fp", "left_anti").drop("__fp")
     if mode == "minhash":
         assert num_hashes % bands == 0
         r = num_hashes // bands
-
-        def band_rows(docs: DataFrame) -> DataFrame:
-            sigs = minhash_signatures(
-                docs, id_col, text_col, num_hashes, hash_fn
+        if corpus_precomputed:
+            corpus_bands = corpus
+        else:
+            corpus_bands = corpus_band_table(
+                corpus, id_col, text_col, num_hashes, bands, hash_fn
             )
-            cols = [
-                [F.col("sig").getItem(b * r + j) for j in range(r)]
-                for b in range(bands)
-            ]
-            if hash_fn in ("md5", "md5km"):
-                hashes = [F.md5(F.concat_ws("|", *c)) for c in cols]
+
+        if new_docs.isStreaming:
+            # Per-ROW signatures as a pure projection — the batch
+            # exploded-groupBy signature is not plannable on a stream
+            # (agg → join → agg), but min-over-distinct-tokens per
+            # component is expressible with array_min(transform(...)),
+            # producing values IDENTICAL to the batch path. The token
+            # array (and the md5km digest structs) are bound as real
+            # columns first: Catalyst does not CSE across lambda
+            # boundaries, so inline exprs would re-run the
+            # normalization regex / digest once per signature
+            # component (the decontam token_ngrams pitfall, ×64 here).
+            toks_c, hs_c = "__dts_toks", "__dts_hs"
+            prep = new_docs.withColumn(
+                toks_c,
+                F.array_distinct(
+                    F.filter(tokens(F.col(text_col)), lambda t: t != "")
+                ),
+            )
+            if hash_fn == "md5km":
+                prep = prep.withColumn(
+                    hs_c,
+                    F.transform(
+                        F.transform(F.col(toks_c), lambda t: F.md5(t)),
+                        lambda d: F.struct(
+                            (F.conv(F.substring(d, 1, 15), 16, 10)
+                             .cast("bigint") % MINHASH_KM_P).alias("h1"),
+                            (F.conv(F.substring(d, 17, 15), 16, 10)
+                             .cast("bigint") % MINHASH_KM_P).alias("h2"),
+                        ),
+                    ),
+                )
+                # closure factories, NOT `lambda x, i=i`: pyspark
+                # treats a two-arg lambda as an (element, index)
+                # function and passes the ARRAY INDEX as the second
+                # argument, silently shadowing the default
+                def km_i(i):
+                    return lambda x: (
+                        x["h1"] + F.lit(i) * x["h2"]
+                    ) % MINHASH_KM_P
+
+                sig = [
+                    F.array_min(F.transform(F.col(hs_c), km_i(i)))
+                    for i in range(num_hashes)
+                ]
+                tmp_cols = [toks_c, hs_c]
             else:
-                hashes = [F.xxhash64(*c) for c in cols]
-            return sigs.select(
-                F.col(id_col),
-                F.posexplode(F.array(*hashes)).alias("band", "band_hash"),
-            )
+                def comp_i(i):
+                    return lambda t: _minhash_component(i, t, hash_fn)
 
+                sig = [
+                    F.array_min(F.transform(F.col(toks_c), comp_i(i)))
+                    for i in range(num_hashes)
+                ]
+                tmp_cols = [toks_c]
+            hashes = _band_hash_exprs(sig, bands, r, hash_fn)
+            # null band hash for token-less docs: array_min over an
+            # empty array is null per component, and md5(concat_ws)
+            # would otherwise hash the EMPTY string into a real key
+            # (batch semantics: such docs have no signature row, no
+            # bands, and always survive — the null key never equi-
+            # matches, reproducing that exactly)
+            has_toks = F.size(F.col(toks_c)) > 0
+            out = prep.select(
+                "*",
+                *[
+                    F.when(has_toks, h).alias(f"__dts_band_{bi}")
+                    for bi, h in enumerate(hashes)
+                ],
+            )
+            # "ANY band collides → drop" = chained per-band LEFT ANTI
+            # equi-joins (a doc survives iff it survives every band)
+            for bi in range(bands):
+                bcol = f"__dts_band_{bi}"
+                side = corpus_bands.where(F.col("band") == bi).select(
+                    F.col("band_hash").alias(bcol)
+                )
+                out = out.join(side, bcol, "left_anti")
+            return out.drop(*tmp_cols, *[f"__dts_band_{b}" for b in range(bands)])
+
+        sigs = minhash_signatures(
+            new_docs, id_col, text_col, num_hashes, hash_fn
+        )
+        hashes = _band_hash_exprs(
+            [F.col("sig").getItem(i) for i in range(num_hashes)],
+            bands, r, hash_fn,
+        )
+        new_bands = sigs.select(
+            F.col(id_col),
+            F.posexplode(F.array(*hashes)).alias("band", "band_hash"),
+        )
         hit = (
-            band_rows(new_docs)
-            .join(band_rows(corpus), ["band", "band_hash"], "semi")
+            new_bands
+            .join(corpus_bands, ["band", "band_hash"], "semi")
             .select(id_col)
             .distinct()
         )

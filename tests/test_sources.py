@@ -192,3 +192,132 @@ def test_stream_incremental_dedup_against_static_corpus(
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_stream_minhash_dedup_against_corpus_band_table(
+    spark, docs, tmp_path
+):
+    """Streaming NEAR-dup incremental dedup (mode='minhash'): the
+    static side is the materialized corpus band table; the stream side
+    computes per-row signatures in a projection and survives iff every
+    per-band LEFT ANTI join keeps it. Must equal the batch operator on
+    the same input — including a token-less doc, which has no bands
+    and always survives."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.operators.dedup import (
+        corpus_band_table,
+        dedup_against_corpus,
+    )
+    from decision_tree_stuff_spark.streaming import run_stream_to_memory
+
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new_batch = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text"
+    ).union(spark.createDataFrame([(999983, "")], "doc_id bigint, text string"))
+
+    d = tmp_path / "new_docs_minhash_stream"
+    new_batch.write.parquet(str(d))
+    kw = dict(mode="minhash", bands=8, hash_fn="md5km")
+    bands_tbl = corpus_band_table(
+        corpus, bands=8, hash_fn="md5km"
+    ).cache()  # materialized-table stand-in
+
+    stream_new = (
+        spark.readStream.schema(new_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    survivors_stream = dedup_against_corpus(
+        stream_new, bands_tbl, corpus_precomputed=True, **kw
+    )
+    q = run_stream_to_memory(
+        survivors_stream, "incr_minhash_stream", mode="append"
+    )
+    try:
+        got = {r.doc_id for r in spark.table("incr_minhash_stream").collect()}
+        want = {
+            r.doc_id
+            for r in dedup_against_corpus(new_batch, corpus, **kw).collect()
+        }
+        assert got == want
+        assert 999983 in got  # token-less doc has no bands → survives
+        assert 0 < len(want) < new_batch.count()  # join actually dropped some
+    finally:
+        q.stop()
+        bands_tbl.unpersist()
+
+
+def test_dedup_against_corpus_precomputed_matches_raw(spark, docs):
+    """The production escape hatch: feeding the materialized
+    fingerprint / band table back must give exactly the raw-corpus
+    result — the 100 TB corpus is hashed once, ever."""
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.operators.dedup import (
+        corpus_band_table,
+        corpus_fingerprints,
+        dedup_against_corpus,
+    )
+
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    raw = dedup_against_corpus(new, corpus, mode="exact")
+    pre = dedup_against_corpus(
+        new, corpus_fingerprints(corpus), mode="exact",
+        corpus_precomputed=True,
+    )
+    assert {r.doc_id for r in raw.collect()} == {
+        r.doc_id for r in pre.collect()
+    }
+
+    kw = dict(mode="minhash", bands=8, hash_fn="md5km")
+    raw_mh = dedup_against_corpus(new, corpus, **kw)
+    pre_mh = dedup_against_corpus(
+        new, corpus_band_table(corpus, bands=8, hash_fn="md5km"),
+        corpus_precomputed=True, **kw,
+    )
+    assert {r.doc_id for r in raw_mh.collect()} == {
+        r.doc_id for r in pre_mh.collect()
+    }
+
+
+def test_dedup_against_corpus_refuses_reserved_fp_column(spark, docs):
+    """A caller column named '__fp' would be silently replaced and
+    dropped by the fingerprint projection — refuse it instead."""
+    import pytest as _pytest
+
+    from decision_tree_stuff_spark.operators.dedup import dedup_against_corpus
+
+    poisoned = docs.withColumn("__fp", docs["doc_id"])
+    with _pytest.raises(ValueError, match="__fp"):
+        dedup_against_corpus(poisoned, docs, mode="exact")
+
+
+def test_events_stream_starts_on_empty_directory(spark, sf_dir, tmp_path):
+    """The normal file-source streaming setup points at an initially
+    EMPTY watch directory; the reader must fall back to the default
+    MICROS/LTZ schema instead of raising at stream-definition time,
+    and then consume files dropped in later."""
+    import shutil
+
+    from decision_tree_stuff_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_tumbling_counts,
+    )
+
+    d = tmp_path / "events_watch"
+    d.mkdir()
+    stream = read_events_stream(spark, str(d))  # must not raise
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    q = run_stream_to_memory(
+        stream_tumbling_counts(stream), "empty_dir_events", mode="complete"
+    )
+    try:
+        assert spark.table("empty_dir_events").count() > 0
+    finally:
+        q.stop()
