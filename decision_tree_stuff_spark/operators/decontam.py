@@ -86,6 +86,8 @@ def ngram_contamination(
     containment (a fully-leaked bench doc carrying one hot gram could
     never reach 1.0) and under-flag contamination.
     """
+    from pyspark.sql import Window
+
     tg = token_ngrams(train, train_id, text_col, n).withColumnRenamed(
         train_id, "train_id"
     )
@@ -101,14 +103,25 @@ def ngram_contamination(
         )
         tg = tg.join(F.broadcast(hot), "gram", "left_anti")
         bg = bg.join(F.broadcast(hot), "gram", "left_anti")
-    sizes = bg.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_n"))
-    matched = (
-        tg.join(F.broadcast(bg), "gram")
-        .groupBy("train_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("matched"))
+    # bench_n rides along on the gram rows via a window over the SMALL
+    # (broadcast) side instead of a separate groupBy + second join —
+    # the bench corpus is tokenized ONCE (the old sizes/matched pair
+    # of plans re-ran token_ngrams(bench) twice) and the train side
+    # sees exactly one broadcast hash join, one shuffled aggregation
+    bgn = bg.select(
+        "bench_id",
+        "gram",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("bench_id"))
+        .alias("bench_n"),
     )
     return (
-        matched.join(F.broadcast(sizes), "bench_id")
+        tg.join(F.broadcast(bgn), "gram")
+        .groupBy("train_id", "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("matched"),
+            F.first("bench_n").alias("bench_n"),
+        )
         .withColumn(
             "containment",
             F.round(F.col("matched") / F.col("bench_n").cast("double"), 6),

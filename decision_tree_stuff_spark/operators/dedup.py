@@ -182,17 +182,21 @@ def _jaccard_prefix_join(toks: DataFrame, id_col: str,
         F.col(id_col),
         F.col("n"),
         *block_cols,
-        F.explode(F.slice(F.col("toks"), F.lit(1), plen)).alias("token"),
+        F.posexplode(F.slice(F.col("toks"), F.lit(1), plen)).alias(
+            "pos", "token"
+        ),
     )
     a = pref.select(
         F.col(id_col).alias("id_a"),
         F.col("n").alias("pna"),
+        F.col("pos").alias("pos_a"),
         F.col("token"),
         *[F.col(c).alias(f"a_{c}") for c in block_cols],
     )
     b = pref.select(
         F.col(id_col).alias("id_b"),
         F.col("n").alias("pnb"),
+        F.col("pos").alias("pos_b"),
         F.col("token"),
         *[F.col(c).alias(f"b_{c}") for c in block_cols],
     )
@@ -203,6 +207,26 @@ def _jaccard_prefix_join(toks: DataFrame, id_col: str,
         a["id_a"] < b["id_b"],
         a["pna"] >= F.lit(threshold) * b["pnb"] - F.lit(1e-9),
         b["pnb"] >= F.lit(threshold) * a["pna"] - F.lit(1e-9),
+        # PPJoin POSITIONAL filter (Xiao et al., WWW'08 §3.2): J ≥ t
+        # needs overlap α = ⌈t/(1+t)·(|A|+|B|)⌉; a join row meeting on
+        # the shared token at 0-based positions (pos_a, pos_b) bounds
+        # the overlap by 1 + min(|A|−pos_a−1, |B|−pos_b−1) — the
+        # common tokens at or after this one in the shared total
+        # order. Safe for every valid pair: its FIRST common token's
+        # row has all α common tokens at later-or-equal positions on
+        # both sides, so that row always survives. On a dense
+        # vocabulary (prefixes stay hot) this cuts the join output
+        # several-fold before the distinct — positions are already in
+        # hand from the prefix explode, the bound is one comparison.
+        F.lit(1)
+        + F.least(
+            a["pna"] - a["pos_a"] - 1, b["pnb"] - b["pos_b"] - 1
+        )
+        >= F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (a["pna"] + b["pnb"])
+            - F.lit(1e-9)
+        ),
     ]
     for c in block_cols:
         cond.append(F.col(f"a_{c}") == F.col(f"b_{c}"))
