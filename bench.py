@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "e3_quantize",
     "e4_top_tokens",
     "e8_kfold",
+    # round-5 additions
+    "e10_asof_join",
+    "e10b_interval_join",
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -1,0 +1,175 @@
+"""Temporal-join semantics (operators/temporal.py): hand-built cases
+pin the as-of contract (latest at-or-before, exact-match toggle,
+deterministic tie dedup, left-null semantics) and the interval-join
+contract (half-open containment, bucket-width invariance, key
+matching); the corpus-level paths are value-checked against DuckDB
+(native ASOF JOIN / inequality join) via test_oracle_parity
+(e10_asof_join, e10b_interval_join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from decision_tree_stuff_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+)
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts(0), 10.0),
+            (1, _ts(10), 20.0),
+            (2, _ts(5), 50.0),
+        ],
+        "k bigint, ts timestamp, px double",
+    )
+
+
+@pytest.fixture
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (100, 1, _ts(0)),   # exactly at the first quote
+            (101, 1, _ts(9)),   # between quotes
+            (102, 1, _ts(15)),  # after the last quote
+            (103, 2, _ts(1)),   # BEFORE any quote for k=2
+            (104, 3, _ts(5)),   # key with no quotes at all
+        ],
+        "tid bigint, k bigint, ts timestamp",
+    )
+
+
+def test_asof_latest_at_or_before(spark, trades, quotes):
+    out = {
+        r.tid: r.px_asof
+        for r in asof_join(trades, quotes, keys=["k"], ts_col="ts").collect()
+    }
+    assert out == {100: 10.0, 101: 10.0, 102: 20.0, 103: None, 104: None}
+
+
+def test_asof_strict_before_excludes_exact(spark, trades, quotes):
+    out = {
+        r.tid: r.px_asof
+        for r in asof_join(
+            trades, quotes, keys=["k"], ts_col="ts", allow_exact_match=False
+        ).collect()
+    }
+    # trade 100 sits exactly on the quote timestamp — excluded now
+    assert out[100] is None and out[101] == 10.0 and out[102] == 20.0
+
+
+def test_asof_tie_dedup_is_deterministic_max(spark, trades):
+    dup = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(0), 30.0)],
+        "k bigint, ts timestamp, px double",
+    )
+    out = {
+        r.tid: r.px_asof
+        for r in asof_join(trades, dup, keys=["k"], ts_col="ts").collect()
+    }
+    assert out[100] == 30.0  # max-struct winner, not arrival order
+
+
+def test_asof_attaches_matched_timestamp_and_preserves_left(
+    spark, trades, quotes
+):
+    out = asof_join(trades, quotes, keys=["k"], ts_col="ts")
+    assert set(out.columns) == {"tid", "k", "ts", "px_asof", "ts_asof"}
+    assert out.count() == trades.count()
+    r = {x.tid: x for x in out.collect()}
+    assert r[102].ts_asof == _ts(10)
+
+
+def test_asof_refuses_clashing_output_columns(spark, trades, quotes):
+    with pytest.raises(ValueError, match="suffix"):
+        asof_join(
+            trades.withColumn("px_asof", F.lit(0.0)),
+            quotes,
+            keys=["k"],
+            ts_col="ts",
+        )
+
+
+def test_interval_join_half_open_and_bucket_invariant(spark):
+    points = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(5)), (3, _ts(10)), (4, _ts(59))],
+        "pid bigint, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(10, _ts(0), _ts(10)), (11, _ts(5), _ts(59))],
+        "ivid bigint, s timestamp, e timestamp",
+    )
+    want = {(1, 10), (2, 10), (2, 11), (3, 11), (4, None)} - {(4, None)}
+    for w in (60, 300, 3600):
+        got = {
+            (r.pid, r.ivid)
+            for r in interval_join(
+                points, ivs, "ts", "s", "e", bucket_seconds=w
+            ).collect()
+        }
+        # point 3 at the exclusive end of iv 10 must NOT match it;
+        # point 4 at the exclusive end of iv 11 matches nothing
+        assert got == want, f"bucket_seconds={w}"
+
+
+def test_interval_join_with_equi_keys(spark):
+    points = spark.createDataFrame(
+        [(1, 7, _ts(5)), (2, 8, _ts(5))], "pid bigint, k bigint, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(10, 7, _ts(0), _ts(10))],
+        "ivid bigint, k bigint, s timestamp, e timestamp",
+    )
+    got = {
+        (r.pid, r.ivid)
+        for r in interval_join(
+            points, ivs, "ts", "s", "e", keys=["k"]
+        ).collect()
+    }
+    assert got == {(1, 10)}  # k=8 point excluded despite containment
+
+
+def test_interval_join_refuses_column_clash(spark):
+    df = spark.createDataFrame([(1, _ts(0), _ts(5))], "x bigint, s timestamp, e timestamp")
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_join(df, df, "s", "s", "e")
+
+
+def test_asof_matches_naive_on_events(spark, sf_dir):
+    """Differential vs the O(n²)-per-key naive formulation on real
+    event data: max-by-ts right row per left row via a window over an
+    inequality join."""
+    from decision_tree_stuff_spark.sources import read_events
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    p = ev.where("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    c = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("value").alias("cv"),
+    )
+    got = {
+        (r.event_id, r.cv_asof)
+        for r in asof_join(
+            p, c.select(F.col("cu").alias("user_id"), F.col("cts").alias("ts"),
+                        F.col("cv")),
+            keys=["user_id"], ts_col="ts", value_cols=["cv"],
+        ).collect()
+    }
+    naive = (
+        p.join(c, (p.user_id == c.cu) & (p.ts >= c.cts), "left")
+        .groupBy("event_id")
+        .agg(F.max(F.struct("cts", "cv")).alias("w"))
+        .select("event_id", F.col("w.cv").alias("cv"))
+    )
+    want = {(r.event_id, r.cv) for r in naive.collect()}
+    assert got == want and len(got) > 0
