@@ -25,6 +25,14 @@ distributed shapes:
   needed. Pick ``bucket_seconds`` near the typical interval length:
   fan-out per interval row is ceil(len/bucket)+1.
 
+Streaming: ``interval_join`` runs unchanged with the points side
+streaming (the bucket column is a projection; the join a plain
+stream-static inner equi-join) — stream≡batch pinned in
+tests/test_temporal.py. ``asof_join`` has no streaming form here: its
+per-key ordered window is not plannable on an unbounded stream (an
+``applyInPandasWithState`` ordering would be the stateful route if
+ever needed).
+
 Reference scope: beyond the reference (no temporal joins in the
 643-LoC tree library); included per the training-data-pipeline
 extension mandate (as-of/range joins are the named examples of

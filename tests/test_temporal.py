@@ -145,6 +145,47 @@ def test_interval_join_refuses_column_clash(spark):
         interval_join(df, df, "s", "s", "e")
 
 
+def test_interval_join_stream_static_equals_batch(spark, sf_dir, tmp_path):
+    """interval_join runs unchanged with the points side streaming:
+    the bucket column is a projection and the join a stream-static
+    inner equi-join — attach-facts-to-windows at ingest time."""
+    from decision_tree_stuff_spark.sources import read_events
+    from decision_tree_stuff_spark.streaming import run_stream_to_memory
+
+    ev = read_events(spark, f"{sf_dir}/events.parquet")
+    iv = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 1 DAY"))
+        .select(F.col("user_id").alias("iv_user"), "w_start", "w_end")
+    )
+    d = tmp_path / "events_iv_stream"
+    ev.write.parquet(str(d))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = interval_join(
+        stream.select("event_id", "ts"), iv, "ts", "w_start", "w_end"
+    )
+    q = run_stream_to_memory(out, "iv_stream", mode="append")
+    try:
+        got = {
+            (r.event_id, r.iv_user)
+            for r in spark.table("iv_stream").collect()
+        }
+        want = {
+            (r.event_id, r.iv_user)
+            for r in interval_join(
+                ev.select("event_id", "ts"), iv, "ts", "w_start", "w_end"
+            ).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
+
+
 def test_asof_matches_naive_on_events(spark, sf_dir):
     """Differential vs the O(n²)-per-key naive formulation on real
     event data: max-by-ts right row per left row via a window over an
