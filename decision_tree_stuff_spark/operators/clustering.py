@@ -158,24 +158,24 @@ def connected_components(
             release_local_checkpoint(old_labels)
             if cur == prev:
                 # labels is checkpointed — safe to drop the edge
-                # blocks. Isolated nodes (never incident to an edge)
-                # label themselves; the anti-join reads only the
-                # labels checkpoint and the caller's nodes frame.
-                # The semi-join keeps the result keyed strictly on the
-                # caller's nodes frame: an id that appears in pairs
-                # but not in nodes (a violated precondition) is
-                # dropped, not invented — labels for its in-nodes
-                # neighbors still account for it transitively.
+                # blocks. ONE left join from the caller's nodes frame
+                # keys the result strictly on nodes: isolated nodes
+                # (no label row) self-label via coalesce, and an id
+                # that appears in pairs but not in nodes (a violated
+                # precondition) is dropped, not invented — labels for
+                # its in-nodes neighbors still account for it
+                # transitively. (r5: replaces a semi-join + anti-join
+                # + union over the same two inputs.)
                 touched = labels.select(
                     F.col("node").alias(id_col),
                     F.col("label").alias("cluster_id"),
-                ).join(nodes.select(id_col), id_col, "semi")
-                isolated = nodes.select(F.col(id_col)).join(
-                    touched.select(id_col), id_col, "anti"
-                ).select(
-                    F.col(id_col), F.col(id_col).alias("cluster_id")
                 )
-                out = touched.union(isolated)
+                out = nodes.select(F.col(id_col)).join(
+                    touched, id_col, "left"
+                ).select(
+                    F.col(id_col),
+                    F.coalesce("cluster_id", id_col).alias("cluster_id"),
+                )
                 # deterministic-release hook (see release_components):
                 # the final labels checkpoint's blocks are otherwise
                 # reaped only when the JVM GCs the RDD and the
