@@ -78,7 +78,10 @@ def ngram_jaccard_pairs(
        sharing only non-prefix (hot) tokens cannot reach the
        threshold, so joining on prefix tokens loses nothing.
     4. candidate join on (prefix token [+ blocks]) with a size filter
-       (|A| ≥ t·|B| and vice versa — necessary for J ≥ t).
+       (|A| ≥ t·|B| and vice versa — necessary for J ≥ t) and the
+       PPJoin positional filter (overlap reachable from the meeting
+       positions must cover the J ≥ t overlap requirement — halves
+       the join output before the distinct on dense vocabularies).
     5. verify each candidate once: common = |array_intersect| of the
        full token arrays; J = common / (|A| + |B| − common) ≥ t.
 
