@@ -73,6 +73,10 @@ def asof_join(
     window per ``keys`` ordered by (ts, side) carries the right
     payload forward. Exactly one shuffle keyed by ``keys`` — the
     window and the union both reuse it.
+
+    Nulls: right rows with null ``ts`` are dropped (unorderable in
+    event time — they would otherwise rank older-than-everything);
+    left rows with null ``ts`` are kept and match nothing.
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*keys, ts_col)]
@@ -84,6 +88,10 @@ def asof_join(
             f"frame — pass a different suffix"
         )
 
+    # null-ts right rows are unorderable in event time; without this
+    # filter they sort NULLS FIRST and would be carried forward as an
+    # older-than-everything match for every left row
+    right = right.where(F.col(ts_col).isNotNull())
     # deterministic per-(keys, ts) winner; also shrinks the union input
     if value_cols:
         r = right.groupBy(*keys, ts_col).agg(
@@ -155,6 +163,10 @@ def interval_join(
     an inequality join as a (broadcast) nested loop — cartesian per
     key — which is the thing that does not survive 100 TB; with it
     the shuffle is bounded by Σ ceil(interval_len/bucket)+1 rows.
+
+    Nulls: rows with a null point timestamp or null interval bound
+    get a null bucket key, never equi-match, and drop out (inner-join
+    semantics).
     """
     keys = keys or []
     clash = set(points.columns) & set(intervals.columns) - set(keys)

@@ -145,6 +145,64 @@ def test_interval_join_refuses_column_clash(spark):
         interval_join(df, df, "s", "s", "e")
 
 
+def test_asof_null_timestamps(spark, quotes):
+    """Null-ts right rows are dropped (they would otherwise rank
+    older-than-everything and poison the carry-forward); null-ts left
+    rows survive and match nothing."""
+    trades = spark.createDataFrame(
+        [(200, 1, _ts(9)), (201, 1, None)],
+        "tid bigint, k bigint, ts timestamp",
+    )
+    dirty = quotes.union(
+        spark.createDataFrame(
+            [(1, None, 999.0)], "k bigint, ts timestamp, px double"
+        )
+    )
+    out = {
+        r.tid: r.px_asof
+        for r in asof_join(trades, dirty, keys=["k"], ts_col="ts").collect()
+    }
+    assert out == {200: 10.0, 201: None}
+
+
+def test_interval_join_null_bounds_drop(spark):
+    points = spark.createDataFrame(
+        [(1, _ts(5)), (2, None)], "pid bigint, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(10, _ts(0), _ts(10)), (11, None, _ts(10)), (12, _ts(0), None)],
+        "ivid bigint, s timestamp, e timestamp",
+    )
+    got = {
+        (r.pid, r.ivid)
+        for r in interval_join(points, ivs, "ts", "s", "e").collect()
+    }
+    assert got == {(1, 10)}
+
+
+def test_temporal_plans_stay_off_the_nested_loop_path(spark, sf_dir):
+    """Scale pins: the gate queries' physical plans must contain no
+    cartesian/nested-loop join (interval containment rides an
+    equi-join on the bucket; as-of is window-only), and the as-of
+    event_type filters must reach the parquet scan."""
+    from decision_tree_stuff_spark.queries import ALL_QUERIES
+
+    asof_plan = (
+        ALL_QUERIES["e10_asof_join"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    iv_plan = (
+        ALL_QUERIES["e10b_interval_join"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for plan in (asof_plan, iv_plan):
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in asof_plan
+    assert asof_plan.count("Window") >= 1
+    assert "Join" in iv_plan  # the bucket equi-join is a real hash join
+
+
 def test_interval_join_stream_static_equals_batch(spark, sf_dir, tmp_path):
     """interval_join runs unchanged with the points side streaming:
     the bucket column is a projection and the join a stream-static
