@@ -244,6 +244,76 @@ def test_interval_join_stream_static_equals_batch(spark, sf_dir, tmp_path):
         q.stop()
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def asof_inputs(draw):
+    nl = draw(st.integers(1, 8))
+    nr = draw(st.integers(0, 8))
+    ks = [1, 2]
+    lefts = [
+        (
+            i,
+            draw(st.sampled_from(ks)),
+            draw(st.integers(0, 20)),
+        )
+        for i in range(nl)
+    ]
+    rights = [
+        (
+            draw(st.sampled_from(ks)),
+            draw(st.integers(0, 20)),
+            float(draw(st.integers(0, 9))),
+        )
+        for _ in range(nr)
+    ]
+    return lefts, rights
+
+
+def py_asof(lefts, rights, exact):
+    # dedup ties by max value, then latest at-or-before (or strictly
+    # before) per key
+    best = {}
+    for k, t, v in rights:
+        best[(k, t)] = max(best.get((k, t), v), v)
+    out = {}
+    for lid, k, t in lefts:
+        cands = [
+            (rt, rv)
+            for (rk, rt), rv in best.items()
+            if rk == k and (rt <= t if exact else rt < t)
+        ]
+        out[lid] = max(cands)[1] if cands else None
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=asof_inputs(), exact=st.booleans())
+def test_asof_matches_python_oracle(spark, data, exact):
+    lefts, rights = data
+    ldf = spark.createDataFrame(
+        [(i, k, _ts(t)) for i, k, t in lefts],
+        "tid bigint, k bigint, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(t), v) for k, t, v in rights] or [(None, None, None)],
+        "k bigint, ts timestamp, px double",
+    ).where("k IS NOT NULL")
+    got = {
+        r.tid: r.px_asof
+        for r in asof_join(
+            ldf, rdf, keys=["k"], ts_col="ts", allow_exact_match=exact
+        ).collect()
+    }
+    assert got == py_asof(lefts, rights, exact)
+
+
 def test_asof_matches_naive_on_events(spark, sf_dir):
     """Differential vs the O(n²)-per-key naive formulation on real
     event data: max-by-ts right row per left row via a window over an
