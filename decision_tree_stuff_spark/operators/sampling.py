@@ -158,7 +158,8 @@ def stratified_sample(
 #: caller frame already carrying one of these would be corrupted and
 #: then dropped without error; refuse up front instead
 _RESERVED_COLS = (
-    "_hk", "_bucket", "_rank", "_base", "_start", "_n", "_toks", "_pos", "_piece",
+    "_hk", "_bucket", "_rank", "_base", "_start", "_n", "_toks", "_pos",
+    "_piece", "_cum",
 )
 
 
@@ -190,6 +191,51 @@ def _bucket_bases(keyed: DataFrame, value_col: Optional[str]) -> DataFrame:
     w = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
     return per_bucket.select(
         "_bucket", F.coalesce(F.sum("_total").over(w), F.lit(0)).alias("_base")
+    )
+
+
+def sample_to_budget(
+    df: DataFrame,
+    strata_col: str,
+    budgets: Dict,
+    key_cols: List[str],
+    seed: str = "seed",
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Deterministic budget-filling sample — the mixture-recipe shape
+    a pretraining pipeline actually runs ("N tokens of code, M of
+    web"): per stratum, keep the hash-first rows whose CUMULATIVE
+    weight (``weight_col``; row count when None) stays within
+    ``budgets[stratum]``. Strata without a budget are dropped.
+
+    Unlike ``stratified_sample`` (rate-based, shuffle-free, sizes
+    only correct in expectation), this hits each budget exactly
+    (within one document's weight) — the trade is one shuffle: a
+    per-stratum running-sum window ordered by (md5 uniform,
+    key_cols). Order by hash makes the kept set a uniform random
+    subset of the stratum, retry-stable and engine-portable (the SQL
+    twin reproduces the window byte-for-byte). Skewed strata cost
+    what any per-group window costs; at extreme scale compute rates
+    from a first-pass count and use ``stratified_sample``, or apply
+    the two-phase bucketed prefix-sum used by ``global_shuffle``.
+    """
+    _check_reserved(df)
+    weight = F.lit(1).cast("bigint") if weight_col is None else F.col(weight_col)
+    budget = F.lit(0).cast("bigint")
+    for value, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == value, F.lit(int(b))).otherwise(
+            budget
+        )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("_hk", *key_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_hk", hash_key(key_cols, seed))
+        .withColumn("_cum", F.sum(weight).over(w))
+        .where(F.col("_cum") <= budget)
+        .drop("_hk", "_cum")
     )
 
 

@@ -661,6 +661,27 @@ def q_e8_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+BUDGETS = {"en": 20000, "de": 8000}  # n_chars budget per language
+BUDGET_SEED = "budget1"
+
+
+def q_e8_budget_sample(spark, sf_dir):
+    """Budget-filling mixture sample: fill a 20k-char English budget
+    and an 8k-char German budget deterministically (hash-first order);
+    languages without a budget drop out. The exact-budget counterpart
+    of the rate-based e8_stratified_sample."""
+    from decision_tree_stuff_spark.operators.sampling import sample_to_budget
+
+    return sample_to_budget(
+        _docs(spark, sf_dir),
+        "lang",
+        BUDGETS,
+        ["doc_id"],
+        seed=BUDGET_SEED,
+        weight_col="n_chars",
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_e8_global_shuffle(spark, sf_dir):
     """Deterministic global permutation with exact 0-based positions —
     two-phase bucketed rank (no single-task window); oracle is the
@@ -2056,6 +2077,24 @@ WHERE ds.quality >= 0.45
   AND rs.dup_bigram_frac <= 0.1
 """
 
+ORACLE_SQL["e8_budget_sample"] = f"""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY lang
+           ORDER BY md5('{BUDGET_SEED}|' || CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM ranked
+WHERE cum <= CASE lang
+               WHEN 'de' THEN {BUDGETS["de"]}
+               WHEN 'en' THEN {BUDGETS["en"]}
+               ELSE 0
+             END
+"""
+
 ORACLE_SQL["e10_asof_join"] = """
 WITH p AS (
   SELECT event_id, user_id, ts, value FROM events
@@ -2162,6 +2201,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e3_sign_lsh_topk": q_e3_sign_lsh_topk,
     "e3_ivf_topk_nprobe2": q_e3_ivf_topk_nprobe2,
     "e8_pack_sequences": q_e8_pack_sequences,
+    "e8_budget_sample": q_e8_budget_sample,        # r5: budget-filling mixture
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
 }
 

@@ -16,6 +16,7 @@ from decision_tree_stuff_spark.operators.sampling import (
     global_shuffle,
     pack_sequences,
     rate_threshold,
+    sample_to_budget,
     stratified_sample,
 )
 
@@ -244,3 +245,58 @@ def test_k_fold_partitions_and_balance(spark):
 
     with pytest.raises(ValueError):
         k_fold(df, 1, ["doc_id"])
+
+
+def _weighted_docs(spark):
+    rows = [(i, "en" if i % 3 else "de", 10 + (i % 7)) for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id bigint, lang string, w bigint")
+
+
+def test_sample_to_budget_fills_within_one_doc(spark):
+    """Each stratum's kept weight lands within one document of the
+    budget (never over), unbudgeted strata drop, and the kept set is
+    the hash-first prefix — deterministic across calls."""
+    df = _weighted_docs(spark)
+    budgets = {"en": 500, "de": 200}
+    out = sample_to_budget(
+        df, "lang", budgets, ["doc_id"], seed="b", weight_col="w"
+    )
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) <= set(budgets)
+    for lang, rs in by_lang.items():
+        total = sum(r.w for r in rs)
+        assert total <= budgets[lang]
+        # within one max-weight doc of the budget (nothing more fits)
+        assert budgets[lang] - total < 17
+    again = {r.doc_id for r in sample_to_budget(
+        df, "lang", budgets, ["doc_id"], seed="b", weight_col="w"
+    ).collect()}
+    assert {r.doc_id for r in rows} == again
+
+
+def test_sample_to_budget_row_count_mode(spark):
+    """weight_col=None counts rows: exactly k per stratum (when the
+    stratum has at least k rows)."""
+    df = _weighted_docs(spark)
+    out = sample_to_budget(df, "lang", {"en": 10, "de": 3}, ["doc_id"], seed="b")
+    sizes = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {"en": 10, "de": 3}
+
+
+def test_sample_to_budget_seed_changes_selection(spark):
+    df = _weighted_docs(spark)
+    a = {r.doc_id for r in sample_to_budget(df, "lang", {"en": 20}, ["doc_id"], seed="s1").collect()}
+    b = {r.doc_id for r in sample_to_budget(df, "lang", {"en": 20}, ["doc_id"], seed="s2").collect()}
+    assert a != b and len(a) == len(b) == 20
+
+
+def test_sample_to_budget_refuses_reserved_columns(spark):
+    df = _weighted_docs(spark).withColumn("_cum", F.lit(1))
+    with pytest.raises(ValueError, match="_cum"):
+        sample_to_budget(df, "lang", {"en": 10}, ["doc_id"])
