@@ -193,6 +193,32 @@ def test_stream_incremental_dedup_against_static_corpus(
     finally:
         q.stop()
 
+    # the production shape: the static side is the MATERIALIZED
+    # fingerprint table (corpus hashed once, ever) — same survivors
+    from decision_tree_stuff_spark.operators.dedup import corpus_fingerprints
+
+    fp = corpus_fingerprints(corpus).cache()
+    stream_new2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q2 = run_stream_to_memory(
+        dedup_against_corpus(
+            stream_new2, fp, mode="exact", corpus_precomputed=True
+        ),
+        "incr_dedup_stream_pre",
+        mode="append",
+    )
+    try:
+        got2 = {
+            r.doc_id for r in spark.table("incr_dedup_stream_pre").collect()
+        }
+        assert got2 == want
+    finally:
+        q2.stop()
+        fp.unpersist()
+
 
 def test_stream_minhash_dedup_against_corpus_band_table(
     spark, docs, tmp_path
