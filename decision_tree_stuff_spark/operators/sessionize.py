@@ -74,6 +74,7 @@ def sessionize(
     gap: str = "30 minutes",
     ts_col: str = "ts",
     user_col: str = "user_id",
+    include_window: bool = False,
 ) -> DataFrame:
     """Session windows per user with the given inactivity gap.
 
@@ -83,7 +84,16 @@ def sessionize(
     gap-and-islands formulation uses the same ≥).
 
     Returns (user_id, session_start BIGINT epoch-sec, n_events,
-    sum_value rounded 6dp)."""
+    sum_value rounded 6dp). With ``include_window=True`` the raw
+    TIMESTAMP bounds are appended as (w_start, w_end) — w_end = last
+    event + gap, the half-open horizon — so the sessions frame can
+    feed ``temporal.interval_join`` (e.g. assigning late-arriving
+    facts to sessions)."""
+    extra = (
+        [F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end")]
+        if include_window
+        else []
+    )
     return (
         events.groupBy(
             F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col)
@@ -97,5 +107,6 @@ def sessionize(
             F.unix_timestamp(F.col("w.start")).alias("session_start"),
             "n_events",
             "sum_value",
+            *extra,
         )
     )

@@ -807,6 +807,30 @@ def q_e5_sessions(spark, sf_dir):
     return sessionize(_events(spark, sf_dir))
 
 
+def q_e5b_session_assignment(spark, sf_dir):
+    """Composition row (E-5 × E-10): label every event with its
+    session by joining the events stream of facts to the sessionize
+    output's half-open windows via the generic bucketed interval join
+    — the shape used to attach late-arriving facts to sessions. Each
+    event lands in exactly one session window by construction."""
+    from decision_tree_stuff_spark.operators.temporal import interval_join
+
+    ev = _events(spark, sf_dir)
+    sessions = sessionize(ev, include_window=True).select(
+        "user_id", "session_start", "w_start", "w_end"
+    )
+    out = interval_join(
+        ev.select("event_id", "user_id", "ts"),
+        sessions,
+        "ts",
+        "w_start",
+        "w_end",
+        keys=["user_id"],
+        bucket_seconds=3600,
+    )
+    return out.select("event_id", "user_id", "session_start")
+
+
 # ---------------------------------------------------------------------
 # Relational coverage: multi-way joins + wide aggregation
 # ---------------------------------------------------------------------
@@ -2077,6 +2101,30 @@ WHERE ds.quality >= 0.45
   AND rs.dup_bigram_frac <= 0.1
 """
 
+ORACLE_SQL["e5b_session_assignment"] = """
+WITH ev AS (
+  SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts
+  FROM events
+),
+o AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT event_id, user_id,
+       CAST(floor(epoch(min(ts) OVER (PARTITION BY user_id, sid)))
+            AS BIGINT) AS session_start
+FROM s
+"""
+
 ORACLE_SQL["e8_budget_sample"] = f"""
 WITH ranked AS (
   SELECT doc_id, lang, n_chars,
@@ -2202,6 +2250,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e3_ivf_topk_nprobe2": q_e3_ivf_topk_nprobe2,
     "e8_pack_sequences": q_e8_pack_sequences,
     "e8_budget_sample": q_e8_budget_sample,        # r5: budget-filling mixture
+    "e5b_session_assignment": q_e5b_session_assignment,  # r5: E-5 × E-10 composition
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
 }
 
