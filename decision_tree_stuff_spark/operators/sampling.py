@@ -210,32 +210,52 @@ def sample_to_budget(
 
     Unlike ``stratified_sample`` (rate-based, shuffle-free, sizes
     only correct in expectation), this hits each budget exactly
-    (within one document's weight) — the trade is one shuffle: a
-    per-stratum running-sum window ordered by (md5 uniform,
-    key_cols). Order by hash makes the kept set a uniform random
-    subset of the stratum, retry-stable and engine-portable (the SQL
-    twin reproduces the window byte-for-byte). Skewed strata cost
-    what any per-group window costs; at extreme scale compute rates
-    from a first-pass count and use ``stratified_sample``, or apply
-    the two-phase bucketed prefix-sum used by ``global_shuffle``.
+    (within one document's weight). Order by hash makes the kept set
+    a uniform random subset of the stratum, retry-stable and
+    engine-portable (the SQL twin reproduces the cumulative window
+    byte-for-byte).
+
+    Plan — two-phase bucketed prefix sum, same shape as
+    ``global_shuffle``: a naive ``Window.partitionBy(strata)`` would
+    sort each stratum in ONE task (a multi-TB single-task sort for a
+    large domain). Instead rows bucket on the first 2 hex chars of
+    their md5 uniform; the running sum windows over (stratum,
+    bucket) — 256-way parallel per stratum — and a broadcast
+    256×|strata|-row base table adds each bucket's exclusive prefix
+    total. Because the bucket is a PREFIX of the hash, (bucket, hash)
+    order equals global hash order: the result is identical to the
+    single-window formulation at any parallelism.
     """
-    _check_reserved(df)
     weight = F.lit(1).cast("bigint") if weight_col is None else F.col(weight_col)
     budget = F.lit(0).cast("bigint")
     for value, b in sorted(budgets.items()):
         budget = F.when(F.col(strata_col) == value, F.lit(int(b))).otherwise(
             budget
         )
-    w = (
+    keyed = _with_bucketed_key(df, key_cols, seed)
+    per_bucket = keyed.groupBy(strata_col, "_bucket").agg(
+        F.sum(weight).cast("bigint").alias("_total")
+    )
+    wb = (
         Window.partitionBy(strata_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = per_bucket.select(
+        strata_col,
+        "_bucket",
+        F.coalesce(F.sum("_total").over(wb), F.lit(0)).alias("_base"),
+    )
+    w = (
+        Window.partitionBy(strata_col, "_bucket")
         .orderBy("_hk", *key_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.withColumn("_hk", hash_key(key_cols, seed))
-        .withColumn("_cum", F.sum(weight).over(w))
-        .where(F.col("_cum") <= budget)
-        .drop("_hk", "_cum")
+        keyed.withColumn("_cum", F.sum(weight).over(w))
+        .join(F.broadcast(bases), [strata_col, "_bucket"])
+        .where(F.col("_base") + F.col("_cum") <= budget)
+        .drop("_hk", "_bucket", "_cum", "_base")
     )
 
 

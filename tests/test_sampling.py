@@ -296,6 +296,20 @@ def test_sample_to_budget_seed_changes_selection(spark):
     assert a != b and len(a) == len(b) == 20
 
 
+def test_sample_to_budget_window_parallelizes_on_bucket(spark):
+    """Scale pin: the running-sum window must partition on (stratum,
+    hash bucket) — 256-way parallel per stratum — never on the
+    stratum alone (a single-task sort of the largest domain)."""
+    out = sample_to_budget(
+        _weighted_docs(spark), "lang", {"en": 500}, ["doc_id"],
+        seed="b", weight_col="w",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(lang" in plan and "_bucket" in plan.split(
+        "hashpartitioning(lang", 1
+    )[1][:60]
+
+
 def test_sample_to_budget_refuses_reserved_columns(spark):
     df = _weighted_docs(spark).withColumn("_cum", F.lit(1))
     with pytest.raises(ValueError, match="_cum"):
