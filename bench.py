@@ -86,7 +86,8 @@ DUCKDB_TWIN_EXCLUDED = {
         "cluster size on the LSH pair graph (the md5km signature "
         "itself is fast: its e2_minhash_km_pairs twin runs in ~8 s). "
         "Spark's pointer-doubling label propagation runs the full "
-        "composition in ~24 s; twin still value-verifies at sf0.01"
+        "composition in 11-13 s warm (r4 driver + r5 runs); twin "
+        "still value-verifies at sf0.01"
     ),
 }
 
