@@ -2230,10 +2230,13 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "rel_top_customers": q_rel_top_customers,
 }
 
-# Variants of driver-gated plans (same operator family, different
-# parameterization or hash family). Value-checked against DuckDB by
-# tests/test_oracle_parity.py at sf0.001 every run, but kept out of the
-# driver's 50-row CORRECTNESS window.
+# Queries value-checked against DuckDB by tests/test_oracle_parity.py
+# (sf0.001 every run; replicated at sf0.01 in round-5 audits) but kept
+# out of the driver's 50-row CORRECTNESS window: parameter/hash-family
+# variants of driver-gated plans, plus round-5 additions whose operator
+# families are already gate-represented (e8_budget_sample — sampling
+# family; e5b_session_assignment — E-5 x E-10 composition, both
+# constituent operators gated).
 EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "o02b_pivot": q_o02b_pivot,
     # r5: moved out to make room for the two E-10 temporal-join gate
