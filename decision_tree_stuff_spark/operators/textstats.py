@@ -348,3 +348,48 @@ def corpus_profile(
         "len_p50",
         "len_p75",
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    stride: int = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split every document into token-window chunks of
+    ``chunk_tokens`` with step ``stride`` (default = chunk_tokens →
+    non-overlapping; stride < chunk_tokens → sliding overlap) — the
+    context-window prep op dual to ``sampling.pack_sequences`` (that
+    CONCATENATES short docs into fixed windows; this SPLITS long ones).
+
+    Chunks start at token 1, 1+stride, … while the start lies within
+    the document, so every non-empty doc yields ≥1 chunk and the last
+    chunk may be short; token-less docs yield none. Pure projection +
+    explode — shuffle-free, one scan at any SF; the token array is
+    bound once (no per-chunk re-tokenization).
+
+    Returns (id_col, chunk_id 0-based, n_tokens, chunk_text).
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    stride = chunk_tokens if stride is None else stride
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    tokd = docs.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("_ctoks"),
+    )
+    t = F.col("_ctoks")
+    starts = F.when(
+        F.size(t) > 0, F.sequence(F.lit(1), F.size(t), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    pieces = F.transform(starts, lambda s: F.slice(t, s, chunk_tokens))
+    return tokd.select(
+        F.col(id_col), F.posexplode(pieces).alias("chunk_id", "_piece")
+    ).select(
+        F.col(id_col),
+        "chunk_id",
+        F.size("_piece").alias("n_tokens"),
+        F.concat_ws(" ", "_piece").alias("chunk_text"),
+    )

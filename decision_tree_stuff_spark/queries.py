@@ -807,6 +807,21 @@ def q_e5_sessions(spark, sf_dir):
     return sessionize(_events(spark, sf_dir))
 
 
+CHUNK_TOKENS, CHUNK_STRIDE = 40, 30
+
+
+def q_e4_chunks(spark, sf_dir):
+    """Context-window chunking: every document split into 40-token
+    windows with stride 30 (10-token overlap) — the splitting dual of
+    e8_pack_sequences' concatenation. Shuffle-free projection +
+    explode."""
+    from decision_tree_stuff_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), CHUNK_TOKENS, CHUNK_STRIDE
+    )
+
+
 def q_e5b_session_assignment(spark, sf_dir):
     """Composition row (E-5 × E-10): label every event with its
     session by joining the events stream of facts to the sessionize
@@ -2101,6 +2116,24 @@ WHERE ds.quality >= 0.45
   AND rs.dup_bigram_frac <= 0.1
 """
 
+ORACLE_SQL["e4_chunks"] = f"""
+WITH tokd AS (
+  SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(1, len(toks) + 1, {CHUNK_STRIDE})) AS start
+  FROM tokd WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+       CAST(len(toks[start:start + {CHUNK_TOKENS} - 1]) AS INT) AS n_tokens,
+       array_to_string(toks[start:start + {CHUNK_TOKENS} - 1], ' ')
+         AS chunk_text
+FROM c
+"""
+
 ORACLE_SQL["e5b_session_assignment"] = """
 WITH ev AS (
   SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts
@@ -2254,6 +2287,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e8_pack_sequences": q_e8_pack_sequences,
     "e8_budget_sample": q_e8_budget_sample,        # r5: budget-filling mixture
     "e5b_session_assignment": q_e5b_session_assignment,  # r5: E-5 × E-10 composition
+    "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
 }
 

@@ -74,3 +74,50 @@ def test_approx_profile_avoids_distinct_token_shuffle(spark, sf_dir):
 
     assert token_exchanges(exact_plan), "exact mode should shuffle tokens"
     assert not token_exchanges(approx_plan), "approx mode must not shuffle tokens"
+
+
+def test_chunk_documents_layout_and_reconstruction(spark):
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{j}" for j in range(95))), (2, ""), (3, "a b")],
+        "doc_id bigint, text string",
+    )
+    # non-overlapping: chunks partition the token stream exactly
+    out = sorted(
+        chunk_documents(df, 40).where("doc_id = 1").collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.n_tokens for r in out] == [40, 40, 15]
+    assert " ".join(r.chunk_text for r in out) == " ".join(
+        f"t{j}" for j in range(95)
+    )
+    # overlapping stride: starts at 0, 30, 60, 90 (0-based)
+    ov = sorted(
+        chunk_documents(df, 40, 30).where("doc_id = 1").collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.chunk_id for r in ov] == [0, 1, 2, 3]
+    assert [r.n_tokens for r in ov] == [40, 40, 35, 5]
+    assert ov[1].chunk_text.split()[0] == "t30"
+    # token-less docs yield no chunks; short docs one
+    per_doc = {
+        r.doc_id: r.n
+        for r in chunk_documents(df, 40)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_doc == {1: 3, 3: 1}
+    # shuffle-free projection
+    plan = (
+        chunk_documents(df, 40)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, 0)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, 10, 0)
