@@ -69,3 +69,45 @@ def write_bucketed_table(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 512,
+    mode: str = "overwrite",
+    compression_factor: float = 1.0,
+    max_files: int = 100_000,
+) -> int:
+    """Size-targeted parquet output: choose the file count from
+    Catalyst's plan-statistics size estimate so output files land
+    near ``target_mb`` each. Returns the file count used.
+
+    The small-files problem is the canonical operational failure of a
+    large pipeline sink — a 10k-task job writes 10k fragments per
+    run, and listing/opening them dominates every downstream read;
+    one giant file serializes reads instead. ``sizeInBytes`` comes
+    from the optimized plan: exact (on-disk, compressed) for file
+    scans, selectivity-scaled estimates after filters/joins — scale
+    expectations with ``compression_factor`` (ratio of the estimate
+    to the expected parquet output size; leave at 1.0 when reading
+    from parquet and writing parquet of similar shape).
+
+    ``coalesce`` (no shuffle) when reducing the partition count,
+    ``repartition`` (full shuffle, but even output sizes) when
+    growing it. If the plan has no usable estimate (some exotic
+    sources report a sentinel of 2^63-ish), the frame's current
+    partitioning is kept unchanged.
+    """
+    import math
+
+    est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    current = df.rdd.getNumPartitions()
+    if est <= 0 or est >= (1 << 60):  # unknown/sentinel estimate
+        df.write.mode(mode).parquet(path)
+        return current
+    n = max(1, math.ceil(est / compression_factor / (target_mb * 1024 * 1024)))
+    n = min(n, max_files)
+    out = df.coalesce(n) if n < current else df.repartition(n)
+    out.write.mode(mode).parquet(path)
+    return n

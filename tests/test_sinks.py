@@ -101,3 +101,31 @@ def test_stream_exact_dedup(spark, sf_dir, tmp_path):
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
     q.stop()
+
+
+def test_write_sized_targets_file_count(spark, tmp_path):
+    """File count follows the plan-size estimate: a tiny target
+    splits the output into many files, a huge target collapses it to
+    one; both outputs round-trip identically."""
+    import glob
+
+    from decision_tree_stuff_spark.sources.sinks import write_sized
+
+    df = spark.range(200_000).selectExpr(
+        "id AS doc_id", "repeat(CAST(id AS STRING), 20) AS payload"
+    )
+
+    p1 = str(tmp_path / "one_file")
+    n1 = write_sized(df, p1, target_mb=10_000)
+    assert n1 == 1
+    assert len(glob.glob(f"{p1}/part-*.parquet")) == 1
+
+    p2 = str(tmp_path / "many_files")
+    # sub-MB target: must split well beyond one file
+    n2 = write_sized(df, p2, target_mb=1)
+    files2 = glob.glob(f"{p2}/part-*.parquet")
+    assert n2 > 1 and len(files2) == n2
+
+    a = sorted(r.doc_id for r in spark.read.parquet(p1).collect())
+    b = sorted(r.doc_id for r in spark.read.parquet(p2).collect())
+    assert a == b and len(a) == 200_000

@@ -121,3 +121,39 @@ def test_chunk_documents_layout_and_reconstruction(spark):
         chunk_documents(df, 0)
     with _pytest.raises(ValueError):
         chunk_documents(df, 10, 0)
+
+
+def test_chunk_documents_stream_equals_batch(spark, tmp_path):
+    """Chunking is a stateless projection — it runs unchanged on a
+    streaming source (ingest-time context-window prep)."""
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.operators.textstats import chunk_documents
+    from decision_tree_stuff_spark.streaming import run_stream_to_memory
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(i % 90))) for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    d = tmp_path / "chunk_stream"
+    df.write.parquet(str(d))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = run_stream_to_memory(
+        chunk_documents(stream, 32, 24), "chunk_stream_t", mode="append"
+    )
+    try:
+        got = {
+            (r.doc_id, r.chunk_id, r.chunk_text)
+            for r in spark.table("chunk_stream_t").collect()
+        }
+        want = {
+            (r.doc_id, r.chunk_id, r.chunk_text)
+            for r in chunk_documents(df, 32, 24).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
