@@ -1035,8 +1035,14 @@ def q_e10b_interval_join(spark, sf_dir):
     from decision_tree_stuff_spark.operators.temporal import interval_join
 
     orders = _read_parquet(spark, f"{sf_dir}/orders.parquet")
+    # truncate through DATE, not date_trunc: o_orderdate is
+    # TIMESTAMP_NTZ and date_trunc would cast it to LTZ, making the
+    # day boundary (and the whole result) session-timezone-dependent
+    # — caught by the Asia/Kolkata parity sweep (round 5). DATE is
+    # timezone-free; casting back to TIMESTAMP_NTZ keeps the join
+    # arithmetic NTZ end-to-end, matching the DuckDB twin exactly.
     days = orders.select(
-        F.date_trunc("day", "o_orderdate").alias("day")
+        F.col("o_orderdate").cast("date").cast("timestamp_ntz").alias("day")
     ).distinct()
     windows = orders.select(
         F.col("o_orderdate").alias("w_start"),
