@@ -347,3 +347,57 @@ def test_events_stream_starts_on_empty_directory(spark, sf_dir, tmp_path):
         assert spark.table("empty_dir_events").count() > 0
     finally:
         q.stop()
+
+
+def test_stream_ingest_dedup_composition(spark, docs, tmp_path):
+    """The full ingest-dedup shape in ONE streaming query: new docs
+    arrive with internal duplicates; the pipeline drops corpus-known
+    docs (stream-static LEFT ANTI on the materialized fingerprint
+    table) and collapses within-stream duplicates (stateful
+    dropDuplicates on the same fingerprint). Survivor fingerprint set
+    must equal the batch computation's."""
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.functions.text import fingerprint
+    from decision_tree_stuff_spark.operators.dedup import (
+        corpus_fingerprints,
+        dedup_against_corpus,
+    )
+    from decision_tree_stuff_spark.streaming import run_stream_to_memory
+
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    # duplicate a third of the new batch under fresh ids
+    dupes = odd.where(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    new_batch = odd.union(dupes)
+
+    d = tmp_path / "ingest_dedup_stream"
+    new_batch.write.parquet(str(d))
+    fp = corpus_fingerprints(corpus).cache()
+
+    stream = (
+        spark.readStream.schema(new_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    survivors = (
+        dedup_against_corpus(stream, fp, mode="exact", corpus_precomputed=True)
+        .withColumn("fp", fingerprint(F.col("text")))
+        .dropDuplicates(["fp"])
+    )
+    q = run_stream_to_memory(survivors, "ingest_dedup", mode="append")
+    try:
+        got = {r.fp for r in spark.table("ingest_dedup").collect()}
+        want = {
+            r.fp
+            for r in dedup_against_corpus(new_batch, corpus, mode="exact")
+            .select(fingerprint(F.col("text")).alias("fp"))
+            .distinct()
+            .collect()
+        }
+        assert got == want and 0 < len(want) < new_batch.count()
+    finally:
+        q.stop()
+        fp.unpersist()
