@@ -82,13 +82,64 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def decode_media(payload: bytes, fmt: str):
-    """STUB: real codec decode (PIL/libav/opencv) — the libraries are
-    not available in this container. The Spark-side plumbing
-    (schema, batching, partitioning) is real; swap this function for
-    the actual decoder in production."""
+    """STUB: PIXEL decode (PIL/libav/opencv) — the libraries are not
+    available in this container. The Spark-side plumbing (schema,
+    batching, partitioning) is real; swap this function for the
+    actual decoder in production. Header-level metadata decode is NOT
+    stubbed — see ``with_image_header_meta`` (real PNG/GIF parsing in
+    pure Spark byte expressions)."""
     raise NotImplementedError(
         f"media decode for format {fmt!r} requires codec libraries "
         "not present in this environment"
+    )
+
+
+_PNG_SIG = "89504E470D0A1A0A"  # \x89PNG\r\n\x1a\n
+
+
+def _be32(payload, pos: int):
+    """Big-endian uint32 at 1-based byte offset ``pos`` of a binary
+    column — hex of the 4-byte slice parsed base-16. JVM-side string
+    ops on 8 hex chars; no UDF."""
+    return F.conv(F.hex(F.substring(payload, pos, 4)), 16, 10).cast("int")
+
+
+def _le16(payload, pos: int):
+    """Little-endian uint16 at 1-based offset ``pos``: low byte +
+    256·high byte."""
+    b = lambda p: F.conv(F.hex(F.substring(payload, p, 1)), 16, 10).cast("int")  # noqa: E731
+    return b(pos) + b(pos + 1) * F.lit(256)
+
+
+def with_image_header_meta(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL (non-stubbed) header-level image metadata decode, as pure
+    Spark byte expressions — no codec library, no UDF, JVM-side and
+    codegen'd:
+
+    * PNG: 8-byte signature, then the IHDR chunk at a FIXED offset —
+      width/height are big-endian uint32s at bytes 17-20 / 21-24.
+    * GIF (87a/89a): 6-byte signature; logical-screen width/height
+      are little-endian uint16s at bytes 7-8 / 9-10.
+
+    Appends (img_format, img_width, img_height); unrecognized or
+    truncated payloads get nulls. JPEG dimensions live in a SOF
+    marker at a variable offset (requires a scan loop) — that stays
+    with the pixel-decode stub (``decode_media``).
+    """
+    p = F.col(payload_col)
+    is_png = (F.length(p) >= 24) & (F.hex(F.substring(p, 1, 8)) == _PNG_SIG)
+    sig6 = F.decode(F.substring(p, 1, 6), "UTF-8")
+    is_gif = (F.length(p) >= 10) & sig6.isin("GIF87a", "GIF89a")
+    fmt = F.when(is_png, "png").when(is_gif, "gif")
+    width = F.when(is_png, _be32(p, 17)).when(is_gif, _le16(p, 7))
+    height = F.when(is_png, _be32(p, 21)).when(is_gif, _le16(p, 9))
+    return media.select(
+        "*",
+        fmt.alias("img_format"),
+        width.alias("img_width"),
+        height.alias("img_height"),
     )
 
 

@@ -213,3 +213,47 @@ def test_stream_session_window_under_rocksdb_state_store(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_image_header_meta_parses_real_png_and_gif(spark):
+    """Header metadata decode is REAL (unlike pixel decode): construct
+    genuine PNG and GIF byte headers and parse dimensions with pure
+    Spark byte expressions."""
+    import struct
+    import zlib
+
+    from decision_tree_stuff_spark.operators.multimodal import (
+        with_image_header_meta,
+    )
+
+    def png_bytes(w, h):
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        return sig + chunk
+
+    def gif_bytes(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+    rows = [
+        (1, bytearray(png_bytes(640, 480))),
+        (2, bytearray(gif_bytes(320, 200))),
+        (3, bytearray(b"not an image at all, just bytes")),
+        (4, bytearray(b"\x89PN")),  # truncated: too short to parse
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {
+        r.media_id: (r.img_format, r.img_width, r.img_height)
+        for r in with_image_header_meta(df).collect()
+    }
+    assert out[1] == ("png", 640, 480)
+    assert out[2] == ("gif", 320, 200)
+    assert out[3] == (None, None, None)
+    assert out[4] == (None, None, None)
+    # no UDF anywhere: the parse is a codegen'd projection
+    plan = (
+        with_image_header_meta(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
