@@ -143,6 +143,41 @@ def with_image_header_meta(
     )
 
 
+def _le32(payload, pos: int):
+    """Little-endian uint32 at 1-based offset ``pos``."""
+    return (
+        _le16(payload, pos) + _le16(payload, pos + 2) * F.lit(65536)
+    ).cast("bigint")
+
+
+def with_audio_header_meta(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL header-level audio metadata decode for canonical WAV
+    (RIFF) files, pure byte expressions: 'RIFF'+'WAVE' signature with
+    the fmt chunk in the canonical position (bytes 13-16 = 'fmt ') —
+    channels (LE16 @23), sample rate (LE32 @25), bits per sample
+    (LE16 @35). Non-canonical chunk orders (rare) and compressed
+    codecs parse as nulls — variable-offset chunk walking stays with
+    the pixel/PCM decode stub. Appends (audio_format, sample_rate_hz,
+    n_channels, bits_per_sample)."""
+    p = F.col(payload_col)
+    sig = lambda pos, s: F.decode(F.substring(p, pos, len(s)), "UTF-8") == s  # noqa: E731
+    is_wav = (
+        (F.length(p) >= 36)
+        & sig(1, "RIFF")
+        & sig(9, "WAVE")
+        & sig(13, "fmt ")
+    )
+    return media.select(
+        "*",
+        F.when(is_wav, "wav").alias("audio_format"),
+        F.when(is_wav, _le32(p, 25)).cast("int").alias("sample_rate_hz"),
+        F.when(is_wav, _le16(p, 23)).alias("n_channels"),
+        F.when(is_wav, _le16(p, 35)).alias("bits_per_sample"),
+    )
+
+
 N_MEDIA_FEATURES = 8
 
 FEATURE_SCHEMA = StructType(

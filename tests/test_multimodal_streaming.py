@@ -257,3 +257,43 @@ def test_image_header_meta_parses_real_png_and_gif(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_audio_header_meta_parses_real_wav(spark):
+    """WAV header decode is real: construct a genuine canonical RIFF
+    header and parse rate/channels/bits with byte expressions."""
+    import struct
+
+    from decision_tree_stuff_spark.operators.multimodal import (
+        with_audio_header_meta,
+    )
+
+    def wav_bytes(rate, channels, bits):
+        byte_rate = rate * channels * bits // 8
+        block_align = channels * bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate, byte_rate, block_align, bits
+        )
+        data = b"\x00" * 8
+        riff_size = 4 + 8 + len(fmt) + 8 + len(data)
+        return (
+            b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rows = [
+        (1, bytearray(wav_bytes(16000, 1, 16))),
+        (2, bytearray(wav_bytes(44100, 2, 24))),
+        (3, bytearray(b"definitely not RIFF data here........")),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {
+        r.media_id: (
+            r.audio_format, r.sample_rate_hz, r.n_channels, r.bits_per_sample
+        )
+        for r in with_audio_header_meta(df).collect()
+    }
+    assert out[1] == ("wav", 16000, 1, 16)
+    assert out[2] == ("wav", 44100, 2, 24)
+    assert out[3] == (None, None, None, None)
