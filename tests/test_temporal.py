@@ -314,6 +314,49 @@ def test_asof_matches_python_oracle(spark, data, exact):
     assert got == py_asof(lefts, rights, exact)
 
 
+@st.composite
+def interval_inputs(draw):
+    np_ = draw(st.integers(1, 8))
+    ni = draw(st.integers(0, 6))
+    points = [(i, draw(st.integers(0, 30))) for i in range(np_)]
+    ivs = []
+    for j in range(ni):
+        s = draw(st.integers(0, 30))
+        e = s + draw(st.integers(0, 12))  # includes empty (e == s)
+        ivs.append((100 + j, s, e))
+    return points, ivs
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=interval_inputs(), bucket=st.sampled_from([60, 180, 3600]))
+def test_interval_join_matches_python_oracle(spark, data, bucket):
+    points, ivs = data
+    pdf = spark.createDataFrame(
+        [(i, _ts(t)) for i, t in points], "pid bigint, ts timestamp"
+    )
+    idf = spark.createDataFrame(
+        [(j, _ts(s), _ts(e)) for j, s, e in ivs] or [(None, None, None)],
+        "ivid bigint, s timestamp, e timestamp",
+    ).where("ivid IS NOT NULL")
+    got = {
+        (r.pid, r.ivid)
+        for r in interval_join(
+            pdf, idf, "ts", "s", "e", bucket_seconds=bucket
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, t in points
+        for j, s, e in ivs
+        if s <= t < e
+    }
+    assert got == want
+
+
 def test_asof_matches_naive_on_events(spark, sf_dir):
     """Differential vs the O(n²)-per-key naive formulation on real
     event data: max-by-ts right row per left row via a window over an
