@@ -830,3 +830,109 @@ def simhash_near_dups(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_docs: int = 2,
+    key: str = "text",
+) -> DataFrame:
+    """E-1d: sub-document (span-level) dedup, the C4 recipe — drop
+    every consecutive ``n``-token chunk whose exact text occurs in at
+    least ``min_docs`` DISTINCT documents, then reconstruct each
+    document from its surviving chunks in order (C4 removed repeated
+    three-sentence spans the same way; boilerplate headers/footers and
+    licence blocks are the target).
+
+    Plan (three shuffles, all key-even):
+
+    1. chunk: ``split`` + ``transform(sequence, slice)`` builds the
+       chunk array doc-locally, then one ``posexplode`` — no join.
+       The token array is bound as a real column first (Catalyst does
+       not CSE across lambda boundaries, so an inline ``split`` would
+       re-run once per chunk).
+    2. frequent-span set: ``distinct (span_key, doc)`` then a
+       map-side-combinable count per span_key — the shuffle carries
+       distinct pairs, not raw chunk rows. A span repeated only
+       WITHIN one doc never fires (distinct-doc count is 1).
+    3. one LEFT join back (span marked dup or not) + one groupBy doc
+       that rebuilds the text with ``array_sort(collect_list(struct
+       (pos, span)))`` — ``collect_list`` is bounded by chunks per
+       doc, i.e. by document length, the same bound the raw text
+       already imposes.
+
+    ``key='text'`` joins on the span text itself (exact semantics,
+    DuckDB-oracle-checkable). ``key='xxhash64'`` shuffles an 8-byte
+    hash instead for stages 2-3 — the 100 TB shape (narrow shuffle
+    keys; 64-bit collisions are the standard accepted trade). In a
+    production run the frequent-span set is usually small enough that
+    AQE broadcasts the stage-3 join automatically.
+
+    Whitespace-only documents produce no chunks and come back with
+    ``text=''``. Returns (id_col, text_col, n_chunks, n_kept) with
+    every input doc represented.
+    """
+    if key not in ("text", "xxhash64"):
+        raise ValueError(f"key must be 'text' or 'xxhash64', got {key!r}")
+    for c in ("__toks", "__k", "__dup"):
+        if c in docs.columns:
+            raise ValueError(
+                f"span_dedup reserves the column name {c!r}; rename it "
+                "on the input before calling"
+            )
+
+    base = docs.select(id_col, text_col)
+    prep = (
+        base.where(F.length(F.trim(F.col(text_col))) > 0)
+        .withColumn("__toks", F.split(F.col(text_col), " "))
+    )
+    n_spans = F.ceil(F.size(F.col("__toks")) / F.lit(n)).cast("int")
+    spans = prep.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("__toks"), i * n + 1, n), " "
+                ),
+            )
+        ).alias("chunk_pos", "span"),
+    )
+    spans = spans.withColumn(
+        "__k",
+        F.xxhash64(F.col("span")) if key == "xxhash64" else F.col("span"),
+    )
+    freq = (
+        spans.select("__k", id_col)
+        .distinct()
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("__k", F.lit(True).alias("__dup"))
+    )
+    flagged = spans.join(freq, "__k", "left")
+    kept_struct = F.when(
+        F.col("__dup").isNull(), F.struct("chunk_pos", "span")
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("__new_text"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(
+            F.when(F.col("__dup").isNull(), 1).otherwise(0)
+        ).alias("n_kept"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__new_text"), F.lit("")).alias(text_col),
+        F.coalesce(F.col("n_chunks"), F.lit(0)).cast("bigint").alias("n_chunks"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )

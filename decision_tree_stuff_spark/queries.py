@@ -444,6 +444,15 @@ def q_e1c_incremental_minhash(spark, sf_dir):
     return survivors.select("doc_id", "lang", "n_chars")
 
 
+def q_e1d_span_dedup(spark, sf_dir):
+    """Sub-document dedup (C4 recipe): drop every 10-token chunk that
+    occurs verbatim in >= 2 distinct documents, rebuild each doc from
+    its surviving chunks in order."""
+    from decision_tree_stuff_spark.operators.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), n=10, min_docs=2)
+
+
 def q_e2_jaccard_capped(spark, sf_dir):
     """Jaccard near-dups with the hot-token document-frequency cap —
     the 100 TB-safe variant (tokens in > max_df docs never enter the
@@ -1505,6 +1514,42 @@ WHERE n.doc_id % 2 = 1
     SELECT 1 FROM fp c WHERE c.doc_id % 2 = 0 AND c.f = n.f
   )
 """,
+    # spans = consecutive 10-token chunks of the raw-space-split text;
+    # a span is dropped when it occurs in >= 2 DISTINCT docs. DuckDB
+    # list slicing toks[a:b] is 1-based inclusive with clamped end —
+    # same spans as Spark's slice(toks, a, 10).
+    "e1d_span_dedup": """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, i AS chunk_pos,
+         array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS span
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS i
+        FROM t WHERE trim(text) <> '')
+),
+f AS (
+  SELECT span, true AS dup
+  FROM (SELECT DISTINCT span, doc_id FROM c)
+  GROUP BY span HAVING count(*) >= 2
+),
+a AS (
+  SELECT c.doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(count(CASE WHEN f.dup IS NULL THEN 1 END) AS BIGINT)
+           AS n_kept,
+         coalesce(string_agg(CASE WHEN f.dup IS NULL THEN c.span END,
+                             ' ' ORDER BY c.chunk_pos), '') AS new_text
+  FROM c LEFT JOIN f USING (span) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.new_text, '') AS text,
+       coalesce(a.n_chunks, 0) AS n_chunks,
+       coalesce(a.n_kept, 0) AS n_kept
+FROM documents d LEFT JOIN a USING (doc_id)
+""",
     "e1c_incremental_minhash": f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, tok AS token FROM (
@@ -2282,6 +2327,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # rows — both are parameter variants of driver-gated siblings
     # (e1b incremental dedup / e7+e7b component dedup)
     "e1c_incremental_minhash": q_e1c_incremental_minhash,
+    "e1d_span_dedup": q_e1d_span_dedup,  # r5: C4 span-level dedup
     "e7c_dedup_keep_best": q_e7c_dedup_keep_best,
     "o06b_split_scores_median_gini": q_o06b_split_scores_median_gini,
     "e2_jaccard_capped": q_e2_jaccard_capped,

@@ -109,3 +109,58 @@ def test_minhash_md5_family_matches_xxhash_on_exact_dups(spark):
             ).collect()
         }
         assert pairs == {(0, 1): 1.0}, fam
+
+
+def test_span_dedup_semantics(spark):
+    """Hand-built corpus pinning the C4 span rules: a chunk repeated
+    ACROSS docs is dropped from every doc carrying it; a chunk
+    repeated only WITHIN one doc survives (distinct-doc count is 1);
+    surviving chunks keep their original order; a doc losing every
+    chunk comes back with text='' and stays in the result."""
+    from decision_tree_stuff_spark.operators.dedup import span_dedup
+
+    boiler = "a b c"          # shared 3-token chunk (n=3 below)
+    rows = [
+        (0, boiler + " x y z"),            # boiler + unique tail
+        (1, boiler + " p q r"),            # boiler + unique tail
+        (2, boiler),                       # all-boilerplate doc
+        (3, "m n o m n o"),                # within-doc repeat only
+        (4, "   "),                        # whitespace-only
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_chunks"], r["n_kept"])
+        for r in span_dedup(df, n=3, min_docs=2).collect()
+    }
+    assert out[0] == ("x y z", 2, 1)
+    assert out[1] == ("p q r", 2, 1)
+    assert out[2] == ("", 1, 0)
+    assert out[3] == ("m n o m n o", 2, 2)
+    assert out[4] == ("", 0, 0)
+
+
+def test_span_dedup_xxhash_key_matches_text_key(spark):
+    """key='xxhash64' (the narrow-shuffle 100 TB shape) must produce
+    the same result set as the oracle-checkable text-key plan."""
+    from decision_tree_stuff_spark.operators.dedup import span_dedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    a = span_dedup(docs, n=10, min_docs=2, key="text")
+    b = span_dedup(docs, n=10, min_docs=2, key="xxhash64")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_span_dedup_rejects_reserved_columns(spark):
+    from decision_tree_stuff_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(0, "a b", 1)], "doc_id bigint, text string, __k int"
+    )
+    try:
+        span_dedup(df)
+        assert False, "expected ValueError for reserved column"
+    except ValueError as e:
+        assert "__k" in str(e)
