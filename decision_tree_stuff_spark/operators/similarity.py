@@ -307,6 +307,56 @@ def train_ivf_centroids(
     return [(j, [float(v) for v in C[j]]) for j in range(n_centroids)]
 
 
+def _quantizer_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    centroid_mode: str,
+) -> DataFrame:
+    """Centroid table (cid, cvec) for the coarse quantizer.
+
+    ``'first'`` = the n_centroids lowest-id vectors (deterministic,
+    training-free — the mode the DuckDB oracles reproduce);
+    ``'kmeans'`` = sample-trained Lloyd (production)."""
+    if centroid_mode == "kmeans":
+        return embeddings.sparkSession.createDataFrame(
+            train_ivf_centroids(embeddings, n_centroids, id_col, vec_col),
+            "cid int, cvec array<double>",
+        )
+    assert centroid_mode == "first", f"unknown centroid_mode {centroid_mode!r}"
+    return embeddings.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+
+
+def _assigned_cells(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Rank every vector's centroids by rounded cosine (ties to the
+    lowest cid): (id, vec, cid, ccos, rn). rn=1 is the home cell. The
+    centroid table is broadcast — C×dim work per row, the corpus never
+    shuffles for assignment."""
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "cid",
+            F.round(cosine_similarity(F.col(vec_col), F.col("cvec")), 6).alias(
+                "ccos"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list,
@@ -335,31 +385,10 @@ def ivf_topk(
     C×dim work per row, no shuffle of the corpus; the cell equi-join
     replaces the cross join, cutting candidates ~(C/nprobe)-fold.
     """
-    if centroid_mode == "kmeans":
-        centroids = embeddings.sparkSession.createDataFrame(
-            train_ivf_centroids(embeddings, n_centroids, id_col, vec_col),
-            "cid int, cvec array<double>",
-        )
-    else:
-        assert centroid_mode == "first", f"unknown centroid_mode {centroid_mode!r}"
-        centroids = embeddings.where(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-        )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.col("ccos").desc(), F.col("cid").asc()
+    centroids = _quantizer_centroids(
+        embeddings, n_centroids, id_col, vec_col, centroid_mode
     )
-    assigned = (
-        embeddings.crossJoin(F.broadcast(centroids))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            "cid",
-            F.round(cosine_similarity(F.col(vec_col), F.col("cvec")), 6).alias(
-                "ccos"
-            ),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-    )
+    assigned = _assigned_cells(embeddings, centroids, id_col, vec_col)
     cells = assigned.where(F.col("rn") == 1).select(id_col, vec_col, "cid")
     queries = assigned.where(
         F.col(id_col).isin(query_ids) & (F.col("rn") <= nprobe)
@@ -421,4 +450,65 @@ def embedding_near_dup_pairs(
             ),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mode: str = "first",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    of an embedding corpus. Coarse-cluster with the IVF quantizer,
+    then inside each cluster mark every vector whose rounded cosine to
+    a LOWER-id cluster-mate is >= eps as a duplicate — exactly one
+    survivor per semantic-duplicate group, deterministically the
+    lowest id (the paper keeps a random/centroid-distant one; lowest
+    id is the engine-portable choice).
+
+    Plan: assignment is the broadcast-centroid argmax (corpus never
+    shuffles to be assigned); the pairwise check is a cid-equi
+    self-join, so comparisons happen only WITHIN cells. That is the
+    paper's own cost model: per-cluster quadratic, made tractable by
+    growing k with the corpus (they use k=50k for LAION) so cells stay
+    O(N/k) small. At 100 TB use ``centroid_mode='kmeans'`` with a k
+    sized to the corpus; the cell join then shuffles on a high-
+    cardinality key with bounded groups.
+
+    Returns (id_col, cid, keep) for every input vector — filter
+    ``keep`` to materialize the deduplicated corpus.
+    """
+    centroids = _quantizer_centroids(
+        embeddings, n_centroids, id_col, vec_col, centroid_mode
+    )
+    cells = (
+        _assigned_cells(embeddings, centroids, id_col, vec_col)
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "cid"
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "cid"
+    )
+    dups = (
+        a.join(b, "cid")
+        .where(F.col("id_b") < F.col("id_a"))
+        .where(
+            F.round(
+                cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6
+            ) >= eps
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return cells.join(dups, id_col, "left").select(
+        F.col(id_col),
+        F.col("cid"),
+        F.col("__dup").isNull().alias("keep"),
     )

@@ -558,6 +558,17 @@ def q_e2_embedding_near_dups(spark, sf_dir):
     return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4, n_bits=6)
 
 
+def q_e2_semdedup(spark, sf_dir):
+    """SemDeDup: cluster embeddings on the deterministic 16-centroid
+    quantizer, drop every vector with a lower-id cluster-mate at
+    cosine >= eps. eps=0.4 is gate-scaled (the synthetic corpus's
+    planted duplicates sit near 1.0 but the small-SF slices hold only
+    moderate-cosine neighbors); production eps ~ 0.95."""
+    from decision_tree_stuff_spark.operators.similarity import semdedup
+
+    return semdedup(_emb(spark, sf_dir), n_centroids=16, eps=0.4)
+
+
 def q_e3_cosine_topk(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir), QUERY_IDS, k=5)
 
@@ -1618,6 +1629,30 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
 """,
+    # SemDeDup: same deterministic quantizer as the IVF oracles
+    # (centroids = vec_id < 16, argmax rounded cosine, tie → lowest
+    # cid); a vector is a dup when a LOWER-id cell-mate sits at
+    # cosine >= 0.4
+    "e2_semdedup": f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round({_cos_sql('e.embedding', 'c.cvec')}, 6) DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM cells a JOIN cells b
+    ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
+)
+SELECT c.vec_id, c.cid, d.vec_id IS NULL AS keep
+FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id
+""",
     "e3_cosine_topk": f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -2328,6 +2363,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # (e1b incremental dedup / e7+e7b component dedup)
     "e1c_incremental_minhash": q_e1c_incremental_minhash,
     "e1d_span_dedup": q_e1d_span_dedup,  # r5: C4 span-level dedup
+    "e2_semdedup": q_e2_semdedup,        # r5: SemDeDup semantic dedup
     "e7c_dedup_keep_best": q_e7c_dedup_keep_best,
     "o06b_split_scores_median_gini": q_o06b_split_scores_median_gini,
     "e2_jaccard_capped": q_e2_jaccard_capped,

@@ -164,3 +164,47 @@ def test_quantized_cosine_stays_close(spark, sf_dir):
         .first()[0]
     )
     assert drift < 0.005, drift
+
+
+def test_semdedup_keeps_lowest_id_per_duplicate_group(spark):
+    """Planted corpus: vectors 10/11/12 are (near-)copies of one
+    direction, 13 is orthogonal. SemDeDup must drop 11 and 12 (lower-
+    id mate 10 above eps), keep 10 and 13. Centroids are the first two
+    vectors, one per direction, so the cells are clean."""
+    from decision_tree_stuff_spark.operators.similarity import semdedup
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    near_e1 = [0.99, 0.02, 0.0, 0.0]
+    rows = [
+        (0, e1), (1, e2),                # the quantizer (n_centroids=2)
+        (10, e1), (11, near_e1), (12, e1),
+        (13, e2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: (r["cid"], r["keep"])
+           for r in semdedup(df, n_centroids=2, eps=0.9).collect()}
+    # centroid vectors themselves participate: 0 survives (lowest id
+    # in its group), 10/12 dup against 0, 11 dups against 0 via cosine
+    # 0.9998 >= 0.9
+    assert out[0] == (0, True) and out[1] == (1, True)
+    assert out[10] == (0, False) and out[11] == (0, False)
+    assert out[12] == (0, False)
+    assert out[13] == (1, False)  # duplicate of centroid 1 itself
+
+
+def test_semdedup_high_eps_keeps_moderate_neighbors(spark):
+    """eps above every pairwise cosine keeps the whole corpus — the
+    keep flag must never drop merely-same-cell vectors."""
+    from decision_tree_stuff_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.8, 0.6, 0.0, 0.0]),   # cos 0.8 with centroid 0
+        (3, [0.6, 0.8, 0.0, 0.0]),   # cos 0.8 with centroid 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = semdedup(df, n_centroids=2, eps=0.95)
+    assert out.where("NOT keep").count() == 0
+    assert out.count() == 4
