@@ -153,6 +153,86 @@ def stratified_sample(
     return df.where(hash_key(key_cols, seed) < thr)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_cols: List[str],
+    n: int,
+    key_cols: List[str],
+    seed: str = "cap",
+) -> DataFrame:
+    """Per-group quota (RefinedWeb's per-domain cap): keep at most
+    ``n`` rows per group, chosen deterministically by md5-hash order
+    with key tie-break — not first-seen (``dropDuplicates``-style
+    partition-order arbitrariness) and not ``rand()`` (unstable under
+    task retries). The surviving subset is a pure function of
+    (group, keys, seed), so daily reruns keep the SAME representatives
+    and downstream caches stay valid.
+
+    Plan: one shuffle keyed on the group; the ``row_number <= n``
+    filter is recognized by Catalyst as WindowGroupLimit, so each map
+    task pre-prunes to its local top-n per group BEFORE the exchange —
+    the shuffle carries O(n · groups-per-task), not the raw rows. A
+    pathologically hot group still ranks in a single reduce task;
+    when one group can exceed task memory, pre-bound it with
+    ``deterministic_sample`` and cap exactly afterwards.
+
+    Returns the input columns of the surviving rows.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    _check_reserved(df)
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_key(key_cols, seed).asc(),
+        *[F.col(c).asc() for c in key_cols],
+    )
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= n)
+        .drop("_rank")
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions: Dict[str, float],
+    id_col: str = "doc_id",
+    pair_cols: tuple = ("id_a", "id_b"),
+    seed: str = "seed",
+    split_col: str = "split",
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: assignment is keyed on the
+    document's near-duplicate CLUSTER, not its own id, so two
+    near-duplicate documents can never straddle a split boundary — the
+    classic eval leak a plain per-doc ``hash_split`` cannot prevent
+    (train memorizes a near-copy of a test doc and the benchmark
+    inflates; same failure class decontamination guards against, but
+    arising WITHIN the corpus).
+
+    Composition: ``connected_components`` labels every doc with its
+    cluster's canonical id (``pairs`` from any near-dup family —
+    Jaccard, MinHash-LSH, SimHash, embedding); ``hash_split`` then
+    assigns whole clusters to splits through the cluster id. Both
+    stages keep their own scale story (pointer-doubling propagation;
+    shuffle-free interval assignment).
+
+    Returns (id_col, cluster_id, split_col).
+    """
+    from decision_tree_stuff_spark.operators.clustering import (
+        connected_components,
+    )
+
+    comp = connected_components(
+        docs.select(id_col),
+        pairs,
+        id_col,
+        pair_cols,
+        checkpoint_mode=checkpoint_mode,
+    )
+    return hash_split(comp, fractions, ["cluster_id"], seed, split_col)
+
+
 #: internal working columns of the two-phase global-order plan —
 #: ``withColumn`` silently REPLACES same-named input columns, so a
 #: caller frame already carrying one of these would be corrupted and

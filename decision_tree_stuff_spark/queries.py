@@ -640,6 +640,40 @@ def q_e8_hash_split(spark, sf_dir):
     )
 
 
+def q_e8_cap_per_group(spark, sf_dir):
+    """Per-group quota (the per-domain cap of web-corpus pipelines):
+    keep at most 50 docs per language, selected by deterministic
+    md5-hash order."""
+    from decision_tree_stuff_spark.operators.sampling import cap_per_group
+
+    return cap_per_group(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        group_cols=["lang"],
+        n=50,
+        key_cols=["doc_id"],
+        seed="cap1",
+    )
+
+
+def q_e8b_leakage_safe_split(spark, sf_dir):
+    """Near-dup-cluster-aware split: Jaccard pairs (same family as the
+    e7 gate) → connected components → hash-split BY CLUSTER, so near-
+    duplicates never straddle train/val/test."""
+    from decision_tree_stuff_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("bigint")
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, block_cols=["lang", "len_bucket"], threshold=0.8
+    )
+    return leakage_safe_split(
+        docs, pairs, SPLIT_FRACTIONS, seed="lsafe"
+    )
+
+
 def q_e8_kfold(spark, sf_dir):
     """Deterministic 5-fold CV assignment: md5-prefix integer mod k —
     shuffle-free, retry-stable, engine-portable arithmetic."""
@@ -1857,6 +1891,75 @@ SELECT doc_id,
        ) - 1 AS BIGINT) AS shuffle_pos
 FROM documents
 """,
+    "e8_cap_per_group": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5('cap1|' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC) AS rn
+  FROM documents
+) t WHERE rn <= 50
+""",
+    # leakage-safe split: e7's transitive-closure clusters, split
+    # assigned through the CLUSTER id with the e8_hash_split interval
+    # layout (cumulative thresholds in sorted split-name order)
+    "e8b_leakage_safe_split": (
+        lambda names, edges: f"""
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id, lang, len_bucket, tok AS token FROM (
+    SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+           unnest({TOKS_SQL}) AS tok
+    FROM documents
+  ) u WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+pc AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM toks a JOIN toks b
+    ON a.token = b.token AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT id_a, id_b
+  FROM pc
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM jp
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       CASE
+         WHEN md5('lsafe|' || CAST(cluster_id AS VARCHAR)) < '{edges[0]}'
+           THEN '{names[0]}'
+         WHEN md5('lsafe|' || CAST(cluster_id AS VARCHAR)) < '{edges[1]}'
+           THEN '{names[1]}'
+         ELSE '{names[2]}'
+       END AS split
+FROM comp
+"""
+    )(
+        sorted(SPLIT_FRACTIONS),
+        [
+            rate_threshold(sorted(SPLIT_FRACTIONS.items())[0][1]),
+            rate_threshold(
+                sorted(SPLIT_FRACTIONS.items())[0][1]
+                + sorted(SPLIT_FRACTIONS.items())[1][1]
+            ),
+        ],
+    ),
     "e8_pack_sequences": f"""
 WITH d AS (
   SELECT doc_id, CAST(len({TOKS_SQL}) AS INT) AS n_tokens,
@@ -2364,6 +2467,8 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e1c_incremental_minhash": q_e1c_incremental_minhash,
     "e1d_span_dedup": q_e1d_span_dedup,  # r5: C4 span-level dedup
     "e2_semdedup": q_e2_semdedup,        # r5: SemDeDup semantic dedup
+    "e8_cap_per_group": q_e8_cap_per_group,  # r5: per-group quota
+    "e8b_leakage_safe_split": q_e8b_leakage_safe_split,  # r5: E-8 × E-7
     "e7c_dedup_keep_best": q_e7c_dedup_keep_best,
     "o06b_split_scores_median_gini": q_o06b_split_scores_median_gini,
     "e2_jaccard_capped": q_e2_jaccard_capped,

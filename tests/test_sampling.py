@@ -314,3 +314,58 @@ def test_sample_to_budget_refuses_reserved_columns(spark):
     df = _weighted_docs(spark).withColumn("_cum", F.lit(1))
     with pytest.raises(ValueError, match="_cum"):
         sample_to_budget(df, "lang", {"en": 10}, ["doc_id"])
+
+
+def test_cap_per_group_quota_and_determinism(spark):
+    """At most n survivors per group; the surviving set is a pure
+    function of (group, keys, seed) — two independent plans agree —
+    and a different seed picks a different (valid) subset."""
+    from decision_tree_stuff_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string")
+    a = cap_per_group(df, ["grp"], 20, ["doc_id"], seed="s1")
+    counts = {r["grp"]: r["n"] for r in
+              a.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 20, "g1": 20, "g2": 20}
+    b = cap_per_group(df, ["grp"], 20, ["doc_id"], seed="s1")
+    assert sorted(r["doc_id"] for r in a.collect()) == \
+           sorted(r["doc_id"] for r in b.collect())
+    c = cap_per_group(df, ["grp"], 20, ["doc_id"], seed="s2")
+    assert sorted(r["doc_id"] for r in c.collect()) != \
+           sorted(r["doc_id"] for r in a.collect())
+
+
+def test_cap_per_group_small_groups_untouched(spark):
+    from decision_tree_stuff_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id bigint, grp string"
+    )
+    assert cap_per_group(df, ["grp"], 10, ["doc_id"]).count() == 3
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every member of a near-dup cluster lands in the SAME split —
+    including multi-hop clusters — and the assignment covers all docs
+    disjointly."""
+    from decision_tree_stuff_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id bigint"
+    )
+    # chain 0-1-2 (transitive), pair 10-11, rest isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="t"
+    )
+    rows = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    assert len(rows) == 40
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[10] == rows[11]
+    assert rows[0][0] == 0 and rows[10][0] == 10
+    assert set(s for _, s in rows.values()) <= {"train", "val", "test"}
