@@ -186,3 +186,44 @@ def lang_id(text: Column) -> Column:
     for lang in LANGS:
         result = result.when(scores[lang] == m, F.lit(lang))
     return result
+
+
+# PII patterns in the regex subset Java (Spark) and RE2 (DuckDB)
+# share — no lookarounds, no backreferences; \b and bounded repeats
+# work identically in both. Order matters: IPv4 before any future
+# phone-like pattern so digit runs are claimed by the more specific
+# rule first. (name, pattern, replacement) triples; extend by passing
+# a custom tuple to scrub_pii/pii_counts.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+)
+
+
+def scrub_pii(text: Column, patterns=PII_PATTERNS) -> Column:
+    """Redact PII spans with typed placeholder tokens — the standard
+    pre-release scrubbing stage (BigScience/ROOTS ran exactly this
+    shape of regex pipeline at corpus scale). Sequential
+    ``regexp_replace`` chain: one narrow projection, no shuffle, no
+    UDF.
+
+    DuckDB twin: the same chain with ``regexp_replace(..., 'g')``
+    (DuckDB replaces only the first match without the flag; Spark
+    always replaces all).
+    """
+    out = text
+    for _, pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column, patterns=PII_PATTERNS):
+    """Dict of per-category match-count Columns (bigint).
+
+    DuckDB twin: ``len(regexp_extract_all(text, pattern))`` — group 0
+    is DuckDB's default; Spark passes idx=0 explicitly."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("bigint")
+        for name, pat, _ in patterns
+    }

@@ -393,3 +393,34 @@ def chunk_documents(
         F.size("_piece").alias("n_tokens"),
         F.concat_ws(" ", "_piece").alias("chunk_text"),
     )
+
+
+def scrub_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns=None,
+) -> DataFrame:
+    """PII scrubbing pass: replace email/IPv4/SSN-shaped spans with
+    typed placeholders and count what was found per category — the
+    pre-release redaction stage of a published-corpus pipeline.
+
+    One narrow projection (regexp chain + per-pattern counts), no
+    shuffle, no UDF — at 100 TB this costs exactly one scan, and the
+    counts aggregate map-side into a release-audit summary.
+
+    Returns (id_col, text_col scrubbed, n_<name> per pattern).
+    """
+    from decision_tree_stuff_spark.functions.text import (
+        PII_PATTERNS,
+        pii_counts,
+        scrub_pii,
+    )
+
+    pats = PII_PATTERNS if patterns is None else patterns
+    counts = pii_counts(F.col(text_col), pats)
+    return docs.select(
+        F.col(id_col),
+        scrub_pii(F.col(text_col), pats).alias(text_col),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )

@@ -157,3 +157,52 @@ def test_chunk_documents_stream_equals_batch(spark, tmp_path):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_scrub_documents_planted_pii_matches_duckdb(spark):
+    """Cross-engine differential on planted PII: Spark's regexp chain
+    and the DuckDB twin ('g' flag; len(regexp_extract_all)) must agree
+    byte-for-byte on scrubbed text and per-category counts — this is
+    the engine-portability proof for the shared regex subset."""
+    import duckdb
+
+    from decision_tree_stuff_spark.operators.textstats import (
+        scrub_documents,
+    )
+    from decision_tree_stuff_spark.functions.text import PII_PATTERNS
+
+    rows = [
+        (0, "contact me at alice.smith+x@example.co.uk or bob@test.io"),
+        (1, "server 10.0.0.1 and 192.168.255.254 rebooted"),
+        (2, "ssn 123-45-6789 leaked; call 123-456-7890"),  # phone != ssn
+        (3, "no pii here, just 1.2 floats and a@b (not an email)"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_email"], r["n_ipv4"], r["n_ssn"])
+        for r in scrub_documents(df).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    scrub = "text"
+    for _, pat, repl in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"SELECT doc_id, {scrub}, {counts} FROM t"
+        ).fetchall()
+    }
+    assert got == want
+    # and the redactions themselves are what we expect
+    assert got[0][0] == "contact me at <EMAIL> or <EMAIL>"
+    assert got[1][0] == "server <IP> and <IP> rebooted"
+    assert got[2] == ("ssn <ID> leaked; call 123-456-7890", 0, 0, 1)
+    assert got[3] == (rows[3][1], 0, 0, 0)
