@@ -164,3 +164,72 @@ def test_span_dedup_rejects_reserved_columns(spark):
         assert False, "expected ValueError for reserved column"
     except ValueError as e:
         assert "__k" in str(e)
+
+
+def py_span_dedup(docs, n, min_docs):
+    """Brute-force reference: same chunking (split on single spaces,
+    keeping empties), same distinct-doc frequency rule."""
+    from collections import defaultdict
+
+    spans_by_doc = {}
+    for i, text in docs:
+        if text.strip() == "":
+            spans_by_doc[i] = []
+            continue
+        toks = text.split(" ")
+        spans_by_doc[i] = [
+            " ".join(toks[j * n:(j + 1) * n])
+            for j in range((len(toks) + n - 1) // n)
+        ]
+    docs_per_span = defaultdict(set)
+    for i, spans in spans_by_doc.items():
+        for s in spans:
+            docs_per_span[s].add(i)
+    freq = {s for s, ds in docs_per_span.items() if len(ds) >= min_docs}
+    return {
+        i: (" ".join(s for s in spans if s not in freq),
+            len(spans), sum(1 for s in spans if s not in freq))
+        for i, spans in spans_by_doc.items()
+    }
+
+
+@st.composite
+def span_corpora(draw):
+    n_docs = draw(st.integers(2, 8))
+    docs = []
+    for i in range(n_docs):
+        kind = draw(st.integers(0, 10))
+        if kind == 0:
+            text = draw(st.sampled_from(["", "   ", " ", "spark  join"]))
+        else:
+            k = draw(st.integers(1, 9))
+            text = " ".join(
+                draw(st.sampled_from(WORDS[:4])) for _ in range(k)
+            )
+        docs.append((i, text))
+    return docs
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=span_corpora(),
+    n=st.sampled_from([1, 2, 3]),
+    min_docs=st.sampled_from([2, 3]),
+)
+def test_span_dedup_matches_brute_force(spark, docs, n, min_docs):
+    """The DataFrame program must equal brute-force Python over random
+    corpora — tiny vocab + tiny n force heavy cross-doc span
+    collisions, and the edge texts cover empty/whitespace/double-space
+    chunking."""
+    from decision_tree_stuff_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_chunks"], r["n_kept"])
+        for r in span_dedup(df, n=n, min_docs=min_docs).collect()
+    }
+    assert got == py_span_dedup(docs, n, min_docs)
