@@ -113,3 +113,41 @@ def test_fit_jobs_are_bounded(spark, sf_dir):
     assert after - before <= 3 * actions, (
         f"{after - before} jobs for {n_internal} internal nodes"
     )
+
+
+def test_span_dedup_plan_shape(spark, sf_dir):
+    """Span dedup: no cartesian product, the frequent-span side
+    broadcasts (AQE or static), and the reconstruct join's base scan
+    prunes to the id column (the original text never travels)."""
+    from decision_tree_stuff_spark.operators.dedup import span_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(span_dedup(docs, n=10, min_docs=2))
+    assert "CartesianProduct" not in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, (
+        "base side of the rebuild join must prune to the id column"
+    )
+
+
+def test_cap_per_group_window_group_limit(spark, sf_dir):
+    """The row_number<=n filter must be planned as WindowGroupLimit so
+    map tasks pre-prune each group before the exchange."""
+    from decision_tree_stuff_spark.operators.sampling import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    plan = _plan(cap_per_group(docs, ["lang"], 50, ["doc_id"]))
+    assert "WindowGroupLimit" in plan
+
+
+def test_semdedup_assignment_broadcasts_centroids(spark, sf_dir):
+    """SemDeDup cell assignment must broadcast the centroid table —
+    the corpus never shuffles to be assigned. (The later cid-equi
+    self-join may shuffle; that one is bounded per cell.)"""
+    from decision_tree_stuff_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(semdedup(emb, n_centroids=16, eps=0.4))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
