@@ -208,3 +208,24 @@ def test_semdedup_high_eps_keeps_moderate_neighbors(spark):
     out = semdedup(df, n_centroids=2, eps=0.95)
     assert out.where("NOT keep").count() == 0
     assert out.count() == 4
+
+
+def test_semdedup_kmeans_mode_same_contract(spark, sf_dir):
+    """centroid_mode='kmeans' (the production quantizer) must keep the
+    output contract — every vector labeled exactly once, keep flags
+    boolean, and a vector never dups against a HIGHER id (lowest id
+    always survives its group)."""
+    from decision_tree_stuff_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semdedup(emb, n_centroids=8, eps=0.4, centroid_mode="kmeans")
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    # the minimum id within every cell must be kept
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cid"], []).append(r)
+    for members in by_cell.values():
+        lowest = min(members, key=lambda r: r["vec_id"])
+        assert lowest["keep"], "lowest id in a cell can never be a dup"

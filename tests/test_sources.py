@@ -401,3 +401,55 @@ def test_stream_ingest_dedup_composition(spark, docs, tmp_path):
     finally:
         q.stop()
         fp.unpersist()
+
+
+def test_stream_pii_scrub_equals_batch(spark, docs, sf_dir, tmp_path):
+    """scrub_documents is one stateless regexp projection, so the PII
+    redaction pass runs unchanged on a streaming source (append mode,
+    no state) — the shape of an ingest-time scrubbing gate. Planted
+    PII rides along as an extra file so redactions actually fire."""
+    import shutil
+
+    from decision_tree_stuff_spark.operators.textstats import (
+        scrub_documents,
+    )
+    from decision_tree_stuff_spark.streaming import run_stream_to_memory
+
+    d = tmp_path / "scrub_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "documents.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [10_000_001, 10_000_002],
+                "text": ["mail bob@example.com from 10.0.0.1",
+                         "ssn 123-45-6789"],
+                "lang": ["en", "en"],
+                "source": ["web", "web"],
+                "n_chars": [34, 15],
+            }
+        ),
+        str(d / "planted.parquet"),
+    )
+
+    stream = scrub_documents(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = run_stream_to_memory(stream, "pii_scrub_stream", mode="append")
+    try:
+        def rows(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        got = rows(spark.table("pii_scrub_stream"))
+        want = rows(scrub_documents(spark.read.parquet(str(d))))
+        assert got == want and len(got) > 0
+        by_id = {r[0]: r for r in got}
+        assert by_id[10_000_001][1] == "mail <EMAIL> from <IP>"
+        assert by_id[10_000_002][1:] == ("ssn <ID>", 0, 0, 1)
+    finally:
+        q.stop()
