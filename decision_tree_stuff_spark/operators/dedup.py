@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from decision_tree_stuff_spark.functions.text import tokens
 
@@ -839,13 +839,22 @@ def span_dedup(
     n: int = 10,
     min_docs: int = 2,
     key: str = "text",
+    keep: str = "none",
 ) -> DataFrame:
-    """E-1d: sub-document (span-level) dedup, the C4 recipe — drop
-    every consecutive ``n``-token chunk whose exact text occurs in at
-    least ``min_docs`` DISTINCT documents, then reconstruct each
-    document from its surviving chunks in order (C4 removed repeated
-    three-sentence spans the same way; boilerplate headers/footers and
-    licence blocks are the target).
+    """E-1d: sub-document (span-level) dedup — drop consecutive
+    ``n``-token chunks whose exact text occurs in at least
+    ``min_docs`` DISTINCT documents, then reconstruct each document
+    from its surviving chunks in order. Boilerplate headers/footers
+    and licence blocks are the target.
+
+    ``keep='none'`` (default) removes EVERY occurrence of a frequent
+    span — the RefinedWeb/Falcon frequent-line-removal semantics
+    (boilerplate is noise wherever it appears). ``keep='first'``
+    retains the single occurrence with the lowest (doc, position) —
+    C4's "discard all but one of any repeated span" semantics. The
+    'first' ranking partitions by span key, so a span present in k
+    docs ranks k rows in one task — bounded by docs-per-span, the
+    same bound the frequency count already carries.
 
     Plan (three shuffles, all key-even):
 
@@ -877,6 +886,8 @@ def span_dedup(
     """
     if key not in ("text", "xxhash64"):
         raise ValueError(f"key must be 'text' or 'xxhash64', got {key!r}")
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     for c in ("__toks", "__k", "__dup"):
         if c in docs.columns:
             raise ValueError(
@@ -914,6 +925,18 @@ def span_dedup(
         .select("__k", F.lit(True).alias("__dup"))
     )
     flagged = spans.join(freq, "__k", "left")
+    if keep == "first":
+        w_occ = Window.partitionBy("__k").orderBy(
+            F.col(id_col).asc(), F.col("chunk_pos").asc()
+        )
+        flagged = flagged.withColumn(
+            "__dup",
+            F.when(
+                F.col("__dup").isNotNull()
+                & (F.row_number().over(w_occ) > 1),
+                F.lit(True),
+            ),
+        )
     kept_struct = F.when(
         F.col("__dup").isNull(), F.struct("chunk_pos", "span")
     )

@@ -233,3 +233,31 @@ def test_span_dedup_matches_brute_force(spark, docs, n, min_docs):
         for r in span_dedup(df, n=n, min_docs=min_docs).collect()
     }
     assert got == py_span_dedup(docs, n, min_docs)
+
+
+def test_span_dedup_keep_first_retains_one_occurrence(spark):
+    """keep='first' (C4's discard-all-but-one): the lowest (doc, pos)
+    occurrence of a frequent span survives, every other copy —
+    including within-doc repeats — is dropped; infrequent spans are
+    untouched."""
+    from decision_tree_stuff_spark.operators.dedup import span_dedup
+
+    rows = [
+        (0, "a b c x y z"),        # first occurrence of 'a b c'
+        (1, "a b c p q r"),
+        (2, "a b c a b c"),        # two more occurrences
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_chunks"], r["n_kept"])
+        for r in span_dedup(df, n=3, min_docs=2, keep="first").collect()
+    }
+    assert out[0] == ("a b c x y z", 2, 2)   # keeper + unique tail
+    assert out[1] == ("p q r", 2, 1)
+    assert out[2] == ("", 2, 0)
+    # default mode drops the doc-0 occurrence too
+    none = {
+        r["doc_id"]: r["text"]
+        for r in span_dedup(df, n=3, min_docs=2, keep="none").collect()
+    }
+    assert none[0] == "x y z"
