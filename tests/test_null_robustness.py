@@ -86,3 +86,42 @@ def test_pair_ops_on_empty_frame(spark):
     empty = spark.createDataFrame([], "doc_id bigint, text string")
     assert minhash_lsh_pairs(empty, threshold=0.5).count() == 0
     assert ngram_jaccard_pairs(empty, threshold=0.5).count() == 0
+
+
+def test_span_dedup_null_and_empty_text(dirty):
+    """Null/empty/whitespace text produce zero chunks and come back
+    with text='' (defined, matches the DuckDB twin); no row is ever
+    dropped. Exact-duplicate docs span-dedup each other completely
+    under the default drop-every-occurrence mode."""
+    from decision_tree_stuff_spark.operators.dedup import span_dedup
+
+    out = {r.doc_id: r for r in span_dedup(dirty, n=3, min_docs=2).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    for i in (1, 2, 3):
+        assert (out[i].text, out[i].n_chunks, out[i].n_kept) == ("", 0, 0)
+    # docs 0 and 4 are exact copies: every chunk is frequent
+    for i in (0, 4):
+        assert out[i].text == "" and out[i].n_kept == 0
+
+
+def test_scrub_documents_null_propagates(dirty):
+    from decision_tree_stuff_spark.operators.textstats import (
+        scrub_documents,
+    )
+
+    out = {r.doc_id: r for r in scrub_documents(dirty).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[1].text is None and out[1].n_email is None
+    assert out[2].text == "" and out[2].n_email == 0
+
+
+def test_cap_and_semdedup_on_empty_frames(spark):
+    from decision_tree_stuff_spark.operators.sampling import cap_per_group
+    from decision_tree_stuff_spark.operators.similarity import semdedup
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, grp string")
+    assert cap_per_group(empty_docs, ["grp"], 5, ["doc_id"]).count() == 0
+    empty_emb = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    assert semdedup(empty_emb).count() == 0
