@@ -3,6 +3,7 @@ queries exercise but whose knobs they don't."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from decision_tree_stuff_spark.operators.dedup import exact_dedup
@@ -80,3 +81,31 @@ def test_repetition_stats_handcrafted(spark):
     assert got[2]["dup_bigram_frac"] == 0.0
     assert got[3]["dup_token_frac"] == 1.0
     assert got[3]["dup_bigram_frac"] == round(2 / 3, 6)
+
+
+def test_span_dedup_invalid_params_rejected(spark):
+    from decision_tree_stuff_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="key must be"):
+        span_dedup(df, key="md5")
+    with pytest.raises(ValueError, match="keep must be"):
+        span_dedup(df, keep="last")
+
+
+def test_cap_per_group_invalid_n_rejected(spark):
+    from decision_tree_stuff_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame([(0, "g")], "doc_id bigint, grp string")
+    with pytest.raises(ValueError, match="n must be"):
+        cap_per_group(df, ["grp"], 0, ["doc_id"])
+
+
+def test_semdedup_unknown_centroid_mode_rejected(spark):
+    from decision_tree_stuff_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(AssertionError, match="centroid_mode"):
+        semdedup(df, centroid_mode="random")
