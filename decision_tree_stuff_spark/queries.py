@@ -96,6 +96,16 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
 
+def _l2_sql(a: str, b: str) -> str:
+    """Squared L2 in explicit double math — matches the zip_with
+    (x-y)*(x-y) aggregate in operators.similarity._sub_l2."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> (CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))"
+        f"*(CAST(x[1] AS DOUBLE)-CAST(x[2] AS DOUBLE))))"
+    )
+
+
 def _bucket_sql(col: str, n_bits: int) -> str:
     """Sign-bit bucket (1-based DuckDB list index ↔ getItem(i))."""
     return "(" + " + ".join(
@@ -567,6 +577,16 @@ def q_e2_semdedup(spark, sf_dir):
     from decision_tree_stuff_spark.operators.similarity import semdedup
 
     return semdedup(_emb(spark, sf_dir), n_centroids=16, eps=0.4)
+
+
+def q_e3_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (m=8 subspaces, 16 codewords
+    from the vec_id<16 slices — the deterministic 'first' codebook the
+    twin reproduces); scoring is a literal-LUT projection over the
+    codes, no corpus shuffle."""
+    from decision_tree_stuff_spark.operators.similarity import pq_topk
+
+    return pq_topk(_emb(spark, sf_dir), QUERY_IDS, k=5, m=8, n_codewords=16)
 
 
 def q_e3_cosine_topk(spark, sf_dir):
@@ -1763,6 +1783,45 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM s
 ) t WHERE rank <= 5
 """,
+    # PQ-ADC: codebook j = the 8-dim slices of vec_id<16; encode =
+    # argmin rounded subspace L2 (tie lowest code); approx dist = sum
+    # of the query's rounded subspace distances at the vector's codes
+    "e3_pq_topk": f"""
+WITH sub AS (
+  SELECT vec_id, i AS j, embedding[(i*8+1):(i*8+8)] AS svec
+  FROM (SELECT vec_id, embedding, unnest(range(0, 8)) AS i
+        FROM embeddings)
+),
+cw AS (
+  SELECT vec_id AS cid, j, svec AS cvec FROM sub WHERE vec_id < 16
+),
+enc AS (
+  SELECT s.vec_id, s.j, c.cid,
+         row_number() OVER (PARTITION BY s.vec_id, s.j
+           ORDER BY round({_l2_sql('s.svec', 'c.cvec')}, 6) ASC,
+                    c.cid ASC) AS rn
+  FROM sub s JOIN cw c ON s.j = c.j
+),
+codes AS (SELECT vec_id, j, cid AS code FROM enc WHERE rn = 1),
+lut AS (
+  SELECT s.vec_id AS query_id, s.j, c.cid,
+         round({_l2_sql('s.svec', 'c.cvec')}, 6) AS d
+  FROM sub s JOIN cw c ON s.j = c.j
+  WHERE s.vec_id IN ({', '.join(str(i) for i in QUERY_IDS)})
+),
+sc AS (
+  SELECT l.query_id, co.vec_id AS neighbor_id,
+         round(sum(l.d), 6) AS approx_dist
+  FROM codes co JOIN lut l ON l.j = co.j AND l.cid = co.code
+  WHERE co.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY approx_dist ASC, neighbor_id ASC) AS INT) AS rank
+  FROM sc
+) t WHERE rank <= 5
+""",
     "e3_ivf_topk": f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
@@ -2467,6 +2526,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e1c_incremental_minhash": q_e1c_incremental_minhash,
     "e1d_span_dedup": q_e1d_span_dedup,  # r5: C4 span-level dedup
     "e2_semdedup": q_e2_semdedup,        # r5: SemDeDup semantic dedup
+    "e3_pq_topk": q_e3_pq_topk,          # r5: product-quantization ADC
     "e8_cap_per_group": q_e8_cap_per_group,  # r5: per-group quota
     "e8b_leakage_safe_split": q_e8b_leakage_safe_split,  # r5: E-8 × E-7
     "e7c_dedup_keep_best": q_e7c_dedup_keep_best,

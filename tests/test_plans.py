@@ -151,3 +151,22 @@ def test_semdedup_assignment_broadcasts_centroids(spark, sf_dir):
     plan = _plan(semdedup(emb, n_centroids=16, eps=0.4))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_encode_is_shuffle_free_projection(spark, sf_dir):
+    """pq_codes must be ONE narrow projection — the codebook rides as
+    literals, no exchange, no join; and pq_topk's only exchange is the
+    final per-query top-k (WindowGroupLimit-pruned)."""
+    from decision_tree_stuff_spark.operators.similarity import (
+        pq_codebook,
+        pq_codes,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    enc_plan = _plan(pq_codes(emb, pq_codebook(emb, 8, 16)))
+    assert "Exchange" not in enc_plan and "Join" not in enc_plan
+    topk_plan = _plan(pq_topk(emb, list(range(10)), k=5))
+    assert "CartesianProduct" not in topk_plan
+    assert "WindowGroupLimit" in topk_plan
+    assert topk_plan.count("Exchange") <= 2  # the top-k window only

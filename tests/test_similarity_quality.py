@@ -229,3 +229,76 @@ def test_semdedup_kmeans_mode_same_contract(spark, sf_dir):
     for members in by_cell.values():
         lowest = min(members, key=lambda r: r["vec_id"])
         assert lowest["keep"], "lowest id in a cell can never be a dup"
+
+
+def test_pq_codes_planted_argmin(spark):
+    """Hand-built 4-dim corpus, m=2 subspaces, 2 codewords (the first
+    two vectors): encoding must pick the argmin codeword per subspace
+    with ties to the lowest code."""
+    from decision_tree_stuff_spark.operators.similarity import (
+        pq_codebook,
+        pq_codes,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # codeword 0: subs [1,0] / [0,0]
+        (1, [0.0, 1.0, 0.0, 1.0]),   # codeword 1: subs [0,1] / [0,1]
+        (2, [0.9, 0.1, 0.0, 0.0]),   # -> [0, 0]
+        (3, [0.0, 1.0, 0.0, 0.9]),   # -> [1, 1]
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb = pq_codebook(df, m=2, n_codewords=2)
+    assert cb == [
+        [[1.0, 0.0], [0.0, 1.0]],
+        [[0.0, 0.0], [0.0, 1.0]],
+    ]
+    got = {r["vec_id"]: r["codes"] for r in pq_codes(df, cb).collect()}
+    assert got == {0: [0, 0], 1: [1, 1], 2: [0, 0], 3: [1, 1]}
+
+
+def test_pq_adc_distance_hand_check(spark):
+    """ADC distance = sum of the query's rounded subspace distances at
+    the neighbor's codes — verified against a by-hand computation."""
+    from decision_tree_stuff_spark.operators.similarity import pq_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 1.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),   # codes [0, 0]
+        (3, [0.0, 1.0, 0.0, 0.9]),   # codes [1, 1]
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        (r["query_id"], r["neighbor_id"]): r["approx_dist"]
+        for r in pq_topk(df, [0], k=3, m=2, n_codewords=2).collect()
+    }
+    # query 0 = codeword pair exactly: lut dists are 0 to cw0 subs,
+    # 2.0 to cw1 sub1 ([1,0] vs [0,1]) and 1.0 to cw1 sub2
+    assert out[(0, 2)] == 0.0            # same codes as the query
+    assert out[(0, 1)] == out[(0, 3)] == 3.0
+    assert len(out) == 3
+
+
+def test_pq_candidates_cover_exact_neighbors(spark, sf_dir):
+    """Recall floor on the corpus (unit-norm vectors: L2 rank = cosine
+    rank): the top-20 ADC candidate set must cover a meaningful share
+    of the exact top-5 under BOTH codebook modes. Isotropic random
+    vectors are ANN's published worst case, hence the modest floor."""
+    from decision_tree_stuff_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(10))
+    exact = {}
+    for r in cosine_topk(emb, qids, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for mode in ("first", "kmeans"):
+        got = {}
+        for r in pq_topk(emb, qids, k=20, m=8, mode=mode).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recall = sum(len(exact[q] & got[q]) for q in exact) / sum(
+            len(exact[q]) for q in exact
+        )
+        assert recall >= 0.3, (mode, recall)
