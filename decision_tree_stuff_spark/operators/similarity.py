@@ -715,3 +715,122 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rank")
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mode: str = "first",
+    codebook_mode: str = "first",
+) -> DataFrame:
+    """IVF-PQ: the FAISS production composition — coarse-quantize the
+    corpus into IVF cells, PQ-encode every vector, and ADC-score each
+    query only against the codes in its ``nprobe`` nearest cells.
+
+    Plan: cell assignment is the broadcast-centroid argmax (shared
+    with ``ivf_topk``/``semdedup``); encoding is the zero-shuffle
+    literal-codebook projection (``pq_codes``); which cells each query
+    probes is decided driver-side from the same collected query
+    vectors the LUT needs anyway, so scoring stays ONE projection —
+    per-query literal LUT + an ``array_contains`` probe-cell filter —
+    followed by the WindowGroupLimit top-k. Candidate volume drops
+    ~(n_centroids/nprobe)-fold exactly as in ``ivf_topk``, and the
+    scored payload is m CODES per candidate, not the float vector:
+    both FAISS levers, composed relationally.
+    """
+    centroids = _quantizer_centroids(
+        embeddings, n_centroids, id_col, vec_col, centroid_mode
+    )
+    cells = (
+        _assigned_cells(embeddings, centroids, id_col, vec_col)
+        .where(F.col("rn") == 1)
+        .select(id_col, "cid")
+    )
+    codebook = pq_codebook(
+        embeddings, m, n_codewords, id_col, vec_col, codebook_mode
+    )
+    d = len(codebook[0][0])
+    coded = pq_codes(embeddings, codebook, id_col, vec_col).join(
+        cells, id_col
+    )
+
+    cent_rows = sorted((r["cid"], r["cvec"]) for r in centroids.collect())
+    qrows = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(num / (na * nb), 6)
+
+    per_query = []
+    for qid, qvec in sorted((r[0], r[1]) for r in qrows):
+        probes = [
+            cid
+            for cid, _ in sorted(
+                ((cid, _cos(qvec, cvec)) for cid, cvec in cent_rows),
+                key=lambda t: (-t[1], t[0]),
+            )[:nprobe]
+        ]
+        lut = [
+            round(
+                sum(
+                    (qvec[j * d + i] - codebook[j][c][i]) ** 2
+                    for i in range(d)
+                ),
+                6,
+            )
+            for j in range(m)
+            for c in range(n_codewords)
+        ]
+        lut_lit = F.array(*[F.lit(v) for v in lut])
+        dist = F.round(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    lut_lit,
+                    j * n_codewords
+                    + F.element_at(F.col("codes"), j + 1)
+                    + 1,
+                ),
+            ),
+            6,
+        )
+        per_query.append(
+            F.struct(
+                F.lit(qid).cast("bigint").alias("query_id"),
+                dist.alias("approx_dist"),
+                F.array(*[F.lit(c) for c in probes]).alias("probes"),
+            )
+        )
+    scored = (
+        coded.select(
+            F.col(id_col).alias("neighbor_id"),
+            "cid",
+            F.explode(F.array(*per_query)).alias("q"),
+        )
+        .where(F.array_contains(F.col("q.probes"), F.col("cid")))
+        .select("q.query_id", "neighbor_id", "q.approx_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )

@@ -589,6 +589,17 @@ def q_e3_pq_topk(spark, sf_dir):
     return pq_topk(_emb(spark, sf_dir), QUERY_IDS, k=5, m=8, n_codewords=16)
 
 
+def q_e3_ivf_pq_topk(spark, sf_dir):
+    """FAISS's IVF-PQ composition: probe the 2 nearest IVF cells, ADC-
+    score only their codes (both quantizers in the deterministic
+    'first' mode the twin reproduces)."""
+    from decision_tree_stuff_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _emb(spark, sf_dir), QUERY_IDS, k=5, n_centroids=16, nprobe=2
+    )
+
+
 def q_e3_cosine_topk(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir), QUERY_IDS, k=5)
 
@@ -1783,6 +1794,63 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM s
 ) t WHERE rank <= 5
 """,
+    # IVF-PQ: the e3_ivf cell assignment (rounded-cosine argmax,
+    # vec_id<16 centroids) restricts which codes each query scores;
+    # scoring is the e3_pq ADC (codes + rounded subspace-L2 LUT)
+    "e3_ivf_pq_topk": f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round({_cos_sql('e.embedding', 'c.cvec')}, 6) DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, cid FROM asg
+  WHERE rn <= 2 AND vec_id IN ({', '.join(str(i) for i in QUERY_IDS)})
+),
+sub AS (
+  SELECT vec_id, i AS j, embedding[(i*8+1):(i*8+8)] AS svec
+  FROM (SELECT vec_id, embedding, unnest(range(0, 8)) AS i
+        FROM embeddings)
+),
+cw AS (
+  SELECT vec_id AS ccode, j, svec AS cvec FROM sub WHERE vec_id < 16
+),
+enc AS (
+  SELECT s.vec_id, s.j, c.ccode,
+         row_number() OVER (PARTITION BY s.vec_id, s.j
+           ORDER BY round({_l2_sql('s.svec', 'c.cvec')}, 6) ASC,
+                    c.ccode ASC) AS rn
+  FROM sub s JOIN cw c ON s.j = c.j
+),
+codes AS (SELECT vec_id, j, ccode AS code FROM enc WHERE rn = 1),
+lut AS (
+  SELECT s.vec_id AS query_id, s.j, c.ccode,
+         round({_l2_sql('s.svec', 'c.cvec')}, 6) AS d
+  FROM sub s JOIN cw c ON s.j = c.j
+  WHERE s.vec_id IN ({', '.join(str(i) for i in QUERY_IDS)})
+),
+sc AS (
+  SELECT l.query_id, co.vec_id AS neighbor_id,
+         round(sum(l.d), 6) AS approx_dist
+  FROM codes co
+  JOIN cells ce ON ce.vec_id = co.vec_id
+  JOIN qprobe qp ON qp.cid = ce.cid
+  JOIN lut l ON l.query_id = qp.query_id
+            AND l.j = co.j AND l.ccode = co.code
+  WHERE co.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY approx_dist ASC, neighbor_id ASC) AS INT) AS rank
+  FROM sc
+) t WHERE rank <= 5
+""",
     # PQ-ADC: codebook j = the 8-dim slices of vec_id<16; encode =
     # argmin rounded subspace L2 (tie lowest code); approx dist = sum
     # of the query's rounded subspace distances at the vector's codes
@@ -2527,6 +2595,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e1d_span_dedup": q_e1d_span_dedup,  # r5: C4 span-level dedup
     "e2_semdedup": q_e2_semdedup,        # r5: SemDeDup semantic dedup
     "e3_pq_topk": q_e3_pq_topk,          # r5: product-quantization ADC
+    "e3_ivf_pq_topk": q_e3_ivf_pq_topk,  # r5: FAISS IVF-PQ composition
     "e8_cap_per_group": q_e8_cap_per_group,  # r5: per-group quota
     "e8b_leakage_safe_split": q_e8b_leakage_safe_split,  # r5: E-8 × E-7
     "e7c_dedup_keep_best": q_e7c_dedup_keep_best,

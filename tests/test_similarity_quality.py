@@ -302,3 +302,41 @@ def test_pq_candidates_cover_exact_neighbors(spark, sf_dir):
             len(exact[q]) for q in exact
         )
         assert recall >= 0.3, (mode, recall)
+
+
+def test_ivf_pq_full_probe_equals_plain_pq(spark, sf_dir):
+    """Probing every cell must reduce IVF-PQ to plain PQ ADC exactly —
+    the composition adds cell restriction and nothing else."""
+    from decision_tree_stuff_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(10))
+    a = sorted(map(tuple, ivf_pq_topk(emb, qids, k=5, nprobe=16).collect()))
+    b = sorted(map(tuple, pq_topk(emb, qids, k=5).collect()))
+    assert a == b
+
+
+def test_ivf_pq_cell_restriction_floors_recall(spark, sf_dir):
+    """nprobe=2 IVF-PQ candidates must cover at least as much of the
+    exact top-5 as this corpus's measured floor — the cell restriction
+    filters quantization noise rather than losing neighbors."""
+    from decision_tree_stuff_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(10))
+    exact = {}
+    for r in cosine_topk(emb, qids, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in ivf_pq_topk(emb, qids, k=20, nprobe=2).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(exact[q] & got.get(q, set())) for q in exact) / sum(
+        len(exact[q]) for q in exact
+    )
+    assert recall >= 0.5, recall
