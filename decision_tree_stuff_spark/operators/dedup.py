@@ -959,3 +959,37 @@ def span_dedup(
         F.coalesce(F.col("n_chunks"), F.lit(0)).cast("bigint").alias("n_chunks"),
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot delta between two corpus versions: every id labeled
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` by comparing
+    normalized-text fingerprints — the audit step between yesterday's
+    and today's crawl that decides what downstream stages re-run.
+
+    Plan: both sides reduce to (id, fingerprint) projections before a
+    single full outer join on the id — the 100 TB corpus crosses the
+    shuffle as 32-byte digests, never as text. Returns
+    (id_col, status).
+    """
+    from decision_tree_stuff_spark.functions.text import fingerprint
+
+    o = old.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("__fp_old")
+    )
+    n = new.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("__fp_new")
+    )
+    return o.join(n, id_col, "full_outer").select(
+        F.col(id_col),
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") == F.col("__fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

@@ -478,3 +478,43 @@ def pack_materialize(
         .withColumn("n_tokens", F.size("tokens").cast("bigint"))
         .select("pack_id", "n_tokens", "tokens")
     )
+
+
+def filter_by_quantile(
+    df: DataFrame,
+    value_col: str,
+    q: float,
+    mode: str = "exact",
+    keep: str = "top",
+) -> DataFrame:
+    """Quantile-threshold selection: keep the rows whose ``value_col``
+    is >= (``keep='top'``) or <= (``keep='bottom'``) the ``q``-th
+    quantile of the column — "train on the top decile by quality
+    score" without anyone precomputing the cutoff.
+
+    ``mode='exact'`` uses the exact interpolated percentile (rank
+    ``1 + q·(n-1)``, the quantile_cont definition both engines share —
+    DuckDB-oracle-checkable). ``mode='approx'`` uses
+    ``percentile_approx`` — Spark's Greenwald-Khanna sketch:
+    fixed-size state, one pass, no global sort — the 100 TB mode (the
+    exact percentile is a full-sort aggregate).
+
+    The threshold stays IN the plan: a 1-row aggregate broadcast into
+    a join, so the operator composes lazily — no driver collect, no
+    action, retry-safe. Threshold and values are rounded to 6dp before
+    comparison so both engines agree on boundary rows.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if keep not in ("top", "bottom"):
+        raise ValueError(f"keep must be 'top' or 'bottom', got {keep!r}")
+    if mode == "exact":
+        thr_agg = F.percentile(F.col(value_col), F.lit(q))
+    elif mode == "approx":
+        thr_agg = F.percentile_approx(F.col(value_col), F.lit(q), F.lit(10000))
+    else:
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
+    thr = df.agg(F.round(thr_agg, 6).alias("__thr"))
+    rounded = F.round(F.col(value_col), 6)
+    cond = rounded >= F.col("__thr") if keep == "top" else rounded <= F.col("__thr")
+    return df.crossJoin(F.broadcast(thr)).where(cond).drop("__thr")

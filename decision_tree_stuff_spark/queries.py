@@ -463,6 +463,36 @@ def q_e1d_span_dedup(spark, sf_dir):
     return span_dedup(_docs(spark, sf_dir), n=10, min_docs=2)
 
 
+def q_e1e_corpus_diff(spark, sf_dir):
+    """Snapshot delta audit: old = ids not divisible by 7, new = ids
+    not divisible by 3 with every 5th text amended — all four statuses
+    (added/removed/changed/unchanged) fire."""
+    from decision_tree_stuff_spark.operators.dedup import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 3 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" amended"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
+def q_e4_quantile_filter(spark, sf_dir):
+    """Quantile-threshold selection: docs at or above the exact 0.9
+    length quantile (the 'train on the top decile' selection, with the
+    threshold computed inside the plan)."""
+    from decision_tree_stuff_spark.operators.sampling import (
+        filter_by_quantile,
+    )
+
+    return filter_by_quantile(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"), "n_chars", 0.9
+    )
+
+
 def q_e2_jaccard_capped(spark, sf_dir):
     """Jaccard near-dups with the hot-token document-frequency cap —
     the 100 TB-safe variant (tokens in > max_df docs never enter the
@@ -1590,6 +1620,34 @@ WHERE n.doc_id % 2 = 1
     SELECT 1 FROM fp c WHERE c.doc_id % 2 = 0 AND c.f = n.f
   )
 """,
+    # corpus_diff: same fingerprint as e1b (normalized-text md5); the
+    # amended texts re-fingerprint to 'changed'
+    "e1e_corpus_diff": """
+WITH o AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 7 <> 0
+),
+n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(
+           CASE WHEN doc_id % 5 = 0 THEN text || ' amended' ELSE text END
+         ), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+""",
+    "e4_quantile_filter": """
+WITH t AS (SELECT round(quantile_cont(n_chars, 0.9), 6) AS thr
+           FROM documents)
+SELECT doc_id, n_chars FROM documents, t
+WHERE round(n_chars, 6) >= thr
+""",
     # spans = consecutive 10-token chunks of the raw-space-split text;
     # a span is dropped when it occurs in >= 2 DISTINCT docs. DuckDB
     # list slicing toks[a:b] is 1-based inclusive with clamped end —
@@ -2593,6 +2651,8 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # (e1b incremental dedup / e7+e7b component dedup)
     "e1c_incremental_minhash": q_e1c_incremental_minhash,
     "e1d_span_dedup": q_e1d_span_dedup,  # r5: C4 span-level dedup
+    "e1e_corpus_diff": q_e1e_corpus_diff,  # r5: snapshot delta audit
+    "e4_quantile_filter": q_e4_quantile_filter,  # r5: quantile selection
     "e2_semdedup": q_e2_semdedup,        # r5: SemDeDup semantic dedup
     "e3_pq_topk": q_e3_pq_topk,          # r5: product-quantization ADC
     "e3_ivf_pq_topk": q_e3_ivf_pq_topk,  # r5: FAISS IVF-PQ composition

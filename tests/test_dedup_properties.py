@@ -261,3 +261,25 @@ def test_span_dedup_keep_first_retains_one_occurrence(spark):
         for r in span_dedup(df, n=3, min_docs=2, keep="none").collect()
     }
     assert none[0] == "x y z"
+
+
+def test_corpus_diff_statuses(spark):
+    from decision_tree_stuff_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(0, "same"), (1, "will change"), (2, "gone")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(0, "same"), (1, "did change"), (3, "brand new")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
+    # normalization: whitespace/case differences are NOT a change
+    new2 = spark.createDataFrame(
+        [(0, "  SAME "), (1, "will   change"), (2, "gone")],
+        "doc_id bigint, text string",
+    )
+    got2 = {r["doc_id"]: r["status"] for r in corpus_diff(old, new2).collect()}
+    assert got2 == {0: "unchanged", 1: "unchanged", 2: "unchanged"}

@@ -369,3 +369,24 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     assert rows[10] == rows[11]
     assert rows[0][0] == 0 and rows[10][0] == 10
     assert set(s for _, s in rows.values()) <= {"train", "val", "test"}
+
+
+def test_filter_by_quantile_modes_and_bounds(spark):
+    from decision_tree_stuff_spark.operators.sampling import (
+        filter_by_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(101)], "id bigint, score double"
+    )
+    top = filter_by_quantile(df, "score", 0.9)
+    assert sorted(r["id"] for r in top.collect()) == list(range(90, 101))
+    bottom = filter_by_quantile(df, "score", 0.1, keep="bottom")
+    assert sorted(r["id"] for r in bottom.collect()) == list(range(0, 11))
+    # approx sketch lands within a small rank error of exact
+    approx = filter_by_quantile(df, "score", 0.9, mode="approx").count()
+    assert abs(approx - 11) <= 3
+    with pytest.raises(ValueError, match="q must be"):
+        filter_by_quantile(df, "score", 1.5)
+    with pytest.raises(ValueError, match="mode must be"):
+        filter_by_quantile(df, "score", 0.5, mode="tdigest")
