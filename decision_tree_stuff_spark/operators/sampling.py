@@ -508,6 +508,11 @@ def filter_by_quantile(
         raise ValueError(f"q must be in [0, 1], got {q}")
     if keep not in ("top", "bottom"):
         raise ValueError(f"keep must be 'top' or 'bottom', got {keep!r}")
+    if "__thr" in df.columns:
+        raise ValueError(
+            "filter_by_quantile reserves the column name '__thr'; "
+            "rename it on the input before calling"
+        )
     if mode == "exact":
         thr_agg = F.percentile(F.col(value_col), F.lit(q))
     elif mode == "approx":

@@ -390,3 +390,15 @@ def test_filter_by_quantile_modes_and_bounds(spark):
         filter_by_quantile(df, "score", 1.5)
     with pytest.raises(ValueError, match="mode must be"):
         filter_by_quantile(df, "score", 0.5, mode="tdigest")
+
+
+def test_filter_by_quantile_rejects_reserved_column(spark):
+    from decision_tree_stuff_spark.operators.sampling import (
+        filter_by_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "x")], "id bigint, score double, __thr string"
+    )
+    with pytest.raises(ValueError, match="__thr"):
+        filter_by_quantile(df, "score", 0.5)
