@@ -543,6 +543,39 @@ class DecisionTree:
         """Input + prediction column — reference dtree.py:269-270."""
         return dataset.withColumn("prediction", self.prediction_expr())
 
+    def feature_importances(self, weighting: str = "count") -> Dict[str, float]:
+        """Split-based feature importance, normalized to sum 1.
+
+        ``weighting='count'`` = split frequency (XGBoost's 'weight'
+        importance); ``'depth'`` weights each split by 1/2^depth, so
+        features chosen near the root — which route exponentially more
+        rows — dominate. Impurity-GAIN importance is deliberately not
+        offered: the reference's byte-identical JSON serde (Q-8)
+        stores no per-node impurity or sample counts, and these
+        importances must be computable from any (de)serialized tree.
+        Driver-side tree walk, zero Spark jobs; a leafless/leaf-only
+        tree returns {}.
+        """
+        if weighting not in ("count", "depth"):
+            raise ValueError(
+                f"weighting must be 'count' or 'depth', got {weighting!r}"
+            )
+        scores: Dict[str, float] = {}
+
+        def walk(node, depth: int) -> None:
+            if not isinstance(node, DecisionNode):
+                return
+            w = 1.0 if weighting == "count" else 0.5 ** depth
+            scores[node.attribute] = scores.get(node.attribute, 0.0) + w
+            walk(node.left, depth + 1)
+            walk(node.right, depth + 1)
+
+        walk(self._root, 0)
+        total = sum(scores.values())
+        if total == 0:
+            return {}
+        return {k: v / total for k, v in sorted(scores.items())}
+
     # -- serde (Q-8: byte-identical JSON; reference dtree.py:272-297) ---
 
     @classmethod

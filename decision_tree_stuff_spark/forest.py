@@ -118,6 +118,20 @@ class DecisionForest:
     def transform(self, dataset: DataFrame) -> DataFrame:
         return dataset.withColumn("prediction", self.prediction_expr())
 
+    def feature_importances(self, weighting: str = "count") -> dict:
+        """Mean of the member trees' split-based importances (absent
+        features contribute 0), re-normalized to sum 1 — the standard
+        bagged-ensemble aggregation. Driver-side, zero Spark jobs."""
+        assert self._trees, "fit (or load) the forest first"
+        acc: dict = {}
+        for t in self._trees:
+            for k, v in t.feature_importances(weighting).items():
+                acc[k] = acc.get(k, 0.0) + v
+        total = sum(acc.values())
+        if total == 0:
+            return {}
+        return {k: v / total for k, v in sorted(acc.items())}
+
     # -- serde ---------------------------------------------------------
 
     def dict(self) -> dict:

@@ -1,4 +1,4 @@
-"""Large-scale data-pipeline operators (SURVEY.md §2.5, E-1..E-5).
+"""Large-scale data-pipeline operators (SURVEY.md §2.5, E-1..E-10).
 
 Each operator is a function ``DataFrame -> DataFrame`` built from
 declarative Spark primitives, with the scale rationale documented at

@@ -305,3 +305,52 @@ def test_strict_flag_serde_roundtrip_and_default_json_unchanged(heterodf):
     again = DecisionTree.from_dict(json.loads(strict.json()))
     assert again.dict() == strict.dict()
     assert again._params.strict_feature_columns is True
+
+
+def test_feature_importances_boundary_tree(spark):
+    """A tree that learns the l_discount boundary puts ALL importance
+    on that feature; the result is computable from a deserialized tree
+    (no fit-time state) and sums to 1."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        (F.col("l_discount") > 0.05).cast("bigint").alias("class"),
+    )
+    dt = DecisionTree(
+        DecisionTreeParams([], "class", "mean", "entropy", max_depth=4)
+    )
+    dt.fit(li)
+    for weighting in ("count", "depth"):
+        imp = dt.feature_importances(weighting)
+        assert imp == {"l_discount": 1.0}
+    rt = DecisionTree.from_dict(dt.dict())
+    assert rt.feature_importances() == {"l_discount": 1.0}
+
+
+def test_feature_importances_depth_weighting_and_empty(spark):
+    from decision_tree_stuff_spark.dtree import DecisionNode, LeafNode
+
+    root = DecisionNode("a", 1.0)
+    root.left = DecisionNode("b", 2.0)
+    root.right = LeafNode(1)
+    root.left.left = LeafNode(0)
+    root.left.right = LeafNode(1)
+    dt = DecisionTree(
+        DecisionTreeParams([], "class", "mean", "entropy"), root, 2
+    )
+    assert dt.feature_importances("count") == {"a": 0.5, "b": 0.5}
+    # depth: a=1 at depth 0, b=0.5 at depth 1 -> 2/3, 1/3
+    imp = dt.feature_importances("depth")
+    assert abs(imp["a"] - 2 / 3) < 1e-12 and abs(imp["b"] - 1 / 3) < 1e-12
+    leafy = DecisionTree(
+        DecisionTreeParams([], "class", "mean", "entropy"), LeafNode(1), 0
+    )
+    assert leafy.feature_importances() == {}
+    try:
+        dt.feature_importances("gain")
+        assert False
+    except ValueError as e:
+        assert "weighting" in str(e)

@@ -116,3 +116,25 @@ def test_forest_serde_round_trip(spark):
         for r in forest.transform(df).collect()
     }
     assert got == want
+
+
+def test_forest_feature_importances_aggregate(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_quantity",
+        "l_discount",
+        (F.col("l_discount") > 0.05).cast("bigint").alias("class"),
+    )
+    forest = DecisionForest(
+        ForestParams(
+            DecisionTreeParams([], "class", "mean", "entropy", max_depth=3),
+            n_trees=3,
+            sample_rate=0.7,
+            seed="imp",
+        )
+    )
+    forest.fit(li, key_cols=["l_quantity", "l_discount"])
+    imp = forest.feature_importances()
+    assert imp and abs(sum(imp.values()) - 1.0) < 1e-12
+    assert imp.get("l_discount", 0) > 0.9  # boundary feature dominates
