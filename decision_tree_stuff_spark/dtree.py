@@ -539,6 +539,62 @@ class DecisionTree:
         Series; the Spark equivalent is a one-column projection."""
         return samples.select(self.prediction_expr())
 
+    def leaf_id_expr(self) -> Column:
+        """Leaf index (DFS pre-order over the learned tree) as ONE
+        nested-CASE expression — same compile/codegen/shuffle story as
+        ``prediction_expr``. A rootless or leaf-only tree maps every
+        row to leaf 0. Leaf ids are stable for a given tree shape, so
+        they key per-leaf statistics."""
+
+        def build(node, next_id: int):
+            if not isinstance(node, DecisionNode):
+                return F.lit(next_id), next_id + 1
+            left_expr, after_left = build(node.left, next_id)
+            right_expr, after_right = build(node.right, after_left)
+            return (
+                F.when(
+                    F.col(node.attribute) <= F.lit(node.threshold),
+                    left_expr,
+                ).otherwise(right_expr),
+                after_right,
+            )
+
+        expr, _ = build(self._root, 0)
+        return expr.cast("int").alias("leaf_id")
+
+    def transform_proba(
+        self, dataset: DataFrame, stats_from: Optional[DataFrame] = None
+    ) -> DataFrame:
+        """Input + ``prediction`` + ``p1`` (empirical P[class=1] of the
+        row's leaf) — the calibrated-probability surface the reference
+        lacks (its leaves store only a label).
+
+        The per-leaf distribution is NOT fit-time state (the JSON
+        serde stays byte-identical, Q-8): it is measured by ONE
+        aggregation over ``stats_from`` (default: ``dataset``) —
+        groupBy(leaf_id) is bounded by the leaf count, map-side
+        combined — then re-attached as a literal CASE over the leaf id
+        (leaf tables are tiny; no join). Rows routed to a leaf with no
+        support in ``stats_from`` fall back to the leaf's hard label.
+        Two jobs total regardless of data size; the scoring projection
+        itself stays shuffle-free.
+        """
+        src = dataset if stats_from is None else stats_from
+        cls = self._params.class_column
+        leaf_rows = (
+            src.groupBy(self.leaf_id_expr())
+            .agg(F.round(F.avg(F.col(cls).cast("double")), 6).alias("p1"))
+            .collect()
+        )
+        p_by_leaf = {r["leaf_id"]: r["p1"] for r in leaf_rows}
+        lid = self.leaf_id_expr()
+        p1 = self.prediction_expr().cast("double")  # unsupported-leaf fallback
+        for leaf, p in sorted(p_by_leaf.items()):
+            p1 = F.when(lid == F.lit(leaf), F.lit(p)).otherwise(p1)
+        return dataset.withColumn(
+            "prediction", self.prediction_expr()
+        ).withColumn("p1", p1.alias("p1"))
+
     def transform(self, dataset: DataFrame) -> DataFrame:
         """Input + prediction column — reference dtree.py:269-270."""
         return dataset.withColumn("prediction", self.prediction_expr())

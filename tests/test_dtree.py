@@ -354,3 +354,58 @@ def test_feature_importances_depth_weighting_and_empty(spark):
         assert False
     except ValueError as e:
         assert "weighting" in str(e)
+
+
+def test_transform_proba_empirical_leaf_probabilities(spark):
+    """p1 is the EMPIRICAL class-1 share of the row's leaf: a depth-1
+    tree over noisy data yields fractional probabilities that equal a
+    direct groupBy over the leaf routing; pure leaves give exact 0/1;
+    the scoring projection stays shuffle-free."""
+    rows = [(float(i), int((i >= 50) != (i % 10 == 0))) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, class bigint")
+    dt = DecisionTree(
+        DecisionTreeParams([], "class", "mean", "entropy", max_depth=1)
+    )
+    dt.fit(df)
+    out = dt.transform_proba(df)
+    got = {
+        (r["x"] ,): (r["prediction"], r["p1"]) for r in out.collect()
+    }
+    # oracle: group rows by the tree's own routing and average
+    routed = df.withColumn("leaf", dt.leaf_id_expr())
+    want = {
+        r["leaf"]: r["p"]
+        for r in routed.groupBy("leaf")
+        .agg(F.round(F.avg("class"), 6).alias("p"))
+        .collect()
+    }
+    leaf_of = {
+        r["x"]: r["leaf_id"]
+        for r in df.select("x", dt.leaf_id_expr()).collect()
+    }
+    for (x,), (_, p1) in got.items():
+        assert p1 == want[leaf_of[x]]
+    # noisy halves -> strictly fractional probabilities
+    assert all(0.0 < p < 1.0 for p in want.values())
+
+
+def test_transform_proba_heldout_stats_and_fallback(spark):
+    """stats_from decouples probability calibration from the scored
+    frame; a leaf with no support in stats_from falls back to its hard
+    label."""
+    train = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (10.0, 1), (11.0, 1)], "x double, class bigint"
+    )
+    dt = DecisionTree(
+        DecisionTreeParams([], "class", "mean", "entropy", max_depth=2)
+    )
+    dt.fit(train)
+    # calibration set that only ever reaches the left side
+    calib = spark.createDataFrame(
+        [(1.0, 0), (2.0, 1)], "x double, class bigint"
+    )
+    score = spark.createDataFrame([(1.5,), (10.5,)], "x double")
+    out = {r["x"]: r["p1"] for r in
+           dt.transform_proba(score, stats_from=calib).collect()}
+    assert out[1.5] == 0.5          # measured on calib
+    assert out[10.5] == 1.0         # no calib support -> hard label
