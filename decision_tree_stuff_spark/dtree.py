@@ -562,6 +562,26 @@ class DecisionTree:
         expr, _ = build(self._root, 0)
         return expr.cast("int").alias("leaf_id")
 
+    def p1_expr(self, stats_from: DataFrame) -> Column:
+        """Empirical P[class=1] of the row's leaf as ONE column
+        expression. Runs a single bounded aggregation over
+        ``stats_from`` now (groupBy(leaf_id) — at most one row per
+        leaf, map-side combined), then returns a literal CASE over the
+        leaf id — scoring with it is a shuffle-free projection. Leaves
+        with no support in ``stats_from`` fall back to their hard
+        label."""
+        cls = self._params.class_column
+        leaf_rows = (
+            stats_from.groupBy(self.leaf_id_expr())
+            .agg(F.round(F.avg(F.col(cls).cast("double")), 6).alias("p1"))
+            .collect()
+        )
+        lid = self.leaf_id_expr()
+        p1 = self.prediction_expr().cast("double")  # unsupported-leaf fallback
+        for leaf, p in sorted((r["leaf_id"], r["p1"]) for r in leaf_rows):
+            p1 = F.when(lid == F.lit(leaf), F.lit(p)).otherwise(p1)
+        return p1
+
     def transform_proba(
         self, dataset: DataFrame, stats_from: Optional[DataFrame] = None
     ) -> DataFrame:
@@ -570,30 +590,16 @@ class DecisionTree:
         lacks (its leaves store only a label).
 
         The per-leaf distribution is NOT fit-time state (the JSON
-        serde stays byte-identical, Q-8): it is measured by ONE
-        aggregation over ``stats_from`` (default: ``dataset``) —
-        groupBy(leaf_id) is bounded by the leaf count, map-side
-        combined — then re-attached as a literal CASE over the leaf id
-        (leaf tables are tiny; no join). Rows routed to a leaf with no
-        support in ``stats_from`` fall back to the leaf's hard label.
+        serde stays byte-identical, Q-8): ``p1_expr`` measures it over
+        ``stats_from`` (default: ``dataset``) and re-attaches it as a
+        literal CASE over the leaf id (leaf tables are tiny; no join).
         Two jobs total regardless of data size; the scoring projection
         itself stays shuffle-free.
         """
         src = dataset if stats_from is None else stats_from
-        cls = self._params.class_column
-        leaf_rows = (
-            src.groupBy(self.leaf_id_expr())
-            .agg(F.round(F.avg(F.col(cls).cast("double")), 6).alias("p1"))
-            .collect()
-        )
-        p_by_leaf = {r["leaf_id"]: r["p1"] for r in leaf_rows}
-        lid = self.leaf_id_expr()
-        p1 = self.prediction_expr().cast("double")  # unsupported-leaf fallback
-        for leaf, p in sorted(p_by_leaf.items()):
-            p1 = F.when(lid == F.lit(leaf), F.lit(p)).otherwise(p1)
         return dataset.withColumn(
             "prediction", self.prediction_expr()
-        ).withColumn("p1", p1.alias("p1"))
+        ).withColumn("p1", self.p1_expr(src))
 
     def transform(self, dataset: DataFrame) -> DataFrame:
         """Input + prediction column — reference dtree.py:269-270."""

