@@ -168,29 +168,60 @@ def main() -> None:
     duck_common = round(sum(duck[n] for n in common), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # The result JSON is the ONLY stdout line, flushed last.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "duckdb": duck,
-                "duckdb_excluded": DUCKDB_TWIN_EXCLUDED,
-                "common_subset": {
-                    "queries": len(common),
-                    "spark_sec": spark_common,
-                    "duckdb_sec": duck_common,
-                    "ratio": round(spark_common / duck_common, 3)
-                    if duck_common
-                    else None,
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        ),
-        flush=True,
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    common_subset = {
+        "queries": len(common),
+        "spark_sec": spark_common,
+        "duckdb_sec": duck_common,
+        "ratio": round(spark_common / duck_common, 3) if duck_common else None,
+    }
+    # Full-precision detail (incl. the duckdb_excluded prose) goes to a
+    # committed file; the driver's BENCH artifact keeps only a
+    # 2000-char TAIL of stdout, so the final stdout line must stay
+    # compact or it truncates mid-object (BENCH_r05 `parsed: null`).
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "duckdb": duck,
+        "duckdb_excluded": DUCKDB_TWIN_EXCLUDED,
+        "common_subset": common_subset,
+        "sf": sf_val,
+    }
+    detail_name = f"BENCH_DETAIL_{os.environ.get('SPARK_GRAFT_ROUND', 'r06')}.json"
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=2)
+        _progress(f"full detail written to {detail_path}")
+    except OSError as e:  # read-only checkout: detail still on stderr
+        _progress(f"could not write {detail_path}: {e}")
+        _progress(json.dumps(detail))
+    _progress(f"duckdb_excluded: {json.dumps(DUCKDB_TWIN_EXCLUDED)}")
+
+    def _r2(d: dict) -> dict:
+        return {k: round(v, 2) for k, v in d.items()}
+
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": _r2(timings),
+        "duckdb": _r2(duck),
+        "common_subset": common_subset,
+        "detail": detail_name,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's tail window
+        compact.pop("duckdb")
+        compact["duckdb_total_sec"] = round(sum(duck.values()), 2)
+        line = json.dumps(compact, separators=(",", ":"))
+    # The result JSON is the ONLY stdout line, flushed last.
+    print(line, flush=True)
     spark.stop()
 
 

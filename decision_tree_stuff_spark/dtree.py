@@ -566,21 +566,53 @@ class DecisionTree:
         """Empirical P[class=1] of the row's leaf as ONE column
         expression. Runs a single bounded aggregation over
         ``stats_from`` now (groupBy(leaf_id) — at most one row per
-        leaf, map-side combined), then returns a literal CASE over the
-        leaf id — scoring with it is a shuffle-free projection. Leaves
-        with no support in ``stats_from`` fall back to their hard
-        label."""
+        leaf, map-side combined), then compiles the per-leaf values
+        into a single tree-shaped CASE by mirroring ``to_expr``'s
+        recursion with ``lit(p1)`` at each leaf — the expression is
+        LINEAR in node count (one predicate per internal node, same
+        size class as ``prediction_expr``; pinned by
+        tests/test_dtree.py::test_p1_expr_size_linear_in_leaves).
+        Leaves with no support in ``stats_from`` — or whose class
+        values there are all null — fall back to their hard label.
+        Scoring with the returned column is a shuffle-free projection.
+
+        Raises ``ValueError`` when ``stats_from`` lacks the class
+        column: leaf probabilities are MEASURED, so they need a
+        labeled frame (score unlabeled data via
+        ``transform_proba(dataset, stats_from=<labeled frame>)``)."""
         cls = self._params.class_column
+        if cls not in stats_from.columns:
+            raise ValueError(
+                f"p1_expr needs the class column {cls!r} in stats_from "
+                "to measure per-leaf probabilities; pass a labeled "
+                "frame via transform_proba(dataset, stats_from=...)"
+            )
         leaf_rows = (
             stats_from.groupBy(self.leaf_id_expr())
             .agg(F.round(F.avg(F.col(cls).cast("double")), 6).alias("p1"))
             .collect()
         )
-        lid = self.leaf_id_expr()
-        p1 = self.prediction_expr().cast("double")  # unsupported-leaf fallback
-        for leaf, p in sorted((r["leaf_id"], r["p1"]) for r in leaf_rows):
-            p1 = F.when(lid == F.lit(leaf), F.lit(p)).otherwise(p1)
-        return p1
+        p1_by_leaf = {r["leaf_id"]: r["p1"] for r in leaf_rows}
+
+        def build(node, next_id: int):
+            if not isinstance(node, DecisionNode):
+                # leaf ids follow leaf_id_expr's DFS pre-order, so the
+                # collected stats key directly; None covers both a
+                # missing row and a null avg (all-null classes)
+                fallback = float(node.label) if isinstance(node, LeafNode) else 0.0
+                p = p1_by_leaf.get(next_id)
+                return F.lit(fallback if p is None else float(p)), next_id + 1
+            left_expr, after_left = build(node.left, next_id)
+            right_expr, after_right = build(node.right, after_left)
+            return (
+                F.when(
+                    F.col(node.attribute) <= F.lit(node.threshold), left_expr
+                ).otherwise(right_expr),
+                after_right,
+            )
+
+        expr, _ = build(self._root, 0)
+        return expr.cast("double")
 
     def transform_proba(
         self, dataset: DataFrame, stats_from: Optional[DataFrame] = None
@@ -591,10 +623,13 @@ class DecisionTree:
 
         The per-leaf distribution is NOT fit-time state (the JSON
         serde stays byte-identical, Q-8): ``p1_expr`` measures it over
-        ``stats_from`` (default: ``dataset``) and re-attaches it as a
-        literal CASE over the leaf id (leaf tables are tiny; no join).
-        Two jobs total regardless of data size; the scoring projection
-        itself stays shuffle-free.
+        ``stats_from`` (default: ``dataset`` — which must then carry
+        the class column; scoring an unlabeled frame requires an
+        explicit labeled ``stats_from``, enforced with a clear
+        ``ValueError``) and re-attaches it as one tree-shaped literal
+        CASE (leaf tables are tiny; no join). Two jobs total
+        regardless of data size; the scoring projection itself stays
+        shuffle-free.
         """
         src = dataset if stats_from is None else stats_from
         return dataset.withColumn(

@@ -409,3 +409,77 @@ def test_transform_proba_heldout_stats_and_fallback(spark):
            dt.transform_proba(score, stats_from=calib).collect()}
     assert out[1.5] == 0.5          # measured on calib
     assert out[10.5] == 1.0         # no calib support -> hard label
+
+
+def test_transform_proba_unlabeled_requires_stats(spark):
+    """Scoring an UNLABELED frame without an explicit stats_from must
+    fail loudly (the default stats_from=dataset cannot measure leaf
+    probabilities without the class column) — not with an unresolved-
+    column AnalysisException deep in the agg."""
+    train = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (10.0, 1), (11.0, 1)], "x double, class bigint"
+    )
+    dt = DecisionTree(
+        DecisionTreeParams([], "class", "mean", "entropy", max_depth=1)
+    )
+    dt.fit(train)
+    unlabeled = spark.createDataFrame([(1.5,), (10.5,)], "x double")
+    with pytest.raises(ValueError, match="class"):
+        dt.transform_proba(unlabeled)
+    # the documented remedy works
+    out = {r["x"]: r["p1"] for r in
+           dt.transform_proba(unlabeled, stats_from=train).collect()}
+    assert out == {1.5: 0.0, 10.5: 1.0}
+
+
+def test_transform_proba_null_class_leaf_falls_back(spark):
+    """A leaf whose stats_from rows are all NULL-classed yields the
+    hard label, same as a leaf with no support — never a null p1."""
+    train = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (10.0, 1), (11.0, 1)], "x double, class bigint"
+    )
+    dt = DecisionTree(
+        DecisionTreeParams([], "class", "mean", "entropy", max_depth=1)
+    )
+    dt.fit(train)
+    calib = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (10.0, 1)], "x double, class bigint"
+    )
+    score = spark.createDataFrame([(1.5,), (10.5,)], "x double")
+    out = {r["x"]: r["p1"] for r in
+           dt.transform_proba(score, stats_from=calib).collect()}
+    assert out[1.5] == 0.0          # all-null calib leaf -> hard label
+    assert out[10.5] == 1.0
+
+
+def test_p1_expr_size_linear_in_leaves(spark):
+    """The p1 expression mirrors to_expr's recursion (lit(p1) at each
+    leaf), so its size is LINEAR in node count. The previous
+    formulation chained when(leaf_id_expr == leaf, ...) per leaf —
+    re-embedding the full tree-sized leaf_id CASE once per leaf,
+    O(leaves x tree) — which made a depth-12 proba plan uncompilable.
+    Doubling the leaves must roughly double (not quadruple) the
+    compiled expression string."""
+
+    def complete(depth: int) -> "DecisionNode":
+        if depth == 0:
+            return LeafNode(0)
+        n = DecisionNode("x", float(depth))
+        n.left = complete(depth - 1)
+        n.right = complete(depth - 1)
+        return n
+
+    stats = spark.createDataFrame(
+        [(1.0, 0), (2.0, 1)], "x double, class bigint"
+    )
+    sizes = {}
+    for depth in (8, 9, 10):
+        dt = DecisionTree(
+            DecisionTreeParams([], "class", "mean", "entropy"),
+            complete(depth),
+            depth,
+        )
+        sizes[depth] = len(str(dt.p1_expr(stats)))
+    # linear -> ~2x per extra level; the old quadratic form gives ~4x
+    assert sizes[9] / sizes[8] < 3.0, sizes
+    assert sizes[10] / sizes[9] < 3.0, sizes
