@@ -63,6 +63,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: Optional[int] = None,
     prefix_filter: bool = True,
+    key: str = "text",
 ) -> DataFrame:
     """E-2a: exact token-set Jaccard near-dup pairs within blocks.
 
@@ -104,11 +105,30 @@ def ngram_jaccard_pairs(
     output by construction (differentially tested), used by the
     oracle-parity A/B test.
 
+    ``key='xxhash64'`` replaces each token with its 8-byte xxhash64
+    right after tokenization, so EVERY downstream structure — the df
+    table, the prefix-join key, and the per-doc sorted token arrays
+    the verify step carries through a shuffle (``collect_list`` in
+    ``_jaccard_prefix_join``) — holds fixed-width bigints instead of
+    strings. At 100 TB corpus scale with a huge vocabulary that
+    verify shuffle is the memory hot spot; this is the same
+    narrow-key trade ``span_dedup`` documents (64-bit collisions are
+    the standard accepted risk, and a collision only ever MERGES two
+    tokens, nudging one Jaccard value). Jaccard math is unchanged:
+    set sizes and intersections are over distinct hashes. The shared
+    total order becomes (df, token_hash) — any deterministic total
+    order preserves prefix-filter exactness. Differentially tested
+    against ``key='text'``.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
     jaccard rounded to 6dp for float-stable comparison.
     """
+    if key not in ("text", "xxhash64"):
+        raise ValueError(f"key must be 'text' or 'xxhash64', got {key!r}")
     block_cols = block_cols or []
     toks = _doc_tokens(docs, id_col, text_col)
+    if key == "xxhash64":
+        toks = toks.withColumn("token", F.xxhash64(F.col("token")))
     if max_df is not None:
         hot = (
             toks.groupBy("token")
@@ -428,6 +448,17 @@ def dedup_against_corpus(
             # normalization regex / digest once per signature
             # component (the decontam token_ngrams pitfall, ×64 here).
             toks_c, hs_c = "__dts_toks", "__dts_hs"
+            reserved = [toks_c, hs_c] + [
+                f"__dts_band_{b}" for b in range(bands)
+            ]
+            clash = [c for c in new_docs.columns if c in reserved]
+            if clash:
+                # same silent-replace hazard the exact branch guards
+                # with '__fp'
+                raise ValueError(
+                    f"dedup_against_corpus reserves the column names "
+                    f"{clash}; rename them on new_docs before calling"
+                )
             prep = new_docs.withColumn(
                 toks_c,
                 F.array_distinct(
@@ -852,9 +883,10 @@ def span_dedup(
     (boilerplate is noise wherever it appears). ``keep='first'``
     retains the single occurrence with the lowest (doc, position) —
     C4's "discard all but one of any repeated span" semantics. The
-    'first' ranking partitions by span key, so a span present in k
-    docs ranks k rows in one task — bounded by docs-per-span, the
-    same bound the frequency count already carries.
+    winner per frequent span is a map-side-combined min(struct(doc,
+    pos)) aggregate joined back — never a per-key window, so even a
+    span occurring in 10^8 documents adds one combinable key, not one
+    straggler task (see the inline plan note).
 
     Plan (three shuffles, all key-even):
 
@@ -888,13 +920,75 @@ def span_dedup(
         raise ValueError(f"key must be 'text' or 'xxhash64', got {key!r}")
     if keep not in ("none", "first"):
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
-    for c in ("__toks", "__k", "__dup"):
+    for c in ("__toks", "__k", "__dup", "__w", "__w_id", "__w_pos"):
         if c in docs.columns:
             raise ValueError(
                 f"span_dedup reserves the column name {c!r}; rename it "
                 "on the input before calling"
             )
 
+    base, spans = _doc_spans(docs, id_col, text_col, n, key)
+    freq = (
+        spans.select("__k", id_col)
+        .distinct()
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("__k", F.lit(True).alias("__dup"))
+    )
+    flagged = spans.join(freq, "__k", "left")
+    if keep == "first":
+        # The kept occurrence is the global min (doc, position) per
+        # frequent span. A row_number window over __k would sort EVERY
+        # occurrence of a span in ONE task — a straggler when viral
+        # boilerplate (a license header in 10^8 docs) hits one key at
+        # 100 TB. min(struct) is an ALGEBRAIC aggregate instead: each
+        # map task pre-reduces its local occurrences to one candidate
+        # per span (partial_min), so the hot key crosses the shuffle
+        # as <= one row per map task and the reduce side folds a
+        # bounded set — no single-partition sort anywhere (plan pinned
+        # in tests/test_dedup_properties.py: no Window on __k).
+        winners = (
+            spans.join(freq.select("__k"), "__k")
+            .groupBy("__k")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col(id_col).alias("i"),
+                        F.col("chunk_pos").alias("p"),
+                    )
+                ).alias("__w")
+            )
+            .select(
+                "__k",
+                F.col("__w.i").alias("__w_id"),
+                F.col("__w.p").alias("__w_pos"),
+            )
+        )
+        flagged = (
+            flagged.join(winners, "__k", "left")
+            .withColumn(
+                "__dup",
+                F.when(
+                    F.col("__dup").isNotNull()
+                    & ~(
+                        (F.col(id_col) == F.col("__w_id"))
+                        & (F.col("chunk_pos") == F.col("__w_pos"))
+                    ),
+                    F.lit(True),
+                ),
+            )
+            .drop("__w_id", "__w_pos")
+        )
+    return _rebuild_stripped_docs(base, flagged, id_col, text_col)
+
+
+def _doc_spans(docs, id_col: str, text_col: str, n: int, key: str):
+    """Shared chunking stage of the span-dedup family: (base
+    projection, one row per n-token chunk with its join key ``__k``).
+    Chunking is doc-local (split + transform(sequence, slice) + one
+    posexplode — no join); the token array is bound as a real column
+    first because Catalyst does not CSE across lambda boundaries."""
     base = docs.select(id_col, text_col)
     prep = (
         base.where(F.length(F.trim(F.col(text_col))) > 0)
@@ -916,27 +1010,14 @@ def span_dedup(
         "__k",
         F.xxhash64(F.col("span")) if key == "xxhash64" else F.col("span"),
     )
-    freq = (
-        spans.select("__k", id_col)
-        .distinct()
-        .groupBy("__k")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("__k", F.lit(True).alias("__dup"))
-    )
-    flagged = spans.join(freq, "__k", "left")
-    if keep == "first":
-        w_occ = Window.partitionBy("__k").orderBy(
-            F.col(id_col).asc(), F.col("chunk_pos").asc()
-        )
-        flagged = flagged.withColumn(
-            "__dup",
-            F.when(
-                F.col("__dup").isNotNull()
-                & (F.row_number().over(w_occ) > 1),
-                F.lit(True),
-            ),
-        )
+    return base, spans
+
+
+def _rebuild_stripped_docs(base, flagged, id_col: str, text_col: str):
+    """Shared reassembly stage: keep chunks whose ``__dup`` is null,
+    rebuild each doc's text in chunk order (collect_list bounded by
+    chunks per doc = document length), and re-attach every input doc
+    (all-whitespace docs produced no chunks → text='')."""
     kept_struct = F.when(
         F.col("__dup").isNull(), F.struct("chunk_pos", "span")
     )
@@ -959,6 +1040,75 @@ def span_dedup(
         F.coalesce(F.col("n_chunks"), F.lit(0)).cast("bigint").alias("n_chunks"),
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
     )
+
+
+def frequent_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_docs: int = 2,
+    key: str = "text",
+) -> DataFrame:
+    """The materialization target for INGEST-TIME span dedup: the
+    corpus's frequent-span key table (one ``span_key`` per n-token
+    chunk occurring in ≥ ``min_docs`` distinct documents). Learn it
+    once over the historical corpus (RefinedWeb's boilerplate list),
+    persist it, and strip new batches with
+    ``span_dedup_against_corpus`` — the 100 TB corpus is chunked
+    exactly once, ever. Parameters must match the later strip call
+    (keys are a function of (n, key))."""
+    if key not in ("text", "xxhash64"):
+        raise ValueError(f"key must be 'text' or 'xxhash64', got {key!r}")
+    _, spans = _doc_spans(docs, id_col, text_col, n, key)
+    return (
+        spans.select("__k", id_col)
+        .distinct()
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select(F.col("__k").alias("span_key"))
+    )
+
+
+def span_dedup_against_corpus(
+    new_docs: DataFrame,
+    frequent: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    key: str = "text",
+) -> DataFrame:
+    """Strip a FIXED frequent-span table (from ``frequent_spans``) out
+    of incoming documents — the production ingest shape for span-level
+    dedup: boilerplate is learned offline from the historical corpus,
+    and each new batch pays chunk + one equi-join + one per-doc
+    rebuild, nothing quadratic and nothing that re-reads the corpus.
+
+    Because the span table is static and the strip is a pure per-doc
+    operation, the operator is micro-batch-invariant: running it per
+    batch under ``foreachBatch`` yields byte-identical output to one
+    batch run over the union (stream≡batch pinned in
+    tests/test_dedup_properties.py). ``span_dedup(docs)`` with
+    ``keep='none'`` is exactly ``span_dedup_against_corpus(docs,
+    frequent_spans(docs))`` — also pinned.
+
+    Same output shape as ``span_dedup``: (id, text, n_chunks, n_kept).
+    """
+    if key not in ("text", "xxhash64"):
+        raise ValueError(f"key must be 'text' or 'xxhash64', got {key!r}")
+    for c in ("__toks", "__k", "__dup"):
+        if c in new_docs.columns:
+            raise ValueError(
+                f"span_dedup_against_corpus reserves the column name "
+                f"{c!r}; rename it on the input before calling"
+            )
+    base, spans = _doc_spans(new_docs, id_col, text_col, n, key)
+    freq = frequent.select(
+        F.col("span_key").alias("__k"), F.lit(True).alias("__dup")
+    ).distinct()
+    flagged = spans.join(freq, "__k", "left")
+    return _rebuild_stripped_docs(base, flagged, id_col, text_col)
 
 
 def corpus_diff(

@@ -129,7 +129,14 @@ def with_image_header_meta(
     with the pixel-decode stub (``decode_media``).
     """
     p = F.col(payload_col)
-    is_png = (F.length(p) >= 24) & (F.hex(F.substring(p, 1, 8)) == _PNG_SIG)
+    is_png = (
+        (F.length(p) >= 24)
+        & (F.hex(F.substring(p, 1, 8)) == _PNG_SIG)
+        # first chunk must actually BE the IHDR we read the fixed
+        # offsets from — a valid signature with a nonstandard first
+        # chunk would otherwise decode garbage dimensions
+        & (F.decode(F.substring(p, 13, 4), "UTF-8") == "IHDR")
+    )
     sig6 = F.decode(F.substring(p, 1, 6), "UTF-8")
     is_gif = (F.length(p) >= 10) & sig6.isin("GIF87a", "GIF89a")
     fmt = F.when(is_png, "png").when(is_gif, "gif")
@@ -169,10 +176,15 @@ def with_audio_header_meta(
         & sig(9, "WAVE")
         & sig(13, "fmt ")
     )
+    rate = _le32(p, 25)
+    # the LE32 field can hold up to 2^32-1; casting that to int is a
+    # non-ANSI wrap to a NEGATIVE rate. Anything past int range is a
+    # corrupt header, not a sample rate — null it instead.
+    sane_rate = F.when(rate <= F.lit(2147483647), rate.cast("int"))
     return media.select(
         "*",
         F.when(is_wav, "wav").alias("audio_format"),
-        F.when(is_wav, _le32(p, 25)).cast("int").alias("sample_rate_hz"),
+        F.when(is_wav, sane_rate).alias("sample_rate_hz"),
         F.when(is_wav, _le16(p, 23)).alias("n_channels"),
         F.when(is_wav, _le16(p, 35)).alias("bits_per_sample"),
     )

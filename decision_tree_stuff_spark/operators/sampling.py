@@ -295,6 +295,13 @@ def sample_to_budget(
     engine-portable (the SQL twin reproduces the cumulative window
     byte-for-byte).
 
+    Weights must be NON-NEGATIVE: a negative weight breaks the
+    cumulative sum's monotonicity, so rows past the budget boundary
+    could re-qualify and silently overshoot the budget. Rather than
+    documenting a silent precondition, the weight expression raises at
+    execution time on the first negative (or null) value — one extra
+    codegen'd comparison per row, no extra pass.
+
     Plan — two-phase bucketed prefix sum, same shape as
     ``global_shuffle``: a naive ``Window.partitionBy(strata)`` would
     sort each stratum in ONE task (a multi-TB single-task sort for a
@@ -306,7 +313,21 @@ def sample_to_budget(
     order equals global hash order: the result is identical to the
     single-window formulation at any parallelism.
     """
-    weight = F.lit(1).cast("bigint") if weight_col is None else F.col(weight_col)
+    if weight_col is None:
+        weight = F.lit(1).cast("bigint")
+    else:
+        w = F.col(weight_col)
+        weight = F.when(w >= 0, w).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"sample_to_budget: negative or null weight in "
+                        f"{weight_col!r}: "
+                    ),
+                    F.coalesce(w.cast("string"), F.lit("NULL")),
+                )
+            )
+        )
     budget = F.lit(0).cast("bigint")
     for value, b in sorted(budgets.items()):
         budget = F.when(F.col(strata_col) == value, F.lit(int(b))).otherwise(

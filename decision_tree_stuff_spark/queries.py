@@ -2606,11 +2606,15 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e10_asof_join": q_e10_asof_join,
     "e10b_interval_join": q_e10b_interval_join,
     "e2_minhash_km_pairs": q_e2_minhash_km_pairs,
-    "e2_simhash_md5": q_e2_simhash_md5,
+    # r6: e1d/e2_semdedup promoted into the gate window (judge r5 task
+    # 5) in place of two hash-family/codec variants whose families
+    # stay represented (simhash via e2_simhash_dups parity tests +
+    # e2_jaccard/minhash gates; quantization via e3_pq parity tests)
+    "e1d_span_dedup": q_e1d_span_dedup,
+    "e2_semdedup": q_e2_semdedup,
     "e2_embedding_near_dups": q_e2_embedding_near_dups,
     "e3_cosine_topk": q_e3_cosine_topk,
     "e3_rh_lsh_topk": q_e3_rh_lsh_topk,
-    "e3_quantize": q_e3_quantize,
     "e3_ivf_topk": q_e3_ivf_topk,
     "e9_decontamination": q_e9_decontamination,
     "e8_sample": q_e8_sample,
@@ -2650,10 +2654,12 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # rows — both are parameter variants of driver-gated siblings
     # (e1b incremental dedup / e7+e7b component dedup)
     "e1c_incremental_minhash": q_e1c_incremental_minhash,
-    "e1d_span_dedup": q_e1d_span_dedup,  # r5: C4 span-level dedup
     "e1e_corpus_diff": q_e1e_corpus_diff,  # r5: snapshot delta audit
     "e4_quantile_filter": q_e4_quantile_filter,  # r5: quantile selection
-    "e2_semdedup": q_e2_semdedup,        # r5: SemDeDup semantic dedup
+    # r6: swapped out of the gate window for e1d/e2_semdedup — both
+    # are parameter/hash-family variants of driver-gated siblings
+    "e2_simhash_md5": q_e2_simhash_md5,
+    "e3_quantize": q_e3_quantize,
     "e3_pq_topk": q_e3_pq_topk,          # r5: product-quantization ADC
     "e3_ivf_pq_topk": q_e3_ivf_pq_topk,  # r5: FAISS IVF-PQ composition
     "e8_cap_per_group": q_e8_cap_per_group,  # r5: per-group quota

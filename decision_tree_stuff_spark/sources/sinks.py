@@ -108,6 +108,12 @@ def write_sized(
         return current
     n = max(1, math.ceil(est / compression_factor / (target_mb * 1024 * 1024)))
     n = min(n, max_files)
-    out = df.coalesce(n) if n < current else df.repartition(n)
+    if n < current:
+        out = df.coalesce(n)  # no shuffle
+    elif n > current:
+        out = df.repartition(n)  # full shuffle, even sizes
+    else:
+        out = df  # already at the target count — a repartition here
+        # would pay a full shuffle for a no-op
     out.write.mode(mode).parquet(path)
     return n

@@ -30,6 +30,8 @@ __all__ = [
     "stream_sliding_counts",
     "stream_sessionize",
     "stream_exact_dedup",
+    "stream_cap_per_group",
+    "read_capped_state",
     "run_stream_to_memory",
     "run_stream_to_parquet",
 ]
@@ -207,6 +209,103 @@ def stream_exact_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def stream_cap_per_group(
+    stream_df: DataFrame,
+    state_dir: str,
+    group_cols: list,
+    n: int,
+    key_cols: list,
+    seed: str = "cap",
+    checkpoint_dir: str = None,
+):
+    """Streaming per-group quota (E-8c on a stream): maintain, across
+    micro-batches, exactly the rows the BATCH ``cap_per_group`` would
+    keep over all input seen so far.
+
+    Why this is exact and not an approximation: keep-the-n-hash-lowest
+    rows per group is a MERGEABLE selection (same algebra as top-k) —
+    ``cap(A ∪ B) = cap(cap(A) ∪ B)`` — so folding
+    ``state ← cap_per_group(state ∪ batch)`` over micro-batches
+    converges to the batch answer regardless of arrival order. A later
+    batch can carry a lower-hash row; the fold then EVICTS a
+    previously kept one, which append-only sinks cannot express —
+    hence ``foreachBatch`` with compacted state instead of a plain
+    streaming write.
+
+    State layout: versioned parquet snapshots ``v{batch_id}`` under
+    ``state_dir`` (read the newest with ``read_capped_state``). Batch
+    ``b`` always derives from the newest version BELOW ``b`` plus the
+    batch rows, and overwrites its own ``v{b}`` — a retried micro-batch
+    recomputes from the same inputs, so the write is idempotent and
+    the query keeps exactly-once semantics through restarts.
+
+    Scale: each snapshot holds at most ``n × |groups|`` rows — the
+    OUTPUT size, independent of corpus size — so the per-batch rewrite
+    cost tracks the quota table, not the stream volume. Version
+    listing uses the local filesystem (os.listdir); on an object store
+    swap in the Hadoop FileSystem API.
+
+    Runs with ``availableNow`` and blocks until input is drained;
+    returns the finished StreamingQuery.
+    """
+    import os
+
+    from decision_tree_stuff_spark.operators.sampling import cap_per_group
+
+    def _latest_version(below=None):
+        try:
+            versions = [
+                int(d[1:])
+                for d in os.listdir(state_dir)
+                if d.startswith("v") and d[1:].isdigit()
+            ]
+        except FileNotFoundError:
+            return None
+        if below is not None:
+            versions = [v for v in versions if v < below]
+        return max(versions) if versions else None
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        prev = _latest_version(below=batch_id)
+        merged = batch_df
+        if prev is not None:
+            old = sp.read.parquet(os.path.join(state_dir, f"v{prev}"))
+            merged = old.unionByName(batch_df)
+        kept = cap_per_group(merged, group_cols, n, key_cols, seed)
+        kept.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_upsert)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or state_dir.rstrip("/") + "_chk",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_capped_state(spark, state_dir: str) -> DataFrame:
+    """The current quota table maintained by ``stream_cap_per_group``:
+    the newest ``v{batch_id}`` snapshot (empty-input edge: raises if
+    no snapshot exists yet)."""
+    import os
+
+    versions = [
+        int(d[1:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no capped-state snapshots in {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, f"v{max(versions)}"))
 
 
 def run_stream_to_parquet(

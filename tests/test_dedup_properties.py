@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import itertools
 
+from pyspark.sql import functions as F
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -111,6 +113,25 @@ def test_minhash_md5_family_matches_xxhash_on_exact_dups(spark):
         assert pairs == {(0, 1): 1.0}, fam
 
 
+def test_jaccard_xxhash_key_matches_text_key(spark):
+    """key='xxhash64' carries 8-byte token hashes through every
+    jaccard structure (df table, prefix join, verify arrays) — the
+    narrow-shuffle 100 TB shape — and must produce the same pairs and
+    jaccard values as the oracle-checkable text-key plan, in both the
+    prefix-filtered and naive formulations."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    a = ngram_jaccard_pairs(docs, threshold=0.5, key="text")
+    b = ngram_jaccard_pairs(docs, threshold=0.5, key="xxhash64")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    c = ngram_jaccard_pairs(
+        docs, threshold=0.5, key="xxhash64", prefix_filter=False
+    )
+    assert b.exceptAll(c).count() == 0 and c.exceptAll(b).count() == 0
+
+
 def test_span_dedup_semantics(spark):
     """Hand-built corpus pinning the C4 span rules: a chunk repeated
     ACROSS docs is dropped from every doc carrying it; a chunk
@@ -151,6 +172,65 @@ def test_span_dedup_xxhash_key_matches_text_key(spark):
     a = span_dedup(docs, n=10, min_docs=2, key="text")
     b = span_dedup(docs, n=10, min_docs=2, key="xxhash64")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_span_strip_against_corpus_and_stream_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Ingest-time span dedup: (1) self-strip against the corpus's own
+    frequent-span table reproduces span_dedup(keep='none') exactly;
+    (2) the strip is micro-batch-invariant — foreachBatch over two
+    file-triggered micro-batches yields the same rows as one batch
+    run, because the frequent table is static and the op is per-doc."""
+    from decision_tree_stuff_spark.operators.dedup import (
+        frequent_spans,
+        span_dedup,
+        span_dedup_against_corpus,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    freq = frequent_spans(docs, n=10, min_docs=2)
+    want = span_dedup_against_corpus(docs, freq, n=10)
+    ref = span_dedup(docs, n=10, min_docs=2)  # keep='none'
+    assert want.exceptAll(ref).count() == 0
+    assert ref.exceptAll(want).count() == 0
+
+    import glob
+    import shutil
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    for i, cond in enumerate(
+        (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1)
+    ):
+        staging = str(tmp_path / f"stage{i}")
+        docs.where(cond).coalesce(1).write.parquet(staging)
+        shutil.move(
+            glob.glob(f"{staging}/part-*.parquet")[0],
+            str(d / f"half{i}.parquet"),
+        )
+
+    got = []
+
+    def strip(batch_df, batch_id):
+        out = span_dedup_against_corpus(batch_df, freq, n=10)
+        got.extend(tuple(r) for r in out.collect())
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .writeStream.foreachBatch(strip)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got) == sorted(tuple(r) for r in want.collect())
+    assert len(got) > 0
 
 
 def test_span_dedup_rejects_reserved_columns(spark):
@@ -261,6 +341,28 @@ def test_span_dedup_keep_first_retains_one_occurrence(spark):
         for r in span_dedup(df, n=3, min_docs=2, keep="none").collect()
     }
     assert none[0] == "x y z"
+
+
+def test_span_dedup_keep_first_plan_has_no_span_key_window(spark):
+    """keep='first' must pick winners with a map-side-combinable
+    min(struct) aggregate, NOT a row_number window partitioned by the
+    span key: a window sorts every occurrence of a span in one task,
+    a straggler for viral boilerplate (one license header in 10^8
+    docs). Pin: no Window node anywhere in the plan, and the winner
+    aggregate shows a partial_min (map-side combine)."""
+    from decision_tree_stuff_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(0, "a b c x y z"), (1, "a b c p q r")], "doc_id bigint, text string"
+    )
+    plan = (
+        span_dedup(df, n=3, min_docs=2, keep="first")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
 
 
 def test_corpus_diff_statuses(spark):

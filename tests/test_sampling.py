@@ -164,6 +164,71 @@ def test_stream_deterministic_sample_equals_batch(spark, sf_dir, tmp_path):
         q.stop()
 
 
+def test_stream_cap_per_group_equals_batch(spark, sf_dir, tmp_path):
+    """E-8c on a stream: the foreachBatch compacted-state fold must
+    end at EXACTLY the batch cap_per_group result over all input —
+    including evictions (a later micro-batch carrying a lower-hash row
+    displaces an earlier keeper, which the versioned-state merge
+    handles and an append-only sink could not). Two parquet files +
+    maxFilesPerTrigger=1 forces a genuinely multi-batch run."""
+    from decision_tree_stuff_spark.operators.sampling import cap_per_group
+    from decision_tree_stuff_spark.queries import _events
+    from decision_tree_stuff_spark.streaming import (
+        read_capped_state,
+        read_events_stream,
+        stream_cap_per_group,
+    )
+
+    events = _events(spark, sf_dir)
+    d = tmp_path / "events_cap_stream"
+    d.mkdir()
+    # split by user parity so both halves hit every event_type group —
+    # guaranteeing cross-batch contention for the quota. The watch dir
+    # needs PLAIN parquet files (the unit sniffer reads footers), so
+    # lift each single part file out of its _write_ directory.
+    import glob
+    import shutil
+
+    # write µs timestamps (not Spark's INT96 default) so the events
+    # reader's unit sniffer sees a plain MICROS footer
+    prev_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        for i, cond in enumerate(
+            (F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1)
+        ):
+            staging = str(tmp_path / f"stage{i}")
+            events.where(cond).coalesce(1).write.parquet(staging)
+            part = glob.glob(f"{staging}/part-*.parquet")[0]
+            shutil.move(part, str(d / f"half{i}.parquet"))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tt)
+
+    state = str(tmp_path / "cap_state")
+    q = stream_cap_per_group(
+        read_events_stream(spark, str(d)),
+        state,
+        ["event_type"],
+        7,
+        ["user_id", "ts"],
+        seed="sc",
+    )
+    assert q.lastProgress is not None
+    import os
+
+    versions = sorted(v for v in os.listdir(state) if v.startswith("v"))
+    assert len(versions) >= 2, versions  # really ran multiple batches
+
+    cols = ["user_id", "ts", "event_type", "value"]
+
+    def rows(df):
+        return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+    got = rows(read_capped_state(spark, state))
+    want = rows(cap_per_group(events, ["event_type"], 7, ["user_id", "ts"], seed="sc"))
+    assert got == want and len(got) > 0
+
+
 def test_pack_sequences_matches_driver_side_cumsum(spark):
     # irregular sizes: compare against a pure-Python prefix sum under
     # the same (md5, id) order
@@ -314,6 +379,20 @@ def test_sample_to_budget_refuses_reserved_columns(spark):
     df = _weighted_docs(spark).withColumn("_cum", F.lit(1))
     with pytest.raises(ValueError, match="_cum"):
         sample_to_budget(df, "lang", {"en": 10}, ["doc_id"])
+
+
+def test_sample_to_budget_rejects_negative_weights(spark):
+    """A negative weight breaks prefix-sum monotonicity (rows past the
+    boundary could re-qualify, silently overshooting the budget) — the
+    weight expression must raise at execution, not mis-sample."""
+    df = _weighted_docs(spark).withColumn(
+        "w", F.when(F.col("doc_id") == 7, F.lit(-5)).otherwise(F.col("w"))
+    )
+    with pytest.raises(Exception, match="negative or null weight"):
+        sample_to_budget(
+            df, "lang", {"en": 500, "de": 200}, ["doc_id"],
+            seed="b", weight_col="w",
+        ).collect()
 
 
 def test_cap_per_group_quota_and_determinism(spark):
