@@ -1111,6 +1111,119 @@ def span_dedup_against_corpus(
     return _rebuild_stripped_docs(base, flagged, id_col, text_col)
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03; the MOSS algorithm): hash every character ``k``-gram of
+    the normalized text, then keep the MINIMUM hash of each sliding
+    window of ``w`` consecutive gram hashes. The selected set carries
+    the scheme's guarantee: any verbatim match of length ≥ ``w+k-1``
+    characters between two documents shares at least one fingerprint —
+    unlike a random MinHash sample, misses are impossible for long
+    matches, which is why plagiarism/boilerplate detectors use it.
+
+    Plan: a pure per-doc projection — the gram-hash array is built
+    doc-locally (``transform(sequence)`` over substrings; the
+    normalized text and the gram array are bound as real columns
+    first, since Catalyst does not CSE across lambda boundaries), the
+    window minima are ``array_min(slice(...))`` over it, and one
+    ``explode(array_distinct(...))`` emits the set. No joins, no
+    shuffle, embarrassingly parallel at any scale; per-doc work is
+    O(len·w) with w a small constant.
+
+    Hashes are md5 hex strings (the one hash Spark and DuckDB share
+    byte-for-byte, so the operator is SQL-oracle-checkable;
+    lexicographic min is consistent across engines). Documents whose
+    normalized text is empty produce no rows. Returns (id_col,
+    fingerprint) distinct.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    for c in ("__norm", "__grams"):
+        if c in docs.columns:
+            raise ValueError(
+                f"winnow_fingerprints reserves the column name {c!r}; "
+                "rename it on the input before calling"
+            )
+    from decision_tree_stuff_spark.functions.text import normalize_text
+
+    prep = (
+        docs.select(id_col, normalize_text(F.col(text_col)).alias("__norm"))
+        .where(F.length("__norm") > 0)
+    )
+    n_grams = F.greatest(F.length("__norm") - k + 1, F.lit(1))
+    grams = prep.withColumn(
+        "__grams",
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.substring(F.col("__norm"), i, k)),
+        ),
+    )
+    n_windows = F.greatest(F.size("__grams") - w + 1, F.lit(1))
+    fps = grams.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_windows),
+                    lambda j: F.array_min(F.slice(F.col("__grams"), j, w)),
+                )
+            )
+        ).alias("fingerprint"),
+    )
+    return fps.distinct()
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """MOSS-style near-dup candidates: pairs of documents sharing at
+    least ``min_shared`` winnowing fingerprints, with the shared count
+    as the match-strength score. By the winnowing guarantee a shared
+    verbatim run of ≥ ``w+k-1`` chars ALWAYS surfaces here — the
+    complement of the probabilistic MinHash family.
+
+    Plan: fingerprint (shuffle-free projection) → self equi-join on
+    the fingerprint → per-pair count ≥ ``min_shared``. Fan-out is
+    Σ df² over fingerprint document-frequencies, so ``max_df`` is the
+    same hot-key guard the Jaccard join uses: fingerprints in more
+    than ``max_df`` docs (ubiquitous boilerplate — exactly the keys
+    that would square) are dropped from pairing via a broadcast
+    anti-join; the signal lives in rarer fingerprints.
+
+    Returns (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("fingerprint")
+        )
+        fps = fps.join(F.broadcast(hot), "fingerprint", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

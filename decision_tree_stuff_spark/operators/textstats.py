@@ -119,6 +119,87 @@ def tf_idf(
     )
 
 
+def unigram_model(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The materialization target for LM-based quality scoring: the
+    corpus's unigram model as a (token, logprob) table — ln of the
+    token's share of all token occurrences. Train once over the
+    historical corpus, persist, and score new batches with
+    ``unigram_logprob(batch, model=...)`` — the same
+    learn-offline/apply-on-ingest split the span-strip and
+    incremental-dedup operators use.
+
+    Plan: one exploded groupBy for counts; the corpus total enters as
+    a broadcast 1-row aggregate cross-joined into the plan (no
+    separate count() action) — the tf_idf idiom."""
+    occ = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = occ.agg(F.count(F.lit(1)).cast("double").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.log(F.col("c") / F.col("__total")).alias("logprob"),
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: DataFrame = None,
+    oov_logprob: float = -20.0,
+) -> DataFrame:
+    """CCNet-style language-model quality signal (Wenzek et al. 2020
+    filter corpora by LM perplexity; the unigram model is its
+    SQL-oracle-checkable core): each document's mean per-token natural
+    log-probability. Low scores flag gibberish/rare-token soup, high
+    scores flag natural running text — threshold downstream with
+    ``filter_by_quantile``.
+
+    ``model=None`` scores the corpus under its OWN unigram model
+    (every token is then in-vocabulary). Passing a persisted
+    ``unigram_model`` table instead is the ingest shape; tokens absent
+    from the model score ``oov_logprob`` (a floor standing in for
+    smoothing mass — exact discounting needs the model's total count,
+    which a portable (token, logprob) table doesn't carry).
+
+    Plan: explode → one equi-join against the vocab-sized model table
+    (AQE broadcasts it when small; at a 100 TB vocabulary it stays a
+    plain shuffle join — both sides hash on the token) → one per-doc
+    aggregate. Docs with no tokens return n_tokens=0 and a null score.
+    Returns (id_col, n_tokens, mean_logprob) with every input doc
+    represented.
+    """
+    occ = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    m = (model if model is not None else unigram_model(docs, id_col, text_col))
+    m = m.select("token", F.col("logprob").alias("__lp"))
+    scored = (
+        occ.join(m, "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(F.coalesce(F.col("__lp"), F.lit(float(oov_logprob)))), 6
+            ).alias("mean_logprob"),
+        )
+    )
+    return (
+        docs.select(id_col).distinct()
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+            F.col("mean_logprob"),
+        )
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     id_col: str = "doc_id",

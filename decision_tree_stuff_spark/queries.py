@@ -886,6 +886,24 @@ def q_e4_repetition_stats(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_e2_winnow_pairs(spark, sf_dir):
+    """MOSS/winnowing near-dup candidates (r6): pairs sharing ≥ 2
+    selected k-gram fingerprints — deterministic guarantee for any
+    verbatim match ≥ w+k-1 chars, the complement of probabilistic
+    MinHash."""
+    from decision_tree_stuff_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(_docs(spark, sf_dir), k=8, w=4, min_shared=2)
+
+
+def q_e4_lm_quality(spark, sf_dir):
+    """Unigram-LM quality scores (r6, CCNet-style): mean per-token
+    ln-probability under the corpus's own unigram model."""
+    from decision_tree_stuff_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def q_e4_top_tokens(spark, sf_dir):
     """Per-lang top-10 vocabulary with corpus share — WindowGroupLimit
     keeps k rows per group through the rank exchange."""
@@ -2301,6 +2319,61 @@ SELECT t.doc_id, t.token, t.tf, f.df,
        round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / f.df), 6) AS tfidf
 FROM tf t JOIN dfreq f USING (token) CROSS JOIN n
 """,
+    # winnowing (SIGMOD'03): grams = md5 of each char 8-gram of the
+    # normalized text; fingerprints = distinct minima of each
+    # 4-window. DuckDB range() is upper-EXCLUSIVE (Spark sequence is
+    # inclusive → +1) and list slices are 1-based inclusive both ends
+    # with clamping, matching Spark's slice(g, j, 4).
+    "e2_winnow_pairs": """
+WITH nz AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+                        i -> md5(substr(t, CAST(i AS INT), 8))) AS grams
+  FROM nz WHERE length(t) > 0
+),
+fp AS (
+  SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM (
+    SELECT doc_id,
+           list_distinct(
+             list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+                            j -> list_min(grams[CAST(j AS INT):CAST(j + 3 AS INT)]))
+           ) AS fps
+    FROM g
+  ) w
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b USING (fingerprint)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+    "e4_lm_quality": f"""
+WITH occ AS (
+  SELECT doc_id, tok AS token FROM (
+    SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+  ) u WHERE tok <> ''
+),
+model AS (
+  SELECT token, ln(CAST(count(*) AS DOUBLE)
+                   / (SELECT count(*) FROM occ)) AS lp
+  FROM occ GROUP BY 1
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(lp), 6) AS mean_logprob
+  FROM occ JOIN model USING (token) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       s.mean_logprob
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN scored s USING (doc_id)
+""",
     "e4_repetition_stats": f"""
 WITH base AS (
   SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks FROM documents
@@ -2673,6 +2746,8 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e3_sign_lsh_topk": q_e3_sign_lsh_topk,
     "e3_ivf_topk_nprobe2": q_e3_ivf_topk_nprobe2,
     "e8_pack_sequences": q_e8_pack_sequences,
+    "e2_winnow_pairs": q_e2_winnow_pairs,          # r6: MOSS/winnowing
+    "e4_lm_quality": q_e4_lm_quality,              # r6: unigram-LM scores
     "e8_budget_sample": q_e8_budget_sample,        # r5: budget-filling mixture
     "e5b_session_assignment": q_e5b_session_assignment,  # r5: E-5 × E-10 composition
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking

@@ -365,6 +365,45 @@ def test_span_dedup_keep_first_plan_has_no_span_key_window(spark):
     assert "partial_min" in plan, plan
 
 
+def test_winnow_guarantee_and_pairs(spark):
+    """The winnowing contract (SIGMOD'03): two docs sharing a verbatim
+    run of ≥ w+k-1 characters MUST share a fingerprint — no
+    probabilistic misses; unrelated docs share none; empty docs emit
+    no rows; max_df drops ubiquitous-fingerprint pairs."""
+    from decision_tree_stuff_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"  # >> w+k-1
+    rows = [
+        (0, f"prefix one {shared} suffix alpha"),
+        (1, f"other start {shared} tail omega"),
+        (2, "completely unrelated text with different letters xyzzy"),
+        (3, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = winnow_fingerprints(df, k=8, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[0] & by_doc[1], "guaranteed shared fingerprint missing"
+    assert 3 not in by_doc  # whitespace-only doc -> no rows
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_pairs(df, k=8, w=4, min_shared=2).collect()
+    }
+    assert (0, 1) in got
+    assert all(2 not in p and 3 not in p for p in got)
+    # a fingerprint in EVERY doc is exactly what max_df=1 drops
+    all_same = spark.createDataFrame(
+        [(i, shared) for i in range(4)], "doc_id bigint, text string"
+    )
+    assert (
+        winnow_pairs(all_same, k=8, w=4, min_shared=1, max_df=1).count() == 0
+    )
+
+
 def test_corpus_diff_statuses(spark):
     from decision_tree_stuff_spark.operators.dedup import corpus_diff
 

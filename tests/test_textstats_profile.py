@@ -206,3 +206,57 @@ def test_scrub_documents_planted_pii_matches_duckdb(spark):
     assert got[1][0] == "server <IP> and <IP> rebooted"
     assert got[2] == ("ssn <ID> leaked; call 123-456-7890", 0, 0, 1)
     assert got[3] == (rows[3][1], 0, 0, 0)
+
+
+def test_unigram_logprob_self_model_math(spark):
+    """Self-model scores equal hand math: model p(tok) = share of all
+    occurrences; doc score = round(mean ln p, 6). Empty doc comes back
+    with n_tokens=0 and a null score."""
+    import math
+
+    from decision_tree_stuff_spark.operators.textstats import (
+        unigram_logprob,
+    )
+
+    rows = [(0, "a a b"), (1, "b c"), (2, "   ")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # occurrences: a=2, b=2, c=1, total=5
+    p = {"a": 2 / 5, "b": 2 / 5, "c": 1 / 5}
+    want = {
+        0: round((2 * math.log(p["a"]) + math.log(p["b"])) / 3, 6),
+        1: round((math.log(p["b"]) + math.log(p["c"])) / 2, 6),
+        2: None,
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+        for r in unigram_logprob(df).collect()
+    }
+    assert got == {0: (3, want[0]), 1: (2, want[1]), 2: (0, None)}
+
+
+def test_unigram_logprob_external_model_and_oov(spark):
+    """Ingest shape: a persisted unigram_model table scores a NEW
+    batch; tokens outside the model's vocabulary hit the oov floor."""
+    import math
+
+    from decision_tree_stuff_spark.operators.textstats import (
+        unigram_logprob,
+        unigram_model,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id bigint, text string"
+    )
+    model = unigram_model(corpus)
+    got_model = {r["token"]: r["logprob"] for r in model.collect()}
+    assert set(got_model) == {"a", "b", "c"}
+    assert abs(got_model["a"] - math.log(2 / 5)) < 1e-12
+
+    batch = spark.createDataFrame(
+        [(10, "a zzz")], "doc_id bigint, text string"
+    )
+    out = unigram_logprob(batch, model=model, oov_logprob=-20.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_tokens"] == 2
+    assert r["mean_logprob"] == round((math.log(2 / 5) + -20.0) / 2, 6)
