@@ -86,8 +86,8 @@ def decode_media(payload: bytes, fmt: str):
     available in this container. The Spark-side plumbing (schema,
     batching, partitioning) is real; swap this function for the
     actual decoder in production. Header-level metadata decode is NOT
-    stubbed — see ``with_image_header_meta`` (real PNG/GIF parsing in
-    pure Spark byte expressions)."""
+    stubbed — see ``with_image_header_meta`` (real PNG/GIF/JPEG
+    parsing in pure Spark byte expressions)."""
     raise NotImplementedError(
         f"media decode for format {fmt!r} requires codec libraries "
         "not present in this environment"
@@ -95,6 +95,14 @@ def decode_media(payload: bytes, fmt: str):
 
 
 _PNG_SIG = "89504E470D0A1A0A"  # \x89PNG\r\n\x1a\n
+
+
+def _sig(payload, pos: int, ascii_tag: str):
+    """True iff the bytes at 1-based ``pos`` equal ``ascii_tag`` —
+    compared as HEX, because ``decode(..., 'UTF-8')`` raises on the
+    invalid byte sequences arbitrary binary payloads contain."""
+    want = ascii_tag.encode("ascii").hex().upper()
+    return F.hex(F.substring(payload, pos, len(ascii_tag))) == want
 
 
 def _be32(payload, pos: int):
@@ -111,6 +119,69 @@ def _le16(payload, pos: int):
     return b(pos) + b(pos + 1) * F.lit(256)
 
 
+def _u8(payload, pos):
+    """uint8 at 1-based offset ``pos`` (int or Column)."""
+    return F.conv(F.hex(F.substring(payload, pos, 1)), 16, 10).cast("int")
+
+
+def _be16(payload, pos):
+    """Big-endian uint16 at 1-based offset ``pos`` (int or Column)."""
+    return F.conv(F.hex(F.substring(payload, pos, 2)), 16, 10).cast("int")
+
+
+#: JPEG start-of-frame marker codes (dimensions live in the SOF
+#: segment) — every SOFn except the non-frame C4 (DHT), C8 (JPG
+#: extension), CC (DAC).
+_JPEG_SOF_MARKERS = (
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+)
+
+
+def _jpeg_dims(p, max_segments: int = 12):
+    """(width, height) of a JPEG payload as ONE expression — a bounded
+    segment walk compiled to an ``aggregate`` fold, still no UDF:
+
+    JPEG puts its dimensions in the SOF segment at a VARIABLE offset
+    (after APPn/EXIF/quant tables...), so unlike PNG/GIF there is no
+    fixed-position read. Each fold step looks at the current segment
+    (0xFF marker + BE16 length), either captures the SOF dims
+    (height @ +5, width @ +7), skips ``2 + len`` bytes, or poisons the
+    offset on malformed input; once dims are set (or the offset is
+    poisoned) remaining steps pass the state through. ``max_segments``
+    bounds work and expression size — real headers reach SOF within a
+    handful of segments (APPn + DQT + …); deeper ones return nulls
+    rather than scanning unboundedly.
+    """
+    init = F.struct(
+        F.lit(3).alias("o"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+    )
+
+    def step(acc, _):
+        o = acc["o"]
+        active = acc["w"].isNull() & (o >= 3) & ((o + 3) <= F.length(p))
+        m0 = _u8(p, o)
+        m1 = _u8(p, o + 1)
+        seg = _be16(p, o + 2)
+        ok = (m0 == 255) & (seg >= 2)
+        is_sof = m1.isin(*[F.lit(x) for x in _JPEG_SOF_MARKERS])
+        readable = (o + 8) <= F.length(p)
+        new_w = F.when(is_sof & ok & readable, _be16(p, o + 7))
+        new_h = F.when(is_sof & ok & readable, _be16(p, o + 5))
+        new_o = F.when(~ok | is_sof, F.lit(-1)).otherwise(o + 2 + seg)
+        return F.when(
+            active,
+            F.struct(new_o.alias("o"), new_w.alias("w"), new_h.alias("h")),
+        ).otherwise(acc)
+
+    final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_segments)), init, step
+    )
+    return final["w"], final["h"]
+
+
 def with_image_header_meta(
     media: DataFrame, payload_col: str = "payload"
 ) -> DataFrame:
@@ -122,11 +193,12 @@ def with_image_header_meta(
       width/height are big-endian uint32s at bytes 17-20 / 21-24.
     * GIF (87a/89a): 6-byte signature; logical-screen width/height
       are little-endian uint16s at bytes 7-8 / 9-10.
+    * JPEG (r6): FFD8 signature, then a bounded segment walk to the
+      SOF marker compiled to one ``aggregate`` fold (``_jpeg_dims``) —
+      variable-offset parsing, still pure expressions.
 
     Appends (img_format, img_width, img_height); unrecognized or
-    truncated payloads get nulls. JPEG dimensions live in a SOF
-    marker at a variable offset (requires a scan loop) — that stays
-    with the pixel-decode stub (``decode_media``).
+    truncated payloads get nulls.
     """
     p = F.col(payload_col)
     is_png = (
@@ -135,13 +207,27 @@ def with_image_header_meta(
         # first chunk must actually BE the IHDR we read the fixed
         # offsets from — a valid signature with a nonstandard first
         # chunk would otherwise decode garbage dimensions
-        & (F.decode(F.substring(p, 13, 4), "UTF-8") == "IHDR")
+        & _sig(p, 13, "IHDR")
     )
-    sig6 = F.decode(F.substring(p, 1, 6), "UTF-8")
-    is_gif = (F.length(p) >= 10) & sig6.isin("GIF87a", "GIF89a")
-    fmt = F.when(is_png, "png").when(is_gif, "gif")
-    width = F.when(is_png, _be32(p, 17)).when(is_gif, _le16(p, 7))
-    height = F.when(is_png, _be32(p, 21)).when(is_gif, _le16(p, 9))
+    # signature checks compare HEX bytes, never decode(): Spark 4's
+    # ANSI decode RAISES on invalid UTF-8, and arbitrary binary
+    # payloads (any real JPEG) are not valid UTF-8
+    is_gif = (F.length(p) >= 10) & (
+        _sig(p, 1, "GIF87a") | _sig(p, 1, "GIF89a")
+    )
+    is_jpeg = (F.length(p) >= 4) & (F.hex(F.substring(p, 1, 2)) == "FFD8")
+    jw, jh = _jpeg_dims(p)
+    fmt = F.when(is_png, "png").when(is_gif, "gif").when(is_jpeg, "jpeg")
+    width = (
+        F.when(is_png, _be32(p, 17))
+        .when(is_gif, _le16(p, 7))
+        .when(is_jpeg, jw)
+    )
+    height = (
+        F.when(is_png, _be32(p, 21))
+        .when(is_gif, _le16(p, 9))
+        .when(is_jpeg, jh)
+    )
     return media.select(
         "*",
         fmt.alias("img_format"),
@@ -169,12 +255,11 @@ def with_audio_header_meta(
     the pixel/PCM decode stub. Appends (audio_format, sample_rate_hz,
     n_channels, bits_per_sample)."""
     p = F.col(payload_col)
-    sig = lambda pos, s: F.decode(F.substring(p, pos, len(s)), "UTF-8") == s  # noqa: E731
     is_wav = (
         (F.length(p) >= 36)
-        & sig(1, "RIFF")
-        & sig(9, "WAVE")
-        & sig(13, "fmt ")
+        & _sig(p, 1, "RIFF")
+        & _sig(p, 9, "WAVE")
+        & _sig(p, 13, "fmt ")
     )
     rate = _le32(p, 25)
     # the LE32 field can hold up to 2^32-1; casting that to int is a

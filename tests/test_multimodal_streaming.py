@@ -297,3 +297,53 @@ def test_audio_header_meta_parses_real_wav(spark):
     assert out[1] == ("wav", 16000, 1, 16)
     assert out[2] == ("wav", 44100, 2, 24)
     assert out[3] == (None, None, None, None)
+
+
+def test_image_header_meta_parses_real_jpeg(spark):
+    """JPEG dims live in an SOF segment at a VARIABLE offset — the
+    bounded aggregate-fold segment walk must find them behind
+    arbitrary APPn/COM/DQT segments, with no UDF; malformed streams
+    (bad marker byte, missing SOF, truncation) yield nulls with
+    format still detected from the FFD8 signature."""
+    import struct
+
+    from decision_tree_stuff_spark.operators.multimodal import (
+        with_image_header_meta,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sof(w, h, marker=0xC0):
+        #  precision, height, width, n_components (+ dummy per-comp)
+        return seg(marker, struct.pack(">BHHB", 8, h, w, 3) + b"\x00" * 9)
+
+    jfif = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    exif = seg(0xE1, b"Exif\x00\x00" + b"\x00" * 40)
+    dqt = seg(0xDB, b"\x00" + b"\x01" * 64)
+
+    soi = b"\xff\xd8"
+    rows = [
+        (1, bytearray(soi + jfif + sof(640, 480))),                  # typical
+        (2, bytearray(soi + jfif + exif + dqt + sof(1024, 768, 0xC2))),  # progressive, deep
+        (3, bytearray(soi + jfif + dqt)),                            # no SOF
+        (4, bytearray(soi + b"\x00\x37" + b"junk")),                 # bad marker byte
+        (5, bytearray(soi + jfif + sof(99, 77)[:5])),                # truncated SOF
+        (6, bytearray(b"plain text payload")),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {
+        r.media_id: (r.img_format, r.img_width, r.img_height)
+        for r in with_image_header_meta(df).collect()
+    }
+    assert out[1] == ("jpeg", 640, 480)
+    assert out[2] == ("jpeg", 1024, 768)
+    assert out[3] == ("jpeg", None, None)
+    assert out[4] == ("jpeg", None, None)
+    assert out[5] == ("jpeg", None, None)
+    assert out[6] == (None, None, None)
+    plan = (
+        with_image_header_meta(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
