@@ -200,6 +200,92 @@ def unigram_logprob(
     )
 
 
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per adjacent token pair (w1, w2) per document, empty
+    tokens dropped before pairing. The pair array is built doc-locally
+    (transform over a bounded sequence); docs with < 2 tokens emit no
+    rows. sequence() counts DOWN when stop < start, so the 1-token
+    case is guarded explicitly rather than fed a reversed range."""
+    toks_f = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    prep = docs.select(F.col(id_col), toks_f.alias("__toks"))
+    pairs = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("__toks"), i).alias("w1"),
+                F.element_at(F.col("__toks"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    return prep.select(
+        F.col(id_col), F.explode(pairs).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def bigram_model(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Conditional bigram model as a (w1, w2, logprob) table:
+    ln( c(w1 w2) / Σ_x c(w1 x) ) — MLE of P(w2 | w1), self-normalized
+    over observed continuations. One step up the KenLM ladder from
+    ``unigram_model``; same train-offline/score-on-ingest split.
+
+    Plan: one exploded groupBy for pair counts, one groupBy for
+    per-context totals (vocab-sized — its join back broadcasts under
+    AQE when small, hash-joins otherwise)."""
+    bg = _doc_bigrams(docs, id_col, text_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("double").alias("c1"))
+    return c2.join(c1, "w1").select(
+        "w1", "w2", F.log(F.col("c2") / F.col("c1")).alias("logprob")
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: DataFrame = None,
+    oov_logprob: float = -20.0,
+) -> DataFrame:
+    """Mean adjacent-pair conditional ln-probability per document —
+    the bigram refinement of ``unigram_logprob`` (CCNet-style LM
+    filtering; repetitive boilerplate scores HIGH, rare-token soup
+    scores LOW, and unseen transitions hit the ``oov_logprob`` floor
+    when scoring against a persisted external ``bigram_model``).
+
+    Same plan shape as the unigram scorer: explode pairs → one
+    equi-join on (w1, w2) → per-doc aggregate. Docs with fewer than 2
+    tokens return n_bigrams=0 and a null score. Returns (id_col,
+    n_bigrams, mean_logprob) with every input doc represented.
+    """
+    bg = _doc_bigrams(docs, id_col, text_col)
+    m = model if model is not None else bigram_model(docs, id_col, text_col)
+    m = m.select("w1", "w2", F.col("logprob").alias("__lp"))
+    scored = (
+        bg.join(m, ["w1", "w2"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(F.coalesce(F.col("__lp"), F.lit(float(oov_logprob)))), 6
+            ).alias("mean_logprob"),
+        )
+    )
+    return (
+        docs.select(id_col).distinct()
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+            F.col("mean_logprob"),
+        )
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     id_col: str = "doc_id",

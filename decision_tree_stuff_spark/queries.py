@@ -904,6 +904,14 @@ def q_e4_lm_quality(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_e4_lm_bigram(spark, sf_dir):
+    """Bigram-LM quality scores (r6): mean conditional ln P(w2|w1)
+    under the corpus's own bigram model."""
+    from decision_tree_stuff_spark.operators.textstats import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 def q_e4_top_tokens(spark, sf_dir):
     """Per-lang top-10 vocabulary with corpus share — WindowGroupLimit
     keeps k rows per group through the rank exchange."""
@@ -2374,6 +2382,33 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN scored s USING (doc_id)
 """,
+    "e4_lm_bigram": f"""
+WITH base AS (
+  SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM base
+),
+bg AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM pos
+  ) x WHERE w2 IS NOT NULL
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c2) AS DOUBLE) AS c1 FROM c2 GROUP BY 1),
+model AS (SELECT w1, w2, ln(c2 / c1) AS lp FROM c2 JOIN c1 USING (w1)),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(lp), 6) AS mean_logprob
+  FROM bg JOIN model USING (w1, w2) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.mean_logprob
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN scored s USING (doc_id)
+""",
     "e4_repetition_stats": f"""
 WITH base AS (
   SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks FROM documents
@@ -2748,6 +2783,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e8_pack_sequences": q_e8_pack_sequences,
     "e2_winnow_pairs": q_e2_winnow_pairs,          # r6: MOSS/winnowing
     "e4_lm_quality": q_e4_lm_quality,              # r6: unigram-LM scores
+    "e4_lm_bigram": q_e4_lm_bigram,                # r6: bigram-LM scores
     "e8_budget_sample": q_e8_budget_sample,        # r5: budget-filling mixture
     "e5b_session_assignment": q_e5b_session_assignment,  # r5: E-5 × E-10 composition
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking

@@ -424,3 +424,28 @@ def test_corpus_diff_statuses(spark):
     )
     got2 = {r["doc_id"]: r["status"] for r in corpus_diff(old, new2).collect()}
     assert got2 == {0: "unchanged", 1: "unchanged", 2: "unchanged"}
+
+
+def test_winnow_fingerprints_plan_is_shuffle_free(spark):
+    """Fingerprint selection is a pure per-doc projection: the plan up
+    to the distinct must contain no Exchange beyond the distinct's own
+    aggregation — pin that the pre-distinct frame has ZERO exchanges."""
+    from decision_tree_stuff_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "some example text for the plan pin test")],
+        "doc_id bigint, text string",
+    )
+    # distinct() adds its own (necessary, bounded) aggregate; the
+    # fingerprint GENERATION itself must be exchange-free, so inspect
+    # the full plan: exactly the distinct's exchange, nothing else.
+    plan = (
+        winnow_fingerprints(df, k=8, w=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -260,3 +260,51 @@ def test_unigram_logprob_external_model_and_oov(spark):
     r = out[0]
     assert r["n_tokens"] == 2
     assert r["mean_logprob"] == round((math.log(2 / 5) + -20.0) / 2, 6)
+
+
+def test_bigram_logprob_self_model_math(spark):
+    """Self-model bigram scores equal hand math: P(w2|w1) =
+    c(w1,w2) / sum_x c(w1,x); docs with < 2 tokens return n_bigrams=0
+    and a null score."""
+    import math
+
+    from decision_tree_stuff_spark.operators.textstats import bigram_logprob
+
+    rows = [(0, "a b a b"), (1, "a c"), (2, "solo"), (3, " ")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # bigrams: doc0: (a,b) (b,a) (a,b); doc1: (a,c)
+    # contexts: a -> {b:2, c:1} ; b -> {a:1}
+    p_ab, p_ba, p_ac = 2 / 3, 1 / 1, 1 / 3
+    want0 = round(
+        (2 * math.log(p_ab) + math.log(p_ba)) / 3, 6
+    )
+    want1 = round(math.log(p_ac), 6)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+        for r in bigram_logprob(df).collect()
+    }
+    assert got == {0: (3, want0), 1: (1, want1), 2: (0, None), 3: (0, None)}
+
+
+def test_bigram_logprob_external_model_and_oov(spark):
+    """Unseen transitions hit the OOV floor when scoring a new batch
+    against a persisted bigram model."""
+    import math
+
+    from decision_tree_stuff_spark.operators.textstats import (
+        bigram_logprob,
+        bigram_model,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c")], "doc_id bigint, text string"
+    )
+    model = bigram_model(corpus)
+    got = {(r["w1"], r["w2"]): r["logprob"] for r in model.collect()}
+    assert abs(got[("a", "b")] - math.log(2 / 3)) < 1e-12
+    batch = spark.createDataFrame(
+        [(10, "a b zzz")], "doc_id bigint, text string"
+    )
+    out = bigram_logprob(batch, model=model, oov_logprob=-20.0).collect()[0]
+    assert out["n_bigrams"] == 2   # (a,b) known; (b,zzz) OOV
+    assert out["mean_logprob"] == round((math.log(2 / 3) + -20.0) / 2, 6)
