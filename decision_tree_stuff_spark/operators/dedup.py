@@ -1224,6 +1224,58 @@ def winnow_pairs(
     )
 
 
+def edit_similarity_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_rel_dist: float = 0.2,
+    max_chars: Optional[int] = None,
+) -> DataFrame:
+    """Edit-distance verification of candidate near-dup pairs: join
+    the candidate (id_a, id_b) table back to normalized text and keep
+    pairs whose Levenshtein distance is at most ``max_rel_dist`` ×
+    max(len_a, len_b) — the character-level confirmation stage that
+    token-set measures (Jaccard, MinHash) and fingerprint candidates
+    (winnowing) can't provide: it certifies SEQUENCE similarity, not
+    just bag overlap, so token-reordered docs no longer pass.
+
+    Never run standalone over a corpus — Levenshtein is O(len_a ·
+    len_b) per pair, so total cost is (candidate count) × (doc
+    length)², bounded entirely by the upstream candidate generator
+    (the same contract as `_jaccard_verify`). ``max_chars`` truncates
+    both sides first (the standard practical bound when docs can be
+    arbitrarily long: a 1 MB doc pair would otherwise cost 10^12 cell
+    updates). Distance is computed JVM-side (``F.levenshtein``), one
+    join per side, no UDF.
+
+    Returns (id_a, id_b, edit_dist, rel_dist) with rel_dist =
+    dist / greatest(len_a, len_b, 1) rounded to 6dp, filtered to
+    rel_dist ≤ ``max_rel_dist``.
+    """
+    from decision_tree_stuff_spark.functions.text import normalize_text
+
+    norm = normalize_text(F.col(text_col))
+    if max_chars is not None:
+        norm = F.substring(norm, 1, max_chars)
+    texts = docs.select(F.col(id_col), norm.alias("__t"))
+    a = texts.select(F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"))
+    b = texts.select(F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"))
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"))
+    denom = F.greatest(
+        F.length("__ta"), F.length("__tb"), F.lit(1)
+    ).cast("double")
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("edit_dist", dist.cast("bigint"))
+        .withColumn("rel_dist", F.round(F.col("edit_dist") / denom, 6))
+        .where(F.col("rel_dist") <= max_rel_dist)
+        .select("id_a", "id_b", "edit_dist", "rel_dist")
+    )
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

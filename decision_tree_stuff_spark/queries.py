@@ -896,6 +896,19 @@ def q_e2_winnow_pairs(spark, sf_dir):
     return winnow_pairs(_docs(spark, sf_dir), k=8, w=4, min_shared=2)
 
 
+def q_e2_edit_verified(spark, sf_dir):
+    """Winnowing candidates confirmed by character-level edit distance
+    (r6): certifies sequence similarity, not just bag overlap."""
+    from decision_tree_stuff_spark.operators.dedup import (
+        edit_similarity_pairs,
+        winnow_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cand = winnow_pairs(docs, k=8, w=4, min_shared=2)
+    return edit_similarity_pairs(docs, cand, max_rel_dist=0.5)
+
+
 def q_e4_lm_quality(spark, sf_dir):
     """Unigram-LM quality scores (r6, CCNet-style): mean per-token
     ln-probability under the corpus's own unigram model."""
@@ -2686,6 +2699,28 @@ FROM days JOIN iv ON d >= s AND d < e
 GROUP BY day_epoch
 """
 
+# r6: edit-distance verification of the winnow candidates — reuses
+# the winnow-pairs query verbatim as the candidate CTE so the two
+# twins can never drift apart.
+ORACLE_SQL["e2_edit_verified"] = f"""
+WITH cand AS ({ORACLE_SQL["e2_winnow_pairs"]}),
+t AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+       round(levenshtein(a.t, b.t)
+             / CAST(greatest(length(a.t), length(b.t), 1) AS DOUBLE),
+             6) AS rel_dist
+FROM cand c
+JOIN t a ON c.id_a = a.doc_id
+JOIN t b ON c.id_b = b.doc_id
+WHERE round(levenshtein(a.t, b.t)
+            / CAST(greatest(length(a.t), length(b.t), 1) AS DOUBLE),
+            6) <= 0.5
+"""
+
 # Driver-facing registry: EXACTLY 50 entries. The driver records
 # CORRECTNESS rows for at most the first 50 keys, so every query here
 # gets a driver-green row each round (round-4 verdict, next-round #1).
@@ -2782,6 +2817,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e3_ivf_topk_nprobe2": q_e3_ivf_topk_nprobe2,
     "e8_pack_sequences": q_e8_pack_sequences,
     "e2_winnow_pairs": q_e2_winnow_pairs,          # r6: MOSS/winnowing
+    "e2_edit_verified": q_e2_edit_verified,        # r6: Levenshtein verify
     "e4_lm_quality": q_e4_lm_quality,              # r6: unigram-LM scores
     "e4_lm_bigram": q_e4_lm_bigram,                # r6: bigram-LM scores
     "e8_budget_sample": q_e8_budget_sample,        # r5: budget-filling mixture

@@ -449,3 +449,42 @@ def test_winnow_fingerprints_plan_is_shuffle_free(spark):
     )
     assert plan.count("Exchange") <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_edit_similarity_pairs_verifies_sequences(spark):
+    """Edit verification separates reordered-token docs (high bag
+    overlap, high edit distance) from genuinely near-identical docs;
+    distances match Python's textbook DP values."""
+    from decision_tree_stuff_spark.operators.dedup import (
+        edit_similarity_pairs,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # 1 word off
+        (2, "dog lazy the over jumps fox brown quick the"),  # same bag, reordered
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["edit_dist"], r["rel_dist"])
+        for r in edit_similarity_pairs(
+            docs, cand, max_rel_dist=1.0
+        ).collect()
+    }
+    # dog -> cat: 3 substitutions over 43 chars
+    assert out[(0, 1)] == (3, round(3 / 43, 6))
+    assert out[(0, 2)][0] > 10      # reordering costs many edits
+    # the verify threshold actually verifies
+    tight = edit_similarity_pairs(docs, cand, max_rel_dist=0.2)
+    assert {(r["id_a"], r["id_b"]) for r in tight.collect()} == {(0, 1)}
+    # max_chars truncation bounds the DP cost deterministically
+    trunc = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in edit_similarity_pairs(
+            docs, cand, max_rel_dist=1.0, max_chars=9
+        ).collect()
+    }
+    assert trunc[(0, 1)] == 0       # identical first 9 chars
