@@ -70,6 +70,12 @@ BENCH_QUERIES = [
     # round-5 additions
     "e10_asof_join",
     "e10b_interval_join",
+    # round-6 additions: winnowing (Spark ~10x the twin at sf0.1 —
+    # codegen'd array exprs vs interpreted list lambdas; real compute,
+    # recorded transparently per-query) and the two LM scorers
+    "e2_winnow_pairs",
+    "e4_lm_quality",
+    "e4_lm_bigram",
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so
@@ -217,6 +223,12 @@ def main() -> None:
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # stay inside the driver's tail window
+        # stage 1: 1-decimal timings (full detail is in the file)
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        compact["duckdb"] = {k: round(v, 1) for k, v in duck.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # stage 2: totals-only for the twin side
         compact.pop("duckdb")
         compact["duckdb_total_sec"] = round(sum(duck.values()), 2)
         line = json.dumps(compact, separators=(",", ":"))

@@ -15,6 +15,7 @@ from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.sql import DataFrame
 
 from decision_tree_stuff_spark.dtree import DecisionTree, DecisionTreeParams
+from decision_tree_stuff_spark.forest import DecisionForest, ForestParams
 
 
 class _HasTreeParams(Params):
@@ -117,3 +118,101 @@ class DecisionTreeStuffModel(Model):
     @classmethod
     def load_json(cls, path: str) -> "DecisionTreeStuffModel":
         return cls(DecisionTree.load_json(path))
+
+
+class DecisionForestClassifier(Estimator, _HasTreeParams):
+    """``Estimator`` facade for the bagged forest (r6) — the ensemble
+    counterpart of ``DecisionTreeStuffClassifier``, same no-assembler
+    column convention. ``keyCols`` feeds the deterministic hash
+    bagger (default: every non-label column)."""
+
+    nTrees = Param(
+        Params._dummy(), "nTrees", "ensemble size",
+        typeConverter=TypeConverters.toInt,
+    )
+    sampleRate = Param(
+        Params._dummy(), "sampleRate", "bagging keep-rate per tree",
+        typeConverter=TypeConverters.toFloat,
+    )
+    seed = Param(
+        Params._dummy(), "seed", "bagging seed string",
+        typeConverter=TypeConverters.toString,
+    )
+    keyCols = Param(
+        Params._dummy(), "keyCols",
+        "row-identity columns for the hash bagger ([] = all features)",
+        typeConverter=TypeConverters.toListString,
+    )
+
+    @keyword_only
+    def __init__(
+        self,
+        classCol: str = "class",
+        splittingMethod: str = "mean",
+        splitMetric: str = "entropy",
+        minSplitSamples: int = 0,
+        minSplitEntropy: float = 0.0,
+        maxDepth: int = -1,
+        nTrees: int = 5,
+        sampleRate: float = 0.7,
+        seed: str = "forest",
+        keyCols: list = None,
+    ):
+        super().__init__()
+        self._setDefault(
+            classCol="class",
+            splittingMethod="mean",
+            splitMetric="entropy",
+            minSplitSamples=0,
+            minSplitEntropy=0.0,
+            maxDepth=-1,
+            nTrees=5,
+            sampleRate=0.7,
+            seed="forest",
+            keyCols=[],
+        )
+        kwargs = self._input_kwargs
+        if kwargs.get("keyCols") is None:
+            kwargs.pop("keyCols", None)
+        self._set(**kwargs)
+
+    def _fit(self, dataset: DataFrame) -> "DecisionForestModel":
+        tree_params = DecisionTreeParams(
+            feature_columns=[],
+            class_column=self.getOrDefault("classCol"),
+            splitting_method=self.getOrDefault("splittingMethod"),
+            split_metric=self.getOrDefault("splitMetric"),
+            min_split_samples=self.getOrDefault("minSplitSamples"),
+            min_split_entropy=self.getOrDefault("minSplitEntropy"),
+            max_depth=self.getOrDefault("maxDepth"),
+        )
+        forest = DecisionForest(
+            ForestParams(
+                tree_params=tree_params,
+                n_trees=self.getOrDefault("nTrees"),
+                sample_rate=self.getOrDefault("sampleRate"),
+                seed=self.getOrDefault("seed"),
+            )
+        )
+        keys = self.getOrDefault("keyCols") or None
+        forest.fit(dataset, key_cols=keys)
+        return DecisionForestModel(forest)
+
+
+class DecisionForestModel(Model):
+    """Fitted forest: ``transform`` adds the majority-vote TINYINT
+    ``prediction`` in one fused projection."""
+
+    def __init__(self, forest: DecisionForest):
+        super().__init__()
+        self.forest = forest
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        return self.forest.transform(dataset)
+
+    def save_json(self, path: str) -> None:
+        self.forest.save_json(path)
+
+    @classmethod
+    def load_json(cls, path: str) -> "DecisionForestModel":
+        return cls(DecisionForest.load_json(path))

@@ -890,10 +890,16 @@ def q_e2_winnow_pairs(spark, sf_dir):
     """MOSS/winnowing near-dup candidates (r6): pairs sharing ≥ 2
     selected k-gram fingerprints — deterministic guarantee for any
     verbatim match ≥ w+k-1 chars, the complement of probabilistic
-    MinHash."""
+    MinHash. max_df=50 is load-bearing on this corpus: its tiny
+    template vocabulary makes one fingerprint appear in 68% of docs
+    (measured Σdf² = 190M join rows at sf0.1 uncapped); near-dup
+    signal lives in the rare fingerprints, the hot ones are corpus
+    boilerplate — same rationale as the Jaccard hot-token cap."""
     from decision_tree_stuff_spark.operators.dedup import winnow_pairs
 
-    return winnow_pairs(_docs(spark, sf_dir), k=8, w=4, min_shared=2)
+    return winnow_pairs(
+        _docs(spark, sf_dir), k=8, w=4, min_shared=2, max_df=50
+    )
 
 
 def q_e2_edit_verified(spark, sf_dir):
@@ -905,8 +911,14 @@ def q_e2_edit_verified(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    cand = winnow_pairs(docs, k=8, w=4, min_shared=2)
-    return edit_similarity_pairs(docs, cand, max_rel_dist=0.5)
+    # min_shared=4 prunes the candidate set before the O(n·m) DP and
+    # max_chars=200 bounds each DP — the cost discipline the operator
+    # documents; thresholds chosen so verified pairs still surface at
+    # every SF
+    cand = winnow_pairs(docs, k=8, w=4, min_shared=4, max_df=50)
+    return edit_similarity_pairs(
+        docs, cand, max_rel_dist=0.5, max_chars=200
+    )
 
 
 def q_e4_lm_quality(spark, sf_dir):
@@ -2365,10 +2377,16 @@ fp AS (
            ) AS fps
     FROM g
   ) w
+),
+kept AS (
+  SELECT fp.doc_id, fp.fingerprint
+  FROM fp JOIN (
+    SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) <= 50
+  ) ok USING (fingerprint)
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(count(*) AS BIGINT) AS n_shared
-FROM fp a JOIN fp b USING (fingerprint)
+FROM kept a JOIN kept b USING (fingerprint)
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 2
@@ -2703,9 +2721,12 @@ GROUP BY day_epoch
 # the winnow-pairs query verbatim as the candidate CTE so the two
 # twins can never drift apart.
 ORACLE_SQL["e2_edit_verified"] = f"""
-WITH cand AS ({ORACLE_SQL["e2_winnow_pairs"]}),
+WITH winnow AS ({ORACLE_SQL["e2_winnow_pairs"]}),
+cand AS (SELECT id_a, id_b FROM winnow WHERE n_shared >= 4),
 t AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  SELECT doc_id,
+         substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                1, 200) AS t
   FROM documents
 )
 SELECT c.id_a, c.id_b,
