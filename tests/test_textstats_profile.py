@@ -4,6 +4,8 @@ and its plan must not shuffle distinct (group, token) pairs."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from decision_tree_stuff_spark.operators.textstats import corpus_profile
 
 
@@ -308,3 +310,56 @@ def test_bigram_logprob_external_model_and_oov(spark):
     out = bigram_logprob(batch, model=model, oov_logprob=-20.0).collect()[0]
     assert out["n_bigrams"] == 2   # (a,b) known; (b,zzz) OOV
     assert out["mean_logprob"] == round((math.log(2 / 3) + -20.0) / 2, 6)
+
+
+def test_stream_lm_scoring_equals_batch(spark, sf_dir, tmp_path):
+    """Score-on-ingest (r6): scoring a doc stream against a persisted
+    unigram model is per-doc with a static model table, so foreachBatch
+    over multiple micro-batches must equal one batch run — the same
+    micro-batch-invariance contract as the span strip."""
+    from decision_tree_stuff_spark.operators.textstats import (
+        unigram_logprob,
+        unigram_model,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    model = unigram_model(docs)
+    want = sorted(
+        tuple(r) for r in unigram_logprob(docs, model=model).collect()
+    )
+
+    import glob
+    import shutil
+
+    d = tmp_path / "docs_lm_stream"
+    d.mkdir()
+    for i, cond in enumerate(
+        (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1)
+    ):
+        staging = str(tmp_path / f"stage{i}")
+        docs.where(cond).coalesce(1).write.parquet(staging)
+        shutil.move(
+            glob.glob(f"{staging}/part-*.parquet")[0],
+            str(d / f"half{i}.parquet"),
+        )
+
+    got = []
+
+    def score(batch_df, batch_id):
+        out = unigram_logprob(batch_df, model=model)
+        got.extend(tuple(r) for r in out.collect())
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .writeStream.foreachBatch(score)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got) == want and len(got) > 0
