@@ -488,3 +488,61 @@ def test_edit_similarity_pairs_verifies_sequences(spark):
         ).collect()
     }
     assert trunc[(0, 1)] == 0       # identical first 9 chars
+
+
+@st.composite
+def _winnow_docs(draw):
+    n = draw(st.integers(2, 6))
+    out = []
+    for i in range(n):
+        k = draw(st.integers(0, 6))
+        words = [draw(st.sampled_from(WORDS))  for _ in range(k)]
+        out.append((i, " ".join(words)))
+    return out
+
+
+def _py_winnow(docs, k, w):
+    """Brute-force winnowing with the operator's exact conventions:
+    normalized text, md5-hex gram hashes (truncated-tail shingle for
+    len < k via greatest(len-k+1, 1)), window minima over clamped
+    slices, distinct."""
+    import hashlib
+    import re
+
+    want = set()
+    for i, t in docs:
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        if not norm:
+            continue
+        n_grams = max(len(norm) - k + 1, 1)
+        grams = [
+            hashlib.md5(norm[j:j + k].encode()).hexdigest()
+            for j in range(n_grams)
+        ]
+        n_windows = max(len(grams) - w + 1, 1)
+        for j in range(n_windows):
+            want.add((i, min(grams[j:j + w])))
+    return want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_winnow_docs(), k=st.sampled_from([3, 8]), w=st.sampled_from([2, 4]))
+def test_winnow_fingerprints_match_brute_force(spark, docs, k, w):
+    """The Spark fingerprint SET must equal a pure-Python winnowing
+    oracle on random corpora — including the short-doc (len < k),
+    short-gram-list (< w) and empty/whitespace edge cases Hypothesis
+    likes to find."""
+    from decision_tree_stuff_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["fingerprint"])
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    assert got == _py_winnow(docs, k, w), f"k={k} w={w} docs={docs}"
