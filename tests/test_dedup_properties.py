@@ -546,3 +546,20 @@ def test_winnow_fingerprints_match_brute_force(spark, docs, k, w):
         for r in winnow_fingerprints(df, k=k, w=w).collect()
     }
     assert got == _py_winnow(docs, k, w), f"k={k} w={w} docs={docs}"
+
+
+def test_winnow_pairs_grouped_plan_equals_self_join(spark, sf_dir):
+    """The capped (grouped array-local pair generation) and uncapped
+    (self-join) formulations must agree wherever both apply: with
+    max_df above every fingerprint's df, the cap is a no-op and the
+    two plans must produce identical pair sets."""
+    from decision_tree_stuff_spark.operators.dedup import winnow_pairs
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 5 == 0)
+    )
+    a = winnow_pairs(docs, k=8, w=4, min_shared=2, max_df=10**9)
+    b = winnow_pairs(docs, k=8, w=4, min_shared=2, max_df=None)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
