@@ -125,3 +125,56 @@ def test_cap_and_semdedup_on_empty_frames(spark):
         [], "vec_id bigint, embedding array<double>"
     )
     assert semdedup(empty_emb).count() == 0
+
+
+def test_winnow_and_lm_ops_null_and_empty_text(dirty):
+    """Round-6 text operators on dirty input: winnowing emits no rows
+    for null/empty/whitespace docs (and no crash); the LM scorers keep
+    EVERY doc with n_tokens/n_bigrams=0 and a null score for the
+    unscorable ones; edit verification handles null text through the
+    normalization (null -> no pair output rather than a crash)."""
+    from decision_tree_stuff_spark.operators.dedup import (
+        edit_similarity_pairs,
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+    from decision_tree_stuff_spark.operators.textstats import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    fps = winnow_fingerprints(dirty, k=8, w=4)
+    fp_docs = {r.doc_id for r in fps.select("doc_id").distinct().collect()}
+    assert fp_docs == {0, 4}                   # only real text fingerprints
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_pairs(dirty, k=8, w=4, min_shared=1).collect()
+    }
+    assert pairs == {(0, 4)}                   # the planted dup
+    # uncapped path too (self-join formulation)
+    pairs2 = {
+        (r.id_a, r.id_b)
+        for r in winnow_pairs(
+            dirty, k=8, w=4, min_shared=1, max_df=None
+        ).collect()
+    }
+    assert pairs2 == pairs
+
+    uni = {r.doc_id: (r.n_tokens, r.mean_logprob)
+           for r in unigram_logprob(dirty).collect()}
+    assert set(uni) == {0, 1, 2, 3, 4}         # every doc represented
+    assert uni[1] == (0, None) and uni[2] == (0, None) and uni[3] == (0, None)
+    assert uni[0][0] > 0 and uni[0][1] is not None
+
+    bg = {r.doc_id: (r.n_bigrams, r.mean_logprob)
+          for r in bigram_logprob(dirty).collect()}
+    assert set(bg) == {0, 1, 2, 3, 4}
+    assert bg[1] == (0, None) and bg[0][0] > 0
+
+    cand = dirty.sparkSession.createDataFrame(
+        [(0, 1), (0, 4)], "id_a bigint, id_b bigint"
+    )
+    ev = {(r.id_a, r.id_b): r.rel_dist
+          for r in edit_similarity_pairs(dirty, cand, max_rel_dist=1.0).collect()}
+    assert ev.get((0, 4)) == 0.0               # identical docs
+    assert (0, 1) not in ev                    # null side joins away, no crash
