@@ -2776,7 +2776,14 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     # e2_jaccard/minhash gates; quantization via e3_pq parity tests)
     "e1d_span_dedup": q_e1d_span_dedup,
     "e2_semdedup": q_e2_semdedup,
-    "e2_embedding_near_dups": q_e2_embedding_near_dups,
+    # r6 late rotation (same policy as the r5/r6 swaps the verdicts
+    # endorsed): winnowing + unigram-LM promoted — both sf0.01-green
+    # in CORRECTNESS_SELF_r06.json — in place of the two closest
+    # family variants (embedding near-dups: embedding-similarity
+    # stays via e2_semdedup + the e3 rows; top-tokens: the e4 family
+    # keeps 4 driver rows and top_tokens stays EXTRA-parity-checked)
+    "e2_winnow_pairs": q_e2_winnow_pairs,
+    "e4_lm_quality": q_e4_lm_quality,
     "e3_cosine_topk": q_e3_cosine_topk,
     "e3_rh_lsh_topk": q_e3_rh_lsh_topk,
     "e3_ivf_topk": q_e3_ivf_topk,
@@ -2793,7 +2800,6 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e4_document_stats": q_e4_document_stats,
     "e4_tf_idf": q_e4_tf_idf,
     "e4_corpus_profile": q_e4_corpus_profile,
-    "e4_top_tokens": q_e4_top_tokens,
     "e4_quality_filter": q_e4_quality_filter,
     "e6_media_meta": q_e6_media_meta,
     "e6_media_features": q_e6_media_features,
@@ -2837,9 +2843,11 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e3_sign_lsh_topk": q_e3_sign_lsh_topk,
     "e3_ivf_topk_nprobe2": q_e3_ivf_topk_nprobe2,
     "e8_pack_sequences": q_e8_pack_sequences,
-    "e2_winnow_pairs": q_e2_winnow_pairs,          # r6: MOSS/winnowing
+    # r6 late rotation: winnow + lm_quality promoted to the gate; the
+    # two demoted variants keep their every-session value checks here
+    "e2_embedding_near_dups": q_e2_embedding_near_dups,
+    "e4_top_tokens": q_e4_top_tokens,
     "e2_edit_verified": q_e2_edit_verified,        # r6: Levenshtein verify
-    "e4_lm_quality": q_e4_lm_quality,              # r6: unigram-LM scores
     "e4_lm_bigram": q_e4_lm_bigram,                # r6: bigram-LM scores
     "e8_budget_sample": q_e8_budget_sample,        # r5: budget-filling mixture
     "e5b_session_assignment": q_e5b_session_assignment,  # r5: E-5 × E-10 composition
