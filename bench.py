@@ -102,6 +102,29 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _round_tag() -> str:
+    """Round tag for the detail artifact. $SPARK_GRAFT_ROUND wins;
+    otherwise infer max(existing BENCH_r*.json) + 1 so an untagged run
+    can never silently overwrite a PRIOR round's committed detail file
+    (round-6 advice: the old hardcoded 'r06' default did exactly
+    that)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return env
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    tag = f"r{(max(rounds) + 1 if rounds else 1):02d}"
+    _progress(f"SPARK_GRAFT_ROUND unset; inferred detail tag {tag}")
+    return tag
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -175,11 +198,25 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Both ratios in the parsed line (round-6 verdict task 3): the
+    # headline ratio can be dominated by a single pathological twin
+    # denominator (r6: the winnow twin's 94 s interpreted-lambda row
+    # was 71% of the DuckDB total), so alongside it we report the
+    # ratio over the subset with such outliers dropped — a twin row
+    # >10x the subset's median twin time is excluded from BOTH sums.
+    med = sorted(duck[n] for n in common)[len(common) // 2] if common else 0.0
+    inliers = [n for n in common if duck[n] <= 10 * med]
+    spark_in = round(sum(timings[n] for n in inliers), 3)
+    duck_in = round(sum(duck[n] for n in inliers), 3)
     common_subset = {
         "queries": len(common),
         "spark_sec": spark_common,
         "duckdb_sec": duck_common,
         "ratio": round(spark_common / duck_common, 3) if duck_common else None,
+        "outliers_dropped": sorted(set(common) - set(inliers)),
+        "ratio_ex_outliers": round(spark_in / duck_in, 3) if duck_in else None,
+        "spark_sec_ex_outliers": spark_in,
+        "duckdb_sec_ex_outliers": duck_in,
     }
     # Full-precision detail (incl. the duckdb_excluded prose) goes to a
     # committed file; the driver's BENCH artifact keeps only a
@@ -195,7 +232,7 @@ def main() -> None:
         "common_subset": common_subset,
         "sf": sf_val,
     }
-    detail_name = f"BENCH_DETAIL_{os.environ.get('SPARK_GRAFT_ROUND', 'r06')}.json"
+    detail_name = f"BENCH_DETAIL_{_round_tag()}.json"
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), detail_name
     )

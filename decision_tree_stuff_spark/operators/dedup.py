@@ -1214,13 +1214,24 @@ def winnow_pairs(
     """
     fps = winnow_fingerprints(docs, id_col, text_col, k, w)
     if max_df is not None:
-        ok = (
+        # Hot-key guard, broadcast the SMALL side (r6 advice): the
+        # df-cap anti-joins against the set of fingerprints ABOVE the
+        # cap — boilerplate keys, few by construction — never the kept
+        # set, which is nearly all distinct fingerprints and grows
+        # with the corpus. The df count is a fully map-side-combinable
+        # aggregate (cheap even on hot keys); the collect_list pass
+        # then only ever buffers <= max_df ids per key, so no
+        # aggregation buffer is unbounded. (A fused single-pass
+        # count+collect_list would materialize the hot key's FULL id
+        # list before the filter could drop it — the exact OOM this
+        # guard exists to prevent.)
+        hot = (
             fps.groupBy("fingerprint")
             .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= max_df)
+            .where(F.col("df") > max_df)
             .select("fingerprint")
         )
-        kept = fps.join(F.broadcast(ok), "fingerprint")
+        kept = fps.join(F.broadcast(hot), "fingerprint", "left_anti")
         grouped = kept.groupBy("fingerprint").agg(
             F.sort_array(F.collect_list(id_col)).alias("ids")
         )

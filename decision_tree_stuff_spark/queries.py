@@ -85,6 +85,146 @@ def _h_sql(p: str) -> str:
     )
 
 
+def _step_sql(d: str, p: str) -> str:
+    """One routing step: append L/R per alias ``d``'s decision for the
+    row's current path ``{p}``, or keep the path if the node is a
+    leaf (LEFT JOIN miss)."""
+    case_var = (
+        f"CASE {d}.variable "
+        + " ".join(f"WHEN '{f}' THEN r.{f}" for f in FEATURES)
+        + " END"
+    )
+    return (
+        f"CASE WHEN {d}.p IS NULL THEN r.{p} ELSE r.{p} || "
+        f"(CASE WHEN ({case_var}) <= {d}.thr THEN 'L' ELSE 'R' END) END"
+    )
+
+
+def _tree_train_cte(pfx: str, train_where: str, depth: int = 3) -> str:
+    """Level-wise CTE derivation of the FIXED gate-config decision tree
+    (mean splitter, entropy metric, ``max_depth=depth``, no prune) —
+    the DuckDB twin of ``DecisionTree.fit`` for the exact
+    hyperparameters the gate queries use (dtree.py:368-480), one
+    grouped computation per depth instead of one CTE per node:
+
+    * ``{pfx}r{k}``  — training rows with their depth-k node path
+      (``p``: \'\' at the root, then \'L\'/\'R\' appended per split).
+    * ``{pfx}t{k}/g{k}`` — per (path, variable): mean threshold, then
+      conditional (left/right p1 with the Q-2 null→0 impute, counts)
+      — the o05/o06 program generalized with a path group key.
+    * ``{pfx}d{k}``  — the split DECISIONS: best (metric ASC, variable
+      ASC — Q-3 deterministic tie-break) per path, kept only where the
+      node actually splits: node entropy > 0 (the ``root_entropy ==
+      0.0`` stop; the >=0 entropy/sample gates are vacuous at the gate
+      config\'s defaults) and both sides non-empty (Q-2 guard). Depth
+      ``!= max_depth`` is the unrolling itself.
+    * ``{pfx}leaf`` — per-leaf majority over TRAINING rows (tie → 0,
+      matching ``_majority_from_stats``).
+
+    CTEs are MATERIALIZED: each level references its parent ~6 times,
+    and DuckDB\'s default inlining re-evaluates the whole chain per
+    reference — exponential in depth (observed OOM on the 3-tree
+    forest stack).
+    """
+    feats = FEATURES
+    fcols = ", ".join(feats)
+    rcols = ", ".join(f"r.{f}" for f in feats)
+    step = _step_sql("d", "p")
+    ctes = [
+        f"{pfx}r0 AS MATERIALIZED "
+        f"(SELECT {fcols}, class, '' AS p FROM base{train_where})",
+    ]
+    for k in range(depth):
+        melt = "\n    UNION ALL ".join(
+            f"SELECT p, '{f}' AS variable, {f} AS value, class FROM {pfx}r{k}"
+            for f in feats
+        )
+        metric = f"({_h_sql('g.lp')}) + ({_h_sql('g.rp')})"
+        ctes += [
+            f"{pfx}m{k} AS MATERIALIZED (\n    {melt}\n)",
+            f"{pfx}t{k} AS MATERIALIZED (SELECT p, variable, AVG(value) AS thr "
+            f"FROM {pfx}m{k} GROUP BY 1, 2)",
+            f"""{pfx}g{k} AS MATERIALIZED (
+  SELECT m.p, m.variable, t.thr,
+         COALESCE(AVG(CASE WHEN m.value <= t.thr THEN m.class END), 0.0) AS lp,
+         COALESCE(AVG(CASE WHEN m.value >  t.thr THEN m.class END), 0.0) AS rp,
+         COUNT(CASE WHEN m.value <= t.thr THEN 1 END) AS ln_,
+         COUNT(CASE WHEN m.value >  t.thr THEN 1 END) AS rn_
+  FROM {pfx}m{k} m JOIN {pfx}t{k} t ON m.p = t.p AND m.variable = t.variable
+  GROUP BY 1, 2, 3
+)""",
+            f"{pfx}n{k} AS MATERIALIZED "
+            f"(SELECT p, AVG(class) AS p1 FROM {pfx}r{k} GROUP BY 1)",
+            f"""{pfx}d{k} AS MATERIALIZED (
+  SELECT s.p, s.variable, s.thr FROM (
+    SELECT g.p, g.variable, g.thr, g.ln_, g.rn_,
+           ROW_NUMBER() OVER (PARTITION BY g.p
+                              ORDER BY {metric} ASC, g.variable ASC) AS rnk
+    FROM {pfx}g{k} g) s
+  JOIN {pfx}n{k} n ON s.p = n.p
+  WHERE s.rnk = 1 AND ({_h_sql('n.p1')}) > 0.0 AND least(s.ln_, s.rn_) > 0
+)""",
+            f"""{pfx}r{k + 1} AS MATERIALIZED (
+  SELECT {rcols}, r.class, {step} AS p
+  FROM {pfx}r{k} r LEFT JOIN {pfx}d{k} d ON r.p = d.p
+)""",
+        ]
+    ctes.append(
+        f"{pfx}leaf AS MATERIALIZED (SELECT p, CASE WHEN 2*SUM(class) > "
+        f"COUNT(*) THEN 1 ELSE 0 END AS pred FROM {pfx}r{depth} GROUP BY 1)"
+    )
+    return ",\n".join(ctes)
+
+
+def _apply_cte(pfxs: list, depth: int = 3) -> str:
+    """Route EVERY base row (keys carried) through one or more trained
+    trees\' decision tables in a single stack — the ``transform``.
+    One path column per tree: lineitem\'s (l_orderkey, l_linenumber)
+    is NOT unique in the synthetic data, so per-tree outputs cannot be
+    re-joined on keys afterwards without fan-out; routing all trees
+    row-locally sidesteps key identity entirely (exactly like the
+    Spark side, where the vote is one projection)."""
+    feats = FEATURES
+    fcols = ", ".join(feats)
+    rcols = ", ".join(f"r.{f}" for f in feats)
+    paths = [f"p{i}" for i in range(len(pfxs))]
+    ctes = [
+        "ap0 AS MATERIALIZED (SELECT l_orderkey, l_linenumber, "
+        + fcols
+        + ", "
+        + ", ".join(f"'' AS {p}" for p in paths)
+        + " FROM base)"
+    ]
+    for k in range(depth):
+        steps = ", ".join(
+            f"{_step_sql(f'd{i}', p)} AS {p}" for i, p in enumerate(paths)
+        )
+        joins = "\n  ".join(
+            f"LEFT JOIN {pfx}d{k} d{i} ON r.{p} = d{i}.p"
+            for i, (pfx, p) in enumerate(zip(pfxs, paths))
+        )
+        ctes.append(
+            f"""ap{k + 1} AS MATERIALIZED (
+  SELECT r.l_orderkey, r.l_linenumber, {rcols}, {steps}
+  FROM ap{k} r
+  {joins}
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+def _bag_where_sql(seed: str, rate: float) -> str:
+    """The deterministic_sample filter (sampling.py:65-71) DuckDB-side:
+    md5 over the same '|'-joined key casts, same embedded threshold
+    literal. Double→string cast formatting matches Spark's (verified:
+    identical digest min/max across engines on the gate data)."""
+    cast_cols = ", ".join(f"CAST({f} AS VARCHAR)" for f in FEATURES)
+    return (
+        f" WHERE md5(concat_ws('|', '{seed}', {cast_cols}))"
+        f" < '{rate_threshold(rate)}'"
+    )
+
+
 def _cos_sql(a: str, b: str) -> str:
     """Cosine in explicit double math — element order and double
     promotion match functions.array_math.cosine_similarity exactly."""
@@ -1427,6 +1567,31 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        round({_h_sql('avg(class)')}, 6) AS entropy
 FROM base
 """,
+    # O-13: the full fit IS SQL-expressible for the gate's FIXED
+    # depth-3 mean/entropy configuration — each level's split search
+    # is the o05-o07 program grouped by node path (r7, judge task 1).
+    "tree_fit_transform": f"""WITH {BASE_SQL},
+{_tree_train_cte('tf_', '')},
+{_apply_cte(['tf_'])}
+SELECT a.l_orderkey, a.l_linenumber, CAST(l.pred AS TINYINT) AS prediction
+FROM ap3 a JOIN tf_leaf l ON a.p0 = l.p
+""",
+    # Bagged 3-tree forest: three tree derivations on deterministic
+    # md5-sampled subsets (forest.py:72-97), one row-local routing
+    # stack through all three decision tables, majority vote = sum of
+    # votes strictly over half (forest.py:101-113).
+    "forest_fit_transform": f"""WITH {BASE_SQL},
+{_tree_train_cte('f0_', _bag_where_sql('gate|0', 0.7))},
+{_tree_train_cte('f1_', _bag_where_sql('gate|1', 0.7))},
+{_tree_train_cte('f2_', _bag_where_sql('gate|2', 0.7))},
+{_apply_cte(['f0_', 'f1_', 'f2_'])}
+SELECT a.l_orderkey, a.l_linenumber,
+       CAST((l0.pred + l1.pred + l2.pred) * 2 > 3 AS TINYINT) AS prediction
+FROM ap3 a
+JOIN f0_leaf l0 ON a.p0 = l0.p
+JOIN f1_leaf l1 ON a.p1 = l1.p
+JOIN f2_leaf l2 ON a.p2 = l2.p
+""",
     "e1_exact_dedup": """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
        min(doc_id) AS doc_id,
@@ -2760,8 +2925,11 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "o09_constant_label": q_o09_constant_label,
     "o11_tree_inference": q_o11_tree_inference,
     "o12_scalar_stats": q_o12_scalar_stats,
-    "tree_fit_transform": q_tree_fit_transform,   # no oracle (O-13)
-    "forest_fit_transform": q_forest_fit_transform,  # no oracle (ensemble fit)
+    # r7: both fit rows now have level-wise CTE oracles (_tree_fit_cte)
+    # — the fixed gate config makes the whole induction deterministic
+    # and SQL-expressible (judge r6 task 1)
+    "tree_fit_transform": q_tree_fit_transform,
+    "forest_fit_transform": q_forest_fit_transform,
     "e1_exact_dedup": q_e1_exact_dedup,
     "e1b_incremental_dedup": q_e1b_incremental_dedup,
     "e2_jaccard_pairs": q_e2_jaccard_pairs,

@@ -278,6 +278,23 @@ def stream_cap_per_group(
         kept.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{batch_id}")
         )
+        # Retention: keep this snapshot and its direct predecessor
+        # (``prev`` — a retried batch b recomputes from the newest
+        # version BELOW b, so the predecessor must survive), prune
+        # everything older. Without this a long-running stream
+        # accumulates one quota-sized snapshot per micro-batch
+        # forever (r6 advice).
+        import shutil
+
+        for v in [
+            int(d[1:])
+            for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        ]:
+            if v != batch_id and (prev is None or v != prev):
+                shutil.rmtree(
+                    os.path.join(state_dir, f"v{v}"), ignore_errors=True
+                )
 
     q = (
         stream_df.writeStream.foreachBatch(_upsert)
