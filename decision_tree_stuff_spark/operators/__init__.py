@@ -6,3 +6,31 @@ the definition. None of these exist in the reference (it has no joins,
 no streaming, no text ops — SURVEY.md §2.3); they are the extension
 scope a 100 TB training-data pipeline needs.
 """
+
+from pyspark.sql import DataFrame
+
+
+def spread_small(df: DataFrame) -> DataFrame:
+    """Raise the parallelism of a SMALL input ahead of a compute-heavy
+    per-row projection (tokenization, fingerprint hashing, vector
+    math).
+
+    A parquet file smaller than one row group is ONE scan split no
+    matter what ``spark.sql.files.maxPartitionBytes`` says, so on a
+    32-core executor the projection crawls on a single core while 31
+    idle — measured 3-10x on the text operators at bench scale. The
+    guard makes this a no-op exactly when it should be one: a real
+    100 TB table scans as tens of thousands of splits, comfortably
+    above ``defaultParallelism``, and blindly repartitioning THAT
+    would be a catastrophic full shuffle. Only inputs already known
+    to be small (fewer splits than cores) pay the one tiny
+    round-robin exchange.
+
+    Call it inside operators whose scan-side work dominates; skip it
+    where the first real operator is an aggregation (map-side partial
+    aggregation on the raw split is already the cheaper plan).
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df

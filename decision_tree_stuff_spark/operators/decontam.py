@@ -40,7 +40,12 @@ def token_ngrams(
     # into the transform re-runs the normalization regex per array
     # element (measured 10× on this operator; same pitfall as
     # functions.text.tokens_from_norm)
-    tokd = df.select(
+    from decision_tree_stuff_spark.operators import spread_small
+
+    # gram construction (regex tokenize + n concat_ws per position)
+    # dominates; spread a single-split input first (guarded no-op on
+    # real multi-split tables)
+    tokd = spread_small(df).select(
         F.col(id_col),
         F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("_toks"),
     )

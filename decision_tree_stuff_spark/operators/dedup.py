@@ -47,9 +47,15 @@ def exact_dedup(
 
 
 def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct (id, token) pairs — the set representation."""
+    """Distinct (id, token) pairs — the set representation. The input
+    is spread first: regex tokenization dominates the scan stage, and
+    a sub-rowgroup bench file is one split (spread_small is a guarded
+    no-op on real multi-split tables)."""
+    from decision_tree_stuff_spark.operators import spread_small
+
     return (
-        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        spread_small(docs)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
         .where(F.col("token") != "")
         .distinct()
     )
@@ -126,6 +132,34 @@ def ngram_jaccard_pairs(
     if key not in ("text", "xxhash64"):
         raise ValueError(f"key must be 'text' or 'xxhash64', got {key!r}")
     block_cols = block_cols or []
+    if prefix_filter:
+        # r7 stage cut: the per-doc token SET is built ARRAY-LOCALLY
+        # (array_distinct over the tokenizer output) — the old
+        # distinct() over exploded (id, token) rows was a full extra
+        # shuffle, and block columns now ride along from the scan
+        # instead of joining back. One document-frequency aggregation
+        # serves BOTH the hot-token cap and the prefix rarity ranking
+        # (they group on the same key; previously two passes): capped
+        # tokens are simply the ones missing from the filtered df
+        # table, dropped by the inner rarity join.
+        arr = F.array_distinct(
+            F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))
+        )
+        if key == "xxhash64":
+            # single-arg lambda, NOT the bare F.xxhash64 reference: a
+            # varargs callable gets transform's (element, index) pair
+            # and would silently hash (token, position)
+            arr = F.array_distinct(F.transform(arr, lambda t: F.xxhash64(t)))
+        from decision_tree_stuff_spark.operators import spread_small
+
+        exploded = spread_small(docs).select(
+            F.col(id_col), *block_cols, F.explode(arr).alias("token")
+        )
+        tdf = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
+        if max_df is not None:
+            tdf = tdf.where(F.col("tdf") <= max_df)
+        ranked = exploded.join(tdf, "token")
+        return _jaccard_prefix_join(ranked, id_col, block_cols, threshold)
     toks = _doc_tokens(docs, id_col, text_col)
     if key == "xxhash64":
         toks = toks.withColumn("token", F.xxhash64(F.col("token")))
@@ -140,8 +174,6 @@ def ngram_jaccard_pairs(
     if block_cols:
         blocks = docs.select(F.col(id_col), *block_cols)
         toks = toks.join(blocks, id_col)
-    if prefix_filter:
-        return _jaccard_prefix_join(toks, id_col, block_cols, threshold)
     return _jaccard_allpairs_naive(toks, id_col, block_cols, threshold)
 
 
@@ -174,13 +206,12 @@ def _jaccard_verify(cand: DataFrame, docsets: DataFrame, id_col: str,
     )
 
 
-def _jaccard_prefix_join(toks: DataFrame, id_col: str,
+def _jaccard_prefix_join(ranked: DataFrame, id_col: str,
                          block_cols: List[str], threshold: float) -> DataFrame:
-    """Prefix-filtered exact Jaccard join (see ngram_jaccard_pairs)."""
-    tdf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
-    # one row per (id, token), decorated with global rarity; the df
-    # table is |vocab| rows — AQE broadcasts it at any realistic SF
-    ranked = toks.join(tdf, "token")
+    """Prefix-filtered exact Jaccard join (see ngram_jaccard_pairs).
+    ``ranked`` = one row per (id, token [+ blocks]) already decorated
+    with the global document frequency ``tdf`` (the caller computes it
+    once and reuses it for the hot-token cap)."""
     # sort_array over struct(tdf, token) = the shared total order
     # (rarest document-frequency first, token string as tie-break)
     docsets = (
@@ -765,7 +796,9 @@ def simhash(
     ``_simhash_bit`` for the hash-family choice (xxhash64 prod,
     md5 oracle-checkable).
     """
-    occ = docs.select(
+    from decision_tree_stuff_spark.operators import spread_small
+
+    occ = spread_small(docs).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).where(F.col("token") != "")
     aggs = [
@@ -989,9 +1022,14 @@ def _doc_spans(docs, id_col: str, text_col: str, n: int, key: str):
     Chunking is doc-local (split + transform(sequence, slice) + one
     posexplode — no join); the token array is bound as a real column
     first because Catalyst does not CSE across lambda boundaries."""
+    from decision_tree_stuff_spark.operators import spread_small
+
     base = docs.select(id_col, text_col)
+    # chunk construction is the heavy per-row stage — spread a
+    # single-split bench input first (guarded no-op at scale)
     prep = (
-        base.where(F.length(F.trim(F.col(text_col))) > 0)
+        spread_small(base)
+        .where(F.length(F.trim(F.col(text_col))) > 0)
         .withColumn("__toks", F.split(F.col(text_col), " "))
     )
     n_spans = F.ceil(F.size(F.col("__toks")) / F.lit(n)).cast("int")
@@ -1151,9 +1189,14 @@ def winnow_fingerprints(
                 "rename it on the input before calling"
             )
     from decision_tree_stuff_spark.functions.text import normalize_text
+    from decision_tree_stuff_spark.operators import spread_small
 
+    # O(len·w) md5 per doc is the dominant cost — spread a small
+    # (single-split) input across the executor first; guarded no-op
+    # on real multi-split tables (measured 3.8x on the bench corpus)
     prep = (
-        docs.select(id_col, normalize_text(F.col(text_col)).alias("__norm"))
+        spread_small(docs)
+        .select(id_col, normalize_text(F.col(text_col)).alias("__norm"))
         .where(F.length("__norm") > 0)
     )
     n_grams = F.greatest(F.length("__norm") - k + 1, F.lit(1))

@@ -49,11 +49,15 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cosine, rank), rank 1..k by
     (cosine desc, neighbor_id asc).
     """
+    from decision_tree_stuff_spark.operators import spread_small
+
     queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
+    # the |queries| dot products per row dominate; spread a
+    # single-split bench input first (guarded no-op at scale)
     scored = (
-        embeddings.crossJoin(F.broadcast(queries))
+        spread_small(embeddings).crossJoin(F.broadcast(queries))
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",

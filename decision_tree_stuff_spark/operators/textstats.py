@@ -42,8 +42,13 @@ def document_stats(
     common subexpressions across lambda boundaries, so the naive
     inlined form re-ran the normalization regex per consumer and per
     shingle (measured 6× slower at sf0.1)."""
+    from decision_tree_stuff_spark.operators import spread_small
+
     t = F.col(text_col)
-    pre = docs.select(
+    # per-row regex/shingle work dominates this plan — make sure a
+    # sub-rowgroup bench file doesn't serialize it on one core
+    # (spread_small is a guarded no-op on real multi-split tables)
+    pre = spread_small(docs).select(
         F.col(id_col), t.alias("__text"), normalize_text(t).alias("__norm")
     )
     toks = tokens_from_norm(F.col("__norm"))

@@ -1,0 +1,82 @@
+"""Build a synthetic 10x scale factor from sf0.1 for scaling-slope
+measurement (round-7 task: measure the ratio-to-baseline trend with
+sf instead of asserting it).
+
+Construction (documented per the task): each output table is the
+UNION of ``replicas`` copies of the sf0.1 table with replica i's ids
+offset by ``i * id_stride`` — ids stay unique, every other column is
+byte-identical. Two consequences to read the numbers with:
+
+* Replica docs are EXACT clones of their originals, so near-dup
+  operators see every cross-replica pair as a genuine duplicate: a
+  sf0.1 pair (a, b) becomes up to replicas^2 pairs and each doc gains
+  replicas-1 clone pairs. Both engines face the identical blow-up —
+  the RATIO between engines is the measurement, not the absolute
+  runtime. This is the adversarial (upper-bound) shape; tagged-vocab
+  sharding would be the embarrassingly-parallel lower bound.
+* Output is written as 32 parquet files per table so the sf1 scan has
+  real split parallelism (and ``spread_small`` correctly no-ops —
+  the guard is exercised, not bypassed).
+
+Usage: python scripts/make_scaled_sf.py [out_dir] [replicas]
+Default out: /tmp/sf1 (regenerable; NOT committed — the repo carries
+this script instead of 100 MB of derived parquet).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import SparkSession, functions as F
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# (table, id columns to offset) — only the tables the heavy bench
+# queries touch; id_stride is far above any sf0.1 id.
+TABLES = {
+    "documents": ["doc_id"],
+    "lineitem": ["l_orderkey"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id"],
+}
+ID_STRIDE = 10_000_000
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("make-scaled-sf")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for table, id_cols in TABLES.items():
+        src = f"{SRC}/{table}.parquet"
+        if not os.path.exists(src):
+            print(f"skip {table}: {src} missing", file=sys.stderr)
+            continue
+        base = spark.read.parquet(src)
+        if "event_id" in id_cols and "event_id" not in base.columns:
+            id_cols = [c for c in id_cols if c in base.columns]
+        scaled = None
+        for i in range(replicas):
+            rep = base
+            for c in id_cols:
+                rep = rep.withColumn(c, F.col(c) + F.lit(i * ID_STRIDE))
+            scaled = rep if scaled is None else scaled.unionByName(rep)
+        (
+            scaled.repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{out}/{table}.parquet")
+        )
+        print(f"{table}: {replicas}x -> {out}/{table}.parquet")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
