@@ -1229,7 +1229,8 @@ def winnow_pairs(
     k: int = 8,
     w: int = 4,
     min_shared: int = 2,
-    max_df: Optional[int] = None,
+    max_df="auto",
+    auto_quantile: float = 0.70,
 ) -> DataFrame:
     """MOSS-style near-dup candidates: pairs of documents sharing at
     least ``min_shared`` winnowing fingerprints, with the shared count
@@ -1256,6 +1257,26 @@ def winnow_pairs(
     Returns (id_a, id_b, n_shared) with id_a < id_b.
     """
     fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    if max_df == "auto":
+        # Derive the cap from the fingerprint-df distribution instead
+        # of a hand-tuned constant (r6 verdict task 9): the
+        # ``auto_quantile`` (default P70) separates the rare-signal
+        # head from the boilerplate tail — on the bench corpus it
+        # lands at 51 vs the hand-tuned 50. The floor of 10 keeps
+        # small corpora sane: a tiny input's df distribution is
+        # mostly 1, and a raw quantile there would cap at 1 and drop
+        # every genuinely shared fingerprint (breaking the match
+        # guarantee the operator exists for). ONE cheap sketch
+        # aggregate (percentile_approx over the df table) and one
+        # driver-side action; pass an int to override, None for the
+        # classic uncapped self-join.
+        q = (
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.percentile_approx("df", F.lit(auto_quantile), F.lit(10000)))
+            .first()[0]
+        )
+        max_df = max(int(q), 10) if q is not None else None
     if max_df is not None:
         # Hot-key guard, broadcast the SMALL side (r6 advice): the
         # df-cap anti-joins against the set of fingerprints ABOVE the

@@ -291,6 +291,169 @@ def bigram_logprob(
     )
 
 
+def _doc_trigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per adjacent token triple (w1, w2, w3) per document —
+    the trigram twin of ``_doc_bigrams`` (same doc-local construction,
+    same <3-token guard)."""
+    toks_f = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    prep = docs.select(F.col(id_col), toks_f.alias("__toks"))
+    tris = F.when(
+        F.size("__toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("__toks"), i).alias("w1"),
+                F.element_at(F.col("__toks"), i + 1).alias("w2"),
+                F.element_at(F.col("__toks"), i + 2).alias("w3"),
+            ),
+        ),
+    ).otherwise(F.array())
+    return prep.select(F.col(id_col), F.explode(tris).alias("tg")).select(
+        id_col,
+        F.col("tg.w1").alias("w1"),
+        F.col("tg.w2").alias("w2"),
+        F.col("tg.w3").alias("w3"),
+    )
+
+
+def stupid_backoff_model(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stupid Backoff trigram model (Brants et al., EMNLP'07 — the
+    published large-scale choice: relative frequencies with a fixed
+    backoff factor, NO normalization, designed for exactly this
+    distributed map-reduce setting) as ONE portable table:
+
+    (order, w1, w2, w3, logprob) with
+      order 3: ln( c(w1 w2 w3) / c(w1 w2) )   — trigram rel. freq.
+      order 2: ln( c(w2 w3)   / c(w2)   )     — w1 NULL
+      order 1: ln( c(w3)      / N      )      — w1, w2 NULL
+
+    Denominators are RAW corpus counts (the paper's f(...)), not
+    context-position counts — c(w1 w2) is the bigram occurrence
+    count, c(w2) the unigram count, N total tokens. The union keeps
+    the persist-once/score-on-ingest contract of the unigram and
+    bigram models: one parquet table, three filtered views at scoring
+    time.
+
+    Plan: one trigram explode + groupBy, the bigram/unigram count
+    tables the lower orders already use, each score one join against
+    its denominator table (vocab-sized — AQE broadcasts when small).
+    """
+    tg = _doc_trigrams(docs, id_col, text_col)
+    bg = _doc_bigrams(docs, id_col, text_col)
+    occ = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+
+    c3 = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    total = occ.agg(F.count(F.lit(1)).cast("double").alias("__total"))
+
+    tri = c3.join(c2, ["w1", "w2"]).select(
+        F.lit(3).alias("order"),
+        "w1",
+        "w2",
+        "w3",
+        F.log(F.col("c3") / F.col("c2")).alias("logprob"),
+    )
+    bi = c2.join(
+        c1.select(F.col("token").alias("w1"), "c1"), "w1"
+    ).select(
+        F.lit(2).alias("order"),
+        F.lit(None).cast("string").alias("w1"),
+        F.col("w1").alias("w2"),
+        F.col("w2").alias("w3"),
+        F.log(F.col("c2") / F.col("c1")).alias("logprob"),
+    )
+    uni = c1.crossJoin(F.broadcast(total)).select(
+        F.lit(1).alias("order"),
+        F.lit(None).cast("string").alias("w1"),
+        F.lit(None).cast("string").alias("w2"),
+        F.col("token").alias("w3"),
+        F.log(F.col("c1") / F.col("__total")).alias("logprob"),
+    )
+    return tri.unionByName(bi).unionByName(uni)
+
+
+def stupid_backoff_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: DataFrame = None,
+    alpha: float = 0.4,
+    oov_logprob: float = -20.0,
+) -> DataFrame:
+    """Per-document mean Stupid Backoff score — the trigram rung of
+    the CCNet-style LM-quality ladder (above ``unigram_logprob`` and
+    ``bigram_logprob``):
+
+      S(w3 | w1 w2) = rel.freq(w1 w2 w3)          if c(w1 w2 w3) > 0
+                    = alpha   * rel.freq(w2 w3)   elif c(w2 w3) > 0
+                    = alpha^2 * rel.freq(w3)      elif c(w3) > 0
+                    = exp(oov_logprob)            otherwise
+
+    (alpha = 0.4 per Brants et al.; scores are NOT probabilities — no
+    normalization, by design.) ``model=None`` scores against the
+    corpus's own model (every trigram is then order-3). The ingest
+    shape passes a persisted ``stupid_backoff_model`` table; unseen
+    trigrams fall through the backoff chain in one coalesce.
+
+    Plan: trigram explode, THREE left equi-joins against the model's
+    order slices (each vocab-sized; AQE broadcasts small slices, hash
+    joins otherwise — both sides key on tokens, no skewed windows),
+    one per-doc aggregate. Docs with <3 tokens return n_trigrams=0
+    and a null score; every input doc is represented.
+    """
+    import math
+
+    tg = _doc_trigrams(docs, id_col, text_col)
+    m = (
+        model
+        if model is not None
+        else stupid_backoff_model(docs, id_col, text_col)
+    )
+    tri = m.where(F.col("order") == 3).select(
+        "w1", "w2", "w3", F.col("logprob").alias("__lp3")
+    )
+    bi = m.where(F.col("order") == 2).select(
+        F.col("w2"), F.col("w3"), F.col("logprob").alias("__lp2")
+    )
+    uni = m.where(F.col("order") == 1).select(
+        F.col("w3"), F.col("logprob").alias("__lp1")
+    )
+    ln_a = math.log(alpha)
+    score = F.coalesce(
+        F.col("__lp3"),
+        F.col("__lp2") + F.lit(ln_a),
+        F.col("__lp1") + F.lit(2.0 * ln_a),
+        F.lit(float(oov_logprob)),
+    )
+    scored = (
+        tg.join(tri, ["w1", "w2", "w3"], "left")
+        .join(bi, ["w2", "w3"], "left")
+        .join(uni, ["w3"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.round(F.avg(score), 6).alias("mean_logprob"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("bigint").alias(
+                "n_trigrams"
+            ),
+            F.col("mean_logprob"),
+        )
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1077,6 +1077,24 @@ def q_e4_lm_bigram(spark, sf_dir):
     return bigram_logprob(_docs(spark, sf_dir))
 
 
+def q_e4_lm_backoff(spark, sf_dir):
+    """Stupid Backoff trigram scores (r7, Brants et al. EMNLP'07): the
+    model trains on the even-id half of the corpus and scores the odd
+    half — the production train-offline/score-on-ingest split, and the
+    configuration where every backoff order AND the OOV floor actually
+    fire (a self-scored corpus would hit order-3 on every trigram)."""
+    from decision_tree_stuff_spark.operators.textstats import (
+        stupid_backoff_logprob,
+        stupid_backoff_model,
+    )
+
+    docs = _docs(spark, sf_dir)
+    model = stupid_backoff_model(docs.where(F.col("doc_id") % 2 == 0))
+    return stupid_backoff_logprob(
+        docs.where(F.col("doc_id") % 2 == 1), model=model
+    )
+
+
 def q_e4_top_tokens(spark, sf_dir):
     """Per-lang top-10 vocabulary with corpus share — WindowGroupLimit
     keeps k rows per group through the rank exchange."""
@@ -1463,6 +1481,13 @@ from decision_tree_stuff_spark.operators.similarity import (  # noqa: E402
 
 _RH_N_PLANES = 4
 _RH_PLANES = _rh_hyperplanes(_RH_N_PLANES, 64, 42)
+
+# Stupid Backoff factor ln(0.4), computed ONCE in Python and embedded
+# as a literal in both the Spark plan (textstats.stupid_backoff_logprob
+# default alpha) and the DuckDB twin below.
+import math as _math
+
+_LN_BACKOFF = _math.log(0.4)
 _RH_BUCKET = " + ".join(
     "CASE WHEN list_dot_product(embedding, ["
     + ", ".join(repr(v) for v in h)
@@ -2605,6 +2630,79 @@ SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.mean_logprob
 FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN scored s USING (doc_id)
 """,
+    # r7 Stupid Backoff: model from the even-id half (raw-count
+    # relative frequencies, three orders), odd half scored through the
+    # coalesce backoff chain. Backoff-factor logs are Python-computed
+    # literals embedded in BOTH engines' plans so ln() ULP differences
+    # cannot diverge the rounded averages.
+    "e4_lm_backoff": f"""
+WITH tb AS (
+  SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks
+  FROM documents WHERE doc_id % 2 = 0
+),
+tpos AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM tb
+),
+ttg AS (
+  SELECT w1, w2, w3 FROM (
+    SELECT tok AS w1,
+           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+    FROM tpos) x WHERE w3 IS NOT NULL
+),
+tbg AS (
+  SELECT w1, w2 FROM (
+    SELECT tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tpos) x WHERE w2 IS NOT NULL
+),
+c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM ttg GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY 1, 2),
+c1 AS (SELECT tok AS w, count(*) AS c1 FROM tpos GROUP BY 1),
+tri AS (
+  SELECT c3.w1, c3.w2, c3.w3, ln(c3.c3 / c2.c2) AS lp3
+  FROM c3 JOIN c2 USING (w1, w2)
+),
+bi AS (
+  SELECT c2.w1 AS w2, c2.w2 AS w3, ln(c2.c2 / c1.c1) AS lp2
+  FROM c2 JOIN c1 ON c2.w1 = c1.w
+),
+uni AS (
+  SELECT w AS w3, ln(c1 / (SELECT CAST(count(*) AS DOUBLE) FROM tpos)) AS lp1
+  FROM c1
+),
+sb AS (
+  SELECT doc_id, w1, w2, w3 FROM (
+    SELECT doc_id, tok AS w1,
+           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+    FROM (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM (
+        SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks
+        FROM documents WHERE doc_id % 2 = 1
+      ) qb
+    ) qpos) x WHERE w3 IS NOT NULL
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         round(avg(coalesce(tri.lp3,
+                            bi.lp2 + {_LN_BACKOFF!r},
+                            uni.lp1 + {2.0 * _LN_BACKOFF!r},
+                            -20.0)), 6) AS mean_logprob
+  FROM sb
+  LEFT JOIN tri USING (w1, w2, w3)
+  LEFT JOIN bi USING (w2, w3)
+  LEFT JOIN uni USING (w3)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(s.n_trigrams, 0) AS n_trigrams,
+       s.mean_logprob
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN scored s USING (doc_id)
+""",
     "e4_repetition_stats": f"""
 WITH base AS (
   SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks FROM documents
@@ -3017,6 +3115,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_top_tokens": q_e4_top_tokens,
     "e2_edit_verified": q_e2_edit_verified,        # r6: Levenshtein verify
     "e4_lm_bigram": q_e4_lm_bigram,                # r6: bigram-LM scores
+    "e4_lm_backoff": q_e4_lm_backoff,              # r7: Stupid Backoff trigram
     "e8_budget_sample": q_e8_budget_sample,        # r5: budget-filling mixture
     "e5b_session_assignment": q_e5b_session_assignment,  # r5: E-5 × E-10 composition
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking

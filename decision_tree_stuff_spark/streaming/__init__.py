@@ -31,6 +31,7 @@ __all__ = [
     "stream_sessionize",
     "stream_exact_dedup",
     "stream_cap_per_group",
+    "stream_ingest_pipeline",
     "read_capped_state",
     "run_stream_to_memory",
     "run_stream_to_parquet",
@@ -286,6 +287,131 @@ def stream_cap_per_group(
         # forever (r6 advice).
         import shutil
 
+        for v in [
+            int(d[1:])
+            for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        ]:
+            if v != batch_id and (prev is None or v != prev):
+                shutil.rmtree(
+                    os.path.join(state_dir, f"v{v}"), ignore_errors=True
+                )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_upsert)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or state_dir.rstrip("/") + "_chk",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_ingest_pipeline(
+    stream_df: DataFrame,
+    state_dir: str,
+    frequent: DataFrame,
+    lm_model: DataFrame,
+    group_cols: list,
+    n: int,
+    key_cols: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 10,
+    min_logprob: float = -20.0,
+    seed: str = "cap",
+    checkpoint_dir: str = None,
+    audit_log: list = None,
+):
+    """The 100 TB ingest story as ONE stream (round-7 task): per
+    micro-batch,
+
+      1. span-strip against the MATERIALIZED corpus boilerplate table
+         (``frequent_spans`` output — learned offline, static here),
+      2. LM-quality filter against the MATERIALIZED unigram model
+         (docs scoring below ``min_logprob`` on their STRIPPED text
+         are dropped — score after boilerplate removal, the order a
+         production pipeline wants),
+      3. fold into the per-group quota state exactly as
+         ``stream_cap_per_group`` does (versioned compacted snapshots,
+         predecessor retained for retry idempotence, older pruned),
+
+    with the per-stage funnel audit observed by the SAME action that
+    writes the state (``run_with_audit`` — zero extra passes;
+    per-batch funnels appended to ``audit_log`` as (batch_id, rows)).
+
+    Stream ≡ batch by construction: stages 1-2 are pure per-document
+    functions of (row, static tables) — micro-batch-invariant — and
+    the quota fold is the mergeable cap(A ∪ B) = cap(cap(A) ∪ B)
+    selection, so the final state equals ``cap_per_group(quality(
+    strip(all input)))`` regardless of batch boundaries (pinned in
+    tests/test_ingest_pipeline.py, including cross-batch evictions).
+
+    Extra input columns (language tags, lengths — anything the quota
+    groups on) ride through: the strip output is re-joined to the
+    batch row by id, replacing only the text.
+    """
+    import os
+    import shutil
+
+    from decision_tree_stuff_spark.operators.audit import (
+        audit_counts,
+        run_with_audit,
+    )
+    from decision_tree_stuff_spark.operators.dedup import (
+        span_dedup_against_corpus,
+    )
+    from decision_tree_stuff_spark.operators.sampling import cap_per_group
+    from decision_tree_stuff_spark.operators.textstats import unigram_logprob
+
+    def _strip(d: DataFrame) -> DataFrame:
+        stripped = span_dedup_against_corpus(
+            d, frequent, id_col=id_col, text_col=text_col, n=span_n
+        ).select(id_col, text_col)
+        return d.drop(text_col).join(stripped, id_col)
+
+    def _quality(d: DataFrame) -> DataFrame:
+        keep = (
+            unigram_logprob(
+                d, id_col=id_col, text_col=text_col, model=lm_model
+            )
+            .where(F.col("mean_logprob") >= min_logprob)
+            .select(id_col)
+        )
+        return d.join(keep, id_col)
+
+    def _latest_version(below=None):
+        try:
+            versions = [
+                int(v[1:])
+                for v in os.listdir(state_dir)
+                if v.startswith("v") and v[1:].isdigit()
+            ]
+        except FileNotFoundError:
+            return None
+        if below is not None:
+            versions = [v for v in versions if v < below]
+        return max(versions) if versions else None
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        staged, obs = run_with_audit(
+            batch_df, [("span_strip", _strip), ("lm_quality", _quality)]
+        )
+        prev = _latest_version(below=batch_id)
+        merged = staged
+        if prev is not None:
+            old = sp.read.parquet(os.path.join(state_dir, f"v{prev}"))
+            merged = old.unionByName(staged.select(*old.columns))
+        kept = cap_per_group(merged, group_cols, n, key_cols, seed)
+        kept.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+        if audit_log is not None:
+            audit_log.append((batch_id, audit_counts(obs)))
         for v in [
             int(d[1:])
             for d in os.listdir(state_dir)

@@ -566,3 +566,38 @@ def test_winnow_pairs_grouped_plan_equals_self_join(spark, sf_dir):
     a = winnow_pairs(docs, k=8, w=4, min_shared=2, max_df=10**9)
     b = winnow_pairs(docs, k=8, w=4, min_shared=2, max_df=None)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_winnow_auto_cap_matches_manual(spark, sf_dir):
+    """max_df='auto' derives its cap from the fingerprint-df
+    distribution (P70, floored at 10) and produces EXACTLY the output
+    of the manually-capped call at that value on the bench corpus —
+    the hand-tuned literal is now just an override."""
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = winnow_fingerprints(docs, k=8, w=4)
+    q = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.percentile_approx("df", F.lit(0.70), F.lit(10000)))
+        .first()[0]
+    )
+    derived = max(int(q), 10)
+    auto = sorted(
+        map(tuple, winnow_pairs(docs, k=8, w=4, min_shared=2).collect())
+    )
+    manual = sorted(
+        map(
+            tuple,
+            winnow_pairs(
+                docs, k=8, w=4, min_shared=2, max_df=derived
+            ).collect(),
+        )
+    )
+    assert auto == manual and len(auto) > 0

@@ -363,3 +363,72 @@ def test_stream_lm_scoring_equals_batch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
     assert sorted(got) == want and len(got) > 0
+
+
+def test_stupid_backoff_hand_math(spark):
+    """Stupid Backoff hand math (Brants et al.: S = rel.freq at the
+    highest observed order, discounted by alpha per backoff step, no
+    normalization): a scoring batch engineered to hit all four rungs
+    — exact trigram, bigram backoff, unigram backoff, OOV floor."""
+    import math
+
+    from decision_tree_stuff_spark.operators.textstats import (
+        stupid_backoff_logprob,
+        stupid_backoff_model,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b x")], "doc_id bigint, text string"
+    )
+    model = stupid_backoff_model(corpus)
+    # raw counts: unigrams a2 b2 c1 d1 x1 (N=7);
+    # bigrams (a,b)2 (b,c)1 (c,d)1 (b,x)1; trigrams (a,b,c)1 (a,b,x)1 (b,c,d)1
+    ln_a = math.log(0.4)
+    # rung 1: trigram (a b c): ln(c3/c2(a,b)) = ln(1/2)
+    # rung 2: (c d x): trigram unseen; bigram (d,x) unseen ->
+    #         unigram x: 2*ln_a + ln(1/7)... careful — backoff looks at
+    #         (w2,w3)=(d,x): unseen; w3=x seen -> 2*ln_a + ln(1/7)
+    # rung 3: (a c d): trigram unseen; bigram (c,d) seen:
+    #         ln_a + ln(c2(c,d)/c1(c)) = ln_a + ln(1/1)
+    # rung 4: (q q q): all unseen -> -20.0
+    batch = spark.createDataFrame(
+        [(10, "a b c"), (11, "c d x"), (12, "a c d"), (13, "q q q")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["mean_logprob"])
+        for r in stupid_backoff_logprob(batch, model=model).collect()
+    }
+    assert got == {
+        10: (1, round(math.log(1 / 2), 6)),
+        11: (1, round(2 * ln_a + math.log(1 / 7), 6)),
+        12: (1, round(ln_a + math.log(1 / 1), 6)),
+        13: (1, -20.0),
+    }
+
+
+def test_stupid_backoff_self_model_all_order3(spark):
+    """Self-scored corpora resolve every trigram at order 3 (the model
+    covers them by construction) — the mean is then pure trigram
+    relative frequency."""
+    import math
+
+    from decision_tree_stuff_spark.operators.textstats import (
+        stupid_backoff_logprob,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "a b d"), (3, "xy")],
+        "doc_id bigint, text string",
+    )
+    # c3(a,b,c)=2, c3(a,b,d)=1, c2(a,b)=3
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["mean_logprob"])
+        for r in stupid_backoff_logprob(df).collect()
+    }
+    assert got == {
+        0: (1, round(math.log(2 / 3), 6)),
+        1: (1, round(math.log(2 / 3), 6)),
+        2: (1, round(math.log(1 / 3), 6)),
+        3: (0, None),
+    }
