@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "e2_winnow_pairs",
     "e4_lm_quality",
     "e4_lm_bigram",
+    # round-7 additions
+    "e4_lm_backoff",
+    "e2_edit_verified",
+    "tree_fit_transform",
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so
@@ -86,6 +90,15 @@ DUCKDB_SLOW_CUTOFF_SEC = 5.0  # one run is enough evidence past this
 # these still verify in the sf0.01 correctness gate. A bench run must
 # finish inside the driver's budget — a >3 min single twin can't.
 DUCKDB_TWIN_EXCLUDED = {
+    "e2_edit_verified": (
+        "112 s at sf0.1 (measured r7): the twin re-derives the winnow "
+        "candidate pairs with interpreted list lambdas (~98 s alone — "
+        "the same profile as the e2_winnow_pairs twin, which stays in "
+        "the loop as the family's transparent slow row) before the "
+        "levenshtein verify. One such row is evidence; two is a third "
+        "of the bench budget. Twin still value-verifies in the "
+        "driver's sf0.01 correctness gate each round"
+    ),
     "e7b_minhash_dedup_keep": (
         "DNF: >290 s at sf0.1 — the recursive-CTE transitive closure "
         "enumerates every (node, reachable-label) pair, quadratic in "

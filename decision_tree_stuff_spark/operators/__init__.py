@@ -30,6 +30,10 @@ def spread_small(df: DataFrame) -> DataFrame:
     where the first real operator is an aggregation (map-side partial
     aggregation on the raw split is already the cheaper plan).
     """
+    if df.isStreaming:
+        # streaming frames have no .rdd and their parallelism is the
+        # source's concern (maxFilesPerTrigger etc.) — no-op
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)

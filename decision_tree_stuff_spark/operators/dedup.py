@@ -101,7 +101,9 @@ def ngram_jaccard_pairs(
 
     ``max_df`` is the hot-token guard: tokens appearing in more than
     ``max_df`` documents are dropped from the set representation
-    entirely (one extra groupBy + broadcast anti-join). Without it a
+    entirely (prefix path: a filter on the SAME df aggregate the
+    rarity ranking uses — zero extra passes; naive path: one extra
+    groupBy + broadcast anti-join). Without it a
     single token with document frequency d still contributes d·(d−1)/2
     candidates *when it lands in prefixes* (e.g. all-stopword docs);
     near-dup signal lives in the rare tokens anyway. Jaccard is then
@@ -1239,16 +1241,20 @@ def winnow_pairs(
     complement of the probabilistic MinHash family.
 
     Plan, ``max_df`` set (the production shape): fingerprint
-    (shuffle-free projection) → drop fingerprints in more than
-    ``max_df`` docs (ubiquitous boilerplate — exactly the keys that
+    projection → df-count aggregate (map-side-combinable — cheap even
+    on hot keys) → broadcast LEFT-ANTI join against the SMALL
+    over-cap set (ubiquitous boilerplate — exactly the keys that
     would square; the signal lives in rarer fingerprints — same
-    hot-key guard as the Jaccard join) → ONE groupBy(fingerprint)
-    collecting the sorted doc-id array (bounded by ``max_df``) →
-    pairs generated array-locally (nested ``transform``) → per-pair
-    count. The Σ df² candidate rows are born map-side of the pair
-    count and partially aggregated before they ever shuffle —
-    measured 2.1× faster than the self-join formulation at sf0.1,
-    and the fingerprint table shuffles ONCE instead of twice.
+    hot-key guard as the Jaccard join) → groupBy(fingerprint)
+    collecting the sorted doc-id array (each buffer bounded by
+    ``max_df`` BECAUSE the hot keys were dropped first) → pairs
+    generated array-locally (nested ``transform``) → per-pair count.
+    The Σ df² candidate rows are born map-side of the pair count and
+    partially aggregated before they ever shuffle — measured 2.1×
+    faster than the self-join formulation at sf0.1. The fingerprint
+    table is aggregated twice (count, then collect) by design: a
+    fused single pass would buffer a hot key's FULL id list before
+    the cap could drop it, the exact OOM the guard prevents.
 
     ``max_df=None`` keeps the classic self-equi-join (no per-key
     array is safe to collect when a fingerprint's document frequency

@@ -3029,7 +3029,9 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "tree_fit_transform": q_tree_fit_transform,
     "forest_fit_transform": q_forest_fit_transform,
     "e1_exact_dedup": q_e1_exact_dedup,
-    "e1b_incremental_dedup": q_e1b_incremental_dedup,
+    # r7 rotation (GATE_ROTATION.md; r6 verdict task 8): edit-distance
+    # verification + bigram-LM promoted; e1b/e4_tf_idf to EXTRA parity
+    "e2_edit_verified": q_e2_edit_verified,
     "e2_jaccard_pairs": q_e2_jaccard_pairs,
     "e7_dedup_clusters": q_e7_dedup_clusters,
     "e7b_minhash_dedup_keep": q_e7b_minhash_dedup_keep,
@@ -3064,7 +3066,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e5_tumbling_counts": q_e5_tumbling_counts,
     "e5_sessions": q_e5_sessions,
     "e4_document_stats": q_e4_document_stats,
-    "e4_tf_idf": q_e4_tf_idf,
+    "e4_lm_bigram": q_e4_lm_bigram,
     "e4_corpus_profile": q_e4_corpus_profile,
     "e4_quality_filter": q_e4_quality_filter,
     "e6_media_meta": q_e6_media_meta,
@@ -3113,9 +3115,11 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # two demoted variants keep their every-session value checks here
     "e2_embedding_near_dups": q_e2_embedding_near_dups,
     "e4_top_tokens": q_e4_top_tokens,
-    "e2_edit_verified": q_e2_edit_verified,        # r6: Levenshtein verify
-    "e4_lm_bigram": q_e4_lm_bigram,                # r6: bigram-LM scores
     "e4_lm_backoff": q_e4_lm_backoff,              # r7: Stupid Backoff trigram
+    # r7 rotation: long-stable rows demoted to make room for
+    # e2_edit_verified / e4_lm_bigram (GATE_ROTATION.md)
+    "e1b_incremental_dedup": q_e1b_incremental_dedup,
+    "e4_tf_idf": q_e4_tf_idf,
     "e8_budget_sample": q_e8_budget_sample,        # r5: budget-filling mixture
     "e5b_session_assignment": q_e5b_session_assignment,  # r5: E-5 × E-10 composition
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
