@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "e4_lm_backoff",
     "e2_edit_verified",
     "tree_fit_transform",
+    "e4_nb_langid",
+    "e8_weighted_sample",
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

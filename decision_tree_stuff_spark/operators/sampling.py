@@ -192,6 +192,56 @@ def cap_per_group(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: List[str],
+    n: int,
+    weight_col: str,
+    key_cols: List[str],
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted k-sample per group — Efraimidis &
+    Spirakis (IPL 2006): keep the ``n`` rows maximizing u^(1/w), u
+    uniform per row; inclusion probability is then proportional to
+    weight, WITHOUT replacement, in one pass. The classic use: sample
+    documents per domain proportional to length/quality score while
+    keeping reruns byte-stable.
+
+    Determinism: u derives from md5(seed|keys) exactly like the other
+    samplers (retry-stable, engine-portable), mapped to (0, 1] via the
+    first 15 hex digits; the ranking key is ln(u)/w (monotone in
+    u^(1/w)), ordered DESC with the key columns as tie-break. Rows
+    with NULL or non-positive weight cannot be sampled (their
+    selection key is undefined) and are dropped with the same
+    semantics both engines share.
+
+    Plan: identical to ``cap_per_group`` — one group-keyed shuffle,
+    row_number window recognized as WindowGroupLimit so map tasks
+    pre-prune to local top-n before the exchange.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    _check_reserved(df)
+    # (0,1]: (x+1) / 16^15 with x uniform on [0, 16^15)
+    u = (
+        F.conv(F.substring(hash_key(key_cols, seed), 1, 15), 16, 10).cast(
+            "double"
+        )
+        + F.lit(1.0)
+    ) / F.lit(float(16**15))
+    sel_key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(
+        sel_key.desc(),
+        *[F.col(c).asc() for c in key_cols],
+    )
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= n)
+        .drop("_rank")
+    )
+
+
 def leakage_safe_split(
     docs: DataFrame,
     pairs: DataFrame,

@@ -454,6 +454,126 @@ def stupid_backoff_logprob(
     )
 
 
+def nb_model(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+):
+    """Multinomial Naive Bayes model over token occurrences — the
+    classic cheap text classifier (the shape behind fastText-style
+    quality/language classifiers in data-curation pipelines, minus
+    the embedding: pure counts, fully SQL-expressible).
+
+    Returns (token_probs, label_probs):
+
+    * token_probs (label, token, logprob): ln P(token | label) with
+      Laplace smoothing — (c(t,l) + a) / (N_l + a·V), V = global
+      vocabulary size, N_l = token occurrences in label l.
+    * label_probs (label, prior_logprob, oov_logprob): ln P(label)
+      and the smoothed unseen-token mass ln(a / (N_l + a·V)) — the
+      per-label OOV floor a portable model table needs at scoring
+      time.
+
+    Train offline over the labeled corpus, persist both tables, score
+    batches with ``nb_classify`` — the same split every model-shaped
+    operator here uses. Plan: one occurrence explode, two grouped
+    counts, V and the doc total as broadcast 1-row aggregates — no
+    driver-side actions.
+    """
+    occ = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).where(F.col("token") != "")
+    c_tl = occ.groupBy("label", "token").agg(F.count(F.lit(1)).alias("c"))
+    n_l = c_tl.groupBy("label").agg(F.sum("c").cast("double").alias("n_l"))
+    vocab = c_tl.select("token").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("__v")
+    )
+    a = float(smoothing)
+    token_probs = (
+        c_tl.join(n_l, "label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            "token",
+            F.log(
+                (F.col("c") + F.lit(a))
+                / (F.col("n_l") + F.lit(a) * F.col("__v"))
+            ).alias("logprob"),
+        )
+    )
+    doc_counts = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("__t"))
+    label_probs = (
+        doc_counts.join(n_l, "label")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            F.log(F.col("n_docs") / F.col("__t")).alias("prior_logprob"),
+            F.log(
+                F.lit(a) / (F.col("n_l") + F.lit(a) * F.col("__v"))
+            ).alias("oov_logprob"),
+        )
+    )
+    return token_probs, label_probs
+
+
+def nb_classify(
+    docs: DataFrame,
+    token_probs: DataFrame,
+    label_probs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document under every label and keep the argmax —
+    multinomial NB inference: score(d, l) = prior_l + Σ_tokens
+    ln P(t | l), unseen tokens at the label's smoothed OOV floor.
+
+    Plan: occurrence explode × |labels| (labels ride a broadcast),
+    one LEFT join against the vocab-sized token_probs table (AQE
+    broadcasts it when small, hash-joins otherwise), one grouped sum,
+    one per-doc argmax via row_number (ties broken by label ASC for
+    cross-engine determinism). Tokenless docs classify by prior
+    alone; every input doc is represented. Returns (id_col, label,
+    score) with score rounded to 6dp.
+    """
+    labels = label_probs.select("label", "prior_logprob", "oov_logprob")
+    occ = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    contrib = (
+        occ.crossJoin(F.broadcast(labels.select("label", "oov_logprob")))
+        .join(token_probs, ["label", "token"], "left")
+        .groupBy(id_col, "label")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("logprob"), F.col("oov_logprob"))
+            ).alias("s")
+        )
+    )
+    base = docs.select(id_col).distinct().crossJoin(F.broadcast(labels))
+    scored = base.join(contrib, [id_col, "label"], "left").select(
+        F.col(id_col),
+        "label",
+        (F.col("prior_logprob") + F.coalesce(F.col("s"), F.lit(0.0))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("label").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(id_col), "label", F.round("score", 6).alias("score"))
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     id_col: str = "doc_id",

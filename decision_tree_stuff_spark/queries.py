@@ -841,6 +841,24 @@ def q_e8_hash_split(spark, sf_dir):
     )
 
 
+def q_e8_weighted_sample(spark, sf_dir):
+    """Weighted per-group sampling (r7, Efraimidis-Spirakis): 10 docs
+    per language with inclusion probability proportional to n_chars —
+    deterministic (md5-derived uniforms), without replacement."""
+    from decision_tree_stuff_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    return weighted_sample_per_group(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        group_cols=["lang"],
+        n=10,
+        weight_col="n_chars",
+        key_cols=["doc_id"],
+        seed="ws7",
+    )
+
+
 def q_e8_cap_per_group(spark, sf_dir):
     """Per-group quota (the per-domain cap of web-corpus pipelines):
     keep at most 50 docs per language, selected by deterministic
@@ -1093,6 +1111,22 @@ def q_e4_lm_backoff(spark, sf_dir):
     return stupid_backoff_logprob(
         docs.where(F.col("doc_id") % 2 == 1), model=model
     )
+
+
+def q_e4_nb_langid(spark, sf_dir):
+    """Naive Bayes language-ID (r7): a multinomial NB classifier
+    trained on the even-id half's (text, lang) pairs predicts the
+    language of the odd half — the counts-only member of the
+    fastText-style classifier family data-curation pipelines use for
+    cheap quality/language gating, fully SQL-expressible."""
+    from decision_tree_stuff_spark.operators.textstats import (
+        nb_classify,
+        nb_model,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tp, lp = nb_model(docs.where(F.col("doc_id") % 2 == 0), "lang")
+    return nb_classify(docs.where(F.col("doc_id") % 2 == 1), tp, lp)
 
 
 def q_e4_top_tokens(spark, sf_dir):
@@ -2317,6 +2351,20 @@ SELECT doc_id,
        ) - 1 AS BIGINT) AS shuffle_pos
 FROM documents
 """,
+    # r7 Efraimidis-Spirakis: rank key ln(u)/w, u = (first-15-hex of
+    # md5 + 1) / 16^15 — identical integer-then-double math both sides
+    "e8_weighted_sample": """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY ln((('0x' || substr(md5('ws7|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1.0)
+                       / 1152921504606846976.0)
+                    / CAST(n_chars AS DOUBLE) DESC,
+                    doc_id ASC) AS rn
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+) t WHERE rn <= 10
+""",
     "e8_cap_per_group": """
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
@@ -2702,6 +2750,62 @@ SELECT d.doc_id,
        s.mean_logprob
 FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
 LEFT JOIN scored s USING (doc_id)
+""",
+    # r7 Naive Bayes language-ID: Laplace-smoothed multinomial NB,
+    # trained on the even half, argmax per odd doc (ties label ASC).
+    "e4_nb_langid": f"""
+WITH occ_t AS (
+  SELECT lang AS label, tok AS token FROM (
+    SELECT lang, unnest({TOKS_SQL}) AS tok
+    FROM documents WHERE doc_id % 2 = 0
+  ) u WHERE tok <> ''
+),
+c_tl AS (SELECT label, token, count(*) AS c FROM occ_t GROUP BY 1, 2),
+n_l AS (SELECT label, CAST(sum(c) AS DOUBLE) AS n_l FROM c_tl GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM c_tl),
+tp AS (
+  SELECT label, token, ln((c + 1.0) / (n_l + v)) AS lp
+  FROM c_tl JOIN n_l USING (label) CROSS JOIN v
+),
+dc AS (
+  SELECT lang AS label, count(*) AS n_docs
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t FROM documents WHERE doc_id % 2 = 0
+),
+lpt AS (
+  SELECT label, ln(n_docs / t) AS prior, ln(1.0 / (n_l + v)) AS oov
+  FROM dc JOIN n_l USING (label) CROSS JOIN tot CROSS JOIN v
+),
+occ_s AS (
+  SELECT doc_id, tok AS token FROM (
+    SELECT doc_id, unnest({TOKS_SQL}) AS tok
+    FROM documents WHERE doc_id % 2 = 1
+  ) u WHERE tok <> ''
+),
+contrib AS (
+  SELECT o.doc_id, l.label, sum(coalesce(tp.lp, l.oov)) AS s
+  FROM occ_s o
+  CROSS JOIN lpt l
+  LEFT JOIN tp ON tp.label = l.label AND tp.token = o.token
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT d.doc_id, l.label, l.prior
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+  CROSS JOIN lpt l
+),
+scored AS (
+  SELECT b.doc_id, b.label, b.prior + coalesce(c.s, 0.0) AS score
+  FROM base b
+  LEFT JOIN contrib c ON b.doc_id = c.doc_id AND b.label = c.label
+)
+SELECT doc_id, label, round(score, 6) AS score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+  FROM scored) x
+WHERE rn = 1
 """,
     "e4_repetition_stats": f"""
 WITH base AS (
@@ -3100,6 +3204,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e3_quantize": q_e3_quantize,
     "e3_pq_topk": q_e3_pq_topk,          # r5: product-quantization ADC
     "e3_ivf_pq_topk": q_e3_ivf_pq_topk,  # r5: FAISS IVF-PQ composition
+    "e8_weighted_sample": q_e8_weighted_sample,  # r7: E-S weighted sampling
     "e8_cap_per_group": q_e8_cap_per_group,  # r5: per-group quota
     "e8b_leakage_safe_split": q_e8b_leakage_safe_split,  # r5: E-8 × E-7
     "e7c_dedup_keep_best": q_e7c_dedup_keep_best,
@@ -3116,6 +3221,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e2_embedding_near_dups": q_e2_embedding_near_dups,
     "e4_top_tokens": q_e4_top_tokens,
     "e4_lm_backoff": q_e4_lm_backoff,              # r7: Stupid Backoff trigram
+    "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID
     # r7 rotation: long-stable rows demoted to make room for
     # e2_edit_verified / e4_lm_bigram (GATE_ROTATION.md)
     "e1b_incremental_dedup": q_e1b_incremental_dedup,

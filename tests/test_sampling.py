@@ -481,3 +481,54 @@ def test_filter_by_quantile_rejects_reserved_column(spark):
     )
     with pytest.raises(ValueError, match="__thr"):
         filter_by_quantile(df, "score", 0.5)
+
+
+def test_weighted_sample_statistics_and_determinism(spark):
+    """Efraimidis-Spirakis correctness: over many independent trials
+    (trial id inside the hash key), an n=1 weighted sample includes
+    each item with probability ~ w/sum(w); the draw is byte-stable
+    across invocations; zero/null weights never sampled."""
+    from decision_tree_stuff_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    trials = 400
+    items = [("a", 1.0), ("b", 2.0), ("c", 7.0), ("z", 0.0)]
+    rows = [(t, i, w) for t in range(trials) for i, w in items]
+    df = spark.createDataFrame(rows, "trial int, item string, w double")
+    out = weighted_sample_per_group(
+        df, ["trial"], 1, "w", ["trial", "item"], seed="stat"
+    )
+    got = [r["item"] for r in out.collect()]
+    assert len(got) == trials
+    freq = {i: got.count(i) / trials for i, _ in items}
+    assert freq["z"] == 0.0
+    for item, p in (("a", 0.1), ("b", 0.2), ("c", 0.7)):
+        assert abs(freq[item] - p) < 0.08, (item, freq)
+    # determinism
+    again = [r["item"] for r in weighted_sample_per_group(
+        df, ["trial"], 1, "w", ["trial", "item"], seed="stat"
+    ).collect()]
+    assert sorted(got) == sorted(again)
+
+
+def test_weighted_sample_plan_uses_window_group_limit(spark, sf_dir):
+    """Same plan class as cap_per_group: the row_number <= n filter
+    must be recognized as WindowGroupLimit so map tasks pre-prune
+    before the group shuffle."""
+    from decision_tree_stuff_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    plan = (
+        weighted_sample_per_group(
+            docs, ["lang"], 10, "n_chars", ["doc_id"], "ws7"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan[:1200]
