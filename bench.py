@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "tree_fit_transform",
     "e4_nb_langid",
     "e8_weighted_sample",
+    "e8_dsir_sample",
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

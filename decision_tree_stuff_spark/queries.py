@@ -859,6 +859,32 @@ def q_e8_weighted_sample(spark, sf_dir):
     )
 
 
+def q_e8_dsir_sample(spark, sf_dir):
+    """DSIR data selection (r7, Xie et al. NeurIPS'23): hashed
+    unigram+bigram importance weights log w = sum c_b (lp_target -
+    lp_raw) — target model from the even-id English docs, raw model
+    from all even-id docs — then a Gumbel top-k resample of 50 odd-id
+    docs with probability proportional to exp(log w), without
+    replacement. The published pretraining-corpus selection recipe as
+    counts + joins + one window."""
+    from decision_tree_stuff_spark.operators.selection import (
+        dsir_log_weights,
+        dsir_model,
+        gumbel_topk_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    hist = docs.where(F.col("doc_id") % 2 == 0)
+    target = dsir_model(hist.where(F.col("lang") == "en"), n_buckets=4096)
+    raw = dsir_model(hist, n_buckets=4096)
+    weights = dsir_log_weights(
+        docs.where(F.col("doc_id") % 2 == 1), target, raw, n_buckets=4096
+    )
+    return gumbel_topk_sample(
+        weights, 50, "log_weight", ["doc_id"], seed="dsir7"
+    )
+
+
 def q_e8_cap_per_group(spark, sf_dir):
     """Per-group quota (the per-domain cap of web-corpus pipelines):
     keep at most 50 docs per language, selected by deterministic
@@ -2365,6 +2391,108 @@ SELECT doc_id, lang, n_chars FROM (
   WHERE n_chars IS NOT NULL AND n_chars > 0
 ) t WHERE rn <= 10
 """,
+    # r7 DSIR: hashed n-gram importance weights + Gumbel top-k
+    "e8_dsir_sample": f"""
+WITH tf_feats AS (
+  SELECT doc_id, bucket, count(*) AS c FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096 AS bucket
+    FROM (
+      SELECT doc_id, unnest(toks) AS gram
+      FROM (SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks
+            FROM documents WHERE doc_id % 2 = 0 AND lang = 'en')
+      UNION ALL
+      SELECT doc_id, w1 || chr(1) || w2 AS gram FROM (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM (SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos
+              FROM (SELECT doc_id,
+                           list_filter({TOKS_SQL}, t -> t <> '') AS toks
+                    FROM documents WHERE doc_id % 2 = 0 AND lang = 'en') b)
+      ) x WHERE w2 IS NOT NULL
+    ) g
+  ) h GROUP BY 1, 2
+),
+rf_feats AS (
+  SELECT doc_id, bucket, count(*) AS c FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096 AS bucket
+    FROM (
+      SELECT doc_id, unnest(toks) AS gram
+      FROM (SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks
+            FROM documents WHERE doc_id % 2 = 0)
+      UNION ALL
+      SELECT doc_id, w1 || chr(1) || w2 AS gram FROM (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM (SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos
+              FROM (SELECT doc_id,
+                           list_filter({TOKS_SQL}, t -> t <> '') AS toks
+                    FROM documents WHERE doc_id % 2 = 0) b)
+      ) x WHERE w2 IS NOT NULL
+    ) g
+  ) h GROUP BY 1, 2
+),
+sf_feats AS (
+  SELECT doc_id, bucket, count(*) AS c FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(gram), 1, 15))::BIGINT % 4096 AS bucket
+    FROM (
+      SELECT doc_id, unnest(toks) AS gram
+      FROM (SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks
+            FROM documents WHERE doc_id % 2 = 1)
+      UNION ALL
+      SELECT doc_id, w1 || chr(1) || w2 AS gram FROM (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM (SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos
+              FROM (SELECT doc_id,
+                           list_filter({TOKS_SQL}, t -> t <> '') AS toks
+                    FROM documents WHERE doc_id % 2 = 1) b)
+      ) x WHERE w2 IS NOT NULL
+    ) g
+  ) h GROUP BY 1, 2
+),
+t_model AS (
+  SELECT bucket, ln((sum(c) + 1.0)
+                    / ((SELECT sum(c) FROM tf_feats) + 4096.0)) AS lp
+  FROM tf_feats GROUP BY 1
+),
+t_floor AS (SELECT ln(1.0 / ((SELECT sum(c) FROM tf_feats) + 4096.0)) AS fl),
+r_model AS (
+  SELECT bucket, ln((sum(c) + 1.0)
+                    / ((SELECT sum(c) FROM rf_feats) + 4096.0)) AS lp
+  FROM rf_feats GROUP BY 1
+),
+r_floor AS (SELECT ln(1.0 / ((SELECT sum(c) FROM rf_feats) + 4096.0)) AS fl),
+w AS (
+  SELECT s.doc_id, CAST(sum(s.c) AS BIGINT) AS n_grams,
+         round(sum(s.c * (coalesce(t.lp, tf.fl) - coalesce(r.lp, rf.fl))),
+               6) AS log_weight
+  FROM sf_feats s
+  LEFT JOIN t_model t USING (bucket)
+  LEFT JOIN r_model r USING (bucket)
+  CROSS JOIN t_floor tf CROSS JOIN r_floor rf
+  GROUP BY 1
+),
+wd AS (
+  SELECT d.doc_id, coalesce(w.n_grams, 0) AS n_grams,
+         coalesce(w.log_weight, 0.0) AS log_weight
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+  LEFT JOIN w USING (doc_id)
+)
+SELECT doc_id, n_grams, log_weight FROM (
+  SELECT *, row_number() OVER (ORDER BY
+    log_weight - ln(-ln(
+      (('0x' || substr(md5('dsir7|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1.0)
+      / 1152921504606846976.0)) DESC,
+    doc_id ASC) AS rn
+  FROM wd) x
+WHERE rn <= 50
+""",
     "e8_cap_per_group": """
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
@@ -3205,6 +3333,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e3_pq_topk": q_e3_pq_topk,          # r5: product-quantization ADC
     "e3_ivf_pq_topk": q_e3_ivf_pq_topk,  # r5: FAISS IVF-PQ composition
     "e8_weighted_sample": q_e8_weighted_sample,  # r7: E-S weighted sampling
+    "e8_dsir_sample": q_e8_dsir_sample,          # r7: DSIR selection
     "e8_cap_per_group": q_e8_cap_per_group,  # r5: per-group quota
     "e8b_leakage_safe_split": q_e8b_leakage_safe_split,  # r5: E-8 × E-7
     "e7c_dedup_keep_best": q_e7c_dedup_keep_best,
