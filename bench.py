@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "e4_nb_langid",
     "e8_weighted_sample",
     "e8_dsir_sample",
+    "e8_temperature_sample",
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -242,6 +242,86 @@ def weighted_sample_per_group(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    total_n: int,
+    alpha: float,
+    key_cols: List[str],
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual-corpus
+    recipe (mT5/XLM-R style): group d receives a share of the
+    ``total_n`` budget proportional to c_d^alpha, so alpha=1 is
+    proportional sampling, alpha→0 approaches uniform-across-groups,
+    and 0<alpha<1 up-weights rare groups (the published fix for
+    head-language dominance).
+
+    Allocation is EXACT and deterministic: largest-remainder method
+    over the (tiny, bounded) group-count table — floor shares first,
+    the leftover seats to the largest fractional remainders (ties by
+    group value ASC). A group's allocation is capped at its row count
+    (selection is WITHOUT replacement; unfilled quota is not
+    redistributed — use ``sample_to_budget`` for exact-fill
+    semantics). The ideal share is rounded to 9dp before floor so an
+    exactly-integer share cannot straddle an ULP boundary between
+    engines.
+
+    Row selection inside each group is the deterministic md5-hash
+    order every sampler here uses. Plan: one group-keyed shuffle with
+    the WindowGroupLimit-style rank (the per-group limit rides in
+    from the broadcast quota table), plus window work over the
+    group-count table only (|groups| rows).
+    """
+    if total_n < 0:
+        raise ValueError(f"total_n must be >= 0, got {total_n}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    _check_reserved(df)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_c"))
+    wsum = counts.agg(
+        F.sum(F.pow(F.col("_c"), F.lit(float(alpha)))).alias("_wsum")
+    )
+    ideal = (
+        F.lit(float(total_n))
+        * F.pow(F.col("_c"), F.lit(float(alpha)))
+        / F.col("_wsum")
+    )
+    base = F.floor(F.round(ideal, 9))
+    shares = counts.crossJoin(F.broadcast(wsum)).select(
+        group_col,
+        "_c",
+        base.alias("_base"),
+        (F.round(ideal, 9) - base).alias("_rem"),
+    )
+    leftover = shares.agg(
+        (F.lit(total_n) - F.sum("_base")).alias("_left")
+    )
+    w_rem = Window.orderBy(F.col("_rem").desc(), F.col(group_col).asc())
+    quota = (
+        shares.crossJoin(F.broadcast(leftover))
+        .withColumn("_rrank", F.row_number().over(w_rem))
+        .select(
+            group_col,
+            F.least(
+                F.col("_base")
+                + F.when(F.col("_rrank") <= F.col("_left"), 1).otherwise(0),
+                F.col("_c"),
+            ).cast("int").alias("_quota"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        hash_key(key_cols, seed).asc(),
+        *[F.col(c).asc() for c in key_cols],
+    )
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .join(F.broadcast(quota), group_col)
+        .where(F.col("_rank") <= F.col("_quota"))
+        .drop("_rank", "_quota")
+    )
+
+
 def leakage_safe_split(
     docs: DataFrame,
     pairs: DataFrame,

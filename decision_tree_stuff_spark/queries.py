@@ -885,6 +885,25 @@ def q_e8_dsir_sample(spark, sf_dir):
     )
 
 
+def q_e8_temperature_sample(spark, sf_dir):
+    """Temperature-scaled mixture sample (r7, mT5-style alpha
+    sampling): a 100-doc budget allocated across languages
+    proportional to count^0.5 (largest-remainder exact allocation),
+    rows picked in deterministic md5 order."""
+    from decision_tree_stuff_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    return temperature_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "lang",
+        total_n=100,
+        alpha=0.5,
+        key_cols=["doc_id"],
+        seed="t7",
+    )
+
+
 def q_e8_cap_per_group(spark, sf_dir):
     """Per-group quota (the per-domain cap of web-corpus pipelines):
     keep at most 50 docs per language, selected by deterministic
@@ -2493,6 +2512,35 @@ SELECT doc_id, n_grams, log_weight FROM (
   FROM wd) x
 WHERE rn <= 50
 """,
+    # r7 temperature sampling: alpha=0.5 shares, largest-remainder
+    # allocation (9dp-rounded ideal before floor on BOTH engines)
+    "e8_temperature_sample": """
+WITH counts AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+ws AS (SELECT sum(pow(c, 0.5)) AS wsum FROM counts),
+shares AS (
+  SELECT lang, c,
+         CAST(floor(round(100.0 * pow(c, 0.5) / wsum, 9)) AS BIGINT) AS base,
+         round(100.0 * pow(c, 0.5) / wsum, 9)
+           - floor(round(100.0 * pow(c, 0.5) / wsum, 9)) AS rem
+  FROM counts CROSS JOIN ws
+),
+lft AS (SELECT 100 - sum(base) AS lft FROM shares),
+quota AS (
+  SELECT lang,
+         least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+                                <= lft THEN 1 ELSE 0 END,
+               c) AS q
+  FROM shares CROSS JOIN lft
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5('t7|' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.lang FROM ranked r JOIN quota USING (lang) WHERE r.rn <= q
+""",
     "e8_cap_per_group": """
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
@@ -3334,6 +3382,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e3_ivf_pq_topk": q_e3_ivf_pq_topk,  # r5: FAISS IVF-PQ composition
     "e8_weighted_sample": q_e8_weighted_sample,  # r7: E-S weighted sampling
     "e8_dsir_sample": q_e8_dsir_sample,          # r7: DSIR selection
+    "e8_temperature_sample": q_e8_temperature_sample,  # r7: alpha sampling
     "e8_cap_per_group": q_e8_cap_per_group,  # r5: per-group quota
     "e8b_leakage_safe_split": q_e8b_leakage_safe_split,  # r5: E-8 × E-7
     "e7c_dedup_keep_best": q_e7c_dedup_keep_best,

@@ -31,6 +31,7 @@ __all__ = [
     "stream_sessionize",
     "stream_exact_dedup",
     "stream_cap_per_group",
+    "stream_weighted_sample_per_group",
     "stream_ingest_pipeline",
     "read_capped_state",
     "run_stream_to_memory",
@@ -251,9 +252,68 @@ def stream_cap_per_group(
     Runs with ``availableNow`` and blocks until input is drained;
     returns the finished StreamingQuery.
     """
-    import os
-
     from decision_tree_stuff_spark.operators.sampling import cap_per_group
+
+    return _stream_mergeable_fold(
+        stream_df,
+        state_dir,
+        lambda df: cap_per_group(df, group_cols, n, key_cols, seed),
+        checkpoint_dir,
+    )
+
+
+def stream_weighted_sample_per_group(
+    stream_df: DataFrame,
+    state_dir: str,
+    group_cols: list,
+    n: int,
+    weight_col: str,
+    key_cols: list,
+    seed: str = "ws",
+    checkpoint_dir: str = None,
+):
+    """Streaming Efraimidis-Spirakis weighted sample (E-8w on a
+    stream): maintain, across micro-batches, exactly the rows the
+    batch ``weighted_sample_per_group`` would keep over all input
+    seen so far.
+
+    Exactness argument, same algebra as ``stream_cap_per_group``: the
+    ES selection key ln(u)/w is a PURE function of the row (u from
+    md5(seed|keys), w from the weight column), so keep-the-n-largest-
+    keys is a mergeable selection — sample(A ∪ B) =
+    sample(sample(A) ∪ B) — and the fold over micro-batches equals
+    the batch answer including evictions (a later batch carrying a
+    better-keyed row displaces an earlier keeper). State layout,
+    retry idempotence, and snapshot retention are shared with the cap
+    fold (``_stream_mergeable_fold``).
+    """
+    from decision_tree_stuff_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    return _stream_mergeable_fold(
+        stream_df,
+        state_dir,
+        lambda df: weighted_sample_per_group(
+            df, group_cols, n, weight_col, key_cols, seed
+        ),
+        checkpoint_dir,
+    )
+
+
+def _stream_mergeable_fold(
+    stream_df: DataFrame,
+    state_dir: str,
+    select_fn,
+    checkpoint_dir: str = None,
+):
+    """Shared foreachBatch fold for MERGEABLE selections (cap,
+    weighted sample): state ← select(state ∪ batch) over versioned
+    compacted parquet snapshots. Batch b derives from the newest
+    version BELOW b and overwrites its own v{b} (idempotent under
+    retry); snapshots older than the direct predecessor are pruned."""
+    import os
+    import shutil
 
     def _latest_version(below=None):
         try:
@@ -274,19 +334,11 @@ def stream_cap_per_group(
         merged = batch_df
         if prev is not None:
             old = sp.read.parquet(os.path.join(state_dir, f"v{prev}"))
-            merged = old.unionByName(batch_df)
-        kept = cap_per_group(merged, group_cols, n, key_cols, seed)
+            merged = old.unionByName(batch_df.select(*old.columns))
+        kept = select_fn(merged)
         kept.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{batch_id}")
         )
-        # Retention: keep this snapshot and its direct predecessor
-        # (``prev`` — a retried batch b recomputes from the newest
-        # version BELOW b, so the predecessor must survive), prune
-        # everything older. Without this a long-running stream
-        # accumulates one quota-sized snapshot per micro-batch
-        # forever (r6 advice).
-        import shutil
-
         for v in [
             int(d[1:])
             for d in os.listdir(state_dir)

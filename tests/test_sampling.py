@@ -532,3 +532,99 @@ def test_weighted_sample_plan_uses_window_group_limit(spark, sf_dir):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan[:1200]
+
+
+def test_temperature_sample_allocation_hand_math(spark):
+    """Exact largest-remainder allocation: alpha=0.5 over counts
+    {a:100, b:25, c:4} -> weights {10, 5, 2} -> shares of n=10 are
+    ideal {5.882.., 2.941.., 1.176..} -> floors {5, 2, 1} + 2 leftover
+    seats to the largest remainders (a: .88, b: .94 -> b, a) ->
+    {6, 3, 1}; allocation caps at group size."""
+    from decision_tree_stuff_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(1000 + i, "b") for i in range(25)]
+        + [(2000 + i, "c") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, g string")
+    out = temperature_sample(df, "g", 10, 0.5, ["doc_id"], seed="hm")
+    got = {g: 0 for g in "abc"}
+    for r in out.collect():
+        got[r["g"]] += 1
+    assert got == {"a": 6, "b": 3, "c": 1}, got
+    # alpha=1.0 -> proportional: ideal {7.75, 1.94, 0.31} -> floors
+    # {7, 1, 0} + 2 seats to remainders (b .94, a .75) -> {8, 2, 0}
+    out1 = temperature_sample(df, "g", 10, 1.0, ["doc_id"], seed="hm")
+    got1 = {g: 0 for g in "abc"}
+    for r in out1.collect():
+        got1[r["g"]] += 1
+    assert got1 == {"a": 8, "b": 2, "c": 0}, got1
+    # cap at group size: huge budget can't oversample a group
+    out2 = temperature_sample(df, "g", 1000, 0.0, ["doc_id"], seed="hm")
+    got2 = {g: 0 for g in "abc"}
+    for r in out2.collect():
+        got2[r["g"]] += 1
+    assert got2["c"] == 4 and got2["a"] <= 100, got2
+    # determinism
+    again = sorted(r["doc_id"] for r in temperature_sample(
+        df, "g", 10, 0.5, ["doc_id"], seed="hm").collect())
+    assert sorted(r["doc_id"] for r in out.collect()) == again
+
+
+def test_stream_weighted_sample_equals_batch(spark, tmp_path):
+    """Streamed ES weighted sample over 3 micro-batches ends at
+    EXACTLY the batch result over all input, including cross-batch
+    evictions (the selection key is row-fixed, so the fold is
+    mergeable — same algebra as the cap fold)."""
+    import glob
+    import shutil
+
+    from decision_tree_stuff_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+    from decision_tree_stuff_spark.streaming import (
+        read_capped_state,
+        stream_weighted_sample_per_group,
+    )
+
+    rows = [
+        (i, "g%d" % (i % 2), float(1 + (i * 13) % 50)) for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, g string, w double")
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(3):
+        staging = str(tmp_path / f"s{i}")
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(staging)
+        shutil.move(
+            glob.glob(f"{staging}/part-*.parquet")[0],
+            str(d / f"b{i}.parquet"),
+        )
+
+    state = str(tmp_path / "state")
+    stream_weighted_sample_per_group(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d)),
+        state,
+        ["g"],
+        7,
+        "w",
+        ["doc_id"],
+        seed="sws",
+    )
+    cols = ["doc_id", "g", "w"]
+
+    def rows_of(df):
+        return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+    got = rows_of(read_capped_state(spark, state))
+    want = rows_of(
+        weighted_sample_per_group(docs, ["g"], 7, "w", ["doc_id"], seed="sws")
+    )
+    assert got == want and len(got) == 14
+    # winners span multiple micro-batches -> the fold really evicted
+    assert len({int(r[0]) % 3 for r in got}) >= 2
