@@ -178,3 +178,72 @@ def test_winnow_and_lm_ops_null_and_empty_text(dirty):
           for r in edit_similarity_pairs(dirty, cand, max_rel_dist=1.0).collect()}
     assert ev.get((0, 4)) == 0.0               # identical docs
     assert (0, 1) not in ev                    # null side joins away, no crash
+
+
+def test_r7_lm_and_classifier_ops_handle_null_and_empty(dirty, spark):
+    """Round-7 scorers/classifiers on dirty input: every doc
+    represented (or deterministically excluded), no crashes."""
+    from decision_tree_stuff_spark.operators.textstats import (
+        nb_classify,
+        nb_model,
+        stupid_backoff_logprob,
+    )
+
+    # Stupid Backoff self-model: tokenless docs -> n_trigrams=0, null
+    # score; null text never crashes the gram builder
+    sb = {r["doc_id"]: (r["n_trigrams"], r["mean_logprob"])
+          for r in stupid_backoff_logprob(dirty).collect()}
+    assert set(sb) == {0, 1, 2, 3, 4}
+    for i in (1, 2, 3):
+        assert sb[i] == (0, None)
+    assert sb[0][0] > 0 and sb[0][1] is not None
+
+    # NB: model trains through null/empty rows; tokenless docs
+    # classify by prior alone (still present in the output)
+    tp, lp = nb_model(dirty, "lang")
+    out = {r["doc_id"]: r["label"] for r in nb_classify(dirty, tp, lp).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all(v in ("en", "de") for v in out.values())
+
+
+def test_r7_selection_ops_handle_null_and_empty(dirty, spark):
+    """DSIR weights and the samplers on dirty input: empty/null docs
+    weight 0 (never NaN/-inf), weighted sampling drops only
+    non-positive weights, temperature allocation survives groups made
+    entirely of empty docs."""
+    from decision_tree_stuff_spark.operators.sampling import (
+        temperature_sample,
+        weighted_sample_per_group,
+    )
+    from decision_tree_stuff_spark.operators.selection import (
+        dsir_log_weights,
+        dsir_model,
+        gumbel_topk_sample,
+    )
+
+    target = dsir_model(dirty.where(F.col("doc_id") == 0), n_buckets=256)
+    raw = dsir_model(dirty, n_buckets=256)
+    w = {r["doc_id"]: (r["n_grams"], r["log_weight"])
+         for r in dsir_log_weights(dirty, target, raw, n_buckets=256).collect()}
+    assert set(w) == {0, 1, 2, 3, 4}
+    for i in (1, 2, 3):
+        assert w[i] == (0, 0.0)
+    import math
+    assert all(not math.isnan(v[1]) and not math.isinf(v[1]) for v in w.values())
+
+    # gumbel over those weights: total order, no crash, n rows out
+    scored = dsir_log_weights(dirty, target, raw, n_buckets=256)
+    assert gumbel_topk_sample(scored, 3, "log_weight", ["doc_id"]).count() == 3
+
+    # weighted sampling: null weight rows silently excluded (pinned)
+    wdf = dirty.withColumn(
+        "wt", F.when(F.col("doc_id") < 3, F.col("doc_id").cast("double"))
+    )  # weights: 0->0.0 (dropped), 1->1.0, 2->2.0, 3/4 -> null (dropped)
+    kept = {r["doc_id"] for r in weighted_sample_per_group(
+        wdf, ["lang"], 10, "wt", ["doc_id"]).collect()}
+    assert kept == {1, 2}
+
+    # temperature allocation over dirty groups: exact budget when
+    # feasible, never over-allocates
+    out = temperature_sample(dirty, "lang", 3, 0.5, ["doc_id"], seed="n")
+    assert out.count() == 3
