@@ -100,12 +100,17 @@ def _step_sql(d: str, p: str) -> str:
     )
 
 
-def _tree_train_cte(pfx: str, train_where: str, depth: int = 3) -> str:
+def _tree_train_cte(pfx: str, train_where: str, depth: int = 3,
+                    thr_sql: str = "AVG(value)",
+                    metric_name: str = "entropy") -> str:
     """Level-wise CTE derivation of the FIXED gate-config decision tree
-    (mean splitter, entropy metric, ``max_depth=depth``, no prune) —
-    the DuckDB twin of ``DecisionTree.fit`` for the exact
-    hyperparameters the gate queries use (dtree.py:368-480), one
-    grouped computation per depth instead of one CTE per node:
+    (``max_depth=depth``, no prune; splitter via ``thr_sql`` — the
+    per-(path, variable) threshold aggregate, default mean; impurity
+    via ``metric_name`` ∈ {entropy, gini}) — the DuckDB twin of
+    ``DecisionTree.fit`` for a FIXED hyperparameter configuration
+    (dtree.py:368-480), one grouped computation per depth instead of
+    one CTE per node. Q-4 is encoded: the node STOP gate is always
+    the entropy of the node's p1, regardless of the split metric:
 
     * ``{pfx}r{k}``  — training rows with their depth-k node path
       (``p``: \'\' at the root, then \'L\'/\'R\' appended per split).
@@ -139,10 +144,18 @@ def _tree_train_cte(pfx: str, train_where: str, depth: int = 3) -> str:
             f"SELECT p, '{f}' AS variable, {f} AS value, class FROM {pfx}r{k}"
             for f in feats
         )
-        metric = f"({_h_sql('g.lp')}) + ({_h_sql('g.rp')})"
+        if metric_name == "entropy":
+            metric = f"({_h_sql('g.lp')}) + ({_h_sql('g.rp')})"
+        elif metric_name == "gini":
+            metric = (
+                "(1.0 - (1.0-g.lp)*(1.0-g.lp) - g.lp*g.lp)"
+                " + (1.0 - (1.0-g.rp)*(1.0-g.rp) - g.rp*g.rp)"
+            )
+        else:
+            raise ValueError(f"unknown metric {metric_name!r}")
         ctes += [
             f"{pfx}m{k} AS MATERIALIZED (\n    {melt}\n)",
-            f"{pfx}t{k} AS MATERIALIZED (SELECT p, variable, AVG(value) AS thr "
+            f"{pfx}t{k} AS MATERIALIZED (SELECT p, variable, {thr_sql} AS thr "
             f"FROM {pfx}m{k} GROUP BY 1, 2)",
             f"""{pfx}g{k} AS MATERIALIZED (
   SELECT m.p, m.variable, t.thr,
@@ -515,6 +528,20 @@ def q_tree_fit_transform(spark, sf_dir):
     base = _lineitem_base(spark, sf_dir)
     dt = DecisionTree(
         DecisionTreeParams([], "class", "mean", "entropy", max_depth=3)
+    )
+    dt.fit(base.select(*FEATURES, "class"))
+    return dt.transform(base).select("l_orderkey", "l_linenumber", "prediction")
+
+
+def q_tree_fit_median_gini(spark, sf_dir):
+    """O-13 under the OTHER splitter/metric pair (r7): a depth-2
+    median/gini fit + transform, oracled by the SAME level-wise CTE
+    generator with quantile_cont threshold + gini impurity — evidence
+    the flagship oracle generalizes across hyperparameter
+    configurations instead of encoding one tree."""
+    base = _lineitem_base(spark, sf_dir)
+    dt = DecisionTree(
+        DecisionTreeParams([], "class", "median", "gini", max_depth=2)
     )
     dt.fit(base.select(*FEATURES, "class"))
     return dt.transform(base).select("l_orderkey", "l_linenumber", "prediction")
@@ -1679,6 +1706,13 @@ FROM base
 {_apply_cte(['tf_'])}
 SELECT a.l_orderkey, a.l_linenumber, CAST(l.pred AS TINYINT) AS prediction
 FROM ap3 a JOIN tf_leaf l ON a.p0 = l.p
+""",
+    "tree_fit_median_gini": f"""WITH {BASE_SQL},
+{_tree_train_cte('mg_', '', depth=2, thr_sql='quantile_cont(value, 0.5)',
+                 metric_name='gini')},
+{_apply_cte(['mg_'], depth=2)}
+SELECT a.l_orderkey, a.l_linenumber, CAST(l.pred AS TINYINT) AS prediction
+FROM ap2 a JOIN mg_leaf l ON a.p0 = l.p
 """,
     # Bagged 3-tree forest: three tree derivations on deterministic
     # md5-sampled subsets (forest.py:72-97), one row-local routing
@@ -3398,6 +3432,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # two demoted variants keep their every-session value checks here
     "e2_embedding_near_dups": q_e2_embedding_near_dups,
     "e4_top_tokens": q_e4_top_tokens,
+    "tree_fit_median_gini": q_tree_fit_median_gini,  # r7: O-13 generator generality
     "e4_lm_backoff": q_e4_lm_backoff,              # r7: Stupid Backoff trigram
     "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID
     # r7 rotation: long-stable rows demoted to make room for
