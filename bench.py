@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "e8_weighted_sample",
     "e8_dsir_sample",
     "e8_temperature_sample",
+    "e5_funnel",
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

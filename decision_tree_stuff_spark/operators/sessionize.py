@@ -110,3 +110,92 @@ def sessionize(
             *extra,
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel conversion (E-5f): for each user, how far along
+    the ``steps`` sequence they progressed, where step k+1 counts only
+    if it happens AT OR AFTER the user's earliest completion of step k
+    (the product-analytics funnel, strictly ordered — a purchase
+    before the signup does not convert).
+
+    Plan: ONE groupBy(user) collecting, per step type, the sorted
+    in-step timestamp array (bounded by the user's event count — the
+    same bound the raw data imposes), then the ordered walk is a pure
+    projection: t_1 = min(step-1 times); t_{k+1} = first step-(k+1)
+    time ≥ t_k (``F.filter`` over the sorted array). Output: one row
+    per funnel step — (step, step_name, n_users, conversion) with
+    conversion = n_users / users-entering-step-1, rounded 6dp. The
+    final unpivot is a literal-sized explode; everything before it is
+    one exchange.
+    """
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be non-empty and unique, got {steps}")
+    arrays = events.where(F.col(type_col).isin(list(steps))).groupBy(
+        user_col
+    ).agg(
+        *[
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col(type_col) == s, F.col(ts_col))
+                )
+            ).alias(f"_t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # ordered walk: reached_k is the timestamp of the user's step-k
+    # completion under the ordering constraint, NULL once broken
+    # try_element_at, not element_at: under ANSI mode (Spark 4
+    # default) element_at THROWS on an empty array — a user who never
+    # performed a step must walk to NULL, not crash the job
+    reached = F.try_element_at(F.col("_t0"), F.lit(1))
+    cols = [reached.alias("_r0")]
+    for i in range(1, len(steps)):
+        nxt = F.try_element_at(
+            F.filter(
+                F.col(f"_t{i}"), lambda x: x >= F.col(f"_r{i - 1}")
+            ),
+            F.lit(1),
+        )
+        cols.append(nxt.alias(f"_r{i}"))
+    walked = arrays
+    for i, c in enumerate(cols):
+        walked = walked.withColumn(f"_r{i}", c)
+    counts = walked.agg(
+        *[
+            F.count(F.col(f"_r{i}")).cast("bigint").alias(f"_n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    per_step = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step"),
+                        F.lit(s).alias("step_name"),
+                        F.col(f"_n{i}").alias("n_users"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("x")
+    ).select("x.step", "x.step_name", "x.n_users")
+    base = per_step.where(F.col("step") == 1).select(
+        F.col("n_users").alias("_base")
+    )
+    return per_step.crossJoin(F.broadcast(base)).select(
+        "step",
+        "step_name",
+        "n_users",
+        F.round(
+            F.col("n_users") / F.greatest(F.col("_base"), F.lit(1)).cast("double"),
+            6,
+        ).alias("conversion"),
+    )

@@ -1094,6 +1094,15 @@ def q_e5_sliding_counts(spark, sf_dir):
     return sliding_counts(_events(spark, sf_dir))
 
 
+def q_e5_funnel(spark, sf_dir):
+    """Ordered funnel conversion (r7): signup -> click -> purchase,
+    step k+1 counted only at-or-after the user's earliest step-k
+    completion — one groupBy + a pure-projection ordered walk."""
+    from decision_tree_stuff_spark.operators.sessionize import funnel
+
+    return funnel(_events(spark, sf_dir), ["signup", "click", "purchase"])
+
+
 def q_e4_document_stats(spark, sf_dir):
     return document_stats(_docs(spark, sf_dir))
 
@@ -3017,6 +3026,42 @@ SELECT doc_id, label, round(score, 6) AS score FROM (
   FROM scored) x
 WHERE rn = 1
 """,
+    # r7 ordered funnel: per-user sorted step-time arrays, chained
+    # first-at-or-after walk; [1] on an empty DuckDB list is NULL =
+    # Spark's non-ansi element_at(_, 1)
+    "e5_funnel": """
+WITH arrays AS (
+  SELECT user_id,
+    list_sort(list_filter(list(CASE WHEN event_type = 'signup' THEN ts END),
+                          x -> x IS NOT NULL)) AS a0,
+    list_sort(list_filter(list(CASE WHEN event_type = 'click' THEN ts END),
+                          x -> x IS NOT NULL)) AS a1,
+    list_sort(list_filter(list(CASE WHEN event_type = 'purchase' THEN ts END),
+                          x -> x IS NOT NULL)) AS a2
+  FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+  GROUP BY 1
+),
+w0 AS (SELECT *, a0[1] AS r0 FROM arrays),
+w1 AS (SELECT *, (list_filter(a1, x -> x >= r0))[1] AS r1 FROM w0),
+w2 AS (SELECT *, (list_filter(a2, x -> x >= r1))[1] AS r2 FROM w1),
+counts AS (
+  SELECT CAST(count(r0) AS BIGINT) AS n0,
+         CAST(count(r1) AS BIGINT) AS n1,
+         CAST(count(r2) AS BIGINT) AS n2
+  FROM w2
+),
+per_step AS (
+  SELECT 1 AS step, 'signup' AS step_name, n0 AS n_users FROM counts
+  UNION ALL
+  SELECT 2, 'click', n1 FROM counts
+  UNION ALL
+  SELECT 3, 'purchase', n2 FROM counts
+)
+SELECT step, step_name, n_users,
+       round(n_users / CAST(greatest((SELECT n0 FROM counts), 1) AS DOUBLE),
+             6) AS conversion
+FROM per_step
+""",
     "e4_repetition_stats": f"""
 WITH base AS (
   SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks FROM documents
@@ -3441,6 +3486,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_tf_idf": q_e4_tf_idf,
     "e8_budget_sample": q_e8_budget_sample,        # r5: budget-filling mixture
     "e5b_session_assignment": q_e5b_session_assignment,  # r5: E-5 × E-10 composition
+    "e5_funnel": q_e5_funnel,                      # r7: ordered funnel
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
 }

@@ -385,3 +385,34 @@ def test_asof_matches_naive_on_events(spark, sf_dir):
     )
     want = {(r.event_id, r.cv) for r in naive.collect()}
     assert got == want and len(got) > 0
+
+
+def test_funnel_ordered_semantics(spark):
+    """Hand-built funnel pinning the ordering rule: a purchase BEFORE
+    the user's first signup does not convert; equal timestamps count
+    (at-or-after); users skipping a step break the chain there."""
+    import datetime as dt
+
+    from decision_tree_stuff_spark.operators.sessionize import funnel
+
+    T = lambda h: dt.datetime(2026, 1, 1, h)
+    rows = [
+        # u1: full ordered funnel
+        (1, "signup", T(1)), (1, "click", T(2)), (1, "purchase", T(3)),
+        # u2: purchase before signup -> stops after click
+        (2, "purchase", T(1)), (2, "signup", T(2)), (2, "click", T(3)),
+        # u3: signup only
+        (3, "signup", T(5)),
+        # u4: click/purchase but never signed up -> not even step 1
+        (4, "click", T(1)), (4, "purchase", T(2)),
+        # u5: simultaneous signup+click (equal ts counts), no purchase
+        (5, "signup", T(7)), (5, "click", T(7)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    got = {
+        r["step_name"]: (r["n_users"], r["conversion"])
+        for r in funnel(df, ["signup", "click", "purchase"]).collect()
+    }
+    assert got["signup"] == (4, 1.0)
+    assert got["click"] == (3, 0.75)
+    assert got["purchase"] == (1, 0.25)
