@@ -57,7 +57,14 @@ def rate_threshold(rate: float) -> str:
 
 
 def hash_key(key_cols: List[str], seed: str) -> Column:
-    """md5("{seed}|{k1}|{k2}|...") — the deterministic uniform."""
+    """md5("{seed}|{k1}|{k2}|...") — the deterministic uniform.
+
+    Caveat (shared deliberately with the DuckDB twins, which use the
+    same ``concat_ws`` semantics): NULL key parts are SKIPPED by
+    concat_ws, so ('x', NULL) and (NULL, 'x') hash identically. Key
+    columns should be non-null identifiers (every gate query keys on
+    ids); if a nullable column must participate, wrap it in
+    ``coalesce`` with a sentinel on BOTH engines."""
     parts = [F.lit(seed)] + [F.col(c).cast("string") for c in key_cols]
     return F.md5(F.concat_ws("|", *parts))
 

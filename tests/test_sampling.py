@@ -628,3 +628,55 @@ def test_stream_weighted_sample_equals_batch(spark, tmp_path):
     assert got == want and len(got) == 14
     # winners span multiple micro-batches -> the fold really evicted
     assert len({int(r[0]) % 3 for r in got}) >= 2
+
+
+def test_temperature_allocation_matches_python_largest_remainder(spark):
+    """Hypothesis differential: the in-plan largest-remainder
+    allocation equals a pure-Python reference implementation across
+    random group-count tables, alphas, and budgets."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from decision_tree_stuff_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    def py_alloc(counts, total_n, alpha):
+        ws = {g: c**alpha for g, c in counts.items()}
+        wsum = sum(ws.values())
+        ideal = {g: round(total_n * w / wsum, 9) for g, w in ws.items()}
+        base = {g: int(ideal[g] // 1) for g in ws}
+        left = total_n - sum(base.values())
+        order = sorted(ws, key=lambda g: (-(ideal[g] - base[g]), g))
+        for g in order[:left]:
+            base[g] += 1
+        return {g: min(base[g], counts[g]) for g in ws}
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        counts=st.dictionaries(
+            st.sampled_from(list("abcdef")),
+            st.integers(1, 40), min_size=2, max_size=5,
+        ),
+        total_n=st.integers(1, 60),
+        alpha=st.sampled_from([0.0, 0.3, 0.5, 1.0]),
+    )
+    def check(counts, total_n, alpha):
+        rows = [
+            (g_i * 1000 + i, g)
+            for g_i, (g, c) in enumerate(sorted(counts.items()))
+            for i in range(c)
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, g string")
+        got = {}
+        for r in temperature_sample(
+            df, "g", total_n, alpha, ["doc_id"], seed="h"
+        ).collect():
+            got[r["g"]] = got.get(r["g"], 0) + 1
+        want = {g: n for g, n in py_alloc(counts, total_n, alpha).items() if n}
+        assert got == want, (counts, total_n, alpha, got, want)
+
+    check()
