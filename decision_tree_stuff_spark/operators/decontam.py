@@ -136,6 +136,171 @@ def ngram_contamination(
     )
 
 
+def _bloom_pos_cols(gram, k: int, m: int):
+    """The k Bloom bit positions of a gram: Kirsch-Mitzenmacher over
+    ONE md5 — ``pos_i = (h1 + i*h2) mod m`` with h1/h2 the two 60-bit
+    md5 halves (the exact scheme ``dedup.minhash_lsh_pairs`` uses, so
+    the DuckDB twin ``('0x'||substr(md5(g),...))::BIGINT`` parity is
+    already established). Positive operands, so ``%`` agrees across
+    engines."""
+    d = F.md5(gram)
+    h1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(d, 17, 15), 16, 10).cast("bigint")
+    return [(h1 + F.lit(i) * h2) % F.lit(m) for i in range(k)]
+
+
+BLOOM_M, BLOOM_K = 1 << 20, 3
+
+
+def bloom_bitset(
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> list:
+    """Driver-side Bloom bitset (list of m/64 signed int64 words) over
+    the benchmark corpus's distinct token n-grams.
+
+    The collect is bounded by the BENCH side (k x |distinct bench
+    grams| positions, deduped before collect) — eval sets are small by
+    nature; this is a model artifact like the IVF centroid table, not
+    a corpus-sized pull. At 100 TB the thing you must never shuffle is
+    the TRAIN corpus, and this structure exists so you don't:
+    membership becomes a broadcast literal probed by a pure projection.
+    """
+    grams = token_ngrams(bench, id_col, text_col, n)
+    pos = (
+        grams.select(F.col("gram")).distinct()
+        .select(F.explode(F.array(*_bloom_pos_cols(F.col("gram"), k, m))).alias("pos"))
+        .distinct()
+    )
+    words = [0] * (m // 64)
+    for (p,) in pos.collect():
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement into signed int64 so the array literal fits
+    # Spark's bigint
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    train_id: str = "doc_id",
+    bench_id: str = "doc_id",
+    text_col: str = "text",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom-filter contamination scan: per TRAIN doc, the fraction of
+    its distinct token n-grams that hit a Bloom filter built over the
+    union of benchmark n-grams (Bloom 1970; Kirsch-Mitzenmacher
+    double hashing). Returns flagged docs
+    ``(doc_id, n_grams, n_hit, hit_frac)`` with ``hit_frac >=
+    threshold`` (rounded 6dp; gram-less docs can never flag).
+
+    vs ``ngram_contamination``: this is the UNION-membership measure
+    (the Dolma/RefinedWeb-style production filter), not per-bench-doc
+    containment — it cannot say WHICH bench doc leaked, and it admits
+    the filter's false-positive rate ((1-e^(-kn/m))^k), in exchange
+    for a plan with ZERO shuffle on the corpus side: tokenize ->
+    n-grams -> k x element_at probes into a literal array<bigint>, all
+    inside one projection. The exact-join variant shuffles corpus
+    grams; at 100 TB that exchange dwarfs everything else, and this
+    operator is how you avoid it. FP behavior is deterministic given
+    (md5, m, k), so the DuckDB twin reproduces it bit-for-bit.
+    """
+    scored = _bloom_scored(
+        train, bench, n, train_id, bench_id, text_col, m, k
+    )
+    return scored.where(
+        (F.col("n_grams") > 0) & (F.col("hit_frac") >= threshold)
+    ).select(train_id, "n_grams", "n_hit", "hit_frac")
+
+
+def _bloom_scored(
+    train, bench, n, train_id, bench_id, text_col, m, k
+) -> DataFrame:
+    """All train columns + (n_grams, n_hit, hit_frac) — one pure
+    projection, no shuffle, no join."""
+    from decision_tree_stuff_spark.operators import spread_small
+
+    words = F.lit(bloom_bitset(bench, bench_id, text_col, n, m, k))
+    # shiftleft() takes only a literal shift count, so single-bit
+    # masks come from a 64-entry literal lookup instead
+    masks = F.lit(
+        [(1 << b) - (1 << 64 if b == 63 else 0) for b in range(64)]
+    )
+
+    tokd = spread_small(train).withColumn(
+        "_toks", F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    )
+    t = F.col("_toks")
+    grams = F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _hit(g):
+        tests = [
+            F.element_at(words, (p / 64).cast("int") + 1).bitwiseAND(
+                F.element_at(masks, (p % 64).cast("int") + 1)
+            )
+            != 0
+            for p in _bloom_pos_cols(g, k, m)
+        ]
+        out = tests[0]
+        for c in tests[1:]:
+            out = out & c
+        return out
+
+    return (
+        tokd.withColumn("_grams", grams)
+        .withColumn("n_grams", F.size("_grams").cast("bigint"))
+        .withColumn(
+            "n_hit", F.size(F.filter(F.col("_grams"), _hit)).cast("bigint")
+        )
+        .withColumn(
+            "hit_frac",
+            F.round(F.col("n_hit") / F.col("n_grams").cast("double"), 6),
+        )
+        .drop("_toks", "_grams")
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    train_id: str = "doc_id",
+    bench_id: str = "doc_id",
+    text_col: str = "text",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """The cleaned corpus under the Bloom measure: drop train docs
+    whose benchmark-gram hit fraction reaches threshold. NO join —
+    the flag is an expression, so the whole decontamination pass is
+    scan -> projection -> filter on the corpus (false positives
+    over-drop slightly; that is the documented trade, tunable via
+    m/k)."""
+    scored = _bloom_scored(
+        train, bench, n, train_id, bench_id, text_col, m, k
+    )
+    return scored.where(
+        (F.col("n_grams") == 0) | (F.col("hit_frac") < threshold)
+    ).drop("n_grams", "n_hit", "hit_frac")
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,

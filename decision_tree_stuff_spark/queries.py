@@ -1072,6 +1072,7 @@ def q_e8_pack_materialize(spark, sf_dir):
 
 
 DECON_N, DECON_THRESHOLD = 3, 0.2
+BLOOM_T = 0.5
 
 
 def q_e9_decontamination(spark, sf_dir):
@@ -1087,6 +1088,25 @@ def q_e9_decontamination(spark, sf_dir):
         docs.where("doc_id % 7 = 0"),
         n=DECON_N,
         threshold=DECON_THRESHOLD,
+    )
+
+
+def q_e9_bloom_decontam(spark, sf_dir):
+    """Bloom-filter contamination scan (r7): same eval split as e9,
+    but membership against the UNION of benchmark 3-grams via a
+    broadcast bitset literal — the corpus side is a pure projection
+    (zero shuffle), the 100 TB-shaped decontamination pass. False
+    positives are deterministic given (md5, m, k), so the DuckDB twin
+    reproduces them exactly via the equivalent position-set
+    semi-join."""
+    from decision_tree_stuff_spark.operators.decontam import bloom_contamination
+
+    docs = _docs(spark, sf_dir)
+    return bloom_contamination(
+        docs.where("doc_id % 7 <> 0"),
+        docs.where("doc_id % 7 = 0"),
+        n=DECON_N,
+        threshold=BLOOM_T,
     )
 
 
@@ -1592,6 +1612,13 @@ _KM_BAND_KEYS = ",\n           ".join(
 # similarity.hyperplanes), projected with list_dot_product.
 from decision_tree_stuff_spark.operators.similarity import (  # noqa: E402
     hyperplanes as _rh_hyperplanes,
+)
+
+# Bloom decontamination (e9_bloom_decontam): single source of truth
+# for (m, k) is the operator module
+from decision_tree_stuff_spark.operators.decontam import (  # noqa: E402
+    BLOOM_K as _BLOOM_K,
+    BLOOM_M as _BLOOM_M,
 )
 
 _RH_N_PLANES = 4
@@ -2385,6 +2412,49 @@ SELECT train_id, bench_id, matched, bench_n,
        round(matched / CAST(bench_n AS DOUBLE), 6) AS containment
 FROM matched JOIN sizes USING (bench_id)
 WHERE round(matched / CAST(bench_n AS DOUBLE), 6) >= {DECON_THRESHOLD}
+""",
+    # Bloom membership twin: a bit is set iff its position is in the
+    # benchmark position set, so the bitset probe == position-set
+    # semi-join — false positives (position collisions) reproduce
+    # exactly. Hashing = the md5km scheme already parity-proven above.
+    "e9_bloom_decontam": f"""
+WITH grams AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(toks) - {DECON_N} + 2, 1)),
+             i -> array_to_string(toks[i:i + {DECON_N} - 1], ' '))) AS gram
+    FROM (SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks
+          FROM documents) d
+  ) g GROUP BY 1, 2
+),
+ii AS (SELECT unnest(range(0, {_BLOOM_K})) AS i),
+bpos AS (
+  SELECT DISTINCT
+    (('0x' || substr(md5(gram), 1, 15))::BIGINT
+     + ii.i * ('0x' || substr(md5(gram), 17, 15))::BIGINT) % {_BLOOM_M} AS pos
+  FROM (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0) bg, ii
+),
+tpos AS (
+  SELECT doc_id, gram,
+    (('0x' || substr(md5(gram), 1, 15))::BIGINT
+     + ii.i * ('0x' || substr(md5(gram), 17, 15))::BIGINT) % {_BLOOM_M} AS pos
+  FROM grams, ii WHERE doc_id % 7 <> 0
+),
+gramhit AS (
+  SELECT t.doc_id, t.gram, count(b.pos) = {_BLOOM_K} AS hit
+  FROM tpos t LEFT JOIN bpos b ON t.pos = b.pos
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM gramhit GROUP BY 1
+)
+SELECT doc_id, n_grams, n_hit,
+       round(n_hit / CAST(n_grams AS DOUBLE), 6) AS hit_frac
+FROM agg
+WHERE round(n_hit / CAST(n_grams AS DOUBLE), 6) >= {BLOOM_T}
 """,
     "e8_sample": f"""
 SELECT doc_id, lang, source, n_chars FROM documents
@@ -3487,6 +3557,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e8_budget_sample": q_e8_budget_sample,        # r5: budget-filling mixture
     "e5b_session_assignment": q_e5b_session_assignment,  # r5: E-5 × E-10 composition
     "e5_funnel": q_e5_funnel,                      # r7: ordered funnel
+    "e9_bloom_decontam": q_e9_bloom_decontam,      # r7: Bloom-bitset decontam
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
 }

@@ -56,6 +56,54 @@ def test_decontaminate_drops_only_contaminated(spark):
     assert kept.columns == train.columns
 
 
+def test_bloom_no_false_negatives(spark):
+    # a Bloom filter NEVER misses a true member: a bench doc replayed as
+    # training text must score hit_frac exactly 1.0 at any (m, k)
+    from decision_tree_stuff_spark.operators.decontam import bloom_contamination
+
+    bench = _df(spark, [(100, "x y z w v u t")])
+    train = _df(spark, [(1, "x y z w v u t"), (2, "p q r s completely other")])
+    out = bloom_contamination(train, bench, n=3, threshold=0.99, m=1 << 14, k=3)
+    got = {r.doc_id: (r.n_grams, r.n_hit, r.hit_frac) for r in out.collect()}
+    assert got[1] == (5, 5, 1.0)
+
+
+def test_bloom_bitset_matches_python_reference(spark):
+    # the collected words array == a pure-Python bloom over the same
+    # md5/KM positions (independent reimplementation of the hashing)
+    import hashlib
+
+    from decision_tree_stuff_spark.operators.decontam import bloom_bitset
+
+    m, k = 1 << 12, 3
+    bench = _df(spark, [(1, "alpha beta gamma delta"), (2, "one two three")])
+    words = bloom_bitset(bench, "doc_id", "text", 3, m=m, k=k)
+    grams = {"alpha beta gamma", "beta gamma delta", "one two three"}
+    ref = [0] * (m // 64)
+    for g in grams:
+        d = hashlib.md5(g.encode()).hexdigest()
+        h1, h2 = int(d[:15], 16), int(d[16:31], 16)
+        for i in range(k):
+            p = (h1 + i * h2) % m
+            ref[p >> 6] |= 1 << (p & 63)
+    ref = [w - (1 << 64) if w >= (1 << 63) else w for w in ref]
+    assert words == ref
+
+
+def test_bloom_decontaminate_keeps_short_and_clean_docs(spark):
+    from decision_tree_stuff_spark.operators.decontam import bloom_decontaminate
+
+    bench = _df(spark, [(100, "x y z w")])
+    train = _df(
+        spark,
+        [(1, "x y z w"), (2, "unrelated totally other words"), (3, "a b")],
+    )
+    kept = bloom_decontaminate(train, bench, n=3, threshold=0.9)
+    # doc 3 has no 3-grams -> can never flag; doc 1 fully leaks
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3]
+    assert kept.columns == train.columns
+
+
 def test_max_df_drops_boilerplate_grams(spark):
     # the shared gram appears in > max_df training docs -> excluded
     bench = _df(spark, [(100, "x y z")])

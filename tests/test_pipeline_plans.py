@@ -82,6 +82,27 @@ def test_decontam_broadcasts_benchmark_side(spark, sf_dir):
     assert plan.count("HashAggregate") <= 4, plan[:1200]
 
 
+def test_bloom_decontam_corpus_side_is_pure_projection(spark, sf_dir):
+    """The Bloom variant's raison d'être: the corpus side must carry
+    NO join and NO exchange — membership is k element_at probes into
+    a literal bitset inside one projection, so the plan is
+    scan -> project -> filter and nothing else."""
+    from decision_tree_stuff_spark.operators.decontam import bloom_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    clean = bloom_decontaminate(
+        docs.where("doc_id % 97 <> 0"),
+        docs.where("doc_id % 97 = 0"),
+        m=1 << 16,
+    )
+    plan = _plan(clean)
+    assert "Join" not in plan, plan[:1200]
+    # spread_small's guarded round-robin is the only exchange allowed
+    # (and disappears at real scale); no hash/single partitioning
+    assert "hashpartitioning" not in plan, plan[:1200]
+    assert "Exchange SinglePartition" not in plan, plan[:1200]
+
+
 def test_decontam_prunes_scan_to_id_and_text(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     plan = _plan(
