@@ -1110,6 +1110,45 @@ def q_e9_bloom_decontam(spark, sf_dir):
     )
 
 
+CMS_WATCHLIST = [
+    "scan", "column", "window", "order", "the", "data", "query", "zzz_absent",
+]
+
+
+def q_e4_cms_profile(spark, sf_dir):
+    """Count-min sketch cells over every token occurrence (r7): the
+    fixed-size frequency summary whose shuffle is d x w cells however
+    large the corpus — the streaming/100 TB complement to the exact
+    top_tokens groupBy."""
+    from decision_tree_stuff_spark.operators.sketch import cms_cells
+    from decision_tree_stuff_spark.functions.text import tokens as _tokens
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.filter(_tokens(F.col("text")), lambda t: t != "")
+        ).alias("token")
+    )
+    return cms_cells(toks)
+
+
+def q_e4_cms_watchlist(spark, sf_dir):
+    """Point estimates for a literal hot-key watchlist read off the
+    sketch: est = min over rows of the probed cells (absent cell = 0);
+    one-sided error (est >= true) by construction."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        cms_cells,
+        cms_estimate,
+    )
+    from decision_tree_stuff_spark.functions.text import tokens as _tokens
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.filter(_tokens(F.col("text")), lambda t: t != "")
+        ).alias("token")
+    )
+    return cms_estimate(cms_cells(toks), CMS_WATCHLIST)
+
+
 def q_e5_sliding_counts(spark, sf_dir):
     return sliding_counts(_events(spark, sf_dir))
 
@@ -1619,6 +1658,14 @@ from decision_tree_stuff_spark.operators.similarity import (  # noqa: E402
 from decision_tree_stuff_spark.operators.decontam import (  # noqa: E402
     BLOOM_K as _BLOOM_K,
     BLOOM_M as _BLOOM_M,
+)
+
+# Count-min sketch (e4_cms_*): (d, w) and the cell-twin generator are
+# single-sourced in the operator module
+from decision_tree_stuff_spark.operators.sketch import (  # noqa: E402
+    CMS_D as _CMS_D,
+    CMS_W as _CMS_W,
+    cms_sql_cells as _cms_sql_cells,
 )
 
 _RH_N_PLANES = 4
@@ -2412,6 +2459,30 @@ SELECT train_id, bench_id, matched, bench_n,
        round(matched / CAST(bench_n AS DOUBLE), 6) AS containment
 FROM matched JOIN sizes USING (bench_id)
 WHERE round(matched / CAST(bench_n AS DOUBLE), 6) >= {DECON_THRESHOLD}
+""",
+    # Count-min sketch twins: cells via the shared cms_sql_cells
+    # generator (same md5km hashing as the Spark plan); watchlist
+    # estimates probe the same grid with min(coalesce(cnt, 0)).
+    "e4_cms_profile": _cms_sql_cells(
+        f"SELECT unnest(list_filter({TOKS_SQL}, t -> t <> '')) AS key"
+        " FROM documents"
+    ),
+    "e4_cms_watchlist": f"""
+WITH cells AS ({_cms_sql_cells(
+        f"SELECT unnest(list_filter({TOKS_SQL}, t -> t <> '')) AS key"
+        " FROM documents"
+    )}),
+grid AS (
+  SELECT k.key, i.i AS "row",
+         (('0x' || substr(md5(k.key), 1, 15))::BIGINT
+          + i.i * ('0x' || substr(md5(k.key), 17, 15))::BIGINT)
+         % {_CMS_W} AS col
+  FROM (SELECT unnest({_sqllist(CMS_WATCHLIST)}) AS key) k,
+       (SELECT unnest(range(0, {_CMS_D})) AS i) i
+)
+SELECT g.key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+FROM grid g LEFT JOIN cells c ON g."row" = c."row" AND g.col = c.col
+GROUP BY 1
 """,
     # Bloom membership twin: a bit is set iff its position is in the
     # benchmark position set, so the bitset probe == position-set
@@ -3558,6 +3629,8 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e5b_session_assignment": q_e5b_session_assignment,  # r5: E-5 × E-10 composition
     "e5_funnel": q_e5_funnel,                      # r7: ordered funnel
     "e9_bloom_decontam": q_e9_bloom_decontam,      # r7: Bloom-bitset decontam
+    "e4_cms_profile": q_e4_cms_profile,            # r7: count-min cells
+    "e4_cms_watchlist": q_e4_cms_watchlist,        # r7: CMS point estimates
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
 }

@@ -1,0 +1,143 @@
+"""Count-min sketch (operators/sketch.py): hand-math cells, the
+one-sided error guarantee, weighted updates, and the mergeable
+streaming fold. Corpus-level value parity vs DuckDB runs via
+test_oracle_parity (e4_cms_profile / e4_cms_watchlist)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from decision_tree_stuff_spark.functions.text import tokens
+from decision_tree_stuff_spark.operators.sketch import (
+    cms_cells,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def _ref_cells(counts: dict, d: int, w: int) -> dict:
+    ref: dict = {}
+    for key, n in counts.items():
+        h = hashlib.md5(key.encode()).hexdigest()
+        h1, h2 = int(h[:15], 16), int(h[16:31], 16)
+        for i in range(d):
+            cell = (i, (h1 + i * h2) % w)
+            ref[cell] = ref.get(cell, 0) + n
+    return ref
+
+
+def test_cells_match_python_reference_with_collisions(spark):
+    # w=8 forces column collisions; the cell sums must still agree
+    rows = [("a",)] * 3 + [("b",)] * 2 + [("c",)] * 5 + [("dd",)]
+    df = spark.createDataFrame(rows, "token string")
+    got = {(r["row"], r.col): r.cnt for r in cms_cells(df, d=3, w=8).collect()}
+    assert got == _ref_cells({"a": 3, "b": 2, "c": 5, "dd": 1}, 3, 8)
+
+
+def test_estimate_is_one_sided(spark, sf_dir):
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.explode(
+                F.filter(tokens(F.col("text")), lambda t: t != "")
+            ).alias("token")
+        )
+    )
+    exact = {
+        r.token: r.n
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    watch = sorted(exact, key=exact.get, reverse=True)[:12] + ["qqq_absent"]
+    cells = cms_cells(toks)
+    est = {r.key: r.est for r in cms_estimate(cells, watch).collect()}
+    assert set(est) == set(watch)
+    for k in watch:
+        assert est[k] >= exact.get(k, 0), (k, est[k], exact.get(k))
+    # the absent key's estimate is bounded by the heaviest collision,
+    # and with w=2048 on this vocabulary it should be far below N
+    n_total = sum(exact.values())
+    assert est["qqq_absent"] < n_total * 0.05
+
+
+def test_weighted_updates_equal_exploded_occurrences(spark):
+    occ = spark.createDataFrame(
+        [("x",)] * 4 + [("y",)] * 2, "token string"
+    )
+    pre = spark.createDataFrame(
+        [("x", 4), ("y", 2)], "token string, n int"
+    )
+    a = {(r["row"], r.col): r.cnt for r in cms_cells(occ, d=2, w=16).collect()}
+    b = {
+        (r["row"], r.col): r.cnt
+        for r in cms_cells(pre, d=2, w=16, weight_col="n").collect()
+    }
+    assert a == b
+
+
+def test_stream_fold_equals_batch_sketch(spark, sf_dir, tmp_path_factory):
+    # 3 files + maxFilesPerTrigger=1 → ≥3 micro-batches; per-batch
+    # sketches merged with cms_merge must equal the batch sketch
+    # exactly (counters are additive — the mergeability argument)
+    d = tmp_path_factory.mktemp("cms_stream")
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    third = t.num_rows // 3
+    for i in range(3):
+        n = third if i < 2 else t.num_rows - 2 * third
+        pq.write_table(t.slice(i * third, n), f"{d}/part{i}.parquet")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok_expr = F.explode(
+        F.filter(tokens(F.col("text")), lambda t: t != "")
+    ).alias("token")
+
+    per_batch = []
+
+    def _on_batch(bdf, bid):
+        per_batch.append(
+            {
+                (r["row"], r.col): r.cnt
+                for r in cms_cells(bdf.select(tok_expr)).collect()
+            }
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .writeStream.foreachBatch(_on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(per_batch) >= 3
+
+    folded: dict = {}
+    for s in per_batch:
+        for cell, cnt in s.items():
+            folded[cell] = folded.get(cell, 0) + cnt
+    batch = {
+        (r["row"], r.col): r.cnt
+        for r in cms_cells(docs.select(tok_expr)).collect()
+    }
+    assert folded == batch
+
+
+def test_merge_equals_batch_on_dataframe_level(spark):
+    a = spark.createDataFrame([("a",)] * 3 + [("b",)], "token string")
+    b = spark.createDataFrame([("a",)] * 2 + [("c",)], "token string")
+    both = a.unionByName(b)
+    merged = {
+        (r["row"], r.col): r.cnt
+        for r in cms_merge(
+            cms_cells(a, d=3, w=32), cms_cells(b, d=3, w=32)
+        ).collect()
+    }
+    batch = {
+        (r["row"], r.col): r.cnt for r in cms_cells(both, d=3, w=32).collect()
+    }
+    assert merged == batch
