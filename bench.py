@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "e8_dsir_sample",
     "e8_temperature_sample",
     "e5_funnel",
+    "e9_bloom_decontam",
+    "e4_cms_profile",
+    "e4_cms_watchlist",
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -7,7 +7,26 @@ no streaming, no text ops — SURVEY.md §2.3); they are the extension
 scope a 100 TB training-data pipeline needs.
 """
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
+
+
+def pushdown_fence(df: DataFrame) -> DataFrame:
+    """Stop Catalyst from pushing later filters below this point.
+
+    A deterministic filter over expensive projected columns gets its
+    expressions INLINED and pushed through every Project and Exchange
+    down to the scan — which both re-evaluates the heavy expressions a
+    second time in the filter and, after ``spread_small``, runs them
+    in the pre-spread single-task stage (measured 10 s vs 1 s on the
+    Bloom probe at sf0.1). ``spark_partition_id() >= 0`` is always
+    true, but the expression is flagged nondeterministic, which pins
+    filter order: Catalyst may neither push a later deterministic
+    filter past it (CombineFilters requires a deterministic inner
+    filter) nor fold it away (no range analysis on partition ids —
+    unlike ``rand() >= -1``, which Spark 4 proves always-true from
+    rand's [0,1) bounds and deletes). Zero effect on results or row
+    order, and cheaper than rand: no RNG state per row."""
+    return df.where(F.spark_partition_id() >= 0)
 
 
 def spread_small(df: DataFrame) -> DataFrame:

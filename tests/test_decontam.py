@@ -77,17 +77,16 @@ def test_bloom_bitset_matches_python_reference(spark):
 
     m, k = 1 << 12, 3
     bench = _df(spark, [(1, "alpha beta gamma delta"), (2, "one two three")])
-    words = bloom_bitset(bench, "doc_id", "text", 3, m=m, k=k)
+    got = bloom_bitset(bench, "doc_id", "text", 3, m=m, k=k)
     grams = {"alpha beta gamma", "beta gamma delta", "one two three"}
-    ref = [0] * (m // 64)
+    ref = bytearray(m // 8)
     for g in grams:
         d = hashlib.md5(g.encode()).hexdigest()
         h1, h2 = int(d[:15], 16), int(d[16:31], 16)
         for i in range(k):
             p = (h1 + i * h2) % m
-            ref[p >> 6] |= 1 << (p & 63)
-    ref = [w - (1 << 64) if w >= (1 << 63) else w for w in ref]
-    assert words == ref
+            ref[p >> 3] |= 1 << (p & 7)
+    assert got == bytes(ref)
 
 
 def test_bloom_decontaminate_keeps_short_and_clean_docs(spark):

@@ -101,6 +101,14 @@ def test_bloom_decontam_corpus_side_is_pure_projection(spark, sf_dir):
     # (and disappears at real scale); no hash/single partitioning
     assert "hashpartitioning" not in plan, plan[:1200]
     assert "Exchange SinglePartition" not in plan, plan[:1200]
+    # the pushdown fence must keep the threshold filter ABOVE the
+    # spread exchange: without it Catalyst inlines the gram build into
+    # the scan-stage filter and the probe runs serialized in the
+    # single-split scan task (measured 10 s vs 1 s at sf0.1). The
+    # only thing below the exchange may be the id-predicate scan
+    # filter — never tokenization.
+    below_exchange = plan.split("Exchange")[-1]
+    assert "regexp_replace" not in below_exchange, below_exchange[:800]
 
 
 def test_decontam_prunes_scan_to_id_and_text(spark, sf_dir):
