@@ -594,8 +594,17 @@ def quality_filter(
     Returns the kept (id, quality, lang_guess, top_token_frac,
     dup_bigram_frac) — join back to ``docs`` for the payload.
     """
-    ds = document_stats(docs, id_col, text_col).select(
-        id_col, "quality", "lang_guess"
+    from decision_tree_stuff_spark.operators import pushdown_fence
+
+    # fence the projection side: without it the quality conjunct
+    # inlines through document_stats' projection and below its spread
+    # exchange, re-running tokenization serially in the single-split
+    # scan task (see operators.pushdown_fence). The repetition
+    # conjuncts are agg-bounded and still prune the join side.
+    ds = pushdown_fence(
+        document_stats(docs, id_col, text_col).select(
+            id_col, "quality", "lang_guess"
+        )
     )
     rs = repetition_stats(docs, id_col, text_col).select(
         id_col, "top_token_frac", "dup_bigram_frac"
