@@ -131,6 +131,63 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42):
     return [[float(v) for v in row] for row in rs.standard_normal((n_planes, dim))]
 
 
+RP_DIM, RP_SEED = 16, 7
+
+
+def project_embeddings(
+    embeddings: DataFrame,
+    out_dim: int = RP_DIM,
+    in_dim: int = 64,
+    seed: int = RP_SEED,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: ``y_j = (x · r_j) /
+    sqrt(out_dim)`` with seeded Gaussian rows ``r_j`` (the same
+    ``hyperplanes`` literals the LSH oracles share), as ONE
+    shuffle-free projection — no UDF, no collect, no exchange.
+
+    The 100 TB story: project once at ingest and every downstream
+    distance computation (brute-force top-k, SemDeDup, IVF training)
+    pays ``out_dim/in_dim`` of the FLOPs and the materialized column
+    ``out_dim/in_dim`` of the bytes, while JL bounds the pairwise
+    distance distortion (Dasgupta & Gupta 2003: eps ~ sqrt(8 ln n /
+    out_dim)). Deterministic given the seed, so the DuckDB twin
+    reproduces every coordinate bit-for-bit with the shared
+    ``list_sum(list_transform(list_zip(...)))`` fold."""
+    planes = hyperplanes(out_dim, in_dim, seed)
+    scale = 1.0 / (out_dim ** 0.5)
+    proj = F.array(
+        *[
+            (_dot_literal(F.col(vec_col), row) * F.lit(scale)).alias(
+                f"p{j}"
+            )
+            for j, row in enumerate(planes)
+        ]
+    )
+    return embeddings.withColumn(out_col or vec_col, proj)
+
+
+def rp_topk(
+    embeddings: DataFrame,
+    query_ids: list,
+    k: int = 5,
+    out_dim: int = RP_DIM,
+    in_dim: int = 64,
+    seed: int = RP_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k in the JL-projected space — exact
+    ``cosine_topk`` mechanics over ``out_dim``-d vectors. Approximate
+    w.r.t. the original space (recall floor pinned in tests), at
+    ``out_dim/in_dim`` of the scoring cost."""
+    projected = project_embeddings(
+        embeddings, out_dim, in_dim, seed, vec_col
+    )
+    return cosine_topk(projected, query_ids, k, id_col, vec_col)
+
+
 def _dot_literal(vec, plane):
     """vec · literal-plane, JVM-side (zip_with + aggregate — no UDF)."""
     lit = F.array(*[F.lit(v) for v in plane])

@@ -1091,6 +1091,16 @@ def q_e9_decontamination(spark, sf_dir):
     )
 
 
+def q_e3_rp_topk(spark, sf_dir):
+    """Brute-force cosine top-k in the Johnson-Lindenstrauss projected
+    space (r7): 64-d -> 16-d via the seeded Gaussian literals, ONE
+    shuffle-free projection, then exact cosine_topk mechanics at 1/4
+    of the scoring FLOPs and bytes."""
+    from decision_tree_stuff_spark.operators.similarity import rp_topk
+
+    return rp_topk(_emb(spark, sf_dir), QUERY_IDS, k=5)
+
+
 def q_e9_bloom_decontam(spark, sf_dir):
     """Bloom-filter contamination scan (r7): same eval split as e9,
     but membership against the UNION of benchmark 3-grams via a
@@ -1652,6 +1662,32 @@ _KM_BAND_KEYS = ",\n           ".join(
 from decision_tree_stuff_spark.operators.similarity import (  # noqa: E402
     hyperplanes as _rh_hyperplanes,
 )
+
+# JL random projection (e3_rp_topk): the SAME seeded Gaussian rows as
+# the Spark plan (single source: similarity.hyperplanes), folded with
+# the _cos_sql-proven list_zip/list_sum order so every projected
+# coordinate matches bit-for-bit.
+from decision_tree_stuff_spark.operators.similarity import (  # noqa: E402
+    RP_DIM as _RP_DIM,
+    RP_SEED as _RP_SEED,
+)
+
+_RP_PLANES = _rh_hyperplanes(_RP_DIM, 64, _RP_SEED)
+_RP_SCALE = 1.0 / (_RP_DIM ** 0.5)
+
+
+def _rp_dot_sql(col: str, row) -> str:
+    lits = ", ".join(repr(v) for v in row)
+    return (
+        f"list_sum(list_transform(list_zip({col}, [{lits}]), "
+        f"x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+    )
+
+
+_RP_PV = "[" + ",\n    ".join(
+    f"({_rp_dot_sql('embedding', row)}) * {_RP_SCALE!r}"
+    for row in _RP_PLANES
+) + "]"
 
 # Bloom decontamination (e9_bloom_decontam): single source of truth
 # for (m, k) is the operator module
@@ -2459,6 +2495,27 @@ SELECT train_id, bench_id, matched, bench_n,
        round(matched / CAST(bench_n AS DOUBLE), 6) AS containment
 FROM matched JOIN sizes USING (bench_id)
 WHERE round(matched / CAST(bench_n AS DOUBLE), 6) >= {DECON_THRESHOLD}
+""",
+    "e3_rp_topk": f"""
+WITH p AS (
+  SELECT vec_id,
+    {_RP_PV} AS pv
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, pv AS qv FROM p
+  WHERE vec_id IN ({', '.join(str(i) for i in QUERY_IDS)})
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_cos_sql('q.qv', 'e.pv')}, 6) AS cosine
+  FROM q CROSS JOIN p e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM s
+) t WHERE rank <= 5
 """,
     # Count-min sketch twins: cells via the shared cms_sql_cells
     # generator (same md5km hashing as the Spark plan); watchlist
@@ -3630,6 +3687,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e5_funnel": q_e5_funnel,                      # r7: ordered funnel
     "e9_bloom_decontam": q_e9_bloom_decontam,      # r7: Bloom-bitset decontam
     "e4_cms_profile": q_e4_cms_profile,            # r7: count-min cells
+    "e3_rp_topk": q_e3_rp_topk,                    # r7: JL projection topk
     "e4_cms_watchlist": q_e4_cms_watchlist,        # r7: CMS point estimates
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter

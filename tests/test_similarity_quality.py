@@ -340,3 +340,68 @@ def test_ivf_pq_cell_restriction_floors_recall(spark, sf_dir):
         len(exact[q]) for q in exact
     )
     assert recall >= 0.5, recall
+
+
+def test_rp_distance_distortion_within_jl_bound(spark, sf_dir):
+    """What JL actually guarantees: pairwise distance RATIOS survive
+    the 64->16 projection (Dasgupta-Gupta eps ~ sqrt(8 ln n / 16) is
+    loose here, so the pin is the measured envelope: mean ratio near
+    1, nearly all sampled pairs within +-0.9 relative error). Top-k
+    ranking on structureless data does NOT survive 4x compression —
+    that is a property of the data (no margin between neighbors), not
+    a bug, and the gate query's oracle checks exact determinism
+    instead."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.operators.similarity import (
+        project_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    orig = {r.vec_id: np.array(r.embedding) for r in emb.limit(200).collect()}
+    pr = {
+        r.vec_id: np.array(r.embedding)
+        for r in project_embeddings(emb)
+        .where(F.col("vec_id").isin(list(orig)))
+        .collect()
+    }
+    rng = np.random.RandomState(0)
+    ids = sorted(orig)
+    ratios = []
+    for _ in range(300):
+        a, b = rng.choice(ids, 2, replace=False)
+        d0 = float(np.sum((orig[a] - orig[b]) ** 2))
+        d1 = float(np.sum((pr[a] - pr[b]) ** 2))
+        ratios.append(d1 / d0)
+    ratios = np.array(ratios)
+    assert 0.75 <= ratios.mean() <= 1.25, ratios.mean()
+    assert (np.abs(ratios - 1) <= 0.9).mean() >= 0.95
+
+
+def test_rp_topk_recovers_planted_near_dups(spark):
+    """On data with real structure (planted near-duplicate partners)
+    the projected space keeps partners adjacent: top-1 in 16-d
+    recovers the planted partner — the regime the operator is FOR
+    (SemDeDup/near-dup prefiltering at 1/4 cost)."""
+    import numpy as np
+
+    from decision_tree_stuff_spark.operators.similarity import rp_topk
+
+    rs = np.random.RandomState(11)
+    base = rs.standard_normal((50, 64)) * 2.0
+    rows = []
+    for i in range(50):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        rows.append(
+            (2 * i + 1, [float(x) for x in base[i] + rs.standard_normal(64) * 0.05])
+        )
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qids = [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in rp_topk(emb, qids, k=1).collect()
+    }
+    hits = sum(1 for q in qids if top1[q] == q + 1)
+    assert hits >= 9, f"planted partner lost in projection: {hits}/10"
