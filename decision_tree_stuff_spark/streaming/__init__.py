@@ -301,17 +301,62 @@ def stream_weighted_sample_per_group(
     )
 
 
+def stream_cms(
+    stream_df: DataFrame,
+    state_dir: str,
+    key_col: str = "token",
+    d: int = None,
+    w: int = None,
+    checkpoint_dir: str = None,
+):
+    """Streaming count-min sketch (E-4cm on a stream): maintain,
+    across micro-batches, exactly the cell table the batch
+    ``cms_cells`` would produce over all input seen so far.
+
+    Exactness argument: CMS cells are COUNTERS, so the merge is
+    addition — associative and commutative — and the fold
+    ``state ← sum(state ∪ cells(batch))`` equals the batch sketch
+    regardless of arrival order. State is ≤ d×w rows forever (the
+    whole point of the sketch: unbounded stream, constant state);
+    layout, retry idempotence, and snapshot retention are shared
+    with the cap/sample folds (``_stream_mergeable_fold``). Read the
+    newest snapshot with ``read_capped_state`` and query it with
+    ``sketch.cms_estimate``."""
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.operators.sketch import (
+        CMS_D,
+        CMS_W,
+        cms_cells,
+    )
+
+    d, w = d or CMS_D, w or CMS_W
+    return _stream_mergeable_fold(
+        stream_df,
+        state_dir,
+        lambda cells: cells.groupBy("row", "col").agg(
+            F.sum("cnt").alias("cnt")
+        ),
+        checkpoint_dir,
+        prep_fn=lambda batch: cms_cells(batch, key_col, d, w),
+    )
+
+
 def _stream_mergeable_fold(
     stream_df: DataFrame,
     state_dir: str,
     select_fn,
     checkpoint_dir: str = None,
+    prep_fn=None,
 ):
     """Shared foreachBatch fold for MERGEABLE selections (cap,
-    weighted sample): state ← select(state ∪ batch) over versioned
-    compacted parquet snapshots. Batch b derives from the newest
-    version BELOW b and overwrites its own v{b} (idempotent under
-    retry); snapshots older than the direct predecessor are pruned."""
+    weighted sample) and MERGEABLE summaries (count-min cells):
+    state ← select(state ∪ prep(batch)) over versioned compacted
+    parquet snapshots. Batch b derives from the newest version BELOW
+    b and overwrites its own v{b} (idempotent under retry); snapshots
+    older than the direct predecessor are pruned. ``prep_fn`` maps a
+    raw micro-batch into state-schema rows (identity when the state
+    rows ARE input rows, as for cap/sample)."""
     import os
     import shutil
 
@@ -331,10 +376,10 @@ def _stream_mergeable_fold(
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         prev = _latest_version(below=batch_id)
-        merged = batch_df
+        merged = prep_fn(batch_df) if prep_fn is not None else batch_df
         if prev is not None:
             old = sp.read.parquet(os.path.join(state_dir, f"v{prev}"))
-            merged = old.unionByName(batch_df.select(*old.columns))
+            merged = old.unionByName(merged.select(*old.columns))
         kept = select_fn(merged)
         kept.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{batch_id}")

@@ -127,6 +127,51 @@ def test_stream_fold_equals_batch_sketch(spark, sf_dir, tmp_path_factory):
     assert folded == batch
 
 
+def test_stream_cms_state_equals_batch_sketch(
+    spark, sf_dir, tmp_path_factory
+):
+    """The packaged streaming operator: versioned-snapshot CMS state
+    after draining >=3 micro-batches equals the batch sketch exactly,
+    and only the newest snapshot (+ predecessor) is retained."""
+    import os
+
+    from decision_tree_stuff_spark.streaming import (
+        read_capped_state,
+        stream_cms,
+    )
+
+    d = tmp_path_factory.mktemp("cms_stream_op")
+    state = str(tmp_path_factory.mktemp("cms_state"))
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    third = t.num_rows // 3
+    for i in range(3):
+        n = third if i < 2 else t.num_rows - 2 * third
+        pq.write_table(t.slice(i * third, n), f"{d}/part{i}.parquet")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok_expr = F.explode(
+        F.filter(tokens(F.col("text")), lambda t: t != "")
+    ).alias("token")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .select(tok_expr)
+    )
+    stream_cms(stream, state)
+
+    got = {
+        (r["row"], r.col): r.cnt for r in read_capped_state(spark, state).collect()
+    }
+    batch = {
+        (r["row"], r.col): r.cnt
+        for r in cms_cells(docs.select(tok_expr)).collect()
+    }
+    assert got == batch
+    versions = [v for v in os.listdir(state) if v.startswith("v")]
+    assert len(versions) <= 2, versions
+
+
 def test_merge_equals_batch_on_dataframe_level(spark):
     a = spark.createDataFrame([("a",)] * 3 + [("b",)], "token string")
     b = spark.createDataFrame([("a",)] * 2 + [("c",)], "token string")
