@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "e9_bloom_decontam",
     "e4_cms_profile",
     "e4_cms_watchlist",
+    "e3_rp_topk",
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so
