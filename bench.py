@@ -223,22 +223,37 @@ def main() -> None:
     # Both ratios in the parsed line (round-6 verdict task 3): the
     # headline ratio can be dominated by a single pathological twin
     # denominator (r6: the winnow twin's 94 s interpreted-lambda row
-    # was 71% of the DuckDB total), so alongside it we report the
-    # ratio over the subset with such outliers dropped — a twin row
-    # >10x the subset's median twin time is excluded from BOTH sums.
-    med = sorted(duck[n] for n in common)[len(common) // 2] if common else 0.0
-    inliers = [n for n in common if duck[n] <= 10 * med]
+    # was 71% of the DuckDB total). The r6 rule (twin > 10x subset
+    # median) backfired once the list gained many sub-0.1 s rows: the
+    # median collapsed to ~0.05 s and the rule excluded every
+    # real-compute row Spark WINS, leaving only fixed-cost-dominated
+    # small rows — an anti-flattering number as misleading as the
+    # flattering one. The dominance rule below matches the original
+    # intent exactly: iteratively drop the largest twin row while it
+    # alone exceeds all remaining twins combined (the "one row is 71%
+    # of the total" shape), so a DNF-class denominator can't carry
+    # the aggregate but ordinary Spark wins still count.
+    inliers = sorted(common, key=lambda n: duck[n])
+    outliers = []
+    while inliers and duck[inliers[-1]] > sum(duck[n] for n in inliers[:-1]):
+        outliers.append(inliers.pop())
     spark_in = round(sum(timings[n] for n in inliers), 3)
     duck_in = round(sum(duck[n] for n in inliers), 3)
+    # per-row view, robust to both tails: median ratio + win counts
+    ratios = sorted(timings[n] / duck[n] for n in common if duck[n] > 0)
     common_subset = {
         "queries": len(common),
         "spark_sec": spark_common,
         "duckdb_sec": duck_common,
         "ratio": round(spark_common / duck_common, 3) if duck_common else None,
-        "outliers_dropped": sorted(set(common) - set(inliers)),
+        "outliers_dropped": sorted(outliers),
         "ratio_ex_outliers": round(spark_in / duck_in, 3) if duck_in else None,
         "spark_sec_ex_outliers": spark_in,
         "duckdb_sec_ex_outliers": duck_in,
+        "median_row_ratio": (
+            round(ratios[len(ratios) // 2], 3) if ratios else None
+        ),
+        "spark_wins": sum(1 for n in common if timings[n] < duck[n]),
     }
     # Full-precision detail (incl. the duckdb_excluded prose) goes to a
     # committed file; the driver's BENCH artifact keeps only a
