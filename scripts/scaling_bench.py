@@ -29,6 +29,10 @@ QUERIES = [
     "e7b_minhash_dedup_keep",
     "tree_fit_transform",
 ]
+# override the query list without editing the script:
+#   SPARK_GRAFT_SCALING_QUERIES=a,b,c python scripts/scaling_bench.py ...
+if os.environ.get("SPARK_GRAFT_SCALING_QUERIES"):
+    QUERIES = os.environ["SPARK_GRAFT_SCALING_QUERIES"].split(",")
 DUCK_TIMEOUT_SEC = float(os.environ.get("SPARK_GRAFT_DUCK_TIMEOUT", "240"))
 SPARK_SINGLE_RUN_PAST = 30.0
 
