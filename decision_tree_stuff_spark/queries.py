@@ -1130,10 +1130,15 @@ def q_e4_cms_profile(spark, sf_dir):
     fixed-size frequency summary whose shuffle is d x w cells however
     large the corpus — the streaming/100 TB complement to the exact
     top_tokens groupBy."""
+    from decision_tree_stuff_spark.operators import spread_small
     from decision_tree_stuff_spark.operators.sketch import cms_cells
     from decision_tree_stuff_spark.functions.text import tokens as _tokens
 
-    toks = _docs(spark, sf_dir).select(
+    # tokenize+explode dominates; spread the single-split bench input
+    # (guarded no-op at real scale — measured FASTER at 10x the data
+    # than at sf0.1 before this, on both engines, because one parquet
+    # split serialized the scan)
+    toks = spread_small(_docs(spark, sf_dir)).select(
         F.explode(
             F.filter(_tokens(F.col("text")), lambda t: t != "")
         ).alias("token")
@@ -1145,13 +1150,14 @@ def q_e4_cms_watchlist(spark, sf_dir):
     """Point estimates for a literal hot-key watchlist read off the
     sketch: est = min over rows of the probed cells (absent cell = 0);
     one-sided error (est >= true) by construction."""
+    from decision_tree_stuff_spark.operators import spread_small
     from decision_tree_stuff_spark.operators.sketch import (
         cms_cells,
         cms_estimate,
     )
     from decision_tree_stuff_spark.functions.text import tokens as _tokens
 
-    toks = _docs(spark, sf_dir).select(
+    toks = spread_small(_docs(spark, sf_dir)).select(
         F.explode(
             F.filter(_tokens(F.col("text")), lambda t: t != "")
         ).alias("token")
