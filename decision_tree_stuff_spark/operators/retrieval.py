@@ -1,0 +1,118 @@
+"""Sparse retrieval scoring over ``documents`` (E-4bm): Okapi BM25
+query→document top-k.
+
+The member of the E-4 text family that data-curation pipelines use to
+mine targeted subsets ("find the documents most relevant to these
+probe queries") and that RAG evaluation uses as the lexical baseline.
+Robertson et al.'s Okapi BM25 in the k1/b parameterization everybody
+ships, with Lucene's non-negative idf:
+
+    score(q, d) = sum over t in q of
+        idf(t) * tf(t,d) * (k1 + 1)
+                 / (tf(t,d) + k1 * (1 - b + b * dl(d) / avgdl))
+    idf(t) = ln((N - df(t) + 0.5) / (df(t) + 0.5) + 1)
+
+Scale design (the plan, in order):
+  * document length is the size of the token array, projected BEFORE
+    the explode — it rides the occurrence rows for free, so there is
+    no separate corpus-sized dl join;
+  * one explode + one (doc, token) groupBy builds term frequencies —
+    the only corpus-sized shuffle, keyed high-cardinality/unskewed;
+  * df aggregates the tf frame map-side-combinably to vocab size;
+    (N, avgdl) is a 1-row scalar aggregate over the pre-explode base;
+  * the query side is tiny by construction (a probe set, not a second
+    corpus) — query terms with their df join in as BROADCASTS against
+    tf, immediately shrinking the corpus side to query-term rows;
+  * per-query top-k is a rank window partitioned by query_id —
+    WindowGroupLimit prunes to k rows per group map-side before the
+    final exchange.
+
+At 100 TB: corpus cost = 1 scan + 2 linear groupBys; the query set's
+size never touches the shuffle plan. Sum-of-double scores are rounded
+to 6 dp (order-of-addition ulps) and ranked on the ROUNDED value with
+doc-id tie-breaks, so top-k is deterministic and engine-portable;
+avgdl itself is exact in both engines (bigint sum / count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from decision_tree_stuff_spark.functions.text import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Top-``k`` documents per query under Okapi BM25.
+
+    ``queries`` is a small probe table (query_id, query_text) — it is
+    broadcast; only the corpus-side term-frequency build shuffles. N
+    counts ALL documents (token-less docs contribute dl=0 to avgdl but
+    can never score). Returns (query_id, doc_id, score, rank), rank
+    1-based by (rounded score desc, doc_id asc).
+    """
+    from decision_tree_stuff_spark.operators import spread_small
+
+    base = spread_small(docs).select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("__toks"),
+    )
+    occ = base.select(
+        F.col(id_col),
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("token"),
+    )
+    tf = occ.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.max("dl").alias("dl"),  # constant per doc; max = deterministic pick
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg(F.size("__toks")).alias("__avgdl"),  # exact: bigint sum / count
+    )
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode(tokens(F.col(query_text_col))).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    # df rows for query tokens only — a query-sized frame; broadcast
+    # so the corpus side collapses to query-term rows with no exchange
+    # beyond tf's own.
+    qdf = qterms.join(dfreq, "token")
+
+    idf = F.log(
+        (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(qdf), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )

@@ -1124,6 +1124,31 @@ CMS_WATCHLIST = [
     "scan", "column", "window", "order", "the", "data", "query", "zzz_absent",
 ]
 
+# BM25 probe set: mixes hot tokens (dense vocab) with the one rare
+# token ('dup', df≈29/500 at sf0.001) so idf actually discriminates.
+BM25_QUERIES = [
+    (1, "fast hash join"),
+    (2, "window sort order by"),
+    (3, "dup scan table"),
+    (4, "spark stream batch data"),
+]
+BM25_K, BM25_K1, BM25_B = 5, 1.2, 0.75
+_BM25_VALUES_SQL = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+
+
+def q_e4_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-k retrieval (r7): the lexical probe-query miner
+    (and RAG baseline) — score = sum over query terms of
+    idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), Lucene idf. Document
+    length rides the occurrence rows (projected before the explode),
+    so the corpus side costs one shuffle; the query side broadcasts."""
+    from decision_tree_stuff_spark.operators.retrieval import bm25_topk
+
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, query_text string")
+    return bm25_topk(
+        _docs(spark, sf_dir), q, k=BM25_K, k1=BM25_K1, b=BM25_B
+    )
+
 
 def q_e4_cms_profile(spark, sf_dir):
     """Count-min sketch cells over every token occurrence (r7): the
@@ -2547,6 +2572,51 @@ SELECT g.key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
 FROM grid g LEFT JOIN cells c ON g."row" = c."row" AND g.col = c.col
 GROUP BY 1
 """,
+    # BM25 twin: identical arithmetic shape (Lucene idf, k1/b form) so
+    # per-term contributions are bit-exact; the score sum is rounded to
+    # 6 dp on both sides and rank is computed on the ROUNDED score with
+    # doc_id tie-breaks, so top-k membership is engine-portable.
+    "e4_bm25_topk": f"""
+WITH base AS (
+  SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks FROM documents
+),
+occ AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM base),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl FROM occ GROUP BY 1, 2
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM base),
+qraw AS (SELECT * FROM (VALUES {_BM25_VALUES_SQL}) v(query_id, query_text)),
+qterms AS (
+  SELECT DISTINCT query_id, token FROM (
+    SELECT query_id,
+           unnest(string_split(trim(regexp_replace(lower(query_text),
+             '\\s+', ' ', 'g')), ' ')) AS token
+    FROM qraw) u WHERE token <> ''
+),
+qdf AS (
+  SELECT qt.query_id, qt.token, d.df
+  FROM qterms qt JOIN dfreq d USING (token)
+),
+scored AS (
+  SELECT qdf.query_id, t.doc_id,
+         round(sum(
+           ln((s.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+           * (t.tf * {BM25_K1 + 1.0}
+              / (t.tf + {BM25_K1}
+                 * ({1.0 - BM25_B} + {BM25_B} * t.dl / s.avgdl)))
+         ), 6) AS score
+  FROM tf t JOIN qdf USING (token) CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT)
+           AS rank
+  FROM scored) ranked
+WHERE rank <= {BM25_K}
+""",
     # Bloom membership twin: a bit is set iff its position is in the
     # benchmark position set, so the bitset probe == position-set
     # semi-join — false positives (position collisions) reproduce
@@ -3695,6 +3765,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_cms_profile": q_e4_cms_profile,            # r7: count-min cells
     "e3_rp_topk": q_e3_rp_topk,                    # r7: JL projection topk
     "e4_cms_watchlist": q_e4_cms_watchlist,        # r7: CMS point estimates
+    "e4_bm25_topk": q_e4_bm25_topk,                # r7: Okapi BM25 retrieval
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
 }
