@@ -686,6 +686,113 @@ def repetition_stats(
     )
 
 
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_ellipsis_line_frac: float = 0.3,
+    max_bullet_line_frac: float = 0.9,
+) -> DataFrame:
+    """The full Gopher rule battery (Rae et al. 2021, §A1.1) as ONE
+    narrow projection — per-document rule booleans plus the composed
+    ``keep`` conjunction, so a pipeline can either filter on ``keep``
+    or diagnose which rule fired.
+
+    Rules (defaults are the paper's, except min_words relaxed for the
+    short synthetic corpus):
+      * word count in [min_words, max_words]
+      * mean word length in [min_mean_word_len, max_mean_word_len]
+      * '#'-or-'...' symbol-to-word ratio <= max_symbol_word_ratio
+      * fraction of words containing a letter >= min_alpha_word_frac
+      * >= min_stop_hits stopword occurrences
+      * fraction of lines ending in '...' <= max_ellipsis_line_frac,
+        lines starting with a bullet ('-'/'*') <= max_bullet_line_frac
+
+    All counters are built-in string/array expressions over ONE
+    projected normalization — at 100 TB this costs exactly one scan,
+    no shuffle, no UDF. Occurrence counts use the
+    length-minus-replaced-length identity (exact, codegen-friendly).
+    Null text yields null stats and keep=false (distinguishable from
+    empty, which fails min_words). Ratios rounded to 6 dp for
+    oracle-stable doubles.
+    """
+    raw = F.col("__raw")
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("__raw"),
+        F.filter(
+            tokens_from_norm(normalize_text(F.col(text_col))),
+            lambda t: t != "",
+        ).alias("__toks"),
+    )
+    n_words = F.size("__toks")
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = F.length(F.array_join("__toks", "")) / nw
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis) / nw
+    alpha_frac = (
+        F.size(F.filter(F.col("__toks"), lambda t: t.rlike("[a-z]"))) / nw
+    )
+    stops = stop_hits(F.col("__toks"), QUALITY_STOPWORDS)
+    lines = F.filter(
+        F.transform(F.split(raw, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("..."))
+    ) / nl
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("-") | l.startswith("*"),
+        )
+    ) / nl
+    stats = base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stops.alias("stop_hits"),
+        F.round(ellipsis_lines, 6).alias("ellipsis_line_frac"),
+        F.round(bullet_lines, 6).alias("bullet_line_frac"),
+    )
+    r_words = F.col("n_words").between(min_words, max_words)
+    r_mean = F.col("mean_word_len").between(
+        min_mean_word_len, max_mean_word_len
+    )
+    r_symbol = F.col("symbol_word_ratio") <= max_symbol_word_ratio
+    r_alpha = F.col("alpha_word_frac") >= min_alpha_word_frac
+    r_stops = F.col("stop_hits") >= min_stop_hits
+    r_lines = (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac) & (
+        F.col("bullet_line_frac") <= max_bullet_line_frac
+    )
+    return stats.select(
+        "*",
+        r_words.alias("r_word_count"),
+        r_mean.alias("r_mean_word_len"),
+        r_symbol.alias("r_symbol_ratio"),
+        r_alpha.alias("r_alpha_words"),
+        r_stops.alias("r_stopwords"),
+        r_lines.alias("r_line_shape"),
+        F.coalesce(
+            r_words & r_mean & r_symbol & r_alpha & r_stops & r_lines,
+            F.lit(False),
+        ).alias("keep"),
+    )
+
+
 def top_tokens(
     docs: DataFrame,
     k: int = 20,

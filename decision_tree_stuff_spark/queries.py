@@ -1190,6 +1190,18 @@ def q_e4_cms_watchlist(spark, sf_dir):
     return cms_estimate(cms_cells(toks), CMS_WATCHLIST)
 
 
+def q_e4_gopher_rules(spark, sf_dir):
+    """The full Gopher rule battery (r7, Rae et al. 2021 §A1.1): one
+    narrow projection emitting per-rule booleans + the composed keep —
+    word-count/mean-length bounds, symbol ratio, alpha-word fraction,
+    stopword floor, line-shape caps. min_words=5 / min_stop_hits=2
+    actually discriminate on this corpus (short docs and stopword-free
+    docs fail)."""
+    from decision_tree_stuff_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), min_words=15)
+
+
 def q_e5_sliding_counts(spark, sf_dir):
     return sliding_counts(_events(spark, sf_dir))
 
@@ -2572,6 +2584,50 @@ SELECT g.key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
 FROM grid g LEFT JOIN cells c ON g."row" = c."row" AND g.col = c.col
 GROUP BY 1
 """,
+    # Gopher-rules twin: same one-projection shape; every counter is
+    # the same length/replace/list_filter arithmetic so doubles match
+    # bit-for-bit before the shared 6 dp rounding.
+    "e4_gopher_rules": f"""
+WITH base AS (
+  SELECT doc_id, text AS raw, list_filter({TOKS_SQL}, t -> t <> '') AS toks
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    round(length(array_to_string(toks, ''))
+          / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS mean_word_len,
+    round(((length(raw) - length(replace(raw, '#', '')))
+           + (length(raw) - length(replace(raw, '...', ''))) / 3)
+          / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS symbol_word_ratio,
+    round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+          / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS alpha_word_frac,
+    len(list_filter(toks, t -> list_contains({_sqllist(QUALITY_STOPWORDS)}, t)))
+      AS stop_hits,
+    round(len(list_filter(lines, l -> ends_with(l, '...')))
+          / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS ellipsis_line_frac,
+    round(len(list_filter(lines, l -> starts_with(l, '-')
+                                      OR starts_with(l, '*')))
+          / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS bullet_line_frac
+  FROM (
+    SELECT *, list_filter(list_transform(string_split(raw, chr(10)),
+                                         l -> trim(l)), l -> l <> '') AS lines
+    FROM base) b
+)
+SELECT *,
+  coalesce(r_word_count AND r_mean_word_len AND r_symbol_ratio
+           AND r_alpha_words AND r_stopwords AND r_line_shape,
+           false) AS keep
+FROM (
+  SELECT *,
+    n_words BETWEEN 15 AND 100000 AS r_word_count,
+    mean_word_len BETWEEN 2.0 AND 10.0 AS r_mean_word_len,
+    symbol_word_ratio <= 0.1 AS r_symbol_ratio,
+    alpha_word_frac >= 0.8 AS r_alpha_words,
+    stop_hits >= 2 AS r_stopwords,
+    ellipsis_line_frac <= 0.3 AND bullet_line_frac <= 0.9 AS r_line_shape
+  FROM stats) rules
+""",
     # BM25 twin: identical arithmetic shape (Lucene idf, k1/b form) so
     # per-term contributions are bit-exact; the score sum is rounded to
     # 6 dp on both sides and rank is computed on the ROUNDED score with
@@ -3766,6 +3822,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e3_rp_topk": q_e3_rp_topk,                    # r7: JL projection topk
     "e4_cms_watchlist": q_e4_cms_watchlist,        # r7: CMS point estimates
     "e4_bm25_topk": q_e4_bm25_topk,                # r7: Okapi BM25 retrieval
+    "e4_gopher_rules": q_e4_gopher_rules,          # r7: Gopher rule battery
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
 }
