@@ -368,6 +368,125 @@ def train_ivf_centroids(
     return [(j, [float(v) for v in C[j]]) for j in range(n_centroids)]
 
 
+def _l2_literal(vec, centroid, round_dp: int = 6):
+    """Rounded squared L2 between a vector column and a LITERAL
+    centroid — same zip_with/aggregate fold (and 6 dp pre-argmin
+    rounding) as ``_sub_l2``, so the DuckDB ``_l2_sql`` twin is
+    bit-identical."""
+    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                vec.cast("array<double>"), lit, lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        round_dp,
+    )
+
+
+def _kmeans_best(vec, centroids):
+    """struct(dist, cid) of the nearest centroid: array_min over
+    literal-centroid distance structs — lexicographic struct ordering
+    gives min dist with ties to the lowest cid, all in one shuffle-free
+    projection."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _l2_literal(vec, c).alias("dist"),
+                    F.lit(j).alias("cid"),
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+):
+    """FULLY DISTRIBUTED Lloyd k-means — the full-corpus complement to
+    ``train_ivf_centroids``' driver-side sampled trainer (use this one
+    when the clustering itself is the product, e.g. SemDeDup cluster
+    maps over the whole corpus).
+
+    Per iteration the corpus is scanned once: assignment is a
+    shuffle-free literal-centroid projection (``_kmeans_best``), the
+    update a single map-side-combinable groupBy whose shuffle carries
+    k×d partial sums per partition — the PLANET/MLlib shape that holds
+    at 100 TB (cost = iters scans, never a corpus-sized shuffle). Only
+    the k centroid rows ever reach the driver.
+
+    Determinism contract (what makes a float-iterative algorithm
+    engine-portable): init = the k lowest-id vectors; every centroid
+    coordinate and every distance is rounded to ``round_dp`` before
+    use, so partial-sum ulp noise cannot flip an assignment; argmin
+    ties go to the lowest cid; empty clusters keep their previous
+    centroid. The DuckDB twin unrolls the same iterations as CTEs and
+    matches exactly.
+
+    Returns ``[(cid, [double, ...]), ...]`` (rounded coordinates).
+    """
+    init = (
+        embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .select(F.transform("v", lambda x: F.round(x, round_dp)).alias("v"))
+        .collect()
+    )
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans_fit: corpus has {len(init)} vectors but k={k}"
+        )
+    C = [list(r["v"]) for r in init]
+    d = len(C[0])
+    for _ in range(iters):
+        best = _kmeans_best(F.col(vec_col), C)
+        rows = (
+            embeddings.select(
+                best["cid"].alias("cid"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .groupBy("cid")
+            .agg(
+                *[
+                    F.round(F.avg(F.element_at(F.col("v"), i + 1)), round_dp).alias(
+                        f"c{i}"
+                    )
+                    for i in range(d)
+                ]
+            )
+            .collect()
+        )
+        got = {r["cid"]: [r[f"c{i}"] for i in range(d)] for r in rows}
+        C = [got.get(j, C[j]) for j in range(k)]
+    return [(j, C[j]) for j in range(k)]
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, dist) under literal ``centroids`` (coordinate lists,
+    e.g. ``[c for _, c in kmeans_fit(...)]``) — one shuffle-free
+    projection over the corpus."""
+    best = _kmeans_best(F.col(vec_col), centroids)
+    return embeddings.select(
+        F.col(id_col),
+        best["cid"].alias("cid"),
+        best["dist"].alias("dist"),
+    )
+
+
 def _quantizer_centroids(
     embeddings: DataFrame,
     n_centroids: int,

@@ -259,6 +259,59 @@ def _l2_sql(a: str, b: str) -> str:
     )
 
 
+def _kmeans_cte_sql(k: int, iters: int, d: int) -> str:
+    """Unrolled-CTE DuckDB twin of similarity.kmeans_fit/assign: the
+    same trick as the tree-fit twin — a FIXED configuration makes the
+    iterative algorithm deterministic, so each Lloyd iteration is one
+    assign CTE (argmin over rounded _l2_sql distances, ties to the
+    lowest cid) + one update CTE (per-dim rounded avg, re-packed in
+    dim order), with empty clusters keeping the previous centroid."""
+    parts = [
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k}) init
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({_l2_sql('e.embedding', 'c.cvec')}, 6) ASC,
+                      c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c{i} c) s WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""u{i} AS (
+  SELECT cid, list(avg_v ORDER BY dim) AS cvec FROM (
+    SELECT a.cid, dm.dim,
+           round(avg(CAST(a.embedding[dm.dim] AS DOUBLE)), 6) AS avg_v
+    FROM a{i} a CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS dim) dm
+    GROUP BY 1, 2) g GROUP BY cid
+)"""
+        )
+        parts.append(
+            f"""c{i + 1} AS (
+  SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec
+  FROM c{i} p LEFT JOIN u{i} u USING (cid)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT vec_id, cid, dist FROM (
+  SELECT e.vec_id, c.cid,
+         round({_l2_sql('e.embedding', 'c.cvec')}, 6) AS dist,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round({_l2_sql('e.embedding', 'c.cvec')}, 6) ASC,
+                    c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN c{iters} c) f WHERE rn = 1
+"""
+    )
+
+
 def _bucket_sql(col: str, n_bits: int) -> str:
     """Sign-bit bucket (1-based DuckDB list index ↔ getItem(i))."""
     return "(" + " + ".join(
@@ -1099,6 +1152,27 @@ def q_e3_rp_topk(spark, sf_dir):
     from decision_tree_stuff_spark.operators.similarity import rp_topk
 
     return rp_topk(_emb(spark, sf_dir), QUERY_IDS, k=5)
+
+
+KMEANS_K, KMEANS_ITERS, KMEANS_D = 8, 3, 64
+
+
+def q_e3_kmeans_assign(spark, sf_dir):
+    """Fully distributed Lloyd k-means (r7): per iteration, assignment
+    is a shuffle-free literal-centroid projection and the update one
+    map-side-combined groupBy (k x d partial sums per partition) — the
+    PLANET/MLlib shape. Deterministic contract (lowest-id init, 6 dp
+    rounding of every centroid coordinate and distance, argmin ties to
+    the lowest cid) makes the float-iterative algorithm reproducible
+    by the DuckDB twin's unrolled iteration CTEs."""
+    from decision_tree_stuff_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return kmeans_assign(emb, [c for _, c in cents])
 
 
 def q_e9_bloom_decontam(spark, sf_dir):
@@ -2584,6 +2658,10 @@ SELECT g.key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
 FROM grid g LEFT JOIN cells c ON g."row" = c."row" AND g.col = c.col
 GROUP BY 1
 """,
+    # k-means twin: unrolled Lloyd iterations as CTEs (see
+    # _kmeans_cte_sql) — the 6 dp rounding contract on coordinates and
+    # distances makes the iterative float algorithm engine-portable.
+    "e3_kmeans_assign": _kmeans_cte_sql(KMEANS_K, KMEANS_ITERS, KMEANS_D),
     # Gopher-rules twin: same one-projection shape; every counter is
     # the same length/replace/list_filter arithmetic so doubles match
     # bit-for-bit before the shared 6 dp rounding.
@@ -3823,6 +3901,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_cms_watchlist": q_e4_cms_watchlist,        # r7: CMS point estimates
     "e4_bm25_topk": q_e4_bm25_topk,                # r7: Okapi BM25 retrieval
     "e4_gopher_rules": q_e4_gopher_rules,          # r7: Gopher rule battery
+    "e3_kmeans_assign": q_e3_kmeans_assign,        # r7: distributed Lloyd
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
 }
