@@ -686,6 +686,50 @@ def repetition_stats(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    score_col: str = "mean_logprob",
+    low_q: float = 1 / 3,
+    high_q: float = 2 / 3,
+    mode: str = "exact",
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020):
+    rank documents by LM score and cut at the ``low_q``/``high_q``
+    quantiles — ``head`` = the best-scoring slice (lowest perplexity /
+    highest mean log-prob), the slice CCNet trains on first.
+
+    Input is any scored frame (compose with ``unigram_logprob`` /
+    ``bigram_logprob`` / ``stupid_backoff_logprob``). Thresholds are a
+    1-row aggregate broadcast back into the plan (no action, no driver
+    collect); ``mode='exact'`` is the interpolated percentile both
+    engines share, ``mode='approx'`` the GK-sketch 100 TB path (the
+    same split as ``filter_by_quantile``). Scores and thresholds are
+    rounded to 6 dp before comparison; null scores (token-less docs)
+    get a null bucket.
+    """
+    if mode == "exact":
+        pct = F.percentile
+    elif mode == "approx":
+        def pct(c, q):
+            return F.percentile_approx(c, q, F.lit(10000))
+    else:
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
+    thr = scored.agg(
+        F.round(pct(F.col(score_col), F.lit(low_q)), 6).alias("__t_low"),
+        F.round(pct(F.col(score_col), F.lit(high_q)), 6).alias("__t_high"),
+    )
+    r = F.round(F.col(score_col), 6)
+    bucket = (
+        F.when(r.isNull(), F.lit(None).cast("string"))
+        .when(r >= F.col("__t_high"), F.lit("head"))
+        .when(r >= F.col("__t_low"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        *scored.columns, bucket.alias("bucket")
+    )
+
+
 def gopher_rules(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1264,6 +1264,19 @@ def q_e4_cms_watchlist(spark, sf_dir):
     return cms_estimate(cms_cells(toks), CMS_WATCHLIST)
 
 
+def q_e4_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity split (r7): unigram LM scores
+    cut at the 1/3 and 2/3 exact quantiles — thresholds stay in the
+    plan as a broadcast 1-row aggregate. 'head' is the slice CCNet
+    trains on first."""
+    from decision_tree_stuff_spark.operators.textstats import (
+        perplexity_buckets,
+        unigram_logprob,
+    )
+
+    return perplexity_buckets(unigram_logprob(_docs(spark, sf_dir)))
+
+
 def q_e4_gopher_rules(spark, sf_dir):
     """The full Gopher rule battery (r7, Rae et al. 2021 §A1.1): one
     narrow projection emitting per-rule booleans + the composed keep —
@@ -2662,6 +2675,44 @@ GROUP BY 1
     # _kmeans_cte_sql) — the 6 dp rounding contract on coordinates and
     # distances makes the iterative float algorithm engine-portable.
     "e3_kmeans_assign": _kmeans_cte_sql(KMEANS_K, KMEANS_ITERS, KMEANS_D),
+    # CCNet-bucket twin: the e4_lm_quality program + quantile_cont
+    # thresholds (the interpolation definition F.percentile shares),
+    # bucketed on 6dp-rounded scores so boundary rows agree.
+    "e4_lm_buckets": f"""
+WITH occ AS (
+  SELECT doc_id, tok AS token FROM (
+    SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+  ) u WHERE tok <> ''
+),
+model AS (
+  SELECT token, ln(CAST(count(*) AS DOUBLE)
+                   / (SELECT count(*) FROM occ)) AS lp
+  FROM occ GROUP BY 1
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(lp), 6) AS mean_logprob
+  FROM occ JOIN model USING (token) GROUP BY 1
+),
+fullset AS (
+  SELECT d.doc_id,
+         coalesce(s.n_tokens, 0) AS n_tokens,
+         s.mean_logprob
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN scored s USING (doc_id)
+),
+thr AS (
+  SELECT round(quantile_cont(mean_logprob, {1 / 3}), 6) AS t_low,
+         round(quantile_cont(mean_logprob, {2 / 3}), 6) AS t_high
+  FROM fullset
+)
+SELECT doc_id, n_tokens, mean_logprob,
+  CASE WHEN mean_logprob IS NULL THEN NULL
+       WHEN round(mean_logprob, 6) >= t_high THEN 'head'
+       WHEN round(mean_logprob, 6) >= t_low THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM fullset CROSS JOIN thr
+""",
     # Gopher-rules twin: same one-projection shape; every counter is
     # the same length/replace/list_filter arithmetic so doubles match
     # bit-for-bit before the shared 6 dp rounding.
@@ -3902,6 +3953,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_bm25_topk": q_e4_bm25_topk,                # r7: Okapi BM25 retrieval
     "e4_gopher_rules": q_e4_gopher_rules,          # r7: Gopher rule battery
     "e3_kmeans_assign": q_e3_kmeans_assign,        # r7: distributed Lloyd
+    "e4_lm_buckets": q_e4_lm_buckets,              # r7: CCNet head/mid/tail
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
 }

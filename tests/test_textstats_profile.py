@@ -528,3 +528,72 @@ def test_nb_classifier_discriminates_held_out_docs(spark):
         F.avg((F.col("pred") == F.col("label")).cast("double"))
     ).first()[0]
     assert acc >= 0.95, acc
+
+
+def test_perplexity_buckets_thirds_and_null_bucket(spark):
+    """9 docs with strictly ordered scores -> exactly 3 per bucket;
+    a token-less doc (null score) gets a null bucket and never shifts
+    the thresholds."""
+    from decision_tree_stuff_spark.operators.textstats import (
+        perplexity_buckets,
+    )
+
+    rows = [(i, float(-i)) for i in range(9)]  # scores 0 .. -8
+    rows.append((99, None))
+    scored = spark.createDataFrame(rows, "doc_id bigint, mean_logprob double")
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(scored).collect()
+    }
+    # interpolated 1/3 and 2/3 quantiles of 0..-8: t_high ~ -2.667,
+    # t_low ~ -5.333 -> head = {0,-1,-2}, middle = {-3,-4,-5}
+    assert [out[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    assert out[99] is None
+
+
+def test_perplexity_buckets_approx_mode_close_to_exact(spark, sf_dir):
+    """GK-sketch thresholds must land nearly all docs in the same
+    bucket as the exact percentile (tolerance, not equality — the
+    sketch is the 100 TB path)."""
+    from decision_tree_stuff_spark.operators.textstats import (
+        perplexity_buckets,
+        unigram_logprob,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = unigram_logprob(docs).cache()
+    try:
+        exact = perplexity_buckets(scored, mode="exact").select(
+            "doc_id", F.col("bucket").alias("b_exact")
+        )
+        approx = perplexity_buckets(scored, mode="approx").select(
+            "doc_id", F.col("bucket").alias("b_approx")
+        )
+        agree = (
+            exact.join(approx, "doc_id")
+            .agg(
+                F.avg(
+                    (
+                        F.coalesce(F.col("b_exact") == F.col("b_approx"), F.lit(True))
+                    ).cast("double")
+                )
+            )
+            .first()[0]
+        )
+        assert agree >= 0.99, agree
+    finally:
+        scored.unpersist()
+
+
+def test_perplexity_buckets_invalid_mode_raises(spark):
+    import pytest
+
+    from decision_tree_stuff_spark.operators.textstats import (
+        perplexity_buckets,
+    )
+
+    scored = spark.createDataFrame([(0, -1.0)], "doc_id bigint, mean_logprob double")
+    with pytest.raises(ValueError, match="mode"):
+        perplexity_buckets(scored, mode="bogus")
