@@ -89,6 +89,11 @@ BENCH_QUERIES = [
     "e4_cms_profile",
     "e4_cms_watchlist",
     "e3_rp_topk",
+    # round-7 continuation: retrieval / rules / clustering / buckets
+    "e4_bm25_topk",
+    "e4_gopher_rules",
+    "e3_kmeans_assign",
+    "e4_lm_buckets",
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -71,16 +71,6 @@ def bm25_topk(
         F.size("__toks").alias("dl"),
         F.explode("__toks").alias("token"),
     )
-    tf = occ.groupBy(id_col, "token").agg(
-        F.count(F.lit(1)).alias("tf"),
-        F.max("dl").alias("dl"),  # constant per doc; max = deterministic pick
-    )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("__n_docs"),
-        F.avg(F.size("__toks")).alias("__avgdl"),  # exact: bigint sum / count
-    )
-
     qterms = (
         queries.select(
             F.col(query_id_col),
@@ -89,9 +79,27 @@ def bm25_topk(
         .where(F.col("token") != "")
         .distinct()
     )
+    # prune BEFORE the corpus shuffle: a broadcast semi-join against
+    # the query vocabulary drops every non-query token map-side, so
+    # the tf exchange carries O(docs × |query vocab|) rows, not every
+    # token occurrence in the corpus — the difference between a
+    # query-sized shuffle and a corpus-sized one at 100 TB. df for
+    # query terms still counts over the WHOLE corpus (the semi-join
+    # only removes tokens no query asked about).
+    occ_q = occ.join(
+        F.broadcast(qterms.select("token").distinct()), "token", "semi"
+    )
+    tf = occ_q.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.max("dl").alias("dl"),  # constant per doc; max = deterministic pick
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg(F.size("__toks")).alias("__avgdl"),  # exact: bigint sum / count
+    )
     # df rows for query tokens only — a query-sized frame; broadcast
-    # so the corpus side collapses to query-term rows with no exchange
-    # beyond tf's own.
+    # so scoring adds no exchange beyond tf's own.
     qdf = qterms.join(dfreq, "token")
 
     idf = F.log(

@@ -411,6 +411,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    cache: bool = True,
 ):
     """FULLY DISTRIBUTED Lloyd k-means — the full-corpus complement to
     ``train_ivf_centroids``' driver-side sampled trainer (use this one
@@ -432,42 +433,56 @@ def kmeans_fit(
     centroid. The DuckDB twin unrolls the same iterations as CTEs and
     matches exactly.
 
+    ``cache=True`` persists the projected (id, double-vector) frame
+    for the duration of the fit (MEMORY_AND_DISK — the same contract
+    MLlib's KMeans documents): without it every iteration re-scans and
+    re-decodes the source parquet, multiplying the dominant 100 TB
+    cost by ``iters``. Results are identical either way — the
+    determinism contract is partitioning-independent by construction.
+
     Returns ``[(cid, [double, ...]), ...]`` (rounded coordinates).
     """
-    init = (
-        embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(id_col)
-        .limit(k)
-        .select(F.transform("v", lambda x: F.round(x, round_dp)).alias("v"))
-        .collect()
+    proj = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    if len(init) < k:
-        raise ValueError(
-            f"kmeans_fit: corpus has {len(init)} vectors but k={k}"
-        )
-    C = [list(r["v"]) for r in init]
-    d = len(C[0])
-    for _ in range(iters):
-        best = _kmeans_best(F.col(vec_col), C)
-        rows = (
-            embeddings.select(
-                best["cid"].alias("cid"),
-                F.col(vec_col).cast("array<double>").alias("v"),
-            )
-            .groupBy("cid")
-            .agg(
-                *[
-                    F.round(F.avg(F.element_at(F.col("v"), i + 1)), round_dp).alias(
-                        f"c{i}"
-                    )
-                    for i in range(d)
-                ]
-            )
+    if cache:
+        from pyspark import StorageLevel
+
+        proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        init = (
+            proj.orderBy(id_col)
+            .limit(k)
+            .select(F.transform("v", lambda x: F.round(x, round_dp)).alias("v"))
             .collect()
         )
-        got = {r["cid"]: [r[f"c{i}"] for i in range(d)] for r in rows}
-        C = [got.get(j, C[j]) for j in range(k)]
-    return [(j, C[j]) for j in range(k)]
+        if len(init) < k:
+            raise ValueError(
+                f"kmeans_fit: corpus has {len(init)} vectors but k={k}"
+            )
+        C = [list(r["v"]) for r in init]
+        d = len(C[0])
+        for _ in range(iters):
+            best = _kmeans_best(F.col("v"), C)
+            rows = (
+                proj.select(best["cid"].alias("cid"), "v")
+                .groupBy("cid")
+                .agg(
+                    *[
+                        F.round(
+                            F.avg(F.element_at(F.col("v"), i + 1)), round_dp
+                        ).alias(f"c{i}")
+                        for i in range(d)
+                    ]
+                )
+                .collect()
+            )
+            got = {r["cid"]: [r[f"c{i}"] for i in range(d)] for r in rows}
+            C = [got.get(j, C[j]) for j in range(k)]
+        return [(j, C[j]) for j in range(k)]
+    finally:
+        if cache:
+            proj.unpersist()
 
 
 def kmeans_assign(
