@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "e4_gopher_rules",
     "e3_kmeans_assign",
     "e4_lm_buckets",
+    "e4_bpe_encode",  # includes its own training (12 merge iterations)
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -312,6 +312,93 @@ SELECT vec_id, cid, dist FROM (
     )
 
 
+def _bpe_ctes_sql(n_merges: int) -> str:
+    """Shared CTE prefix for the BPE twins: w0 = the word-type table
+    in the double-space segmentation convention, then per rank r a
+    pair-count CTE, a deterministic-argmax CTE and the merge-applied
+    segmentation — the same replace(' a  b ', ' ab ') mechanics as
+    operators.bpe (see its module doc for why double spacing makes
+    plain replace canonical greedy BPE)."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS seg,
+         count(*) AS f
+  FROM (SELECT unnest({TOKS_SQL}) AS word FROM documents) u
+  WHERE word <> '' GROUP BY word
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""pc{r} AS MATERIALIZED (
+  SELECT pair, sum(f) AS c FROM (
+    SELECT f, unnest(list_transform(
+      range(1, greatest(len(syms), 1)),
+      i -> syms[i] || '  ' || syms[i + 1])) AS pair
+    FROM (SELECT f, string_split(trim(seg), '  ') AS syms FROM w{r - 1}) s
+  ) g GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT pair, replace(pair, '  ', '') AS m
+  FROM pc{r} ORDER BY c DESC, pair ASC LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT replace(w.seg, ' ' || p.pair || ' ', ' ' || p.m || ' ') AS seg,
+         w.f
+  FROM w{r - 1} w CROSS JOIN p{r} p
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int) -> str:
+    union = "\nUNION ALL\n".join(
+        f"""SELECT {r} AS "rank", split_part(pair, '  ', 1) AS "left",
+       split_part(pair, '  ', 2) AS "right", m AS merged FROM p{r}"""
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_ctes_sql(n_merges)}\n{union}"
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT doc_id, text,
+         '  ' || array_to_string(list_transform(
+           list_filter({TOKS_SQL}, t -> t <> ''),
+           w -> regexp_replace(w, '(.)', '\\1  ', 'g')), '|  ') AS seg
+  FROM documents
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT e.doc_id, e.text,
+         replace(e.seg, ' ' || p.pair || ' ', ' ' || p.m || ' ') AS seg
+  FROM e{r - 1} e CROSS JOIN p{r} p
+)"""
+        )
+    toks = (
+        "list_filter(string_split(trim(seg), '  '), "
+        "t -> t <> '' AND t <> '|')"
+    )
+    return (
+        f"WITH {_bpe_ctes_sql(n_merges)},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL
+       ELSE CAST(len({toks}) AS INT) END AS n_tokens_bpe,
+  CASE WHEN text IS NULL THEN NULL
+       ELSE array_to_string({toks}, ' ') END AS encoded
+FROM e{n_merges}
+"""
+    )
+
+
 def _bucket_sql(col: str, n_bits: int) -> str:
     """Sign-bit bucket (1-based DuckDB list index ↔ getItem(i))."""
     return "(" + " + ".join(
@@ -1262,6 +1349,36 @@ def q_e4_cms_watchlist(spark, sf_dir):
         ).alias("token")
     )
     return cms_estimate(cms_cells(toks), CMS_WATCHLIST)
+
+
+BPE_MERGES = 12
+
+
+def q_e4_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (r7, Sennrich et al. 2016): 12 merges
+    learned on the word-type table — one corpus shuffle builds the
+    types, then every iteration is a vocab-sized pair count + 1-row
+    argmax. Integer counts + lexicographic ties = bit-deterministic,
+    so the DuckDB twin unrolls the same iterations as CTEs."""
+    from decision_tree_stuff_spark.operators.bpe import (
+        bpe_merge_table,
+        bpe_train,
+    )
+
+    merges = bpe_train(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+    return bpe_merge_table(spark, merges)
+
+
+def q_e4_bpe_encode(spark, sf_dir):
+    """BPE encoding (r7): the 12 learned merges applied to every
+    document as a chain of literal replaces over the double-spaced
+    guard representation — ONE shuffle-free projection; real subword
+    token counts (vs the e4 regex BPE-ish approximation)."""
+    from decision_tree_stuff_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, n_merges=BPE_MERGES)
+    return bpe_encode(docs, merges)
 
 
 def q_e4_lm_buckets(spark, sf_dir):
@@ -2675,6 +2792,10 @@ GROUP BY 1
     # _kmeans_cte_sql) — the 6 dp rounding contract on coordinates and
     # distances makes the iterative float algorithm engine-portable.
     "e3_kmeans_assign": _kmeans_cte_sql(KMEANS_K, KMEANS_ITERS, KMEANS_D),
+    # BPE twins: unrolled merge iterations (see _bpe_ctes_sql); the
+    # encode twin chains the same literal replaces over documents.
+    "e4_bpe_merges": _bpe_merges_sql(BPE_MERGES),
+    "e4_bpe_encode": _bpe_encode_sql(BPE_MERGES),
     # CCNet-bucket twin: the e4_lm_quality program + quantile_cont
     # thresholds (the interpolation definition F.percentile shares),
     # bucketed on 6dp-rounded scores so boundary rows agree.
@@ -3500,7 +3621,7 @@ WITH arrays AS (
   FROM events WHERE event_type IN ('signup', 'click', 'purchase')
   GROUP BY 1
 ),
-w0 AS (SELECT *, a0[1] AS r0 FROM arrays),
+w0 AS MATERIALIZED (SELECT *, a0[1] AS r0 FROM arrays),
 w1 AS (SELECT *, (list_filter(a1, x -> x >= r0))[1] AS r1 FROM w0),
 w2 AS (SELECT *, (list_filter(a2, x -> x >= r1))[1] AS r2 FROM w1),
 counts AS (
@@ -3954,6 +4075,8 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_gopher_rules": q_e4_gopher_rules,          # r7: Gopher rule battery
     "e3_kmeans_assign": q_e3_kmeans_assign,        # r7: distributed Lloyd
     "e4_lm_buckets": q_e4_lm_buckets,              # r7: CCNet head/mid/tail
+    "e4_bpe_merges": q_e4_bpe_merges,              # r7: BPE trainer
+    "e4_bpe_encode": q_e4_bpe_encode,              # r7: BPE encode projection
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
 }
