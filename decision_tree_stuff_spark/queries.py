@@ -399,6 +399,103 @@ FROM e{n_merges}
     )
 
 
+def _lr_feats_sql(where: str, n_buckets: int) -> str:
+    """Hashed unigram+bigram count features — the same fragment the
+    DSIR twin uses (md5 bucket, chr(1)-joined bigrams)."""
+    base = (
+        f"SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks "
+        f"FROM documents WHERE {where}"
+    )
+    return f"""SELECT doc_id, bucket, count(*) AS c FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(gram), 1, 15))::BIGINT % {n_buckets} AS bucket
+    FROM (
+      SELECT doc_id, unnest(toks) AS gram FROM ({base})
+      UNION ALL
+      SELECT doc_id, w1 || chr(1) || w2 AS gram FROM (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM (SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos
+              FROM ({base}) b)
+      ) x WHERE w2 IS NOT NULL
+    ) g) h GROUP BY 1, 2"""
+
+
+def _lr_cte_sql(
+    train_where: str,
+    score_where: str,
+    label_expr: str,
+    n_buckets: int,
+    iters: int,
+    lr: float,
+) -> str:
+    """Unrolled gradient-descent twin of classifier.lr_fit/classify:
+    fixed iterations + the 6 dp rounding contract on z, σ(z) and every
+    weight update make the trajectory engine-portable (same recipe as
+    the k-means and tree-fit twins). MATERIALIZED throughout — the
+    iteration chain re-evaluates exponentially if inlined."""
+    parts = [
+        f"tfeats AS MATERIALIZED ({_lr_feats_sql(train_where, n_buckets)})",
+        f"""labels AS MATERIALIZED (
+  SELECT doc_id, CAST({label_expr} AS DOUBLE) AS y
+  FROM documents WHERE {train_where}
+)""",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM labels)",
+        f"""w0 AS MATERIALIZED (
+  SELECT unnest(range(-1, {n_buckets})) AS bucket, 0.0 AS wt
+)""",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""z{t} AS MATERIALIZED (
+  SELECT l.doc_id, l.y, round(coalesce(fs.zf, 0.0) + b.bw, 6) AS z
+  FROM labels l
+  LEFT JOIN (SELECT f.doc_id, sum(f.c * w.wt) AS zf
+             FROM tfeats f JOIN w{t} w USING (bucket) GROUP BY 1) fs
+    USING (doc_id)
+  CROSS JOIN (SELECT wt AS bw FROM w{t} WHERE bucket = -1) b
+)"""
+        )
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT doc_id, y - round(1.0 / (1.0 + exp(-z)), 6) AS r FROM z{t}
+)"""
+        )
+        parts.append(
+            f"""g{t} AS MATERIALIZED (
+  SELECT f.bucket, sum(f.c * r.r) AS g
+  FROM tfeats f JOIN r{t} r USING (doc_id) GROUP BY 1
+  UNION ALL
+  SELECT -1 AS bucket, sum(r) AS g FROM r{t}
+)"""
+        )
+        parts.append(
+            f"""w{t + 1} AS MATERIALIZED (
+  SELECT w.bucket, round(w.wt + {lr} * coalesce(g.g, 0.0) / nn.n, 6) AS wt
+  FROM w{t} w LEFT JOIN g{t} g USING (bucket) CROSS JOIN nn
+)"""
+        )
+    parts.append(
+        f"sfeats AS MATERIALIZED ({_lr_feats_sql(score_where, n_buckets)})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS pred
+FROM (
+  SELECT d.doc_id, round(coalesce(fs.zf, 0.0) + b.bw, 6) AS z
+  FROM (SELECT doc_id FROM documents WHERE {score_where}) d
+  LEFT JOIN (SELECT f.doc_id, sum(f.c * w.wt) AS zf
+             FROM sfeats f JOIN w{iters} w USING (bucket) GROUP BY 1) fs
+    USING (doc_id)
+  CROSS JOIN (SELECT wt AS bw FROM w{iters} WHERE bucket = -1) b) sz
+"""
+    )
+
+
 def _bucket_sql(col: str, n_bits: int) -> str:
     """Sign-bit bucket (1-based DuckDB list index ↔ getItem(i))."""
     return "(" + " + ".join(
@@ -1352,6 +1449,29 @@ def q_e4_cms_watchlist(spark, sf_dir):
 
 
 BPE_MERGES = 12
+LR_BUCKETS, LR_ITERS, LR_RATE = 64, 4, 0.1
+
+
+def q_e4_lr_langid(spark, sf_dir):
+    """Logistic-regression language gate (r7): the learned-weights
+    member of the fastText-style classifier family (NB is the
+    counts-only member). Full-batch GD, fixed 4 iterations, 6 dp
+    rounding contract on z/σ/weights — the same determinism recipe as
+    the k-means twin, so the unrolled-CTE oracle matches exactly.
+    Trains on even ids (label: lang='en'), scores the odd half."""
+    from decision_tree_stuff_spark.operators.classifier import (
+        lr_classify,
+        lr_fit,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where("doc_id % 2 = 0").withColumn(
+        "is_en", (F.col("lang") == "en").cast("int")
+    )
+    w = lr_fit(
+        train, "is_en", n_buckets=LR_BUCKETS, iters=LR_ITERS, lr=LR_RATE
+    )
+    return lr_classify(docs.where("doc_id % 2 = 1"), w)
 
 
 def q_e4_bpe_merges(spark, sf_dir):
@@ -2792,6 +2912,15 @@ GROUP BY 1
     # _kmeans_cte_sql) — the 6 dp rounding contract on coordinates and
     # distances makes the iterative float algorithm engine-portable.
     "e3_kmeans_assign": _kmeans_cte_sql(KMEANS_K, KMEANS_ITERS, KMEANS_D),
+    # LR twin: unrolled gradient-descent iterations (see _lr_cte_sql).
+    "e4_lr_langid": _lr_cte_sql(
+        "doc_id % 2 = 0",
+        "doc_id % 2 = 1",
+        "lang = 'en'",
+        LR_BUCKETS,
+        LR_ITERS,
+        LR_RATE,
+    ),
     # BPE twins: unrolled merge iterations (see _bpe_ctes_sql); the
     # encode twin chains the same literal replaces over documents.
     "e4_bpe_merges": _bpe_merges_sql(BPE_MERGES),
@@ -4077,6 +4206,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_lm_buckets": q_e4_lm_buckets,              # r7: CCNet head/mid/tail
     "e4_bpe_merges": q_e4_bpe_merges,              # r7: BPE trainer
     "e4_bpe_encode": q_e4_bpe_encode,              # r7: BPE encode projection
+    "e4_lr_langid": q_e4_lr_langid,                # r7: logistic-regression gate
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
 }
