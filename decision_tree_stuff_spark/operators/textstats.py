@@ -454,6 +454,146 @@ def stupid_backoff_logprob(
     )
 
 
+def kneser_ney_model(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram model (Kneser & Ney '95; the
+    Chen & Goodman '99 interpolated form KenLM defaults to) — the
+    smoothing rung above Stupid Backoff on the LM-quality ladder:
+    backoff mass goes to a CONTINUATION distribution (how many
+    distinct contexts a word follows) rather than raw frequency, so
+    frequent-but-context-bound words ("francisco") stop soaking up
+    unseen-bigram probability.
+
+    One portable (kind, w1, w2, value) table, three slices:
+
+      kind 'big'  (w1, w2): max(c(w1 w2) − D, 0) / c(w1 ·)
+      kind 'ctx'  (w1):     λ(w1) = D · N1+(w1 ·) / c(w1 ·)
+      kind 'cont' (w2):     P_cont(w2) = N1+(· w2) / N1+(· ·)
+
+    where N1+(w1 ·) counts distinct continuations of w1, N1+(· w2)
+    distinct left contexts of w2, and N1+(· ·) the total number of
+    bigram TYPES. P(w2|w1) = big + λ(w1)·P_cont(w2) sums to exactly 1
+    over the continuation vocabulary for every seen context (pinned in
+    tests/test_textstats_profile.py::test_kneser_ney_normalizes).
+
+    Plan: ONE bigram-type aggregate (`c2`) feeds all three slices —
+    context totals and N1+(w1 ·) come from one groupBy over it,
+    continuation counts from another; the scalar type-count enters as
+    a broadcast 1-row frame (the tf_idf idiom, no separate action).
+    Same persist-once/score-on-ingest contract as the other models.
+    """
+    D = float(discount)
+    bg = _doc_bigrams(docs, id_col, text_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # one pass over the type table yields both the denominator c(w1 ·)
+    # and the distinct-continuation count N1+(w1 ·) — rows of c2 ARE
+    # the distinct (w1, w2) types, so count(*) per w1 is N1+.
+    ctx = c2.groupBy("w1").agg(
+        F.sum("c2").cast("double").alias("__ctot"),
+        F.count(F.lit(1)).cast("double").alias("__nfwd"),
+    )
+    cont = c2.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("__nrev")
+    )
+    types_total = c2.agg(F.count(F.lit(1)).cast("double").alias("__types"))
+    big = c2.join(ctx, "w1").select(
+        F.lit("big").alias("kind"),
+        "w1",
+        "w2",
+        (
+            F.greatest(F.col("c2") - F.lit(D), F.lit(0.0)) / F.col("__ctot")
+        ).alias("value"),
+    )
+    lam = ctx.select(
+        F.lit("ctx").alias("kind"),
+        "w1",
+        F.lit(None).cast("string").alias("w2"),
+        (F.lit(D) * F.col("__nfwd") / F.col("__ctot")).alias("value"),
+    )
+    pcont = cont.crossJoin(F.broadcast(types_total)).select(
+        F.lit("cont").alias("kind"),
+        F.lit(None).cast("string").alias("w1"),
+        F.col("w2"),
+        (F.col("__nrev") / F.col("__types")).alias("value"),
+    )
+    return big.unionByName(lam).unionByName(pcont)
+
+
+def kneser_ney_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: DataFrame = None,
+    discount: float = 0.75,
+    oov_logprob: float = -20.0,
+) -> DataFrame:
+    """Per-document mean interpolated Kneser–Ney bigram
+    ln-probability:
+
+      P(w2|w1) = max(c−D,0)/c(w1·) + λ(w1)·P_cont(w2)   (both terms
+                 present even for seen bigrams — interpolated, not
+                 backoff-only)
+      unseen bigram, known w1 and w2:  λ(w1)·P_cont(w2)
+      unknown context OR w2 never seen as a continuation: the
+      ``oov_logprob`` floor (a genuine OOV — KN assigns it no mass).
+
+    ``model=None`` scores against the corpus's own model; the ingest
+    shape passes a persisted ``kneser_ney_model`` table. Same plan
+    shape as the other scorers: bigram explode, three left equi-joins
+    against the model's slices (vocab-sized; AQE broadcasts small
+    slices, hash-joins otherwise), one per-doc aggregate. Docs with
+    <2 tokens return n_bigrams=0 and a null score.
+    """
+    bg = _doc_bigrams(docs, id_col, text_col)
+    m = (
+        model
+        if model is not None
+        else kneser_ney_model(docs, id_col, text_col, discount)
+    )
+    big = m.where(F.col("kind") == "big").select(
+        "w1", "w2", F.col("value").alias("__disc")
+    )
+    lam = m.where(F.col("kind") == "ctx").select(
+        "w1", F.col("value").alias("__lam")
+    )
+    cont = m.where(F.col("kind") == "cont").select(
+        "w2", F.col("value").alias("__pcont")
+    )
+    score = F.when(
+        F.col("__lam").isNotNull() & F.col("__pcont").isNotNull(),
+        F.log(
+            F.coalesce(F.col("__disc"), F.lit(0.0))
+            + F.col("__lam") * F.col("__pcont")
+        ),
+    ).otherwise(F.lit(float(oov_logprob)))
+    scored = (
+        bg.join(big, ["w1", "w2"], "left")
+        .join(lam, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(score), 6).alias("mean_logprob"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+            F.col("mean_logprob"),
+        )
+    )
+
+
 def nb_model(
     docs: DataFrame,
     label_col: str,

@@ -1630,6 +1630,23 @@ def q_e4_lm_backoff(spark, sf_dir):
     )
 
 
+def q_e4_lm_kn(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram scores (r7, Kneser & Ney '95 /
+    Chen & Goodman '99): trains on the even-id half, scores the odd
+    half — the split where the unseen-bigram interpolation path and
+    the OOV floor genuinely fire alongside seen-bigram discounting."""
+    from decision_tree_stuff_spark.operators.textstats import (
+        kneser_ney_logprob,
+        kneser_ney_model,
+    )
+
+    docs = _docs(spark, sf_dir)
+    model = kneser_ney_model(docs.where(F.col("doc_id") % 2 == 0))
+    return kneser_ney_logprob(
+        docs.where(F.col("doc_id") % 2 == 1), model=model
+    )
+
+
 def q_e4_nb_langid(spark, sf_dir):
     """Naive Bayes language-ID (r7): a multinomial NB classifier
     trained on the even-id half's (text, lang) pairs predicts the
@@ -3679,6 +3696,70 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
 LEFT JOIN scored s USING (doc_id)
 """,
+    # r7 interpolated Kneser–Ney bigram LM: discounted seen-bigram
+    # mass + continuation-distribution interpolation, even-half model
+    # scoring the odd half. Arithmetic order mirrors the Spark exprs
+    # term-for-term so doubles match bit-for-bit before the 6dp round.
+    "e4_lm_kn": f"""
+WITH tb AS (
+  SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks
+  FROM documents WHERE doc_id % 2 = 0
+),
+tbg AS (
+  SELECT w1, w2 FROM (
+    SELECT tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM tb) tp) x WHERE w2 IS NOT NULL
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY 1, 2),
+ctx AS (
+  SELECT w1, CAST(sum(c2) AS DOUBLE) AS ctot,
+         CAST(count(*) AS DOUBLE) AS nfwd
+  FROM c2 GROUP BY 1
+),
+big AS (
+  SELECT c2.w1, c2.w2, greatest(c2.c2 - 0.75, 0.0) / ctx.ctot AS disc
+  FROM c2 JOIN ctx USING (w1)
+),
+lam AS (SELECT w1, 0.75 * nfwd / ctot AS lam FROM ctx),
+cont AS (
+  SELECT w2, CAST(count(*) AS DOUBLE)
+             / (SELECT CAST(count(*) AS DOUBLE) FROM c2) AS pcont
+  FROM c2 GROUP BY 1
+),
+qbg AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM (
+        SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks
+        FROM documents WHERE doc_id % 2 = 1
+      ) qb) qp) x WHERE w2 IS NOT NULL
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(CASE
+           WHEN lam.lam IS NOT NULL AND cont.pcont IS NOT NULL
+           THEN ln(coalesce(big.disc, 0.0) + lam.lam * cont.pcont)
+           ELSE -20.0 END), 6) AS mean_logprob
+  FROM qbg
+  LEFT JOIN big USING (w1, w2)
+  LEFT JOIN lam USING (w1)
+  LEFT JOIN cont USING (w2)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0) AS n_bigrams,
+       s.mean_logprob
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN scored s USING (doc_id)
+""",
     # r7 Naive Bayes language-ID: Laplace-smoothed multinomial NB,
     # trained on the even half, argmax per odd doc (ties label ASC).
     "e4_nb_langid": f"""
@@ -4188,6 +4269,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_top_tokens": q_e4_top_tokens,
     "tree_fit_median_gini": q_tree_fit_median_gini,  # r7: O-13 generator generality
     "e4_lm_backoff": q_e4_lm_backoff,              # r7: Stupid Backoff trigram
+    "e4_lm_kn": q_e4_lm_kn,                        # r7: interpolated Kneser–Ney
     "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID
     # r7 rotation: long-stable rows demoted to make room for
     # e2_edit_verified / e4_lm_bigram (GATE_ROTATION.md)

@@ -434,6 +434,96 @@ def test_stupid_backoff_self_model_all_order3(spark):
     }
 
 
+def test_kneser_ney_hand_math(spark):
+    """Interpolated KN bigram hand math (Chen & Goodman '99): a batch
+    engineered to hit every scoring case — seen bigram (discounted +
+    interpolated continuation mass), unseen bigram over known
+    context/continuation (pure λ·P_cont), unknown context, unknown
+    continuation, and the <2-token null row."""
+    import math
+
+    from decision_tree_stuff_spark.operators.textstats import (
+        kneser_ney_logprob,
+        kneser_ney_model,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c")], "doc_id bigint, text string"
+    )
+    # bigram types: (a,b)=2 (b,a)=1 (a,c)=1  → 3 types
+    # ctx a: ctot=3 nfwd=2 λ=0.5 ; ctx b: ctot=1 nfwd=1 λ=0.75
+    # P_cont: a,b,c each 1/3
+    model = kneser_ney_model(corpus)
+    batch = spark.createDataFrame(
+        [(10, "a b"), (11, "b c"), (12, "c a"), (13, "a z"), (14, "x")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+        for r in kneser_ney_logprob(batch, model=model).collect()
+    }
+    lam_a = 0.75 * 2.0 / 3.0
+    lam_b = 0.75 * 1.0 / 1.0
+    pcont = 1.0 / 3.0
+    assert got == {
+        # seen (a,b): (2-D)/3 + λ(a)·P_cont(b)
+        10: (1, round(math.log((2 - 0.75) / 3.0 + lam_a * pcont), 6)),
+        # unseen (b,c), both sides known: λ(b)·P_cont(c)
+        11: (1, round(math.log(lam_b * pcont), 6)),
+        # c never appears as a context → floor
+        12: (1, -20.0),
+        # z never appears as a continuation → floor
+        13: (1, -20.0),
+        14: (0, None),
+    }
+
+
+def test_kneser_ney_normalizes(spark):
+    """The KN invariant that distinguishes it from Stupid Backoff:
+    Σ_{w2 ∈ continuation vocab} P(w2|w1) = 1 exactly, for EVERY seen
+    context — the discount mass removed from seen bigrams is exactly
+    the mass the continuation distribution hands back."""
+    from decision_tree_stuff_spark.operators.textstats import (
+        kneser_ney_model,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the rug"),
+            (2, "a cat and a dog ran"),
+            (3, "san francisco san diego san jose"),
+        ],
+        "doc_id bigint, text string",
+    )
+    m = kneser_ney_model(corpus).cache()
+    big = m.where(F.col("kind") == "big").select(
+        "w1", "w2", F.col("value").alias("disc")
+    )
+    lam = m.where(F.col("kind") == "ctx").select(
+        "w1", F.col("value").alias("lam")
+    )
+    cont = m.where(F.col("kind") == "cont").select(
+        "w2", F.col("value").alias("pcont")
+    )
+    sums = (
+        lam.crossJoin(cont)
+        .join(big, ["w1", "w2"], "left")
+        .groupBy("w1")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("disc"), F.lit(0.0))
+                + F.col("lam") * F.col("pcont")
+            ).alias("total")
+        )
+        .collect()
+    )
+    m.unpersist()
+    assert len(sums) > 3
+    for r in sums:
+        assert abs(r["total"] - 1.0) < 1e-9, (r["w1"], r["total"])
+
+
 def test_nb_classifier_hand_math(spark):
     """Multinomial NB with Laplace smoothing equals hand math on a
     2-label toy corpus, including the per-label OOV floor and the
