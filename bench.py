@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "e4_bpe_encode",  # includes its own training (12 merge iterations)
     "e4_lr_langid",   # includes its own training (4 GD iterations)
     "e4_lm_kn",       # interpolated Kneser–Ney (trains + scores)
+    "rtree_fit_transform",  # CART regression tree (fit + transform)
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -85,13 +85,13 @@ def _h_sql(p: str) -> str:
     )
 
 
-def _step_sql(d: str, p: str) -> str:
+def _step_sql(d: str, p: str, feats: list = None) -> str:
     """One routing step: append L/R per alias ``d``'s decision for the
     row's current path ``{p}``, or keep the path if the node is a
     leaf (LEFT JOIN miss)."""
     case_var = (
         f"CASE {d}.variable "
-        + " ".join(f"WHEN '{f}' THEN r.{f}" for f in FEATURES)
+        + " ".join(f"WHEN '{f}' THEN r.{f}" for f in (feats or FEATURES))
         + " END"
     )
     return (
@@ -185,6 +185,88 @@ def _tree_train_cte(pfx: str, train_where: str, depth: int = 3,
     ctes.append(
         f"{pfx}leaf AS MATERIALIZED (SELECT p, CASE WHEN 2*SUM(class) > "
         f"COUNT(*) THEN 1 ELSE 0 END AS pred FROM {pfx}r{depth} GROUP BY 1)"
+    )
+    return ",\n".join(ctes)
+
+
+RFEATURES = ["l_extendedprice", "l_quantity", "l_tax"]
+
+
+def _rtree_cte_sql(pfx: str, depth: int = 2) -> str:
+    """Level-wise CTE derivation of the FIXED-config CART regression
+    tree (operators/regression_tree.py) plus its transform — the
+    variance-reduction analog of ``_tree_train_cte``: per (path,
+    variable) the mean threshold, then the mergeable (count, sum,
+    sum-of-squares) triple per side; score = SSE_l + SSE_r in the
+    identical ``q - s*s/n`` double shape; best per path on (score,
+    variable) ASC; a node splits only when it is impure (exact
+    MIN(y) <> MAX(y)), has >= 2 rows, and both sides are non-empty.
+    Leaves predict round(AVG(y), 6) — half-away, matching the
+    driver-side ``_round_away``. CTEs MATERIALIZED for the same
+    exponential-inlining reason as the classification twins."""
+    feats = RFEATURES
+    fcols = ", ".join(feats)
+    rcols = ", ".join(f"r.{f}" for f in feats)
+
+    def sse(n: str, s: str, q: str) -> str:
+        return f"(CASE WHEN {n} > 0 THEN {q} - {s}*{s}/{n} ELSE 0.0 END)"
+
+    ctes = [
+        f"{pfx}r0 AS MATERIALIZED "
+        f"(SELECT {fcols}, l_discount AS y, '' AS p FROM base)",
+        f"{pfx}a0 AS MATERIALIZED (SELECT l_orderkey, l_linenumber, "
+        f"{fcols}, '' AS p FROM base)",
+    ]
+    for k in range(depth):
+        melt = "\n    UNION ALL ".join(
+            f"SELECT p, '{f}' AS variable, {f} AS value, y FROM {pfx}r{k}"
+            for f in feats
+        )
+        score = (
+            sse("g.ln_", "g.ls_", "g.lq_")
+            + " + "
+            + sse("g.rn_", "g.rs_", "g.rq_")
+        )
+        step = _step_sql("d", "p", feats)
+        ctes += [
+            f"{pfx}m{k} AS MATERIALIZED (\n    {melt}\n)",
+            f"{pfx}t{k} AS MATERIALIZED (SELECT p, variable, "
+            f"AVG(value) AS thr FROM {pfx}m{k} GROUP BY 1, 2)",
+            f"""{pfx}g{k} AS MATERIALIZED (
+  SELECT m.p, m.variable, t.thr,
+         COUNT(CASE WHEN m.value <= t.thr THEN 1 END) AS ln_,
+         COALESCE(SUM(CASE WHEN m.value <= t.thr THEN m.y END), 0.0) AS ls_,
+         COALESCE(SUM(CASE WHEN m.value <= t.thr THEN m.y*m.y END), 0.0) AS lq_,
+         COUNT(CASE WHEN m.value > t.thr THEN 1 END) AS rn_,
+         COALESCE(SUM(CASE WHEN m.value > t.thr THEN m.y END), 0.0) AS rs_,
+         COALESCE(SUM(CASE WHEN m.value > t.thr THEN m.y*m.y END), 0.0) AS rq_
+  FROM {pfx}m{k} m JOIN {pfx}t{k} t ON m.p = t.p AND m.variable = t.variable
+  GROUP BY 1, 2, 3
+)""",
+            f"{pfx}n{k} AS MATERIALIZED (SELECT p, COUNT(*) AS n, "
+            f"MIN(y) AS lo, MAX(y) AS hi FROM {pfx}r{k} GROUP BY 1)",
+            f"""{pfx}d{k} AS MATERIALIZED (
+  SELECT s.p, s.variable, s.thr FROM (
+    SELECT g.p, g.variable, g.thr, g.ln_, g.rn_,
+           ROW_NUMBER() OVER (PARTITION BY g.p
+                              ORDER BY {score} ASC, g.variable ASC) AS rnk
+    FROM {pfx}g{k} g) s
+  JOIN {pfx}n{k} n ON s.p = n.p
+  WHERE s.rnk = 1 AND n.lo <> n.hi AND n.n >= 2
+    AND least(s.ln_, s.rn_) > 0
+)""",
+            f"""{pfx}r{k + 1} AS MATERIALIZED (
+  SELECT {rcols}, r.y, {step} AS p
+  FROM {pfx}r{k} r LEFT JOIN {pfx}d{k} d ON r.p = d.p
+)""",
+            f"""{pfx}a{k + 1} AS MATERIALIZED (
+  SELECT r.l_orderkey, r.l_linenumber, {rcols}, {step} AS p
+  FROM {pfx}a{k} r LEFT JOIN {pfx}d{k} d ON r.p = d.p
+)""",
+        ]
+    ctes.append(
+        f"{pfx}leaf AS MATERIALIZED (SELECT p, round(AVG(y), 6) AS pred "
+        f"FROM {pfx}r{depth} GROUP BY 1)"
     )
     return ",\n".join(ctes)
 
@@ -768,6 +850,25 @@ def q_tree_fit_transform(spark, sf_dir):
     )
     dt.fit(base.select(*FEATURES, "class"))
     return dt.transform(base).select("l_orderkey", "l_linenumber", "prediction")
+
+
+def q_rtree_fit_transform(spark, sf_dir):
+    """E-12 CART regression tree (r7): depth-2 mean-threshold
+    variance-reduction fit on lineitem, target l_discount — the
+    continuous-target member of the tree family. The DuckDB twin
+    derives the same tree level-by-level (``_rtree_cte_sql``) and the
+    hash compares the 6dp-rounded leaf-mean predictions row by row."""
+    from decision_tree_stuff_spark.operators.regression_tree import (
+        RegressionTree,
+    )
+
+    base = _lineitem_base(spark, sf_dir)
+    rt = RegressionTree(
+        "l_discount", features=RFEATURES, max_depth=2
+    ).fit(base.select(*RFEATURES, "l_discount"))
+    return base.select(
+        "l_orderkey", "l_linenumber", rt.prediction_expr().alias("prediction")
+    )
 
 
 def q_tree_fit_median_gini(spark, sf_dir):
@@ -2209,6 +2310,13 @@ FROM base
 {_apply_cte(['tf_'])}
 SELECT a.l_orderkey, a.l_linenumber, CAST(l.pred AS TINYINT) AS prediction
 FROM ap3 a JOIN tf_leaf l ON a.p0 = l.p
+""",
+    # E-12 CART regression tree (r7): level-wise variance-reduction
+    # derivation + row-local routing; predictions are 6dp leaf means.
+    "rtree_fit_transform": f"""WITH {BASE_SQL},
+{_rtree_cte_sql('rt_', depth=2)}
+SELECT a.l_orderkey, a.l_linenumber, l.pred AS prediction
+FROM rt_a2 a JOIN rt_leaf l ON a.p = l.p
 """,
     "tree_fit_median_gini": f"""WITH {BASE_SQL},
 {_tree_train_cte('mg_', '', depth=2, thr_sql='quantile_cont(value, 0.5)',
@@ -4268,6 +4376,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e2_embedding_near_dups": q_e2_embedding_near_dups,
     "e4_top_tokens": q_e4_top_tokens,
     "tree_fit_median_gini": q_tree_fit_median_gini,  # r7: O-13 generator generality
+    "rtree_fit_transform": q_rtree_fit_transform,    # r7: E-12 regression tree
     "e4_lm_backoff": q_e4_lm_backoff,              # r7: Stupid Backoff trigram
     "e4_lm_kn": q_e4_lm_kn,                        # r7: interpolated Kneser–Ney
     "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID
