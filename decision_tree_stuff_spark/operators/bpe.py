@@ -65,12 +65,23 @@ def bpe_train(
     id_col: str = "doc_id",
     text_col: str = "text",
     cache: bool = True,
+    score: str = "count",
 ) -> List[Tuple[int, str, str, str]]:
-    """Learn ``n_merges`` BPE merges from the corpus.
+    """Learn ``n_merges`` merges from the corpus.
+
+    ``score='count'`` is canonical BPE (Sennrich et al. 2016: merge
+    the most frequent pair). ``score='likelihood'`` is the WordPiece
+    criterion (Schuster & Nakajima 2012, the BERT tokenizer): merge
+    the pair maximizing ``count(a,b) / (count(a) * count(b))`` — the
+    pair whose merge most increases corpus likelihood under a unigram
+    symbol model. Same segmentation mechanics, same portable merge
+    table, one extra vocab-sized symbol-count aggregate per iteration.
+    The ratio is exact double division of integer counts, so the
+    DuckDB twin's argmax walks identical doubles — training stays
+    bit-deterministic (ties break on pair-string ASC).
 
     Returns ``[(rank, left, right, merged), ...]`` in application
     order (rank 1 first). Stops early if no adjacent pair remains.
-    Argmax is (count desc, pair-string asc) — fully deterministic.
 
     ``cache=True`` persists the word-type table for the duration of
     training: each iteration's pair-count action otherwise replays the
@@ -79,6 +90,7 @@ def bpe_train(
     (The per-iteration replace chain still replays over the cached
     rows; that is vocab-sized work and cheap.)
     """
+    assert score in ("count", "likelihood"), score
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .where(F.col("word") != "")
@@ -100,15 +112,45 @@ def bpe_train(
             "transform(slice(__s, 1, greatest(size(__s) - 1, 0)),"
             f" (x, i) -> concat(x, '{SEP}', element_at(__s, i + 2)))"
         )
-        top = (
+        pc = (
             cur.select(F.col("f"), syms.alias("__s"))
             .select(F.col("f"), F.explode(pairs).alias("pair"))
             .groupBy("pair")
             .agg(F.sum("f").alias("c"))
-            .orderBy(F.col("c").desc(), F.col("pair").asc())
-            .limit(1)
-            .collect()
         )
+        if score == "likelihood":
+            sc = (
+                cur.select(F.col("f"), syms.alias("__s"))
+                .select(F.col("f"), F.explode(F.col("__s")).alias("sym"))
+                .groupBy("sym")
+                .agg(F.sum("f").alias("cs"))
+            )
+            pc = (
+                pc.withColumn("__l", F.split(F.col("pair"), SEP)[0])
+                .withColumn("__r", F.split(F.col("pair"), SEP)[1])
+                .join(
+                    sc.select(
+                        F.col("sym").alias("__l"), F.col("cs").alias("cl")
+                    ),
+                    "__l",
+                )
+                .join(
+                    sc.select(
+                        F.col("sym").alias("__r"), F.col("cs").alias("cr")
+                    ),
+                    "__r",
+                )
+            )
+            order = [
+                (
+                    F.col("c").cast("double")
+                    / (F.col("cl") * F.col("cr"))
+                ).desc(),
+                F.col("pair").asc(),
+            ]
+        else:
+            order = [F.col("c").desc(), F.col("pair").asc()]
+        top = pc.orderBy(*order).limit(1).collect()
         if not top:
             break
         pair = top[0]["pair"]

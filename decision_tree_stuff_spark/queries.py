@@ -394,13 +394,16 @@ SELECT vec_id, cid, dist FROM (
     )
 
 
-def _bpe_ctes_sql(n_merges: int) -> str:
+def _bpe_ctes_sql(n_merges: int, score: str = "count") -> str:
     """Shared CTE prefix for the BPE twins: w0 = the word-type table
     in the double-space segmentation convention, then per rank r a
     pair-count CTE, a deterministic-argmax CTE and the merge-applied
     segmentation — the same replace(' a  b ', ' ab ') mechanics as
     operators.bpe (see its module doc for why double spacing makes
-    plain replace canonical greedy BPE)."""
+    plain replace canonical greedy BPE). ``score='likelihood'`` is the
+    WordPiece argmax: count(a,b)/(count(a)*count(b)) as exact double
+    division of integer counts — one extra symbol-count CTE per rank,
+    same tie-break."""
     parts = [
         f"""w0 AS MATERIALIZED (
   SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS seg,
@@ -420,12 +423,30 @@ def _bpe_ctes_sql(n_merges: int) -> str:
   ) g GROUP BY 1
 )"""
         )
-        parts.append(
-            f"""p{r} AS MATERIALIZED (
+        if score == "likelihood":
+            parts.append(
+                f"""sc{r} AS MATERIALIZED (
+  SELECT sym, sum(f) AS cs FROM (
+    SELECT f, unnest(string_split(trim(seg), '  ')) AS sym FROM w{r - 1}
+  ) g GROUP BY 1
+)"""
+            )
+            parts.append(
+                f"""p{r} AS MATERIALIZED (
+  SELECT pair, replace(pair, '  ', '') AS m
+  FROM pc{r} pc
+  JOIN sc{r} sl ON split_part(pc.pair, '  ', 1) = sl.sym
+  JOIN sc{r} sr ON split_part(pc.pair, '  ', 2) = sr.sym
+  ORDER BY CAST(pc.c AS DOUBLE) / (sl.cs * sr.cs) DESC, pair ASC LIMIT 1
+)"""
+            )
+        else:
+            parts.append(
+                f"""p{r} AS MATERIALIZED (
   SELECT pair, replace(pair, '  ', '') AS m
   FROM pc{r} ORDER BY c DESC, pair ASC LIMIT 1
 )"""
-        )
+            )
         parts.append(
             f"""w{r} AS MATERIALIZED (
   SELECT replace(w.seg, ' ' || p.pair || ' ', ' ' || p.m || ' ') AS seg,
@@ -436,13 +457,13 @@ def _bpe_ctes_sql(n_merges: int) -> str:
     return ",\n".join(parts)
 
 
-def _bpe_merges_sql(n_merges: int) -> str:
+def _bpe_merges_sql(n_merges: int, score: str = "count") -> str:
     union = "\nUNION ALL\n".join(
         f"""SELECT {r} AS "rank", split_part(pair, '  ', 1) AS "left",
        split_part(pair, '  ', 2) AS "right", m AS merged FROM p{r}"""
         for r in range(1, n_merges + 1)
     )
-    return f"WITH {_bpe_ctes_sql(n_merges)}\n{union}"
+    return f"WITH {_bpe_ctes_sql(n_merges, score)}\n{union}"
 
 
 def _bpe_encode_sql(n_merges: int) -> str:
@@ -1587,6 +1608,23 @@ def q_e4_bpe_merges(spark, sf_dir):
     )
 
     merges = bpe_train(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+    return bpe_merge_table(spark, merges)
+
+
+def q_e4_wordpiece_merges(spark, sf_dir):
+    """WordPiece tokenizer training (r7, Schuster & Nakajima 2012 —
+    the BERT criterion): same merge machinery as BPE but the argmax is
+    count(a,b)/(count(a)·count(b)); the ratio is exact double division
+    of integer counts, so the unrolled CTE twin's argmax walks the
+    identical doubles."""
+    from decision_tree_stuff_spark.operators.bpe import (
+        bpe_merge_table,
+        bpe_train,
+    )
+
+    merges = bpe_train(
+        _docs(spark, sf_dir), n_merges=BPE_MERGES, score="likelihood"
+    )
     return bpe_merge_table(spark, merges)
 
 
@@ -3049,6 +3087,7 @@ GROUP BY 1
     # BPE twins: unrolled merge iterations (see _bpe_ctes_sql); the
     # encode twin chains the same literal replaces over documents.
     "e4_bpe_merges": _bpe_merges_sql(BPE_MERGES),
+    "e4_wordpiece_merges": _bpe_merges_sql(BPE_MERGES, "likelihood"),
     "e4_bpe_encode": _bpe_encode_sql(BPE_MERGES),
     # CCNet-bucket twin: the e4_lm_quality program + quantile_cont
     # thresholds (the interpolation definition F.percentile shares),
@@ -4396,6 +4435,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e3_kmeans_assign": q_e3_kmeans_assign,        # r7: distributed Lloyd
     "e4_lm_buckets": q_e4_lm_buckets,              # r7: CCNet head/mid/tail
     "e4_bpe_merges": q_e4_bpe_merges,              # r7: BPE trainer
+    "e4_wordpiece_merges": q_e4_wordpiece_merges,  # r7: WordPiece criterion
     "e4_bpe_encode": q_e4_bpe_encode,              # r7: BPE encode projection
     "e4_lr_langid": q_e4_lr_langid,                # r7: logistic-regression gate
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking

@@ -86,6 +86,50 @@ def test_bpe_train_matches_reference_on_hand_corpus(spark):
     assert [(l, r, m) for _, l, r, m in got] == ref_merges
 
 
+def _ref_train_wordpiece(words_freq, n_merges):
+    """WordPiece criterion: argmax count(a,b)/(count(a)*count(b)),
+    tie-break on the double-space pair string."""
+    segs = {w: list(w) for w in words_freq}
+    merges = []
+    for _ in range(n_merges):
+        pair_counts = Counter()
+        sym_counts = Counter()
+        for w, f in words_freq.items():
+            s = segs[w]
+            for sym in s:
+                sym_counts[sym] += f
+            for i in range(len(s) - 1):
+                pair_counts[(s[i], s[i + 1])] += f
+        if not pair_counts:
+            break
+        best = min(
+            pair_counts.items(),
+            key=lambda kv: (
+                -(float(kv[1]) / (sym_counts[kv[0][0]] * sym_counts[kv[0][1]])),
+                f"{kv[0][0]}  {kv[0][1]}",
+            ),
+        )[0]
+        merged = best[0] + best[1]
+        merges.append((best[0], best[1], merged))
+        segs = {w: _ref_apply(s, *best, merged) for w, s in segs.items()}
+    return merges
+
+
+def test_wordpiece_train_matches_reference(spark):
+    """Likelihood scoring must pick DIFFERENT merges than raw counts
+    where a frequent pair is made of very frequent symbols, matching
+    the pure-Python WordPiece reference exactly."""
+    texts = ["low lower lowest", "new newer newest", "low low new"]
+    docs = _corpus(spark, texts)
+    words = Counter(w for t in texts for w in t.split())
+    ref = _ref_train_wordpiece(words, 8)
+    got = bpe_train(docs, n_merges=8, score="likelihood")
+    assert [(l, r, m) for _, l, r, m in got] == ref
+    # and it is genuinely a different criterion than count-BPE here
+    count_ref, _ = _ref_train(words, 8)
+    assert ref != count_ref
+
+
 def test_bpe_greedy_application_on_repeated_pairs(spark):
     """'aaaa' under merge (a,a) must give [aa, aa] (canonical greedy),
     'aaaaa' -> [aa, aa, a], and an adjacent pair repetition 'abab'
