@@ -870,6 +870,55 @@ def perplexity_buckets(
     )
 
 
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """C4-style blocklist gating (Raffel et al. 2020 drop any page
+    containing a "List of Dirty, Naughty …" word; RefinedWeb applies
+    the same shape via URL word lists): per-document occurrence count
+    of blocklisted tokens and the keep decision (``n_flagged <=
+    max_hits``; C4's policy is the default 0 — one hit drops the
+    doc).
+
+    ONE shuffle-free projection: tokens are filtered against the
+    blocklist with a chained ``isin`` (scalar literals — deliberately
+    NOT ``array_contains(F.lit(list), ...)``, whose CreateArray the
+    interpreted HOF path re-evaluates per element; see the Bloom-probe
+    lesson, decontam.py). At 100 TB the cost is the scan. Blocklists
+    big enough to stop being literals (UT1 is ~4M URLs) should switch
+    to the broadcast-anti-join shape of ``decontamination`` instead —
+    this operator is the published small-list projection.
+
+    Returns (id, n_tokens, n_flagged, keep) with null text yielding
+    null counts and keep=false.
+    """
+    assert blocklist, "empty blocklist"
+    bl = sorted({w.lower() for w in blocklist})
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    flagged = F.filter(toks, lambda t: t.isin(*bl))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(flagged).alias("n_flagged"),
+        F.coalesce(
+            F.size(flagged) <= F.lit(int(max_hits)), F.lit(False)
+        ).alias("keep"),
+    ).select(
+        id_col,
+        F.when(F.col("n_tokens") >= 0, F.col("n_tokens"))
+        .cast("int")
+        .alias("n_tokens"),
+        F.when(F.col("n_flagged") >= 0, F.col("n_flagged"))
+        .cast("int")
+        .alias("n_flagged"),
+        "keep",
+    )
+
+
 def gopher_rules(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1769,6 +1769,20 @@ def q_e4_lm_backoff(spark, sf_dir):
     )
 
 
+def q_e4_blocklist(spark, sf_dir):
+    """C4-style blocklist gate (r7, Raffel et al. 2020): per-doc
+    blocklisted-token occurrence count + keep decision as one
+    shuffle-free projection; the list uses words the synthetic corpus
+    actually contains so both outcomes fire."""
+    from decision_tree_stuff_spark.operators.textstats import (
+        blocklist_filter,
+    )
+
+    return blocklist_filter(
+        _docs(spark, sf_dir), ["spark", "dup", "merge"]
+    )
+
+
 def q_e4_lm_kn(spark, sf_dir):
     """Interpolated Kneser–Ney bigram scores (r7, Kneser & Ney '95 /
     Chen & Goodman '99): trains on the even-id half, scores the odd
@@ -3843,6 +3857,18 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
 LEFT JOIN scored s USING (doc_id)
 """,
+    # r7 C4-style blocklist gate: occurrence count of blocklisted
+    # tokens + keep decision, one projection.
+    "e4_blocklist": f"""
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  CAST(len(list_filter(toks, t -> t IN ('dup', 'merge', 'spark')))
+       AS INT) AS n_flagged,
+  coalesce(len(list_filter(toks, t -> t IN ('dup', 'merge', 'spark')))
+           <= 0, false) AS keep
+FROM (SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks
+      FROM documents) b
+""",
     # r7 interpolated Kneser–Ney bigram LM: discounted seen-bigram
     # mass + continuation-distribution interpolation, even-half model
     # scoring the odd half. Arithmetic order mirrors the Spark exprs
@@ -4418,6 +4444,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "rtree_fit_transform": q_rtree_fit_transform,    # r7: E-12 regression tree
     "e4_lm_backoff": q_e4_lm_backoff,              # r7: Stupid Backoff trigram
     "e4_lm_kn": q_e4_lm_kn,                        # r7: interpolated Kneser–Ney
+    "e4_blocklist": q_e4_blocklist,                # r7: C4 blocklist gate
     "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID
     # r7 rotation: long-stable rows demoted to make room for
     # e2_edit_verified / e4_lm_bigram (GATE_ROTATION.md)

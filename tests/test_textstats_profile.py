@@ -524,6 +524,44 @@ def test_kneser_ney_normalizes(spark):
         assert abs(r["total"] - 1.0) < 1e-9, (r["w1"], r["total"])
 
 
+def test_blocklist_filter_hand_corpus(spark):
+    """C4-style gating: occurrence counting (not distinct), the
+    max_hits policy knob, case-normalized blocklist, null text →
+    null counts and keep=false."""
+    from decision_tree_stuff_spark.operators.textstats import (
+        blocklist_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "clean words only here"),
+            (1, "one bad word"),
+            (2, "bad bad worse"),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_flagged"], r["keep"])
+        for r in blocklist_filter(docs, ["BAD", "worse"]).collect()
+    }
+    assert got == {
+        0: (4, 0, True),
+        1: (3, 1, False),
+        2: (3, 3, False),
+        3: (None, None, False),
+        4: (0, 0, True),
+    }
+    lenient = {
+        r["doc_id"]: r["keep"]
+        for r in blocklist_filter(
+            docs, ["bad", "worse"], max_hits=1
+        ).collect()
+    }
+    assert lenient == {0: True, 1: True, 2: False, 3: False, 4: True}
+
+
 def test_nb_classifier_hand_math(spark):
     """Multinomial NB with Laplace smoothing equals hand math on a
     2-label toy corpus, including the per-label OOV floor and the
