@@ -1700,6 +1700,21 @@ def q_e4_repetition_stats(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_e2_snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood candidate pairs (r7, Hernández & Stolfo
+    1995): width-4 window over the normalized-prefix sort order via
+    the two-phase range-partition rank — the hard-linear-bound
+    candidate generator (no hot keys possible). Twin = row_number
+    over the same total order + a rank-distance join."""
+    from decision_tree_stuff_spark.operators.snm import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(
+        _docs(spark, sf_dir), window=4, key_length=12
+    )
+
+
 def q_e2_winnow_pairs(spark, sf_dir):
     """MOSS/winnowing near-dup candidates (r6): pairs sharing ≥ 2
     selected k-gram fingerprints — deterministic guarantee for any
@@ -3857,6 +3872,22 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
 LEFT JOIN scored s USING (doc_id)
 """,
+    # r7 sorted-neighborhood blocking: rank by (12-char normalized
+    # prefix, doc_id), pair everything within a width-4 window.
+    "e2_snm_pairs": """
+WITH k AS (
+  SELECT doc_id,
+         coalesce(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                         1, 12), '') AS sk
+  FROM documents
+),
+r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) - 1 AS rnk FROM k
+)
+SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_id_a,
+       greatest(a.doc_id, b.doc_id) AS doc_id_b
+FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
+""",
     # r7 C4-style blocklist gate: occurrence count of blocklisted
     # tokens + keep decision, one projection.
     "e4_blocklist": f"""
@@ -4445,6 +4476,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_lm_backoff": q_e4_lm_backoff,              # r7: Stupid Backoff trigram
     "e4_lm_kn": q_e4_lm_kn,                        # r7: interpolated Kneser–Ney
     "e4_blocklist": q_e4_blocklist,                # r7: C4 blocklist gate
+    "e2_snm_pairs": q_e2_snm_pairs,                # r7: sorted-neighborhood
     "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID
     # r7 rotation: long-stable rows demoted to make room for
     # e2_edit_verified / e4_lm_bigram (GATE_ROTATION.md)
