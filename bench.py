@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "e4_lr_langid",   # includes its own training (4 GD iterations)
     "e4_lm_kn",       # interpolated Kneser–Ney (trains + scores)
     "rtree_fit_transform",  # CART regression tree (fit + transform)
+    "gbt_fit_transform",    # 3-stage gradient boosting (fit + transform)
+    "e2_snm_pairs",         # sorted-neighborhood blocking
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -290,3 +290,127 @@ class RegressionTree:
     @classmethod
     def from_json(cls, s: str) -> "RegressionTree":
         return cls.from_dict(json.loads(s))
+
+
+class GradientBoostedTrees:
+    """Squared-error gradient boosting (Friedman 2001) over
+    ``RegressionTree`` stages: F_0 = round(mean(y), 6); each stage
+    fits the fixed-config tree to the CURRENT residual ``y - F_{m-1}``
+    and advances ``F_m = F_{m-1} + lr * tree_m``.
+
+    Spark-first shape: the residual is an EXPRESSION over the input
+    frame (prior stages' trees are nested-CASE literals), never a
+    materialized column of a shuffled intermediate — each stage's
+    split search therefore runs the same two wide-aggregate passes per
+    node directly over the source scan, and final inference is ONE
+    fused projection summing all stages (zero shuffles, zero joins).
+
+    Determinism contract (what makes the unrolled-CTE DuckDB twin
+    exact): leaf values are 6dp half-away means; ``lr`` should be
+    exactly representable (0.5, 0.25, ...); the additive chain is
+    left-associated in both engines; the final prediction rounds to
+    6dp.
+    """
+
+    def __init__(
+        self,
+        target: str,
+        features: Optional[List[str]] = None,
+        n_trees: int = 3,
+        learning_rate: float = 0.5,
+        max_depth: int = 2,
+        min_samples: int = 2,
+        method: MethodOrStr = "mean",
+    ) -> None:
+        assert n_trees >= 1
+        self.target = target
+        self.features = features
+        self.n_trees = n_trees
+        self.learning_rate = float(learning_rate)
+        self.max_depth = max_depth
+        self.min_samples = min_samples
+        self.method = method
+        self.base_: Optional[float] = None
+        self.trees_: List[RegressionTree] = []
+
+    def fit(self, df: DataFrame) -> "GradientBoostedTrees":
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col(self.target)).alias("s")
+        ).first()
+        if row["n"] == 0:
+            raise ValueError("cannot fit GBT on 0 rows")
+        self.base_ = _round_away(float(row["s"]) / int(row["n"]), 6)
+        # resolve features against the ORIGINAL frame so neither the
+        # target nor the staged residual column can become a split
+        # candidate (a silent label leak otherwise)
+        feats = self.features or splittable_attributes(df, self.target)
+        self.trees_ = []
+        cur: Column = F.lit(self.base_)
+        for m in range(self.n_trees):
+            residual = F.col(self.target) - cur
+            staged = df.withColumn("__res", residual)
+            tree = RegressionTree(
+                "__res",
+                features=feats,
+                method=self.method,
+                max_depth=self.max_depth,
+                min_samples=self.min_samples,
+            ).fit(staged)
+            self.trees_.append(tree)
+            cur = cur + F.lit(self.learning_rate) * tree.prediction_expr()
+        return self
+
+    def prediction_expr(self, dp: int = 6) -> Column:
+        assert self.base_ is not None, "fit() first"
+        cur: Column = F.lit(self.base_)
+        for tree in self.trees_:
+            cur = cur + F.lit(self.learning_rate) * tree.prediction_expr()
+        return F.round(cur, dp)
+
+    def transform(
+        self, df: DataFrame, output_col: str = "prediction"
+    ) -> DataFrame:
+        return df.withColumn(output_col, self.prediction_expr())
+
+    def to_dict(self) -> Dict[str, Any]:
+        assert self.base_ is not None, "fit() first"
+        return {
+            "target": self.target,
+            "n_trees": self.n_trees,
+            "learning_rate": self.learning_rate,
+            "max_depth": self.max_depth,
+            "min_samples": self.min_samples,
+            "method": resolve_method(self.method).name,
+            "base": self.base_,
+            "trees": [t.tree_ for t in self.trees_],
+        }
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "GradientBoostedTrees":
+        gbt = cls(
+            d["target"],
+            n_trees=d["n_trees"],
+            learning_rate=d["learning_rate"],
+            max_depth=d["max_depth"],
+            min_samples=d["min_samples"],
+            method=d["method"],
+        )
+        gbt.base_ = d["base"]
+        gbt.trees_ = []
+        for t in d["trees"]:
+            rt = RegressionTree(
+                d["target"],
+                method=d["method"],
+                max_depth=d["max_depth"],
+                min_samples=d["min_samples"],
+            )
+            rt.tree_ = t
+            gbt.trees_.append(rt)
+        return gbt
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "GradientBoostedTrees":
+        return cls.from_dict(json.loads(s))

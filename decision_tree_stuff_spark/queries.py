@@ -192,34 +192,53 @@ def _tree_train_cte(pfx: str, train_where: str, depth: int = 3,
 RFEATURES = ["l_extendedprice", "l_quantity", "l_tax"]
 
 
-def _rtree_cte_sql(pfx: str, depth: int = 2) -> str:
+RTREE_KEYS = ["l_orderkey", "l_linenumber"]
+
+
+def _rtree_cte_sql(
+    pfx: str,
+    depth: int = 2,
+    src: str = "base",
+    y_sql: str = "l_discount",
+    extra_cols: list = None,
+) -> str:
     """Level-wise CTE derivation of the FIXED-config CART regression
-    tree (operators/regression_tree.py) plus its transform — the
-    variance-reduction analog of ``_tree_train_cte``: per (path,
-    variable) the mean threshold, then the mergeable (count, sum,
-    sum-of-squares) triple per side; score = SSE_l + SSE_r in the
-    identical ``q - s*s/n`` double shape; best per path on (score,
-    variable) ASC; a node splits only when it is impure (exact
-    MIN(y) <> MAX(y)), has >= 2 rows, and both sides are non-empty.
-    Leaves predict round(AVG(y), 6) — half-away, matching the
-    driver-side ``_round_away``. CTEs MATERIALIZED for the same
-    exponential-inlining reason as the classification twins."""
+    tree (operators/regression_tree.py) — the variance-reduction
+    analog of ``_tree_train_cte``: per (path, variable) the mean
+    threshold, then the mergeable (count, sum, sum-of-squares) triple
+    per side; score = SSE_l + SSE_r in the identical ``q - s*s/n``
+    double shape; best per path on (score, variable) ASC; a node
+    splits only when it is impure (exact MIN(y) <> MAX(y)), has >= 2
+    rows, and both sides are non-empty. Leaves predict
+    round(AVG(y), 6) — half-away, matching the driver-side
+    ``_round_away``. CTEs MATERIALIZED for the same
+    exponential-inlining reason as the classification twins.
+
+    The row keys (and any ``extra_cols``, e.g. a boosting stage's
+    running prediction) RIDE THROUGH the train chain, so
+    ``{pfx}r{depth}`` doubles as the routed transform — join it with
+    ``{pfx}leaf`` on ``p`` for per-row predictions. ``y_sql`` is the
+    training target expression over ``src`` (a residual for boosting
+    stages)."""
     feats = RFEATURES
+    extra = list(extra_cols or [])
+    carry = RTREE_KEYS + extra
+    ccols = ", ".join(carry)
     fcols = ", ".join(feats)
-    rcols = ", ".join(f"r.{f}" for f in feats)
+    rcols = ", ".join(
+        [f"r.{c}" for c in carry] + [f"r.{f}" for f in feats]
+    )
 
     def sse(n: str, s: str, q: str) -> str:
         return f"(CASE WHEN {n} > 0 THEN {q} - {s}*{s}/{n} ELSE 0.0 END)"
 
     ctes = [
-        f"{pfx}r0 AS MATERIALIZED "
-        f"(SELECT {fcols}, l_discount AS y, '' AS p FROM base)",
-        f"{pfx}a0 AS MATERIALIZED (SELECT l_orderkey, l_linenumber, "
-        f"{fcols}, '' AS p FROM base)",
+        f"{pfx}r0 AS MATERIALIZED (SELECT {ccols}, {fcols}, "
+        f"({y_sql}) AS ty, '' AS p FROM {src})",
     ]
     for k in range(depth):
         melt = "\n    UNION ALL ".join(
-            f"SELECT p, '{f}' AS variable, {f} AS value, y FROM {pfx}r{k}"
+            f"SELECT p, '{f}' AS variable, {f} AS value, ty FROM {pfx}r{k}"
             for f in feats
         )
         score = (
@@ -235,16 +254,16 @@ def _rtree_cte_sql(pfx: str, depth: int = 2) -> str:
             f"""{pfx}g{k} AS MATERIALIZED (
   SELECT m.p, m.variable, t.thr,
          COUNT(CASE WHEN m.value <= t.thr THEN 1 END) AS ln_,
-         COALESCE(SUM(CASE WHEN m.value <= t.thr THEN m.y END), 0.0) AS ls_,
-         COALESCE(SUM(CASE WHEN m.value <= t.thr THEN m.y*m.y END), 0.0) AS lq_,
+         COALESCE(SUM(CASE WHEN m.value <= t.thr THEN m.ty END), 0.0) AS ls_,
+         COALESCE(SUM(CASE WHEN m.value <= t.thr THEN m.ty*m.ty END), 0.0) AS lq_,
          COUNT(CASE WHEN m.value > t.thr THEN 1 END) AS rn_,
-         COALESCE(SUM(CASE WHEN m.value > t.thr THEN m.y END), 0.0) AS rs_,
-         COALESCE(SUM(CASE WHEN m.value > t.thr THEN m.y*m.y END), 0.0) AS rq_
+         COALESCE(SUM(CASE WHEN m.value > t.thr THEN m.ty END), 0.0) AS rs_,
+         COALESCE(SUM(CASE WHEN m.value > t.thr THEN m.ty*m.ty END), 0.0) AS rq_
   FROM {pfx}m{k} m JOIN {pfx}t{k} t ON m.p = t.p AND m.variable = t.variable
   GROUP BY 1, 2, 3
 )""",
             f"{pfx}n{k} AS MATERIALIZED (SELECT p, COUNT(*) AS n, "
-            f"MIN(y) AS lo, MAX(y) AS hi FROM {pfx}r{k} GROUP BY 1)",
+            f"MIN(ty) AS lo, MAX(ty) AS hi FROM {pfx}r{k} GROUP BY 1)",
             f"""{pfx}d{k} AS MATERIALIZED (
   SELECT s.p, s.variable, s.thr FROM (
     SELECT g.p, g.variable, g.thr, g.ln_, g.rn_,
@@ -256,19 +275,54 @@ def _rtree_cte_sql(pfx: str, depth: int = 2) -> str:
     AND least(s.ln_, s.rn_) > 0
 )""",
             f"""{pfx}r{k + 1} AS MATERIALIZED (
-  SELECT {rcols}, r.y, {step} AS p
+  SELECT {rcols}, r.ty, {step} AS p
   FROM {pfx}r{k} r LEFT JOIN {pfx}d{k} d ON r.p = d.p
-)""",
-            f"""{pfx}a{k + 1} AS MATERIALIZED (
-  SELECT r.l_orderkey, r.l_linenumber, {rcols}, {step} AS p
-  FROM {pfx}a{k} r LEFT JOIN {pfx}d{k} d ON r.p = d.p
 )""",
         ]
     ctes.append(
-        f"{pfx}leaf AS MATERIALIZED (SELECT p, round(AVG(y), 6) AS pred "
+        f"{pfx}leaf AS MATERIALIZED (SELECT p, round(AVG(ty), 6) AS pred "
         f"FROM {pfx}r{depth} GROUP BY 1)"
     )
     return ",\n".join(ctes)
+
+
+def _gbt_cte_sql(n_trees: int = 3, depth: int = 2,
+                 lr: float = 0.5) -> str:
+    """Unrolled gradient-boosting chain (Friedman 2001, squared
+    error): stage 0 predicts round(AVG(y), 6); each stage m trains
+    the FIXED-config regression tree on the residual ``y - fhat`` via
+    ``_rtree_cte_sql`` (keys + running prediction riding through its
+    train chain), then advances ``fhat += lr * leaf.pred``. The
+    addition order matches the Spark expression exactly
+    (left-associated), so doubles agree bit-for-bit before the final
+    6dp round."""
+    parts = [
+        """gb0 AS MATERIALIZED (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_tax,
+         l_discount AS y,
+         (SELECT round(AVG(l_discount), 6) FROM base) AS fhat
+  FROM base
+)"""
+    ]
+    for m in range(n_trees):
+        pfx = f"g{m}_"
+        parts.append(
+            _rtree_cte_sql(
+                pfx,
+                depth=depth,
+                src=f"gb{m}",
+                y_sql="y - fhat",
+                extra_cols=["y", "fhat"],
+            )
+        )
+        parts.append(
+            f"""gb{m + 1} AS MATERIALIZED (
+  SELECT r.l_orderkey, r.l_linenumber, r.l_extendedprice, r.l_quantity,
+         r.l_tax, r.y AS y, r.fhat + {lr!r} * l.pred AS fhat
+  FROM {pfx}r{depth} r JOIN {pfx}leaf l ON r.p = l.p
+)"""
+        )
+    return ",\n".join(parts)
 
 
 def _apply_cte(pfxs: list, depth: int = 3) -> str:
@@ -889,6 +943,30 @@ def q_rtree_fit_transform(spark, sf_dir):
     ).fit(base.select(*RFEATURES, "l_discount"))
     return base.select(
         "l_orderkey", "l_linenumber", rt.prediction_expr().alias("prediction")
+    )
+
+
+def q_gbt_fit_transform(spark, sf_dir):
+    """E-12b gradient boosting (r7, Friedman 2001): three depth-2
+    squared-error stages on running residuals, lr=0.5, target
+    l_discount. The twin unrolls the identical stage chain
+    (``_gbt_cte_sql``); predictions compare at 6dp."""
+    from decision_tree_stuff_spark.operators.regression_tree import (
+        GradientBoostedTrees,
+    )
+
+    base = _lineitem_base(spark, sf_dir)
+    gbt = GradientBoostedTrees(
+        "l_discount",
+        features=RFEATURES,
+        n_trees=3,
+        learning_rate=0.5,
+        max_depth=2,
+    ).fit(base.select(*RFEATURES, "l_discount"))
+    return base.select(
+        "l_orderkey",
+        "l_linenumber",
+        gbt.prediction_expr().alias("prediction"),
     )
 
 
@@ -2382,8 +2460,16 @@ FROM ap3 a JOIN tf_leaf l ON a.p0 = l.p
     # derivation + row-local routing; predictions are 6dp leaf means.
     "rtree_fit_transform": f"""WITH {BASE_SQL},
 {_rtree_cte_sql('rt_', depth=2)}
-SELECT a.l_orderkey, a.l_linenumber, l.pred AS prediction
-FROM rt_a2 a JOIN rt_leaf l ON a.p = l.p
+SELECT r.l_orderkey, r.l_linenumber, l.pred AS prediction
+FROM rt_r2 r JOIN rt_leaf l ON r.p = l.p
+""",
+    # E-12b gradient boosting (r7): 3 squared-error stages of the
+    # depth-2 regression tree on running residuals, lr=0.5 (exact
+    # binary), final prediction rounded to 6dp.
+    "gbt_fit_transform": f"""WITH {BASE_SQL},
+{_gbt_cte_sql(n_trees=3, depth=2, lr=0.5)}
+SELECT l_orderkey, l_linenumber, round(fhat, 6) AS prediction
+FROM gb3
 """,
     "tree_fit_median_gini": f"""WITH {BASE_SQL},
 {_tree_train_cte('mg_', '', depth=2, thr_sql='quantile_cont(value, 0.5)',
@@ -4473,6 +4559,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_top_tokens": q_e4_top_tokens,
     "tree_fit_median_gini": q_tree_fit_median_gini,  # r7: O-13 generator generality
     "rtree_fit_transform": q_rtree_fit_transform,    # r7: E-12 regression tree
+    "gbt_fit_transform": q_gbt_fit_transform,        # r7: E-12b gradient boosting
     "e4_lm_backoff": q_e4_lm_backoff,              # r7: Stupid Backoff trigram
     "e4_lm_kn": q_e4_lm_kn,                        # r7: interpolated Kneser–Ney
     "e4_blocklist": q_e4_blocklist,                # r7: C4 blocklist gate

@@ -170,6 +170,139 @@ def test_inference_is_single_projection(spark, tmp_path):
     assert "Exchange" not in plan and "Join" not in plan, plan
 
 
+def _py_gbt(rows, target, attrs, n_trees, lr, depth):
+    n = len(rows)
+    base = _round_away(sum(r[target] for r in rows) / n, 6)
+    fhat = {i: base for i in range(n)}
+    trees = []
+
+    def predict(tree, r):
+        while "value" not in tree:
+            tree = (
+                tree["left"]
+                if r[tree["variable"]] <= tree["threshold"]
+                else tree["right"]
+            )
+        return tree["value"]
+
+    for _ in range(n_trees):
+        staged = [
+            dict(r, __res=r[target] - fhat[i]) for i, r in enumerate(rows)
+        ]
+        t = _py_fit(staged, "__res", attrs, depth)
+        trees.append(t)
+        fhat = {
+            i: fhat[i] + lr * predict(t, r) for i, r in enumerate(rows)
+        }
+    return base, trees, fhat
+
+
+def test_gbt_differential_vs_pure_python(spark):
+    """3-stage boosting on random data matches the driver-side
+    reference: same base, same stage trees, same final predictions."""
+    rng = random.Random(11)
+    rows = [
+        {"u": rng.uniform(0, 10), "v": rng.uniform(-3, 3),
+         "y": rng.uniform(0, 1)}
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(
+        [(r["u"], r["v"], r["y"]) for r in rows], "u double, v double, y double"
+    ).repartition(5)
+    from decision_tree_stuff_spark.operators.regression_tree import (
+        GradientBoostedTrees,
+    )
+
+    gbt = GradientBoostedTrees(
+        "y", features=["u", "v"], n_trees=3, learning_rate=0.5, max_depth=2
+    ).fit(df)
+    base, trees, fhat = _py_gbt(rows, "y", ["u", "v"], 3, 0.5, 2)
+    assert gbt.base_ == base
+    assert len(gbt.trees_) == 3
+
+    def close(a, b):
+        if set(a) != set(b):
+            return False
+        if "value" in a:
+            return abs(a["value"] - b["value"]) < 1e-9
+        return (
+            a["variable"] == b["variable"]
+            and abs(a["threshold"] - b["threshold"]) < 1e-9
+            and close(a["left"], b["left"])
+            and close(a["right"], b["right"])
+        )
+
+    for got, want in zip(gbt.trees_, trees):
+        assert close(got.tree_, want), (got.tree_, want)
+
+
+def test_gbt_training_loss_decreases(spark):
+    """Each added stage must not increase squared training error —
+    Friedman's monotone-loss property under lr<=1 (checked on data
+    with real structure)."""
+    df = spark.createDataFrame(
+        [(float(i), float(i % 7), float((i % 7) * 2 + (i % 3)))
+         for i in range(300)],
+        "a double, b double, y double",
+    )
+    from decision_tree_stuff_spark.operators.regression_tree import (
+        GradientBoostedTrees,
+    )
+
+    losses = []
+    for n in (1, 2, 4):
+        gbt = GradientBoostedTrees(
+            "y", features=["a", "b"], n_trees=n, learning_rate=0.5,
+            max_depth=2,
+        ).fit(df)
+        loss = (
+            gbt.transform(df)
+            .agg(F.avg(F.pow(F.col("y") - F.col("prediction"), 2)))
+            .first()[0]
+        )
+        losses.append(loss)
+    assert losses[0] >= losses[1] >= losses[2]
+    assert losses[2] < losses[0]
+
+
+def test_gbt_inference_is_single_projection(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(float(i), float(i % 4)) for i in range(80)], "x double, y double"
+    )
+    path = str(tmp_path / "gbt.parquet")
+    df.write.parquet(path)
+    src = spark.read.parquet(path)
+    from decision_tree_stuff_spark.operators.regression_tree import (
+        GradientBoostedTrees,
+    )
+
+    gbt = GradientBoostedTrees(
+        "y", features=["x"], n_trees=2, max_depth=1
+    ).fit(src)
+    plan = (
+        gbt.transform(src)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_gbt_serde_round_trip(spark):
+    df = spark.createDataFrame(
+        [(float(i), math.cos(i)) for i in range(60)], "x double, y double"
+    )
+    from decision_tree_stuff_spark.operators.regression_tree import (
+        GradientBoostedTrees,
+    )
+
+    gbt = GradientBoostedTrees(
+        "y", features=["x"], n_trees=2, max_depth=1
+    ).fit(df)
+    back = GradientBoostedTrees.from_json(gbt.to_json())
+    assert back.to_dict() == gbt.to_dict()
+    a = sorted(r["prediction"] for r in gbt.transform(df).collect())
+    b = sorted(r["prediction"] for r in back.transform(df).collect())
+    assert a == b
+
+
 def test_serde_round_trip(spark):
     df = spark.createDataFrame(
         [(float(i), math.sin(i)) for i in range(50)], "x double, y double"
