@@ -1068,6 +1068,94 @@ def top_tokens(
     )
 
 
+def chi2_features(
+    docs: DataFrame,
+    label_col: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """χ² feature selection (Yang & Pedersen 1997 — the classic
+    companion to the NB/LR text-gate family: pick the k tokens most
+    associated with each label before training): per observed
+    (label, token) pair the document-presence contingency table
+
+        A = docs of label containing token   B = other docs containing
+        C = docs of label without token      D = the rest
+
+    scored ``χ² = N(AD-BC)² / ((A+B)(C+D)(A+C)(B+D))``, top-k per
+    label on (χ² desc, token asc).
+
+    Every contingency cell derives from integer aggregates small
+    enough that the double arithmetic is EXACT (products < 2^53 at
+    any per-label corpus below ~2M docs; beyond that both engines
+    round identically because the expression shape is shared) — no
+    6dp tolerance needed in the twin, only a display round.
+
+    Plan: one distinct (doc, label, token) explode (presence, not
+    occurrences) → one (label, token) count aggregate; token and
+    label marginals come from that same table plus one corpus-sized
+    label count; N rides as a broadcast 1-row frame. The rank window
+    rewrites to WindowGroupLimit (k rows per label cross the
+    exchange). Returns (label, token, chi2, rank).
+    """
+    pres = docs.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    ).where(F.col("token") != "")
+    a = pres.groupBy("label", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("A")
+    )
+    tok_tot = a.groupBy("token").agg(F.sum("A").alias("T"))
+    lab_tot = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("double").alias("L")
+    )
+    n_total = docs.agg(F.count(F.lit(1)).cast("double").alias("N"))
+    cells = (
+        a.join(tok_tot, "token")
+        .join(F.broadcast(lab_tot), "label")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "label",
+            "token",
+            "A",
+            (F.col("T") - F.col("A")).alias("B"),
+            (F.col("L") - F.col("A")).alias("C"),
+            (F.col("N") - F.col("T") - F.col("L") + F.col("A")).alias("D"),
+            "N",
+        )
+        # a token present in EVERY doc (T=N) or a label covering the
+        # whole corpus (L=N) zeroes a marginal — division by zero and
+        # zero information; excluded, matching standard CHI practice
+        .where((F.col("A") + F.col("B") < F.col("N")) &
+               (F.col("A") + F.col("C") < F.col("N")))
+    )
+    chi2 = (
+        F.col("N")
+        * F.pow(F.col("A") * F.col("D") - F.col("B") * F.col("C"), 2)
+        / (
+            (F.col("A") + F.col("B"))
+            * (F.col("C") + F.col("D"))
+            * (F.col("A") + F.col("C"))
+            * (F.col("B") + F.col("D"))
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        chi2.desc(), F.col("token").asc()
+    )
+    return (
+        cells.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "label",
+            "token",
+            F.round(chi2, 6).alias("chi2"),
+            "rank",
+        )
+    )
+
+
 def corpus_profile(
     docs: DataFrame,
     group_col: str = "lang",

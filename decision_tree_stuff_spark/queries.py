@@ -1862,6 +1862,19 @@ def q_e4_lm_backoff(spark, sf_dir):
     )
 
 
+def q_e4_chi2_features(spark, sf_dir):
+    """χ² feature selection (r7, Yang & Pedersen 1997): top-10
+    label-associated tokens per lang from document-presence
+    contingency tables — the feature-selection step ahead of the
+    NB/LR text gates. Integer-exact double algebra; WindowGroupLimit
+    rank."""
+    from decision_tree_stuff_spark.operators.textstats import (
+        chi2_features,
+    )
+
+    return chi2_features(_docs(spark, sf_dir), "lang", k=10)
+
+
 def q_e4_blocklist(spark, sf_dir):
     """C4-style blocklist gate (r7, Raffel et al. 2020): per-doc
     blocklisted-token occurrence count + keep decision as one
@@ -3974,6 +3987,40 @@ SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_id_a,
        greatest(a.doc_id, b.doc_id) AS doc_id_b
 FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
 """,
+    # r7 χ² feature selection: document-presence contingency per
+    # observed (label, token), N(AD-BC)²/((A+B)(C+D)(A+C)(B+D)),
+    # top-10 per label; everywhere-tokens/labels excluded (zero
+    # marginal). Integer-derived doubles — exact cross-engine.
+    "e4_chi2_features": f"""
+WITH pres AS (
+  SELECT DISTINCT lang AS label, doc_id, tok AS token FROM (
+    SELECT lang, doc_id, unnest({TOKS_SQL}) AS tok FROM documents) u
+  WHERE tok <> ''
+),
+a AS (SELECT label, token, CAST(count(*) AS DOUBLE) AS A
+      FROM pres GROUP BY 1, 2),
+tt AS (SELECT token, sum(A) AS T FROM a GROUP BY 1),
+lt AS (SELECT lang AS label, CAST(count(*) AS DOUBLE) AS L
+       FROM documents GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM documents),
+cells AS (
+  SELECT a.label, a.token, a.A, tt.T - a.A AS B, lt.L - a.A AS C,
+         nn.N - tt.T - lt.L + a.A AS D, nn.N AS N
+  FROM a JOIN tt USING (token) JOIN lt USING (label) CROSS JOIN nn
+  WHERE a.A + (tt.T - a.A) < nn.N AND a.A + (lt.L - a.A) < nn.N
+),
+ranked AS (
+  SELECT label, token,
+         N * pow(A*D - B*C, 2) / ((A+B)*(C+D)*(A+C)*(B+D)) AS chi2,
+         row_number() OVER (PARTITION BY label
+           ORDER BY N * pow(A*D - B*C, 2)
+                    / ((A+B)*(C+D)*(A+C)*(B+D)) DESC,
+                    token ASC) AS rank
+  FROM cells
+)
+SELECT label, token, round(chi2, 6) AS chi2, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+""",
     # r7 C4-style blocklist gate: occurrence count of blocklisted
     # tokens + keep decision, one projection.
     "e4_blocklist": f"""
@@ -4564,6 +4611,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_lm_kn": q_e4_lm_kn,                        # r7: interpolated Kneser–Ney
     "e4_blocklist": q_e4_blocklist,                # r7: C4 blocklist gate
     "e2_snm_pairs": q_e2_snm_pairs,                # r7: sorted-neighborhood
+    "e4_chi2_features": q_e4_chi2_features,        # r7: χ² feature selection
     "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID
     # r7 rotation: long-stable rows demoted to make room for
     # e2_edit_verified / e4_lm_bigram (GATE_ROTATION.md)

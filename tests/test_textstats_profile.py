@@ -562,6 +562,39 @@ def test_blocklist_filter_hand_corpus(spark):
     assert lenient == {0: True, 1: True, 2: False, 3: False, 4: True}
 
 
+def test_chi2_features_hand_math(spark):
+    """Yang & Pedersen χ² on a 4-doc corpus: perfectly-associated
+    tokens score N, independent ones 0, the 2x2 algebra matches hand
+    math, and the everywhere-token is excluded (zero information,
+    zero marginal)."""
+    from decision_tree_stuff_spark.operators.textstats import (
+        chi2_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "common apple banana"),
+            (1, "en", "common apple cherry"),
+            (2, "fr", "common banana date"),
+            (3, "fr", "common date egg"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    got = {
+        (r["label"], r["token"]): (r["chi2"], r["rank"])
+        for r in chi2_features(docs, "lang", k=5).collect()
+    }
+    # 'common' is in every doc -> excluded entirely
+    assert not any(t == "common" for _, t in got)
+    assert got[("en", "apple")] == (4.0, 1)
+    assert got[("fr", "date")] == (4.0, 1)
+    assert got[("en", "cherry")] == (round(16 / 12, 6), 2)
+    assert got[("en", "banana")][0] == 0.0
+    # symmetric: a token absent from the label still appears as an
+    # observed pair only where A>0 — 'date' has no 'en' row
+    assert ("en", "date") not in got
+
+
 def test_nb_classifier_hand_math(spark):
     """Multinomial NB with Laplace smoothing equals hand math on a
     2-label toy corpus, including the per-label OOV floor and the
