@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "rtree_fit_transform",  # CART regression tree (fit + transform)
     "gbt_fit_transform",    # 3-stage gradient boosting (fit + transform)
     "e2_snm_pairs",         # sorted-neighborhood blocking
+    "e4_chi2_features",     # chi-square feature selection
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -216,3 +216,149 @@ class DecisionForestModel(Model):
     @classmethod
     def load_json(cls, path: str) -> "DecisionForestModel":
         return cls(DecisionForest.load_json(path))
+
+
+class _HasRegressionParams(Params):
+    targetCol = Param(
+        Params._dummy(), "targetCol", "numeric regression target",
+        typeConverter=TypeConverters.toString,
+    )
+    featureCols = Param(
+        Params._dummy(), "featureCols",
+        "feature columns ([] = every numeric non-target column)",
+        typeConverter=TypeConverters.toListString,
+    )
+    rSplittingMethod = Param(
+        Params._dummy(), "rSplittingMethod", "mean | median | midpoint",
+        typeConverter=TypeConverters.toString,
+    )
+    rMaxDepth = Param(
+        Params._dummy(), "rMaxDepth", "max tree depth",
+        typeConverter=TypeConverters.toInt,
+    )
+    rMinSamples = Param(
+        Params._dummy(), "rMinSamples", "minimum rows to split",
+        typeConverter=TypeConverters.toInt,
+    )
+
+
+class RegressionTreeRegressor(Estimator, _HasRegressionParams):
+    """``Estimator`` facade for the CART regression tree (r7) — same
+    no-VectorAssembler column convention as the classifier facades."""
+
+    @keyword_only
+    def __init__(
+        self,
+        targetCol: str = "y",
+        featureCols: list = None,
+        rSplittingMethod: str = "mean",
+        rMaxDepth: int = 3,
+        rMinSamples: int = 2,
+    ):
+        super().__init__()
+        self._setDefault(
+            targetCol="y",
+            featureCols=[],
+            rSplittingMethod="mean",
+            rMaxDepth=3,
+            rMinSamples=2,
+        )
+        kwargs = self._input_kwargs
+        if kwargs.get("featureCols") is None:
+            kwargs.pop("featureCols", None)
+        self._set(**kwargs)
+
+    def _fit(self, dataset: DataFrame) -> "RegressionTreeModel":
+        from decision_tree_stuff_spark.operators.regression_tree import (
+            RegressionTree,
+        )
+
+        tree = RegressionTree(
+            self.getOrDefault("targetCol"),
+            features=self.getOrDefault("featureCols") or None,
+            method=self.getOrDefault("rSplittingMethod"),
+            max_depth=self.getOrDefault("rMaxDepth"),
+            min_samples=self.getOrDefault("rMinSamples"),
+        ).fit(dataset)
+        return RegressionTreeModel(tree)
+
+
+class RegressionTreeModel(Model):
+    """Fitted regression tree: ``transform`` adds the DOUBLE
+    ``prediction`` column in one projection."""
+
+    def __init__(self, tree):
+        super().__init__()
+        self.tree = tree
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        return self.tree.transform(dataset)
+
+
+class GBTStuffRegressor(Estimator, _HasRegressionParams):
+    """``Estimator`` facade for squared-error gradient boosting
+    (r7)."""
+
+    nStages = Param(
+        Params._dummy(), "nStages", "boosting stages",
+        typeConverter=TypeConverters.toInt,
+    )
+    learningRate = Param(
+        Params._dummy(), "learningRate",
+        "stage shrinkage (use an exactly-representable value)",
+        typeConverter=TypeConverters.toFloat,
+    )
+
+    @keyword_only
+    def __init__(
+        self,
+        targetCol: str = "y",
+        featureCols: list = None,
+        rSplittingMethod: str = "mean",
+        rMaxDepth: int = 2,
+        rMinSamples: int = 2,
+        nStages: int = 3,
+        learningRate: float = 0.5,
+    ):
+        super().__init__()
+        self._setDefault(
+            targetCol="y",
+            featureCols=[],
+            rSplittingMethod="mean",
+            rMaxDepth=2,
+            rMinSamples=2,
+            nStages=3,
+            learningRate=0.5,
+        )
+        kwargs = self._input_kwargs
+        if kwargs.get("featureCols") is None:
+            kwargs.pop("featureCols", None)
+        self._set(**kwargs)
+
+    def _fit(self, dataset: DataFrame) -> "GBTStuffModel":
+        from decision_tree_stuff_spark.operators.regression_tree import (
+            GradientBoostedTrees,
+        )
+
+        gbt = GradientBoostedTrees(
+            self.getOrDefault("targetCol"),
+            features=self.getOrDefault("featureCols") or None,
+            n_trees=self.getOrDefault("nStages"),
+            learning_rate=self.getOrDefault("learningRate"),
+            max_depth=self.getOrDefault("rMaxDepth"),
+            min_samples=self.getOrDefault("rMinSamples"),
+            method=self.getOrDefault("rSplittingMethod"),
+        ).fit(dataset)
+        return GBTStuffModel(gbt)
+
+
+class GBTStuffModel(Model):
+    """Fitted boosted ensemble: ``transform`` adds the DOUBLE
+    ``prediction`` in one fused projection."""
+
+    def __init__(self, gbt):
+        super().__init__()
+        self.gbt = gbt
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        return self.gbt.transform(dataset)

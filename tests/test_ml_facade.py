@@ -67,3 +67,36 @@ def test_forest_estimator_in_pipeline(heterodf, tmp_path):
 
     model2 = est.fit(heterodf)
     assert model2.forest.dict() == model.forest.dict()
+
+
+def test_regression_facades_in_pipeline(spark):
+    """RegressionTreeRegressor and GBTStuffRegressor (r7) fit inside a
+    pyspark.ml Pipeline; the tree recovers a step function exactly and
+    boosting's training loss is no worse than the single stage's."""
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.ml import (
+        GBTStuffRegressor,
+        RegressionTreeRegressor,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), 10.0 if i < 50 else 20.0) for i in range(100)],
+        "x double, y double",
+    )
+    rt = Pipeline(
+        stages=[RegressionTreeRegressor(targetCol="y", rMaxDepth=1)]
+    ).fit(df).stages[0]
+    out = rt.transform(df)
+    assert all(r["prediction"] == r["y"] for r in out.collect())
+
+    def sse(model):
+        return (
+            model.transform(df)
+            .agg(F.sum(F.pow(F.col("y") - F.col("prediction"), 2)))
+            .first()[0]
+        )
+
+    gbt1 = GBTStuffRegressor(targetCol="y", nStages=1, rMaxDepth=1).fit(df)
+    gbt3 = GBTStuffRegressor(targetCol="y", nStages=3, rMaxDepth=1).fit(df)
+    assert sse(gbt3) <= sse(gbt1) + 1e-9
