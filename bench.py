@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "gbt_fit_transform",    # 3-stage gradient boosting (fit + transform)
     "e2_snm_pairs",         # sorted-neighborhood blocking
     "e4_chi2_features",     # chi-square feature selection
+    "linreg_fit_transform",  # closed-form normal-equations regression
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

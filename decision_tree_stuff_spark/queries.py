@@ -1862,6 +1862,47 @@ def q_e4_lm_backoff(spark, sf_dir):
     )
 
 
+def q_linreg_fit_transform(spark, sf_dir):
+    """Closed-form linear regression (r7, E-12c): a token-count
+    estimator — fit n_tokens ≈ w0 + w1·chars + w2·vowels by one-pass
+    normal equations (exact BIGINT moments → Cramer solve → literal
+    projection), the calibration pattern that budgets tokens at
+    100 TB without tokenizing. Coefficients — not just the rounded
+    predictions — are bit-identical to the DuckDB twin because the
+    Gram matrix is integer-exact and the solve mirrors the same IEEE
+    expression tree."""
+    from decision_tree_stuff_spark.functions.text import tokens
+    from decision_tree_stuff_spark.operators.linreg import (
+        linreg_fit,
+        linreg_transform,
+    )
+
+    docs = _docs(spark, sf_dir)
+    feats = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[aeiou]", ""))
+        ).alias("vowels"),
+        F.size(
+            F.filter(tokens(F.col("text")), lambda t: t != "")
+        ).alias("n_tokens"),
+    )
+    model = linreg_fit(feats, "n_tokens", ["chars", "vowels"])
+    out = linreg_transform(
+        feats, model, ["chars", "vowels"], output_col="est_tokens"
+    )
+    return out.select(
+        "doc_id",
+        "chars",
+        "vowels",
+        "n_tokens",
+        "est_tokens",
+        F.round(F.col("n_tokens") - F.col("est_tokens"), 6).alias("resid"),
+    )
+
+
 def q_e4_chi2_features(spark, sf_dir):
     """χ² feature selection (r7, Yang & Pedersen 1997): top-10
     label-associated tokens per lang from document-presence
@@ -3991,6 +4032,61 @@ FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
     # observed (label, token), N(AD-BC)²/((A+B)(C+D)(A+C)(B+D)),
     # top-10 per label; everywhere-tokens/labels excluded (zero
     # marginal). Integer-derived doubles — exact cross-engine.
+    # r7 closed-form linear regression (token-count estimator):
+    # integer-exact Gram moments, then the SAME Cramer expression
+    # tree as linreg_fit (do not reassociate — the coefficients must
+    # match the Python solve bit-for-bit, not just to 6dp).
+    "linreg_fit_transform": f"""
+WITH feats AS (
+  SELECT doc_id, n_chars AS chars,
+         CAST(length(text)
+              - length(regexp_replace(text, '[aeiou]', '', 'g'))
+              AS INT) AS vowels,
+         CAST(len(list_filter({TOKS_SQL}, t -> t <> '')) AS INT)
+           AS n_tokens
+  FROM documents
+),
+g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(n_tokens AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(chars AS BIGINT)) AS DOUBLE) AS sx1,
+         CAST(sum(CAST(vowels AS BIGINT)) AS DOUBLE) AS sx2,
+         CAST(sum(CAST(chars AS BIGINT) * CAST(n_tokens AS BIGINT))
+              AS DOUBLE) AS s1y,
+         CAST(sum(CAST(vowels AS BIGINT) * CAST(n_tokens AS BIGINT))
+              AS DOUBLE) AS s2y,
+         CAST(sum(CAST(chars AS BIGINT) * CAST(chars AS BIGINT))
+              AS DOUBLE) AS s11,
+         CAST(sum(CAST(chars AS BIGINT) * CAST(vowels AS BIGINT))
+              AS DOUBLE) AS s12,
+         CAST(sum(CAST(vowels AS BIGINT) * CAST(vowels AS BIGINT))
+              AS DOUBLE) AS s22
+  FROM feats
+),
+gd AS (
+  SELECT *,
+         n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)
+           + sx2*(sx1*s12 - s11*sx2) AS det
+  FROM g
+),
+w AS (
+  SELECT
+    (sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y)
+       + sx2*(s1y*s12 - s11*s2y)) / det AS w0,
+    (n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2)
+       + sx2*(sx1*s2y - s1y*sx2)) / det AS w1,
+    (n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2)
+       + sy*(sx1*s12 - s11*sx2)) / det AS w2
+  FROM gd
+)
+SELECT doc_id, chars, vowels, n_tokens,
+       round(w.w0 + w.w1*CAST(chars AS DOUBLE)
+                  + w.w2*CAST(vowels AS DOUBLE), 6) AS est_tokens,
+       round(CAST(n_tokens AS DOUBLE)
+             - round(w.w0 + w.w1*CAST(chars AS DOUBLE)
+                          + w.w2*CAST(vowels AS DOUBLE), 6), 6) AS resid
+FROM feats CROSS JOIN w
+""",
     "e4_chi2_features": f"""
 WITH pres AS (
   SELECT DISTINCT lang AS label, doc_id, tok AS token FROM (
@@ -4612,6 +4708,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_blocklist": q_e4_blocklist,                # r7: C4 blocklist gate
     "e2_snm_pairs": q_e2_snm_pairs,                # r7: sorted-neighborhood
     "e4_chi2_features": q_e4_chi2_features,        # r7: χ² feature selection
+    "linreg_fit_transform": q_linreg_fit_transform,  # r7: E-12c normal equations
     "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID
     # r7 rotation: long-stable rows demoted to make room for
     # e2_edit_verified / e4_lm_bigram (GATE_ROTATION.md)
