@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "e2_snm_pairs",         # sorted-neighborhood blocking
     "e4_chi2_features",     # chi-square feature selection
     "linreg_fit_transform",  # closed-form normal-equations regression
+    "e7d_pagerank",         # fixed-point PageRank over the pair graph
+    "e7e_triangles",        # degree-oriented triangle counts
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -1,0 +1,168 @@
+"""Graph analytics over the near-dup pair graph (E-7d/E-7e):
+PageRank and triangle counting — the structural complements to the
+connected-components resolver (``clustering.py``). CC tells you
+*which* docs form a duplication cluster; PageRank ranks the most
+central copies inside the similarity graph (a keep-best signal that
+degree alone misses), and triangle counts measure how clique-like a
+cluster is (near-dup clusters are cliques; chains of borderline
+matches are not — a cheap cluster-quality audit).
+
+Determinism contracts (what makes iterative/float graph ops
+oracle-able bit-for-bit):
+
+* PageRank runs in **micro-units fixed point**: ranks are BIGINTs in
+  1e-6 units; per-edge contributions use truncating integer division
+  (``rank div deg`` — exact, partial-sum-order independent); the
+  damping multiply is the only float op, applied once per node per
+  iteration to an exact integer (identical IEEE double in any engine)
+  and immediately re-quantized with half-away ``round``. No float
+  ever enters a SUM, so any partitioning and any engine produce the
+  same integers. The quantization loses < 1 micro-unit of mass per
+  edge per iteration (truncation) — documented, monotone, and
+  irrelevant to ranking use.
+* Triangle counting is all-integer.
+
+Scale notes (100 TB pair graph):
+* PageRank: the degree-annotated edge list is built once and
+  persisted partitioned on ``src``; each iteration is ONE
+  co-partitioned join (ranks come out of the previous iteration's
+  groupBy already hash-partitioned on the id) + ONE map-side-combined
+  sum — the Pregel shape without per-node state.
+* Triangle counting orients every edge from its lower-(degree, id)
+  endpoint to the higher one, so wedge fan-out at a hub of degree Δ
+  collapses from Δ² to the number of its *higher-degree* neighbor
+  pairs — the O(m^1.5) bound of Schank & Wagner '05 / Suri &
+  Vassilvitskii's "curse of the last reducer" (WWW'11) mitigation.
+  No hot-key cap needed: the orientation IS the skew bound.
+
+Beyond the reference (its graph story ends at exact dedup); included
+per the training-data-pipeline extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MICRO = 1_000_000
+
+
+def pagerank(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_cols: tuple = ("id_a", "id_b"),
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank on the undirected pair graph.
+
+    ``nodes`` must contain every id (isolated nodes settle at
+    ``1 − damping``). Returns ``(id_col, rank_micro, rank)`` —
+    ``rank_micro`` is the exact BIGINT fixed-point state, ``rank``
+    its double rendering. Deterministic under any partitioning; a
+    DuckDB twin unrolling the same ``iterations`` reproduces
+    ``rank_micro`` exactly.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    a, b = pair_cols
+    src, dst = F.col(a).alias("src"), F.col(b).alias("dst")
+    edges = pairs.select(src, dst).union(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # built once, partitioned on the per-iteration join key, reused
+    ew = edges.join(deg, "src").persist()
+
+    ranks = nodes.select(
+        F.col(id_col).alias("src"), F.lit(MICRO).cast("bigint").alias("rank_micro")
+    )
+    base = float(round((1.0 - damping) * MICRO))
+    prev = None
+    for _ in range(iterations):
+        contribs = ew.join(ranks, "src").select(
+            F.col("dst").alias("src"),
+            F.expr("rank_micro div deg").alias("c"),
+        )
+        sums = contribs.groupBy("src").agg(F.sum("c").alias("s"))
+        new_ranks = (
+            nodes.select(F.col(id_col).alias("src"))
+            .join(sums, "src", "left")
+            .select(
+                "src",
+                (
+                    F.lit(base)
+                    + F.round(
+                        F.lit(damping) * F.coalesce(F.col("s"), F.lit(0)), 0
+                    )
+                )
+                .cast("bigint")
+                .alias("rank_micro"),
+            )
+        )
+        new_ranks = new_ranks.localCheckpoint(eager=True)
+        if prev is not None:
+            from decision_tree_stuff_spark.utils import (
+                release_local_checkpoint,
+            )
+
+            release_local_checkpoint(prev)
+        prev, ranks = new_ranks, new_ranks
+    ew.unpersist()
+    return ranks.select(
+        F.col("src").alias(id_col),
+        "rank_micro",
+        (F.col("rank_micro").cast("double") / F.lit(float(MICRO))).alias(
+            "rank"
+        ),
+    )
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    pair_cols: tuple = ("id_a", "id_b"),
+) -> DataFrame:
+    """Per-apex triangle counts of the undirected pair graph.
+
+    Edges are oriented low→high by ``(degree, id)``; a triangle
+    {u, v, w} is found exactly once, at its lowest-(degree, id)
+    vertex (the apex) as a wedge (u→v, u→w) closed by the oriented
+    edge v→w. Returns ``(apex_id, n_triangles)`` for apexes in ≥ 1
+    triangle — all-integer, exactly oracle-able.
+    """
+    a, b = pair_cols
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")).union(
+        pairs.select(F.col(b).alias("u"), F.col(a).alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # orientation rank: (degree, id) lexicographic
+    ranked = (
+        edges.join(deg, "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")),
+            "v",
+        )
+        .where(
+            (F.col("deg") < F.col("deg_v"))
+            | ((F.col("deg") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v", "deg_v")
+    )
+    # wedges at apex u: two out-edges ordered by the same total order
+    e2 = ranked.select(
+        F.col("u").alias("u2"),
+        F.col("v").alias("w"),
+        F.col("deg_v").alias("deg_w"),
+    )
+    wedges = ranked.join(e2, F.col("u") == F.col("u2")).where(
+        (F.col("deg_v") < F.col("deg_w"))
+        | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
+    )
+    closed = wedges.join(
+        ranked.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"],
+        "leftsemi",
+    )
+    return closed.groupBy(F.col("u").alias("apex_id")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -75,6 +75,34 @@ MELT_IDS_SQL = "melt AS (\n  " + "\n  UNION ALL ".join(
 # Normalized whitespace tokens of a text column (DuckDB side).
 TOKS_SQL = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
+# Shared blocked-Jaccard pair-graph CTE fragment (threshold 0.8,
+# lang+len_bucket blocks) — the same pair set the e7 family twins
+# inline; MATERIALIZED because the graph twins reference `jp` from
+# several unrolled iterations (DuckDB inlines multi-referenced CTEs
+# otherwise — the 1800× BPE lesson, ROUND7_NOTES.md).
+PAIR_GRAPH_SQL = """toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, lang, len_bucket, tok AS token FROM (
+    SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+           unnest({toks}) AS tok
+    FROM documents
+  ) u WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+pc AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM toks a JOIN toks b
+    ON a.token = b.token AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM pc
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) >= 0.8
+)"""
+
 
 def _h_sql(p: str) -> str:
     """Binary entropy H(p) with the degenerate p∈{0,1} → 0 (matches
@@ -1140,6 +1168,43 @@ def q_e7c_dedup_keep_best(spark, sf_dir):
     )
     kept = dedup_keep_best(docs, pairs, score_col="n_chars")
     return kept.select("doc_id", "lang", "n_chars")
+
+
+def _pair_graph(spark, sf_dir):
+    """The e7 family's blocked-Jaccard pair graph (threshold 0.8,
+    lang+len_bucket blocks) — shared by the graph-analytics queries."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("bigint")
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, block_cols=["lang", "len_bucket"], threshold=0.8
+    )
+    return docs, pairs
+
+
+def q_e7d_pagerank(spark, sf_dir):
+    """PageRank over the near-dup pair graph (r7, E-7d): ranks the
+    most central copies inside each similarity cluster — a keep-best
+    signal degree alone misses. Micro-units fixed-point recipe ⇒ the
+    3-iteration unrolled DuckDB twin reproduces rank_micro exactly
+    (no float ever enters a sum)."""
+    from decision_tree_stuff_spark.operators.graph import pagerank
+
+    docs, pairs = _pair_graph(spark, sf_dir)
+    return pagerank(docs, pairs, iterations=3)
+
+
+def q_e7e_triangles(spark, sf_dir):
+    """Per-apex triangle counts of the near-dup pair graph (r7,
+    E-7e): clique-ness audit of dedup clusters — real near-dup
+    clusters are triangle-dense, chains of borderline matches are
+    not. Low→high (degree, id) edge orientation bounds wedge fan-out
+    at hubs (Suri & Vassilvitskii's last-reducer fix); all-integer ⇒
+    exact oracle."""
+    from decision_tree_stuff_spark.operators.graph import triangle_counts
+
+    _, pairs = _pair_graph(spark, sf_dir)
+    return triangle_counts(pairs)
 
 
 def q_e2_minhash_pairs(spark, sf_dir):
@@ -2638,6 +2703,90 @@ reach(node, lab) AS (
 SELECT node AS doc_id, min(lab) AS cluster_id,
        min(lab) = node AS is_kept
 FROM reach GROUP BY node
+""",
+    # r7 PageRank over the e7 pair graph: 3 unrolled fixed-point
+    # iterations — contributions are truncating BIGINT divisions,
+    # sums exact BIGINTs, the damping multiply mirrors the Spark
+    # expression (0.85 * exact int, half-away round) term-for-term.
+    "e7d_pagerank": f"""
+WITH {PAIR_GRAPH_SQL.format(toks=TOKS_SQL)},
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM jp
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+ew AS MATERIALIZED (
+  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)
+),
+r0 AS (
+  SELECT doc_id AS src, CAST(1000000 AS BIGINT) AS rank_micro
+  FROM documents
+),
+s1 AS (
+  SELECT ew.dst AS src, sum(r.rank_micro // ew.deg) AS s
+  FROM ew JOIN r0 r ON ew.src = r.src GROUP BY 1
+),
+r1 AS MATERIALIZED (
+  SELECT d.doc_id AS src,
+         CAST(150000.0 + round(0.85 * CAST(coalesce(s1.s, 0) AS DOUBLE))
+              AS BIGINT) AS rank_micro
+  FROM documents d LEFT JOIN s1 ON s1.src = d.doc_id
+),
+s2 AS (
+  SELECT ew.dst AS src, sum(r.rank_micro // ew.deg) AS s
+  FROM ew JOIN r1 r ON ew.src = r.src GROUP BY 1
+),
+r2 AS MATERIALIZED (
+  SELECT d.doc_id AS src,
+         CAST(150000.0 + round(0.85 * CAST(coalesce(s2.s, 0) AS DOUBLE))
+              AS BIGINT) AS rank_micro
+  FROM documents d LEFT JOIN s2 ON s2.src = d.doc_id
+),
+s3 AS (
+  SELECT ew.dst AS src, sum(r.rank_micro // ew.deg) AS s
+  FROM ew JOIN r2 r ON ew.src = r.src GROUP BY 1
+),
+r3 AS (
+  SELECT d.doc_id AS src,
+         CAST(150000.0 + round(0.85 * CAST(coalesce(s3.s, 0) AS DOUBLE))
+              AS BIGINT) AS rank_micro
+  FROM documents d LEFT JOIN s3 ON s3.src = d.doc_id
+)
+SELECT src AS doc_id, rank_micro,
+       CAST(rank_micro AS DOUBLE) / 1000000.0 AS rank
+FROM r3
+""",
+    # r7 triangle counts: same oriented-wedge program — orientation
+    # and wedge order both by (degree, id), closure via semi-join.
+    "e7e_triangles": f"""
+WITH {PAIR_GRAPH_SQL.format(toks=TOKS_SQL)},
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM jp
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM jp
+),
+deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY 1),
+ranked AS MATERIALIZED (
+  SELECT e.u, e.v, dv.deg AS deg_v
+  FROM edges e
+  JOIN deg du ON du.u = e.u
+  JOIN deg dv ON dv.u = e.v
+  WHERE du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+),
+wedges AS (
+  SELECT r1.u, r1.v, r2.v AS w
+  FROM ranked r1 JOIN ranked r2 ON r1.u = r2.u
+  WHERE r1.deg_v < r2.deg_v
+     OR (r1.deg_v = r2.deg_v AND r1.v < r2.v)
+),
+closed AS (
+  SELECT w.u FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM ranked r
+                WHERE r.u = w.v AND r.v = w.w)
+)
+SELECT u AS apex_id, count(*) AS n_triangles
+FROM closed GROUP BY 1
 """,
     "e7c_dedup_keep_best": f"""
 WITH RECURSIVE toks AS (
@@ -4709,6 +4858,8 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e2_snm_pairs": q_e2_snm_pairs,                # r7: sorted-neighborhood
     "e4_chi2_features": q_e4_chi2_features,        # r7: χ² feature selection
     "linreg_fit_transform": q_linreg_fit_transform,  # r7: E-12c normal equations
+    "e7d_pagerank": q_e7d_pagerank,                # r7: E-7d fixed-point PageRank
+    "e7e_triangles": q_e7e_triangles,              # r7: E-7e triangle counts
     "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID
     # r7 rotation: long-stable rows demoted to make room for
     # e2_edit_verified / e4_lm_bigram (GATE_ROTATION.md)

@@ -1,0 +1,170 @@
+"""PageRank (fixed-point micro-units) and degree-oriented triangle
+counting (E-7d/E-7e): hand-math, pure-Python differentials,
+partitioning bit-invariance, structure sanity."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from decision_tree_stuff_spark.operators.graph import (
+    MICRO,
+    pagerank,
+    triangle_counts,
+)
+
+
+def _ref_pagerank(node_ids, edge_pairs, iters, d=0.85):
+    """Pure-Python mirror of the exact integer recipe: truncating
+    div contributions, exact bigint sums, one half-away-rounded
+    damping multiply per node per iteration."""
+    adj = defaultdict(list)
+    for a, b in edge_pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    rank = {v: MICRO for v in node_ids}
+    base = float(round((1.0 - d) * MICRO))
+    for _ in range(iters):
+        sums = {v: 0 for v in node_ids}
+        for u, ns in adj.items():
+            c = rank[u] // deg[u]
+            for v in ns:
+                sums[v] += c
+        rank = {
+            v: int(base + math.floor(d * sums[v] + 0.5))
+            for v in node_ids
+        }
+    return rank
+
+
+def _ref_triangles(edge_pairs):
+    adj = defaultdict(set)
+    for a, b in edge_pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    rank = {v: (len(adj[v]), v) for v in adj}
+    out = defaultdict(int)
+    nodes = sorted(adj, key=lambda v: rank[v])
+    for u, v, w in combinations(nodes, 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            apex = min((u, v, w), key=lambda x: rank[x])
+            out[apex] += 1
+    return dict(out)
+
+
+NODES = list(range(12))
+# two near-dup-ish clusters (one clique-y, one chainy) + bridge + isolate
+EDGES = [
+    (0, 1), (0, 2), (1, 2), (2, 3),          # triangle + tail
+    (4, 5), (5, 6), (6, 7), (4, 7), (4, 6),  # 4-cycle + chord
+    (3, 4),                                  # bridge
+    (8, 9), (9, 10),                         # path, no triangles
+]  # node 11 isolated
+
+
+@pytest.fixture(scope="module")
+def graph_dfs(spark):
+    nodes = spark.createDataFrame([(i,) for i in NODES], "doc_id long")
+    pairs = spark.createDataFrame(EDGES, "id_a long, id_b long")
+    return nodes, pairs
+
+
+def test_pagerank_matches_pure_python(graph_dfs):
+    nodes, pairs = graph_dfs
+    got = {
+        r["doc_id"]: r["rank_micro"]
+        for r in pagerank(nodes, pairs, iterations=4).collect()
+    }
+    assert got == _ref_pagerank(NODES, EDGES, 4)
+
+
+def test_pagerank_isolated_node_settles_at_base(graph_dfs):
+    nodes, pairs = graph_dfs
+    got = {
+        r["doc_id"]: r["rank_micro"]
+        for r in pagerank(nodes, pairs, iterations=3).collect()
+    }
+    assert got[11] == 150000
+
+
+def test_pagerank_star_center_dominates(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["rank_micro"]
+        for r in pagerank(nodes, pairs, iterations=3).collect()
+    }
+    assert all(got[0] > got[i] for i in range(1, 7))
+
+
+def test_pagerank_partitioning_bit_invariance(graph_dfs):
+    nodes, pairs = graph_dfs
+    a = sorted(
+        tuple(r)
+        for r in pagerank(
+            nodes.repartition(1), pairs.repartition(1), iterations=3
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pagerank(
+            nodes.repartition(5, "doc_id"),
+            pairs.repartition(7, "id_b"),
+            iterations=3,
+        ).collect()
+    )
+    assert a == b
+
+
+def test_pagerank_rank_column_is_micro_rendering(graph_dfs):
+    nodes, pairs = graph_dfs
+    for r in pagerank(nodes, pairs, iterations=2).collect():
+        assert r["rank"] == r["rank_micro"] / 1_000_000.0
+
+
+def test_triangles_k4(spark):
+    pairs = spark.createDataFrame(
+        list(combinations(range(4), 2)), "id_a long, id_b long"
+    )
+    got = {
+        r["apex_id"]: r["n_triangles"]
+        for r in triangle_counts(pairs).collect()
+    }
+    assert got == {0: 3, 1: 1}
+    assert sum(got.values()) == 4  # C(4,3)
+
+
+def test_triangles_match_brute_force(graph_dfs):
+    _, pairs = graph_dfs
+    got = {
+        r["apex_id"]: r["n_triangles"]
+        for r in triangle_counts(pairs).collect()
+    }
+    assert got == _ref_triangles(EDGES)
+
+
+def test_triangles_none_on_path(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    assert triangle_counts(pairs).count() == 0
+
+
+def test_triangles_skewed_hub_differential(spark):
+    # hub of degree 20 with a few closed fans — the orientation must
+    # count at the LOW-degree apexes, never enumerating hub wedges
+    edges = [(100, i) for i in range(20)] + [(0, 1), (2, 3), (4, 5)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["apex_id"]: r["n_triangles"]
+        for r in triangle_counts(pairs).collect()
+    }
+    assert got == _ref_triangles(edges)
+    assert sum(got.values()) == 3
