@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "linreg_fit_transform",  # closed-form normal-equations regression
     "e7d_pagerank",         # fixed-point PageRank over the pair graph
     "e7e_triangles",        # degree-oriented triangle counts
+    "e4_hybrid_rrf",        # lexical+dense reciprocal rank fusion
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -124,3 +124,57 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )
+
+
+def rrf_fuse(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    k: int = 10,
+    c: float = 60.0,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    of two per-query rankings — the standard lexical+dense hybrid
+    combiner in production retrieval (score = Σ 1/(c + rank), c=60
+    per the paper).
+
+    Inputs are (query_col, id_col, rank_col) frames — the top-k
+    outputs of ``bm25_topk`` / ``similarity.cosine_topk``; a doc
+    absent from one list simply contributes 0 from it (full outer
+    join). Returns (query_col, id_col, rrf_score, rank) — the fused
+    top-``k``, rank by (6dp-rounded score desc, id asc).
+
+    Determinism: each contribution is ``1.0/(c + integer rank)`` —
+    the identical IEEE double in any engine — and the fused score
+    adds exactly two terms in a fixed order, so the 6dp round is
+    cosmetic, not load-bearing. Scale: both inputs are already
+    query×k-sized — fusion never touches the corpus.
+    """
+    a = rank_a.select(
+        F.col(query_col), F.col(id_col), F.col(rank_col).alias("__ra")
+    )
+    b = rank_b.select(
+        F.col(query_col), F.col(id_col), F.col(rank_col).alias("__rb")
+    )
+    fused = (
+        a.join(b, [query_col, id_col], "full_outer")
+        .select(
+            query_col,
+            id_col,
+            F.round(
+                F.coalesce(1.0 / (F.lit(c) + F.col("__ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(c) + F.col("__rb")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_col, id_col, "rrf_score", "rank")
+    )

@@ -1673,6 +1673,40 @@ def q_e4_bm25_topk(spark, sf_dir):
     )
 
 
+HYBRID_PROBES = [0, 1, 2, 3, 4]
+HYBRID_K = 10
+
+
+def q_e4_hybrid_rrf(spark, sf_dir):
+    """Hybrid more-like-this retrieval via Reciprocal Rank Fusion
+    (r7, Cormack et al. SIGIR'09): for 5 probe documents, fuse the
+    BM25 lexical ranking (probe text as the query) with the exact
+    embedding-cosine ranking — the standard lexical+dense combiner in
+    production RAG. Fusion runs on two already-top-k inputs, so it
+    never touches the corpus; scores are 1/(60+rank) sums of exactly
+    two fixed-order terms ⇒ engine-exact."""
+    from decision_tree_stuff_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from decision_tree_stuff_spark.operators.similarity import cosine_topk
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.where(F.col("doc_id").isin(HYBRID_PROBES)).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    lex = bm25_topk(
+        docs, probes, k=HYBRID_K, k1=BM25_K1, b=BM25_B
+    ).select("query_id", "doc_id", "rank")
+    dense = cosine_topk(
+        _emb(spark, sf_dir), HYBRID_PROBES, k=HYBRID_K
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(lex, dense, k=HYBRID_K)
+
+
 def q_e4_cms_profile(spark, sf_dir):
     """Count-min sketch cells over every token occurrence (r7): the
     fixed-size frequency summary whose shuffle is d x w cells however
@@ -3534,6 +3568,84 @@ SELECT query_id, doc_id, score, rank FROM (
   FROM scored) ranked
 WHERE rank <= {BM25_K}
 """,
+    # r7 hybrid RRF: the bm25 twin re-parameterized with probe-doc
+    # queries, the cosine twin re-keyed to doc ids, and the fusion
+    # join mirroring rrf_fuse's fixed-order two-term sum.
+    "e4_hybrid_rrf": f"""
+WITH base AS (
+  SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks FROM documents
+),
+occ AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM base),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl FROM occ GROUP BY 1, 2
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM base),
+qraw AS (
+  SELECT doc_id AS query_id, text AS query_text FROM documents
+  WHERE doc_id IN ({', '.join(str(i) for i in HYBRID_PROBES)})
+),
+qterms AS (
+  SELECT DISTINCT query_id, token FROM (
+    SELECT query_id,
+           unnest(string_split(trim(regexp_replace(lower(query_text),
+             '\\s+', ' ', 'g')), ' ')) AS token
+    FROM qraw) u WHERE token <> ''
+),
+qdf AS (
+  SELECT qt.query_id, qt.token, d.df
+  FROM qterms qt JOIN dfreq d USING (token)
+),
+scored AS (
+  SELECT qdf.query_id, t.doc_id,
+         round(sum(
+           ln((s.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+           * (t.tf * {BM25_K1 + 1.0}
+              / (t.tf + {BM25_K1}
+                 * ({1.0 - BM25_B} + {BM25_B} * t.dl / s.avgdl)))
+         ), 6) AS score
+  FROM tf t JOIN qdf USING (token) CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+lexr AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+             AS INT) AS rank
+    FROM scored) t WHERE rank <= {HYBRID_K}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({', '.join(str(i) for i in HYBRID_PROBES)})
+),
+ds AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         round({_cos_sql('q.qv', 'e.embedding')}, 6) AS cosine
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+),
+denser AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC)
+             AS INT) AS rank
+    FROM ds) t WHERE rank <= {HYBRID_K}
+),
+fused AS (
+  SELECT query_id, doc_id,
+         round(coalesce(1.0/(60.0 + l.rank), 0.0)
+               + coalesce(1.0/(60.0 + d.rank), 0.0), 6) AS rrf_score
+  FROM lexr l FULL JOIN denser d USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, rrf_score, rank FROM (
+  SELECT query_id, doc_id, rrf_score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC)
+           AS INT) AS rank
+  FROM fused) r
+WHERE rank <= {HYBRID_K}
+""",
     # Bloom membership twin: a bit is set iff its position is in the
     # benchmark position set, so the bitset probe == position-set
     # semi-join — false positives (position collisions) reproduce
@@ -4860,6 +4972,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "linreg_fit_transform": q_linreg_fit_transform,  # r7: E-12c normal equations
     "e7d_pagerank": q_e7d_pagerank,                # r7: E-7d fixed-point PageRank
     "e7e_triangles": q_e7e_triangles,              # r7: E-7e triangle counts
+    "e4_hybrid_rrf": q_e4_hybrid_rrf,              # r7: lexical+dense RRF fusion
     "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID
     # r7 rotation: long-stable rows demoted to make room for
     # e2_edit_verified / e4_lm_bigram (GATE_ROTATION.md)

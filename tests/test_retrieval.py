@@ -121,3 +121,56 @@ def test_bm25_plan_broadcasts_query_side_and_prunes_topk(spark, sf_dir):
     # corpus side: exactly the tf / df / final-agg exchanges, plus the
     # rank window's — no join-driven corpus reshuffle sneaks in
     assert "SortMergeJoin" not in plan
+
+
+def test_rrf_hand_math(spark):
+    from decision_tree_stuff_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 20, 1), (1, 30, 2)], "query_id long, doc_id long, rank int"
+    )
+    got = [
+        (r["doc_id"], r["rrf_score"], r["rank"])
+        for r in rrf_fuse(a, b, k=10).orderBy("rank").collect()
+    ]
+    # doc 20: 1/62 + 1/61; doc 10: 1/61; doc 30: 1/62
+    assert got == [
+        (20, round(1 / 62 + 1 / 61, 6), 1),
+        (10, round(1 / 61, 6), 2),
+        (30, round(1 / 62, 6), 3),
+    ]
+
+
+def test_rrf_tie_breaks_on_id_and_cuts_k(spark):
+    from decision_tree_stuff_spark.operators.retrieval import rrf_fuse
+
+    # docs 7 and 3 each rank 1 in exactly one list -> equal score;
+    # the lower id must win the tie, and k=1 keeps only it
+    a = spark.createDataFrame(
+        [(1, 7, 1)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 3, 1)], "query_id long, doc_id long, rank int"
+    )
+    got = rrf_fuse(a, b, k=1).collect()
+    assert [(r["doc_id"], r["rank"]) for r in got] == [(3, 1)]
+
+
+def test_rrf_multiple_queries_fuse_independently(spark):
+    from decision_tree_stuff_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (2, 30, 1)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 2), (2, 40, 1)], "query_id long, doc_id long, rank int"
+    )
+    out = rrf_fuse(a, b, k=5)
+    byq = {}
+    for r in out.collect():
+        byq.setdefault(r["query_id"], []).append((r["doc_id"], r["rank"]))
+    assert sorted(byq[1]) == [(10, 1)]
+    assert sorted(byq[2]) == [(30, 1), (40, 2)]
