@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "e7d_pagerank",         # fixed-point PageRank over the pair graph
     "e7e_triangles",        # degree-oriented triangle counts
     "e4_hybrid_rrf",        # lexical+dense reciprocal rank fusion
+    "e13_validate",         # Deequ-style one-pass validation suite
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

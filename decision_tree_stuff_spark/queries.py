@@ -1673,6 +1673,34 @@ def q_e4_bm25_topk(spark, sf_dir):
     )
 
 
+def q_e13_validate(spark, sf_dir):
+    """Deequ-style validation suite (r7, Schelter et al. VLDB'18):
+    8 declarative quality checks over ``documents`` compiled into ONE
+    aggregate pass — the pre/post-stage gate of a production ingest
+    pipeline. Thresholds picked so both outcomes fire (min n_chars
+    and the lang-set share fail; the rest pass). Integer-derived
+    metrics + 6dp half-away fractions ⇒ values AND booleans match the
+    twin exactly."""
+    from decision_tree_stuff_spark.operators.validate import validate
+
+    return validate(
+        _docs(spark, sf_dir),
+        [
+            {"check": "row_count_min", "min": 100},
+            {"check": "completeness", "column": "text", "min": 1.0},
+            {"check": "uniqueness", "column": "doc_id", "min": 1.0},
+            {"check": "min_value", "column": "n_chars", "ge": 100},
+            {"check": "max_value", "column": "n_chars", "le": 600},
+            {"check": "in_set_fraction", "column": "lang",
+             "values": ["en", "de", "es"], "min": 0.9},
+            {"check": "in_range_fraction", "column": "n_chars",
+             "lo": 100, "hi": 500, "min": 0.5},
+            {"check": "pattern_fraction", "column": "text",
+             "pattern": "^[a-z ]+$", "min": 0.99},
+        ],
+    )
+
+
 HYBRID_PROBES = [0, 1, 2, 3, 4]
 HYBRID_K = 10
 
@@ -3568,6 +3596,53 @@ SELECT query_id, doc_id, score, rank FROM (
   FROM scored) ranked
 WHERE rank <= {BM25_K}
 """,
+    # r7 Deequ-style validation suite: every metric from one
+    # aggregate, one UNION ALL row per check; fractions are 6dp
+    # half-away rounded int ratios, booleans compare the SAME rounded
+    # value the Spark side compares.
+    "e13_validate": """
+WITH m AS (
+  SELECT count(*) AS total,
+         count(text) AS c1,
+         count(DISTINCT doc_id) AS c2,
+         min(n_chars) AS c3,
+         max(n_chars) AS c4,
+         sum(CASE WHEN lang IN ('en', 'de', 'es') THEN 1 ELSE 0 END) AS c5,
+         sum(CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1 ELSE 0 END) AS c6,
+         sum(CASE WHEN regexp_matches(text, '^[a-z ]+$') THEN 1 ELSE 0 END)
+           AS c7
+  FROM documents
+)
+SELECT 'row_count_min' AS check_name, CAST(NULL AS VARCHAR) AS target_col,
+       CAST(total AS DOUBLE) AS value,
+       CAST(total AS DOUBLE) >= 100.0 AS passed FROM m
+UNION ALL
+SELECT 'completeness', 'text',
+       round(CAST(c1 AS DOUBLE) / CAST(total AS DOUBLE), 6),
+       round(CAST(c1 AS DOUBLE) / CAST(total AS DOUBLE), 6) >= 1.0 FROM m
+UNION ALL
+SELECT 'uniqueness', 'doc_id',
+       round(CAST(c2 AS DOUBLE) / CAST(total AS DOUBLE), 6),
+       round(CAST(c2 AS DOUBLE) / CAST(total AS DOUBLE), 6) >= 1.0 FROM m
+UNION ALL
+SELECT 'min_value', 'n_chars', CAST(c3 AS DOUBLE),
+       CAST(c3 AS DOUBLE) >= 100.0 FROM m
+UNION ALL
+SELECT 'max_value', 'n_chars', CAST(c4 AS DOUBLE),
+       CAST(c4 AS DOUBLE) <= 600.0 FROM m
+UNION ALL
+SELECT 'in_set_fraction', 'lang',
+       round(CAST(c5 AS DOUBLE) / CAST(total AS DOUBLE), 6),
+       round(CAST(c5 AS DOUBLE) / CAST(total AS DOUBLE), 6) >= 0.9 FROM m
+UNION ALL
+SELECT 'in_range_fraction', 'n_chars',
+       round(CAST(c6 AS DOUBLE) / CAST(total AS DOUBLE), 6),
+       round(CAST(c6 AS DOUBLE) / CAST(total AS DOUBLE), 6) >= 0.5 FROM m
+UNION ALL
+SELECT 'pattern_fraction', 'text',
+       round(CAST(c7 AS DOUBLE) / CAST(total AS DOUBLE), 6),
+       round(CAST(c7 AS DOUBLE) / CAST(total AS DOUBLE), 6) >= 0.99 FROM m
+""",
     # r7 hybrid RRF: the bm25 twin re-parameterized with probe-doc
     # queries, the cosine twin re-keyed to doc ids, and the fusion
     # join mirroring rrf_fuse's fixed-order two-term sum.
@@ -4973,6 +5048,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e7d_pagerank": q_e7d_pagerank,                # r7: E-7d fixed-point PageRank
     "e7e_triangles": q_e7e_triangles,              # r7: E-7e triangle counts
     "e4_hybrid_rrf": q_e4_hybrid_rrf,              # r7: lexical+dense RRF fusion
+    "e13_validate": q_e13_validate,                # r7: E-13 validation suite
     "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID
     # r7 rotation: long-stable rows demoted to make room for
     # e2_edit_verified / e4_lm_bigram (GATE_ROTATION.md)
