@@ -681,3 +681,51 @@ def filter_by_quantile(
     rounded = F.round(F.col(value_col), 6)
     cond = rounded >= F.col("__thr") if keep == "top" else rounded <= F.col("__thr")
     return df.crossJoin(F.broadcast(thr)).where(cond).drop("__thr")
+
+
+def filter_by_quantile_grouped(
+    df: DataFrame,
+    value_col: str,
+    q: float,
+    group_cols,
+    mode: str = "exact",
+    keep: str = "top",
+) -> DataFrame:
+    """Per-group quantile-threshold selection: each group keeps its
+    rows at/above (``keep='top'``) or at/below its OWN ``q``-th
+    quantile — the CCNet-style per-domain quality floor ("every
+    source keeps its top half"), which a single global cutoff gets
+    wrong whenever domains have different score distributions (the
+    global threshold empties weak domains and waves everything
+    through strong ones).
+
+    Same modes and 6dp-rounding contract as ``filter_by_quantile``;
+    the thresholds are ONE group-sized aggregate (exact percentile is
+    a per-group sort-agg; ``mode='approx'`` keeps GK-sketch state per
+    group for the 100 TB path) broadcast back into the scan — domains
+    are dimension-cardinality, so the join never reshuffles the
+    corpus.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if keep not in ("top", "bottom"):
+        raise ValueError(f"keep must be 'top' or 'bottom', got {keep!r}")
+    if "__thr" in df.columns:
+        raise ValueError(
+            "filter_by_quantile_grouped reserves the column name "
+            "'__thr'; rename it on the input before calling"
+        )
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use "
+                         "filter_by_quantile for the global cutoff")
+    if mode == "exact":
+        thr_agg = F.percentile(F.col(value_col), F.lit(q))
+    elif mode == "approx":
+        thr_agg = F.percentile_approx(F.col(value_col), F.lit(q), F.lit(10000))
+    else:
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
+    thr = df.groupBy(*group_cols).agg(F.round(thr_agg, 6).alias("__thr"))
+    rounded = F.round(F.col(value_col), 6)
+    cond = rounded >= F.col("__thr") if keep == "top" else rounded <= F.col("__thr")
+    return df.join(F.broadcast(thr), group_cols).where(cond).drop("__thr")

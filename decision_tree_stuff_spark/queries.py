@@ -1673,6 +1673,24 @@ def q_e4_bm25_topk(spark, sf_dir):
     )
 
 
+def q_e4_quantile_by_domain(spark, sf_dir):
+    """Per-domain quantile floor (r7): every language keeps its docs
+    at/above its OWN exact P25 length — the CCNet-style per-domain
+    gate a global cutoff gets wrong (it empties weak domains and
+    waves strong ones through). Thresholds are one group-sized agg
+    broadcast back into the scan."""
+    from decision_tree_stuff_spark.operators.sampling import (
+        filter_by_quantile_grouped,
+    )
+
+    return filter_by_quantile_grouped(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        "n_chars",
+        0.25,
+        ["lang"],
+    )
+
+
 def q_e13_validate(spark, sf_dir):
     """Deequ-style validation suite (r7, Schelter et al. VLDB'18):
     8 declarative quality checks over ``documents`` compiled into ONE
@@ -3596,6 +3614,17 @@ SELECT query_id, doc_id, score, rank FROM (
   FROM scored) ranked
 WHERE rank <= {BM25_K}
 """,
+    # r7 per-domain quantile floor: quantile_cont == Spark
+    # F.percentile (interpolated), per group; 6dp rounding on both
+    # sides of the comparison — the e4_quantile_filter contract,
+    # grouped.
+    "e4_quantile_by_domain": """
+WITH t AS (SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS thr
+           FROM documents GROUP BY 1)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN t ON t.lang = d.lang
+WHERE round(d.n_chars, 6) >= t.thr
+""",
     # r7 Deequ-style validation suite: every metric from one
     # aggregate, one UNION ALL row per check; fractions are 6dp
     # half-away rounded int ratios, booleans compare the SAME rounded
@@ -5049,6 +5078,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e7e_triangles": q_e7e_triangles,              # r7: E-7e triangle counts
     "e4_hybrid_rrf": q_e4_hybrid_rrf,              # r7: lexical+dense RRF fusion
     "e13_validate": q_e13_validate,                # r7: E-13 validation suite
+    "e4_quantile_by_domain": q_e4_quantile_by_domain,  # r7: per-domain floor
     "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID
     # r7 rotation: long-stable rows demoted to make room for
     # e2_edit_verified / e4_lm_bigram (GATE_ROTATION.md)

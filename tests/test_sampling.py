@@ -680,3 +680,84 @@ def test_temperature_allocation_matches_python_largest_remainder(spark):
         assert got == want, (counts, total_n, alpha, got, want)
 
     check()
+
+
+class TestFilterByQuantileGrouped:
+    def _df(self, spark):
+        rows = [("a", i) for i in (1, 2, 3, 4)] + [("b", i) for i in (10, 20)]
+        return spark.createDataFrame(rows, "grp string, v long")
+
+    def test_per_group_hand_math_top(self, spark):
+        from decision_tree_stuff_spark.operators.sampling import (
+            filter_by_quantile_grouped,
+        )
+
+        # P50: grp a -> 2.5 keeps {3,4}; grp b -> 15.0 keeps {20}
+        got = sorted(
+            (r["grp"], r["v"])
+            for r in filter_by_quantile_grouped(
+                self._df(spark), "v", 0.5, ["grp"]
+            ).collect()
+        )
+        assert got == [("a", 3), ("a", 4), ("b", 20)]
+
+    def test_per_group_hand_math_bottom(self, spark):
+        from decision_tree_stuff_spark.operators.sampling import (
+            filter_by_quantile_grouped,
+        )
+
+        got = sorted(
+            (r["grp"], r["v"])
+            for r in filter_by_quantile_grouped(
+                self._df(spark), "v", 0.5, ["grp"], keep="bottom"
+            ).collect()
+        )
+        assert got == [("a", 1), ("a", 2), ("b", 10)]
+
+    def test_single_group_matches_global(self, spark):
+        from decision_tree_stuff_spark.operators.sampling import (
+            filter_by_quantile,
+            filter_by_quantile_grouped,
+        )
+
+        df = self._df(spark).withColumn("one", F.lit(1))
+        a = sorted(
+            (r["grp"], r["v"])
+            for r in filter_by_quantile_grouped(
+                df, "v", 0.75, ["one"]
+            ).collect()
+        )
+        b = sorted(
+            (r["grp"], r["v"])
+            for r in filter_by_quantile(
+                df.drop("one"), "v", 0.75
+            ).collect()
+        )
+        assert a == b
+
+    def test_threshold_join_broadcasts(self, spark):
+        from decision_tree_stuff_spark.operators.sampling import (
+            filter_by_quantile_grouped,
+        )
+
+        plan = (
+            filter_by_quantile_grouped(self._df(spark), "v", 0.5, ["grp"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_validation_errors(self, spark):
+        from decision_tree_stuff_spark.operators.sampling import (
+            filter_by_quantile_grouped,
+        )
+
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="non-empty"):
+            filter_by_quantile_grouped(df, "v", 0.5, [])
+        with pytest.raises(ValueError, match="__thr"):
+            filter_by_quantile_grouped(
+                df.withColumn("__thr", F.lit(1)), "v", 0.5, ["grp"]
+            )
