@@ -548,6 +548,64 @@ def read_capped_state(spark, state_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(state_dir, f"v{max(versions)}"))
 
 
+def stream_validate(
+    stream_df: "DataFrame",
+    state_dir: str,
+    checks,
+    checkpoint_dir: str = None,
+):
+    """Streaming E-13 validation: maintain, across micro-batches, the
+    accumulator row the batch ``validate`` would compute over all
+    input seen so far — quality metrics on an UNBOUNDED ingest stream
+    with one-row state.
+
+    Exactness argument: every supported metric is mergeable — counts
+    and conditional counts add, min/max fold — so
+    ``state <- merge(state UNION batch_accumulators)`` equals the
+    batch aggregate regardless of batch boundaries (``uniqueness`` is
+    rejected up front: distinct does not fold; see
+    ``operators.validate``). Layout, retry idempotence and snapshot
+    retention are shared with the other mergeable folds
+    (``_stream_mergeable_fold``). Read the verdicts with
+    ``read_validation_state``.
+    """
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.operators.validate import (
+        _MERGE,
+        compile_checks,
+    )
+
+    specs = compile_checks(checks, mergeable_only=True)
+
+    def _prep(batch):
+        return batch.agg(*[expr.alias(a) for a, expr, _ in specs])
+
+    def _merge(merged):
+        return merged.agg(
+            *[_MERGE[kind](a).alias(a) for a, _, kind in specs]
+        )
+
+    return _stream_mergeable_fold(
+        stream_df, state_dir, _merge, checkpoint_dir, prep_fn=_prep
+    )
+
+
+def read_validation_state(spark, state_dir: str, checks) -> "DataFrame":
+    """The suite verdicts from the newest ``stream_validate``
+    snapshot — the exact frame batch ``validate`` returns over the
+    union of every micro-batch seen so far."""
+    from decision_tree_stuff_spark.operators.validate import (
+        _RESULT_SCHEMA,
+        assemble_results,
+    )
+
+    m = read_capped_state(spark, state_dir).first().asDict()
+    return spark.createDataFrame(
+        assemble_results(checks, m), _RESULT_SCHEMA
+    )
+
+
 def run_stream_to_parquet(
     stream_df: DataFrame,
     out_dir: str,
