@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "e7e_triangles",        # degree-oriented triangle counts
     "e4_hybrid_rrf",        # lexical+dense reciprocal rank fusion
     "e13_validate",         # Deequ-style one-pass validation suite
+    "e4_quantile_by_domain",  # per-domain quantile floor
+    "e4_heavy_hitters",     # exact two-pass Misra-Gries heavy hitters
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

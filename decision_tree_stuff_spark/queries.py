@@ -1673,6 +1673,25 @@ def q_e4_bm25_topk(spark, sf_dir):
     )
 
 
+def q_e4_heavy_hitters(spark, sf_dir):
+    """Exact two-pass heavy hitters (r7, Misra–Gries '82): tokens
+    with corpus share > 2% (k=49 counters/partition → φ=1/50) — the
+    frequent-keys enumerator whose shuffle stays partitions×k however
+    large the vocabulary. Candidates vary with partitioning; the
+    exact-recount output doesn't, so the plain HAVING twin matches
+    exactly."""
+    from decision_tree_stuff_spark.functions.text import tokens as _toks
+    from decision_tree_stuff_spark.operators import spread_small
+    from decision_tree_stuff_spark.operators.heavy import heavy_hitters
+
+    occ = spread_small(_docs(spark, sf_dir)).select(
+        F.explode(
+            F.filter(_toks(F.col("text")), lambda t: t != "")
+        ).alias("token")
+    )
+    return heavy_hitters(occ, "token", k=49)
+
+
 def q_e4_quantile_by_domain(spark, sf_dir):
     """Per-domain quantile floor (r7): every language keeps its docs
     at/above its OWN exact P25 length — the CCNet-style per-domain
@@ -3614,6 +3633,20 @@ SELECT query_id, doc_id, score, rank FROM (
   FROM scored) ranked
 WHERE rank <= {BM25_K}
 """,
+    # r7 exact heavy hitters: the two-pass MG candidates are an
+    # implementation detail — the recount + strict integer threshold
+    # equals the plain HAVING program.
+    "e4_heavy_hitters": f"""
+WITH occ AS (
+  SELECT unnest(list_filter({TOKS_SQL}, t -> t <> '')) AS token
+  FROM documents
+),
+n AS (SELECT count(*) AS n FROM occ)
+SELECT token, count(*) AS cnt
+FROM occ, n
+GROUP BY token, n.n
+HAVING count(*) * 50 > n.n
+""",
     # r7 per-domain quantile floor: quantile_cont == Spark
     # F.percentile (interpolated), per group; 6dp rounding on both
     # sides of the comparison — the e4_quantile_filter contract,
@@ -5079,6 +5112,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_hybrid_rrf": q_e4_hybrid_rrf,              # r7: lexical+dense RRF fusion
     "e13_validate": q_e13_validate,                # r7: E-13 validation suite
     "e4_quantile_by_domain": q_e4_quantile_by_domain,  # r7: per-domain floor
+    "e4_heavy_hitters": q_e4_heavy_hitters,        # r7: exact MG heavy hitters
     "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID
     # r7 rotation: long-stable rows demoted to make room for
     # e2_edit_verified / e4_lm_bigram (GATE_ROTATION.md)
