@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "e13_validate",         # Deequ-style one-pass validation suite
     "e4_quantile_by_domain",  # per-domain quantile floor
     "e4_heavy_hitters",     # exact two-pass Misra-Gries heavy hitters
+    "e14_zorder",           # Morton layout keys for multi-column skipping
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -43,6 +43,7 @@ from decision_tree_stuff_spark.operators.similarity import (
     sign_lsh_topk,
 )
 from decision_tree_stuff_spark.operators.sampling import rate_threshold
+from decision_tree_stuff_spark.operators.zorder import zorder_sql
 from decision_tree_stuff_spark.operators.textstats import document_stats, tf_idf
 from decision_tree_stuff_spark.splitting import SplitParams, compute_all_splits
 
@@ -1671,6 +1672,23 @@ def q_e4_bm25_topk(spark, sf_dir):
     return bm25_topk(
         _docs(spark, sf_dir), q, k=BM25_K, k1=BM25_K1, b=BM25_B
     )
+
+
+def q_e14_zorder(spark, sf_dir):
+    """Z-order (Morton) interleave values over bucketized lineitem
+    keys (r7, E-14): the data-layout transform behind multi-column
+    file skipping (Delta/Iceberg OPTIMIZE ZORDER). Pure JVM bit
+    arithmetic, exact LONGs — the twin unrolls the same bit-term
+    sum. The measured pruning win lives in tests/test_zorder.py."""
+    from decision_tree_stuff_spark.operators.zorder import zorder_value
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 16).alias("pk"),
+        (F.col("l_suppkey") % 8).alias("sk"),
+    )
+    return li.withColumn("zval", zorder_value(["pk", "sk"], bits=4))
 
 
 def q_e4_heavy_hitters(spark, sf_dir):
@@ -3633,6 +3651,15 @@ SELECT query_id, doc_id, score, rank FROM (
   FROM scored) ranked
 WHERE rank <= {BM25_K}
 """,
+    # r7 Z-order values: the same Morton interleave as an unrolled
+    # bit-term sum (generated by zorder_sql — one source of truth
+    # for the bit layout).
+    "e14_zorder": f"""
+SELECT l_orderkey, l_linenumber,
+       l_partkey % 16 AS pk, l_suppkey % 8 AS sk,
+       {zorder_sql(['(l_partkey % 16)', '(l_suppkey % 8)'], 4)} AS zval
+FROM lineitem
+""",
     # r7 exact heavy hitters: the two-pass MG candidates are an
     # implementation detail — the recount + strict integer threshold
     # equals the plain HAVING program.
@@ -5113,6 +5140,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e13_validate": q_e13_validate,                # r7: E-13 validation suite
     "e4_quantile_by_domain": q_e4_quantile_by_domain,  # r7: per-domain floor
     "e4_heavy_hitters": q_e4_heavy_hitters,        # r7: exact MG heavy hitters
+    "e14_zorder": q_e14_zorder,                    # r7: E-14 Morton layout keys
     "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID
     # r7 rotation: long-stable rows demoted to make room for
     # e2_edit_verified / e4_lm_bigram (GATE_ROTATION.md)
