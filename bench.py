@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "e4_quantile_by_domain",  # per-domain quantile floor
     "e4_heavy_hitters",     # exact two-pass Misra-Gries heavy hitters
     "e14_zorder",           # Morton layout keys for multi-column skipping
+    "e10c_interval_coverage",  # gaps-and-islands union coverage
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -225,3 +225,65 @@ def interval_join(
         *[pc(c).alias(c) for c in points.columns],
         *[ic(c).alias(c) for c in intervals.columns if c not in keys],
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union-of-intervals coverage per key (E-10c, the gaps-and-
+    islands program): merge overlapping/touching [start, end]
+    intervals into islands and report, per key, how many islands
+    remain and how much of the axis they cover — "total active
+    seconds per user from overlapping session spans", the temporal
+    complement of the as-of/interval joins above.
+
+    Contract: ``start_col``/``end_col`` are NUMERIC (e.g. epoch
+    micros as BIGINT — the caller converts timestamps; integer axes
+    keep every intermediate exact and engine-portable) with
+    end >= start. Touching intervals (next.start == prev.end) merge:
+    an island BREAKS only when start > max(all previous ends).
+
+    Shape: one per-key window pass (ordered cumulative max of end,
+    1-row lag; then a cumulative sum of break flags = island id) +
+    one groupBy — the standard two-window islands plan. Windows are
+    partitioned BY KEY, so there is no single-task global sort; a
+    pathological key holding a whole corpus's intervals would
+    serialize that key only (same caveat, and same mitigation story,
+    as sessionization).
+
+    Determinism: island MEMBERSHIP is order-independent under the
+    (start, end, …) ordering — equal-start rows always land in the
+    same island whichever of them the window visits first (the
+    earlier one's end is >= the shared start, so the later one can
+    never open a new island) — and the outputs are integer
+    count/sum aggregates of it.
+    """
+    base = df.select(
+        F.col(key_col),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+    )
+    w = Window.partitionBy(key_col).orderBy("__s", "__e")
+    prev_max_end = F.max(F.col("__e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.withColumn(
+        "__ni",
+        F.when(
+            prev_max_end.isNull() | (F.col("__s") > prev_max_end), 1
+        ).otherwise(0),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("__s", "__e").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = flagged.withColumn("__iid", F.sum("__ni").over(w2))
+    g = islands.groupBy(key_col, "__iid").agg(
+        F.min("__s").alias("__is"), F.max("__e").alias("__ie")
+    )
+    return g.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("__ie") - F.col("__is")).alias("covered"),
+    )

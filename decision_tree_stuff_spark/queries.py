@@ -2369,6 +2369,31 @@ def q_rel_top_customers(spark, sf_dir):
     )
 
 
+def q_e10c_interval_coverage(spark, sf_dir):
+    """Union-of-intervals coverage per user (r7, E-10c gaps-and-
+    islands): merge each user's overlapping [ts, ts + value·1s]
+    activity spans and report islands + covered micros — 'total
+    active time' from raw overlapping spans. Integer micro axes keep
+    every intermediate exact; windows are per-key (no single-task
+    sort)."""
+    from decision_tree_stuff_spark.operators.temporal import (
+        interval_coverage,
+    )
+
+    ev = _events(spark, sf_dir)
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * 1000000.0, 0).cast("bigint")
+        ).alias("e"),
+    )
+    return interval_coverage(iv, "user_id", "s", "e")
+
+
+
+
 def q_e10_asof_join(spark, sf_dir):
     """As-of join (E-10): attach to every purchase event the latest
     click value the same user produced at or before it — the
@@ -4976,6 +5001,39 @@ SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
+ORACLE_SQL["e10c_interval_coverage"] = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 1000000.0) AS BIGINT) AS e
+  FROM events
+),
+o AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pme
+  FROM iv
+),
+fl AS (
+  SELECT user_id, s, e,
+         CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ni
+  FROM o
+),
+isl AS (
+  SELECT user_id, s, e,
+         sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS iid
+  FROM fl
+),
+g AS (
+  SELECT user_id, iid, min(s) AS i_s, max(e) AS i_e
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_islands,
+       CAST(sum(i_e - i_s) AS BIGINT) AS covered
+FROM g GROUP BY 1
+"""
+
 ORACLE_SQL["e10b_interval_join"] = """
 WITH days AS (
   SELECT DISTINCT date_trunc('day', o_orderdate) AS d FROM orders
@@ -5141,6 +5199,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_quantile_by_domain": q_e4_quantile_by_domain,  # r7: per-domain floor
     "e4_heavy_hitters": q_e4_heavy_hitters,        # r7: exact MG heavy hitters
     "e14_zorder": q_e14_zorder,                    # r7: E-14 Morton layout keys
+    "e10c_interval_coverage": q_e10c_interval_coverage,  # r7: gaps-and-islands
     "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID
     # r7 rotation: long-stable rows demoted to make room for
     # e2_edit_verified / e4_lm_bigram (GATE_ROTATION.md)

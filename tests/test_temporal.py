@@ -416,3 +416,55 @@ def test_funnel_ordered_semantics(spark):
     assert got["signup"] == (4, 1.0)
     assert got["click"] == (3, 0.75)
     assert got["purchase"] == (1, 0.25)
+
+
+class TestIntervalCoverage:
+    def test_hand_math(self, spark):
+        from decision_tree_stuff_spark.operators.temporal import (
+            interval_coverage,
+        )
+
+        rows = [
+            # key a: [0,10] U [5,20] merge -> [0,20]; [25,30] separate
+            ("a", 0, 10), ("a", 5, 20), ("a", 25, 30),
+            # key b: touching intervals merge ([0,5] + [5,9] -> [0,9])
+            ("b", 0, 5), ("b", 5, 9),
+            # key c: contained interval ([0,100] swallows [10,20])
+            ("c", 0, 100), ("c", 10, 20),
+        ]
+        df = spark.createDataFrame(rows, "k string, s long, e long")
+        got = {
+            r["k"]: (r["n_islands"], r["covered"])
+            for r in interval_coverage(df, "k", "s", "e").collect()
+        }
+        assert got == {"a": (2, 25), "b": (1, 9), "c": (1, 100)}
+
+    def test_equal_starts_any_partitioning(self, spark):
+        from decision_tree_stuff_spark.operators.temporal import (
+            interval_coverage,
+        )
+
+        # equal starts with different ends never split an island
+        rows = [("k", 0, 3), ("k", 10, 15), ("k", 10, 12), ("k", 14, 18)]
+        df = spark.createDataFrame(rows, "k string, s long, e long")
+        for parts in (1, 5):
+            got = interval_coverage(
+                df.repartition(parts), "k", "s", "e"
+            ).collect()[0]
+            assert (got["n_islands"], got["covered"]) == (2, 11)
+
+    def test_no_single_task_window(self, spark):
+        from decision_tree_stuff_spark.operators.temporal import (
+            interval_coverage,
+        )
+
+        df = spark.createDataFrame(
+            [("k", 0, 1)], "k string, s long, e long"
+        )
+        plan = (
+            interval_coverage(df, "k", "s", "e")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SinglePartition" not in plan
