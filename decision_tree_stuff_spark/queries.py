@@ -2059,7 +2059,11 @@ def q_linreg_fit_transform(spark, sf_dir):
         linreg_transform,
     )
 
-    docs = _docs(spark, sf_dir)
+    from decision_tree_stuff_spark.operators import spread_small
+
+    # regex-heavy per-row projection — spread a single-split bench
+    # file first (guarded no-op on real multi-split tables)
+    docs = spread_small(_docs(spark, sf_dir))
     feats = docs.select(
         "doc_id",
         F.col("n_chars").alias("chars"),
