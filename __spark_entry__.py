@@ -36,8 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query; the two keys
-    absent here (tree_fit_transform, forest_fit_transform) are
-    multi-query training algorithms → the driver records the weaker
-    rows-only check for those, by documented design."""
+    """DuckDB twins for every gate query — all 50 keys, including
+    tree_fit_transform and forest_fit_transform, whose twins are
+    materialized-CTE re-derivations of the level-wise fit (full
+    hash-match since round 7). No rows-only keys remain."""
     return dict(ORACLE_SQL)

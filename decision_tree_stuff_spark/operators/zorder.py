@@ -18,12 +18,27 @@ buckets/offsets raw values first (same contract Delta's ZORDER
 applies after its range-partition id transform). k·bits ≤ 63 keeps
 the value in a signed 64-bit long.
 
-``write_zordered`` is the write path: range-partition on the
-Z-value (sampled range bounds — balanced files without a global
-sort), sort within partitions, drop the helper column, write. The
-pruning win is MEASURED in tests/test_zorder.py: per-file min-max
-spans of both keys shrink by >2× vs the unclustered layout on real
-lineitem data.
+``write_zordered`` is the write path. Default (deterministic=True):
+one exact min/max pass over the Z-value (the same "analyze" pass
+Delta's OPTIMIZE runs), equi-width buckets over the occupied Z-range
+— sound because the caller contract already bucketizes the raw keys,
+so the Morton domain is bounded and densely occupied — then an
+INJECTIVE bucket→partition mapping so every output file covers
+exactly one compact Z-range. Injectivity is achieved by routing each
+bucket through a hash-preimage value v with pmod(hash(v), n) == b,
+computed by a tiny n-row Spark job against the very same Murmur3
+``HashPartitioning`` expression ``repartition(n, col)`` uses.
+Deterministic layout = retry-idempotent writes (a task retry or a
+re-run produces byte-identical file boundaries), unlike
+``repartitionByRange`` whose *sampled* bounds shift with ambient
+partitioning. The sampled path remains available
+(deterministic=False) for heavily skewed Z-occupancy where
+equi-depth balance matters more than reproducibility.
+
+The pruning win is MEASURED in tests/test_zorder.py: per-file
+min-max spans of both keys shrink enough that in-domain point probes
+skip most files on EITHER key, vs ~zero skips for an unclustered
+layout on real lineitem data.
 """
 
 from __future__ import annotations
@@ -69,25 +84,65 @@ def zorder_sql(cols: Sequence[str], bits: int = 16) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _hash_preimages(spark, n: int) -> List[int]:
+    """For each partition id p in [0, n), the smallest non-negative
+    INT v with pmod(hash(v), n) == p — computed with the exact
+    Murmur3 expression ``repartition(n, col)`` partitions by, so the
+    mapping can never drift from the engine's. One tiny job over
+    64·n candidate ints (n is a file count, not data-sized)."""
+    rows = (
+        spark.range(0, 64 * n)
+        .select(F.col("id").cast("int").alias("v"))
+        .withColumn("p", F.pmod(F.hash("v"), F.lit(n)))
+        .groupBy("p")
+        .agg(F.min("v").alias("v"))
+        .collect()
+    )
+    pre = {r["p"]: r["v"] for r in rows}
+    if len(pre) != n:  # pragma: no cover — 64n candidates always cover
+        raise RuntimeError(f"hash preimage search incomplete: {len(pre)}/{n}")
+    return [pre[i] for i in range(n)]
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
     zcols: Sequence[str],
     bits: int = 16,
     num_files: int = 8,
+    deterministic: bool = True,
 ) -> None:
-    """Cluster ``df`` on the Z-curve of ``zcols`` and write parquet:
-    range-partition by Z-value (sampled bounds — no global sort
-    barrier), sort within each partition, drop the helper column.
-    Each output file then covers a compact Z-range, i.e. a compact
+    """Cluster ``df`` on the Z-curve of ``zcols`` and write parquet.
+    Each output file covers a compact Z-range, i.e. a compact
     hyper-rectangle-ish region of ALL zcols — the min-max stats
-    readers prune on."""
+    readers prune on.
+
+    deterministic=True (default): exact min/max pass → equi-width
+    buckets over the occupied Z-range → injective bucket→partition
+    routing via hash preimages → sort within partitions. Re-running
+    (or a task retry) yields identical file boundaries.
+
+    deterministic=False: single-pass ``repartitionByRange`` (sampled
+    bounds) — equi-depth balance under skewed Z-occupancy, at the
+    cost of layout reproducibility."""
     zv = zorder_value(list(zcols), bits)
-    (
-        df.withColumn("__z", zv)
-        .repartitionByRange(num_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    staged = df.withColumn("__z", zv)
+    if deterministic:
+        zmin, zmax = staged.agg(F.min("__z"), F.max("__z")).first()
+        n = num_files
+        if zmin is None or zmax == zmin:
+            bucket = F.lit(0)
+        else:
+            bucket = F.floor(
+                (F.col("__z") - F.lit(zmin)) * n / F.lit(zmax - zmin + 1)
+            ).cast("int")
+        pre = _hash_preimages(df.sparkSession, n)
+        routed = staged.withColumn(
+            "__route", F.element_at(F.lit(pre), bucket + 1)
+        )
+        out = routed.repartition(n, "__route").sortWithinPartitions("__z")
+        out = out.drop("__z", "__route")
+    else:
+        out = staged.repartitionByRange(num_files, "__z")
+        out = out.sortWithinPartitions("__z").drop("__z")
+    out.write.mode("overwrite").parquet(path)
