@@ -5128,10 +5128,8 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e8_sample": q_e8_sample,
     "e8_stratified_sample": q_e8_stratified_sample,
     "e8_hash_split": q_e8_hash_split,
-    "e8_kfold": q_e8_kfold,
     "e8_global_shuffle": q_e8_global_shuffle,
     "e8_pack_materialize": q_e8_pack_materialize,
-    "e5_sliding_counts": q_e5_sliding_counts,
     "e5_tumbling_counts": q_e5_tumbling_counts,
     "e5_sessions": q_e5_sessions,
     "e4_document_stats": q_e4_document_stats,
@@ -5140,7 +5138,14 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e4_quality_filter": q_e4_quality_filter,
     "e6_media_meta": q_e6_media_meta,
     "e6_media_features": q_e6_media_features,
-    "e6_frame_sample": q_e6_frame_sample,
+    # r8 rotation (GATE_ROTATION.md; r7 verdict task 6): three new
+    # operator FAMILIES promoted — data-quality validation, graph
+    # PageRank, frequent-items — in place of three long-green rows
+    # from over-represented families (sampling keeps 5 gate rows,
+    # E-5 keeps tumbling+sessions, E-6 keeps meta+features)
+    "e13_validate": q_e13_validate,
+    "e7d_pagerank": q_e7d_pagerank,
+    "e4_heavy_hitters": q_e4_heavy_hitters,
     "skew_salted_agg": q_skew_salted_agg,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_disjunctive_join": q_rel_disjunctive_join,
@@ -5196,12 +5201,14 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e2_snm_pairs": q_e2_snm_pairs,                # r7: sorted-neighborhood
     "e4_chi2_features": q_e4_chi2_features,        # r7: χ² feature selection
     "linreg_fit_transform": q_linreg_fit_transform,  # r7: E-12c normal equations
-    "e7d_pagerank": q_e7d_pagerank,                # r7: E-7d fixed-point PageRank
     "e7e_triangles": q_e7e_triangles,              # r7: E-7e triangle counts
     "e4_hybrid_rrf": q_e4_hybrid_rrf,              # r7: lexical+dense RRF fusion
-    "e13_validate": q_e13_validate,                # r7: E-13 validation suite
     "e4_quantile_by_domain": q_e4_quantile_by_domain,  # r7: per-domain floor
-    "e4_heavy_hitters": q_e4_heavy_hitters,        # r7: exact MG heavy hitters
+    # r8 rotation: three long-green rows demoted to make room for
+    # e13_validate / e7d_pagerank / e4_heavy_hitters (GATE_ROTATION.md)
+    "e8_kfold": q_e8_kfold,
+    "e5_sliding_counts": q_e5_sliding_counts,
+    "e6_frame_sample": q_e6_frame_sample,
     "e14_zorder": q_e14_zorder,                    # r7: E-14 Morton layout keys
     "e10c_interval_coverage": q_e10c_interval_coverage,  # r7: gaps-and-islands
     "e4_nb_langid": q_e4_nb_langid,                # r7: Naive Bayes language-ID

@@ -4,6 +4,9 @@ oracle at sf0.01, multiset value compare over name-sorted columns —
 and write CORRECTNESS_SELF_r{N}.json.
 
 Usage: python scripts/self_audit.py [sf_dir] [out_json]
+Optional env SELF_AUDIT_ONLY=comma,separated,keys restricts the run
+to a subset (spot checks); the full-registry JSON is the committable
+artifact.
 """
 
 from __future__ import annotations
@@ -20,7 +23,7 @@ OUT = (
     if len(sys.argv) > 2
     else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "CORRECTNESS_SELF_r07.json",
+        "CORRECTNESS_SELF_r08.json",
     )
 )
 
@@ -92,9 +95,14 @@ def main() -> None:
             f"read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    only = {
+        k for k in os.environ.get("SELF_AUDIT_ONLY", "").split(",") if k
+    }
     results = {}
     counts = {"match": 0, "rows_only": 0, "mismatch_or_error": 0}
     for name, fn in ALL_QUERIES.items():
+        if only and name not in only:
+            continue
         entry = {"gate": name in SPARK_QUERIES}
         try:
             sdf = fn(spark, SF_DIR)
