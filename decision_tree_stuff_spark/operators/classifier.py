@@ -4,27 +4,43 @@ fastText-style quality/language gate family (``textstats.nb_model``
 is the counts-only member; this one actually descends a loss).
 
 Training is full-batch gradient descent with a FIXED iteration count
-and a rounding contract, the same recipe that made the distributed
-k-means and tree-fit oracles exact:
+in BIGINT micro-units fixed point (the same recipe as the PageRank
+twin — r8 upgrade from the earlier float-with-rounding contract,
+whose order-dependent sums could land exactly on a rounding boundary
+and flip the 6th decimal between plans):
 
-    z_i = round(bias + Σ_b c_ib·w_b, 6)        (per-doc, one join+agg)
-    p_i = round(σ(z_i), 6)
-    w_b += round(lr · Σ_i c_ib·(y_i − p_i) / N, 6)  (per-bucket agg)
+    zm_i = bias_m + Σ_b c_ib·wm_b              (exact BIGINT dot)
+    p_i  = round(σ(zm_i / 1e6), 6)             (the only float op)
+    rm_i = round((y_i − p_i)·1e6)              (exact micro residual)
+    wm_b += round_half_away(lr · Σ_i c_ib·rm_i / N)   (BIGINT update)
 
-Rounding z before σ and the weights after every update absorbs
-partial-sum ulp noise, so the trajectory is independent of
-partitioning AND engine — the DuckDB twin unrolls the same iterations
-as MATERIALIZED CTEs and matches exactly. σ's exp differs at most 1
-ulp between libm and Java Math; after the 6 dp rounds that cannot
-surface.
+No float ever enters a SUM, so the trajectory is bit-identical under
+any partitioning, any summation order, and in the DuckDB twin by
+arithmetic. σ's exp differs at most 1 ulp between libm and Java Math,
+and a transcendental output landing exactly on a 5·10⁻⁷ boundary is
+measure-zero — the one float op is safe where sums were not.
 
 Scale design: features are ``selection.hashed_ngram_features`` (one
 projection + explode + grouped count — the only corpus-sized
-shuffle); each GD iteration joins the cached feature rows against a
-BROADCAST (n_buckets+1)-row weight table, aggregates per doc
-(map-side combinable) and per bucket, and collects exactly
-n_buckets+1 doubles to the driver. Inference is the same join + one
-per-doc agg — no iteration, no window.
+shuffle), folded ONCE into a cached per-doc ``bucket → count`` map
+(≤ n_buckets entries). Each GD iteration is then a single scan of
+the cached frame: z is a STATICALLY UNROLLED Σ_b c_b·w_b over the
+current weight literals (zero-weight terms elided — iteration 1 is
+the bias alone), and the whole gradient is ONE wide global aggregate
+of n_buckets+1 sums whose partial combine reduces every partition to
+one 65-double row before the (singleton) shuffle. No join, no
+per-doc shuffle, no window inside the loop; exactly n_buckets+1
+doubles reach the driver per iteration. The static unroll also makes
+z bit-deterministic under ANY partitioning (fixed bucket summation
+order), strictly stronger than the rounding contract needs.
+
+The dense unroll is bounded by ``dense_max_buckets`` (default 512 —
+codegen expression width, not data size); above it the fit falls
+back to the broadcast-join formulation (same math, same contract):
+per iteration join the cached feature rows against a BROADCAST
+(n_buckets+1)-row weight table, aggregate per doc and per bucket.
+Inference mirrors the same split: literal-array weight lookup below
+the threshold, broadcast join above.
 """
 
 from __future__ import annotations
@@ -60,11 +76,131 @@ def lr_fit(
     text_col: str = "text",
     round_dp: int = 6,
     cache: bool = True,
+    dense_max_buckets: int = 512,
 ) -> List[Tuple[int, float]]:
     """Train; returns ``[(bucket, weight), ...]`` with the bias at
     ``bucket == BIAS_BUCKET``. ``label_col`` must be 0/1-valued
     (cast to double internally). Documents with no tokens still train
     the bias (their z is the bias alone)."""
+    if n_buckets <= dense_max_buckets:
+        return _lr_fit_dense(
+            docs, label_col, n_buckets, iters, lr, id_col, text_col,
+            round_dp, cache,
+        )
+    return _lr_fit_joined(
+        docs, label_col, n_buckets, iters, lr, id_col, text_col,
+        round_dp, cache,
+    )
+
+
+def _lr_fit_dense(
+    docs: DataFrame,
+    label_col: str,
+    n_buckets: int,
+    iters: int,
+    lr: float,
+    id_col: str,
+    text_col: str,
+    round_dp: int,
+    cache: bool,
+) -> List[Tuple[int, float]]:
+    """Dense path: one cached (y, bucket→count map) frame, then one
+    scan + one wide global aggregate per iteration. All sums are
+    BIGINT micro-units (counts × micro-weights / micro-residuals), so
+    the trajectory is EXACT — identical under any partitioning, any
+    summation order, and in the DuckDB twin by arithmetic, not by
+    rounding luck."""
+    q = 10**round_dp
+    labels = docs.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("y")
+    )
+    featmap = (
+        hashed_ngram_features(docs, id_col, text_col, n_buckets)
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bucket"), F.col("c")))
+            ).alias("__m")
+        )
+    )
+    # left join: token-less docs keep a null map and train the bias
+    prep = labels.join(featmap, id_col, "left").select("y", "__m")
+    if cache:
+        from pyspark import StorageLevel
+
+        prep = prep.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = prep.count()
+        if n == 0:
+            raise ValueError("lr_fit: empty corpus")
+
+        def cnt(b: int):
+            return F.coalesce(
+                F.element_at(F.col("__m"), F.lit(b).cast("bigint")),
+                F.lit(0).cast("bigint"),
+            )
+
+        wm: Dict[int, int] = {b: 0 for b in range(n_buckets)}
+        wm[BIAS_BUCKET] = 0
+        for _ in range(iters):
+            # z in micro-units: exact BIGINT dot product against the
+            # current weight literals, zero-weight terms elided
+            # (iteration 1 is the bias literal alone). A/B'd against a
+            # broadcast 1-row weight-array variant: literals win — the
+            # hoped-for Janino cache hit never materializes and the
+            # extra BroadcastNestedLoopJoin costs ~0.5 s/iteration.
+            zm = F.lit(wm[BIAS_BUCKET]).cast("bigint")
+            for b in range(n_buckets):
+                if wm[b] != 0:
+                    zm = zm + cnt(b) * F.lit(wm[b])
+            p = F.round(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(zm.cast("double") / F.lit(float(q))))),
+                round_dp,
+            )
+            rm = F.round((F.col("y") - p) * F.lit(float(q)), 0).cast("bigint")
+            scored = prep.select("__m", rm.alias("__rm"))
+            row = scored.agg(
+                F.sum("__rm").alias("gb"),
+                *[
+                    F.sum(cnt(b) * F.col("__rm")).alias(f"g{b}")
+                    for b in range(n_buckets)
+                ],
+            ).first()
+            wm = {
+                b: wm[b]
+                + int(
+                    _round_away(
+                        lr
+                        * (row["gb" if b == BIAS_BUCKET else f"g{b}"] or 0)
+                        / n,
+                        0,
+                    )
+                )
+                for b in wm
+            }
+        return sorted((b, v / q) for b, v in wm.items())
+    finally:
+        if cache:
+            prep.unpersist()
+
+
+def _lr_fit_joined(
+    docs: DataFrame,
+    label_col: str,
+    n_buckets: int,
+    iters: int,
+    lr: float,
+    id_col: str,
+    text_col: str,
+    round_dp: int,
+    cache: bool,
+) -> List[Tuple[int, float]]:
+    """Broadcast-join path for bucket counts beyond the unroll bound —
+    the same exact micro-units arithmetic as the dense path (BIGINT
+    dot products and gradients), so both paths produce bit-identical
+    weights."""
+    q = 10**round_dp
     spark = docs.sparkSession
     labels = docs.select(
         F.col(id_col), F.col(label_col).cast("double").alias("y")
@@ -90,43 +226,43 @@ def lr_fit(
         n = labels.count()
         if n == 0:
             raise ValueError("lr_fit: empty corpus")
-        w: Dict[int, float] = {b: 0.0 for b in range(n_buckets)}
-        w[BIAS_BUCKET] = 0.0
+        wm: Dict[int, int] = {b: 0 for b in range(n_buckets)}
+        wm[BIAS_BUCKET] = 0
         for _ in range(iters):
             wdf = spark.createDataFrame(
-                list(w.items()), "bucket bigint, wt double"
+                list(wm.items()), "bucket bigint, wm bigint"
             )
             zf = (
                 feats.join(F.broadcast(wdf), "bucket")
                 .groupBy(id_col)
-                .agg(F.sum(F.col("c") * F.col("wt")).alias("zf"))
+                .agg(F.sum(F.col("c") * F.col("wm")).alias("zm"))
+            )
+            p = F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(-(F.col("zm").cast("double") / F.lit(float(q))))
+                ),
+                round_dp,
             )
             resid = labels.join(zf, id_col).select(
                 F.col(id_col),
-                (
-                    F.col("y")
-                    - F.round(
-                        F.lit(1.0)
-                        / (
-                            F.lit(1.0)
-                            + F.exp(-F.round(F.col("zf"), round_dp))
-                        ),
-                        round_dp,
-                    )
-                ).alias("r"),
+                F.round((F.col("y") - p) * F.lit(float(q)), 0)
+                .cast("bigint")
+                .alias("rm"),
             )
             grows = (
                 feats.join(resid, id_col)
                 .groupBy("bucket")
-                .agg(F.sum(F.col("c") * F.col("r")).alias("g"))
+                .agg(F.sum(F.col("c") * F.col("rm")).alias("g"))
                 .collect()
             )
             g = {r["bucket"]: r["g"] for r in grows}
-            w = {
-                b: _round_away(w[b] + lr * g.get(b, 0.0) / n, round_dp)
-                for b in w
+            wm = {
+                b: wm[b] + int(_round_away(lr * g.get(b, 0) / n, 0))
+                for b in wm
             }
-        return sorted(w.items())
+        return sorted((b, v / q) for b, v in wm.items())
     finally:
         if cache:
             feats.unpersist()
@@ -140,36 +276,57 @@ def lr_classify(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_dp: int = 6,
+    dense_max_buckets: int = 512,
 ) -> DataFrame:
     """(id, score, pred) under a trained weight list — the feature
-    projection + ONE broadcast join + one per-doc aggregate; the
-    weight table never exceeds n_buckets+1 rows however large the
-    corpus."""
+    projection + one per-doc aggregate. Below ``dense_max_buckets``
+    the per-feature weight is a literal-array lookup (no join at
+    all); above it, ONE broadcast join against the weight table,
+    which never exceeds n_buckets+1 rows however large the corpus.
+    Weights are interpreted at ``round_dp`` resolution (they come out
+    of ``lr_fit`` that way) and the dot product runs in exact BIGINT
+    micro-units — the same arithmetic as the fit."""
+    q = 10**round_dp
     spark = docs.sparkSession
-    wmap = dict(weights)
-    bias = wmap.pop(BIAS_BUCKET, 0.0)
+    wmap = {b: int(_round_away(w * q, 0)) for b, w in weights}
+    bias_m = wmap.pop(BIAS_BUCKET, 0)
     n_buckets = (max(wmap) + 1) if wmap else 1
-    wdf = spark.createDataFrame(
-        sorted(wmap.items()), "bucket bigint, wt double"
-    )
     feats = hashed_ngram_features(docs, id_col, text_col, n_buckets)
-    zf = (
-        feats.join(F.broadcast(wdf), "bucket", "left")
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("c") * F.coalesce(F.col("wt"), F.lit(0.0))).alias(
-                "zf"
+    if n_buckets <= dense_max_buckets:
+        warr = [wmap.get(b, 0) for b in range(n_buckets)]
+        zf = feats.groupBy(id_col).agg(
+            F.sum(
+                F.col("c")
+                * F.element_at(
+                    F.lit(warr), (F.col("bucket") + 1).cast("int")
+                )
+            ).alias("zm")
+        )
+    else:
+        wdf = spark.createDataFrame(
+            sorted(wmap.items()), "bucket bigint, wm bigint"
+        )
+        zf = (
+            feats.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy(id_col)
+            .agg(
+                F.sum(
+                    F.col("c")
+                    * F.coalesce(F.col("wm"), F.lit(0).cast("bigint"))
+                ).alias("zm")
             )
         )
-    )
     score = F.round(
         F.lit(1.0)
         / (
             F.lit(1.0)
             + F.exp(
-                -F.round(
-                    F.coalesce(F.col("zf"), F.lit(0.0)) + F.lit(bias),
-                    round_dp,
+                -(
+                    (
+                        F.coalesce(F.col("zm"), F.lit(0).cast("bigint"))
+                        + F.lit(bias_m)
+                    ).cast("double")
+                    / F.lit(float(q))
                 )
             )
         ),

@@ -617,10 +617,13 @@ def _lr_cte_sql(
     lr: float,
 ) -> str:
     """Unrolled gradient-descent twin of classifier.lr_fit/classify:
-    fixed iterations + the 6 dp rounding contract on z, σ(z) and every
-    weight update make the trajectory engine-portable (same recipe as
-    the k-means and tree-fit twins). MATERIALIZED throughout — the
-    iteration chain re-evaluates exponentially if inlined."""
+    fixed iterations in BIGINT micro-units fixed point (r8 — see the
+    classifier module docstring): z, residuals and gradients are
+    exact integer sums, σ is the only float op, and the weight update
+    round(lr·g/n) is the identical IEEE expression both engines fold,
+    so the trajectory matches bit-for-bit by arithmetic rather than
+    by rounding luck. MATERIALIZED throughout — the iteration chain
+    re-evaluates exponentially if inlined."""
     parts = [
         f"tfeats AS MATERIALIZED ({_lr_feats_sql(train_where, n_buckets)})",
         f"""labels AS MATERIALIZED (
@@ -629,36 +632,41 @@ def _lr_cte_sql(
 )""",
         "nn AS MATERIALIZED (SELECT count(*) AS n FROM labels)",
         f"""w0 AS MATERIALIZED (
-  SELECT unnest(range(-1, {n_buckets})) AS bucket, 0.0 AS wt
+  SELECT unnest(range(-1, {n_buckets})) AS bucket, CAST(0 AS BIGINT) AS wm
 )""",
     ]
     for t in range(iters):
         parts.append(
             f"""z{t} AS MATERIALIZED (
-  SELECT l.doc_id, l.y, round(coalesce(fs.zf, 0.0) + b.bw, 6) AS z
+  SELECT l.doc_id, l.y, coalesce(fs.zm, 0) + b.bm AS zm
   FROM labels l
-  LEFT JOIN (SELECT f.doc_id, sum(f.c * w.wt) AS zf
+  LEFT JOIN (SELECT f.doc_id, sum(f.c * w.wm) AS zm
              FROM tfeats f JOIN w{t} w USING (bucket) GROUP BY 1) fs
     USING (doc_id)
-  CROSS JOIN (SELECT wt AS bw FROM w{t} WHERE bucket = -1) b
+  CROSS JOIN (SELECT wm AS bm FROM w{t} WHERE bucket = -1) b
 )"""
         )
         parts.append(
             f"""r{t} AS MATERIALIZED (
-  SELECT doc_id, y - round(1.0 / (1.0 + exp(-z)), 6) AS r FROM z{t}
+  SELECT doc_id,
+         CAST(round((y - round(1.0 / (1.0 + exp(-(zm / 1000000.0))), 6))
+                    * 1000000.0, 0) AS BIGINT) AS rm
+  FROM z{t}
 )"""
         )
         parts.append(
             f"""g{t} AS MATERIALIZED (
-  SELECT f.bucket, sum(f.c * r.r) AS g
+  SELECT f.bucket, sum(f.c * r.rm) AS g
   FROM tfeats f JOIN r{t} r USING (doc_id) GROUP BY 1
   UNION ALL
-  SELECT -1 AS bucket, sum(r) AS g FROM r{t}
+  SELECT -1 AS bucket, sum(rm) AS g FROM r{t}
 )"""
         )
         parts.append(
             f"""w{t + 1} AS MATERIALIZED (
-  SELECT w.bucket, round(w.wt + {lr} * coalesce(g.g, 0.0) / nn.n, 6) AS wt
+  SELECT w.bucket,
+         w.wm + CAST(round({lr} * coalesce(g.g, 0) / nn.n, 0) AS BIGINT)
+           AS wm
   FROM w{t} w LEFT JOIN g{t} g USING (bucket) CROSS JOIN nn
 )"""
         )
@@ -669,15 +677,15 @@ def _lr_cte_sql(
         "WITH "
         + ",\n".join(parts)
         + f"""
-SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
-       round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS pred
+SELECT doc_id, round(1.0 / (1.0 + exp(-(zm / 1000000.0))), 6) AS score,
+       round(1.0 / (1.0 + exp(-(zm / 1000000.0))), 6) >= 0.5 AS pred
 FROM (
-  SELECT d.doc_id, round(coalesce(fs.zf, 0.0) + b.bw, 6) AS z
+  SELECT d.doc_id, coalesce(fs.zm, 0) + b.bm AS zm
   FROM (SELECT doc_id FROM documents WHERE {score_where}) d
-  LEFT JOIN (SELECT f.doc_id, sum(f.c * w.wt) AS zf
+  LEFT JOIN (SELECT f.doc_id, sum(f.c * w.wm) AS zm
              FROM sfeats f JOIN w{iters} w USING (bucket) GROUP BY 1) fs
     USING (doc_id)
-  CROSS JOIN (SELECT wt AS bw FROM w{iters} WHERE bucket = -1) b) sz
+  CROSS JOIN (SELECT wm AS bm FROM w{iters} WHERE bucket = -1) b) sz
 """
     )
 
