@@ -23,7 +23,7 @@ way).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -48,15 +48,24 @@ def hashed_ngram_features(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 10_000,
+    carry: Sequence[str] = (),
 ) -> DataFrame:
     """DSIR's featurizer: unigram + bigram occurrences hashed into
-    ``n_buckets`` buckets — (id, bucket, c) with c the in-doc count.
-    The array of grams is built doc-locally (one projection), then one
-    explode + one grouped count; bigrams use the '\\x01'-joined pair
-    as the hash input so 'ab c' and 'a bc' cannot collide by
-    concatenation."""
+    ``n_buckets`` buckets — (id, *carry, bucket, c) with c the in-doc
+    count. The array of grams is built doc-locally (one projection),
+    then one explode + one grouped count; bigrams use the
+    '\\x01'-joined pair as the hash input so 'ab c' and 'a bc' cannot
+    collide by concatenation.
+
+    ``carry`` names doc-level columns (functionally dependent on the
+    id, e.g. a language or split tag) to ride through the grouped
+    count, so ONE featurize pass can be sliced downstream into
+    model-building subsets instead of featurizing each subset
+    separately — the md5-per-gram digest is the dominant cost and
+    this is how consumers share it."""
+    carry = list(carry)
     toks_f = F.filter(tokens(F.col(text_col)), lambda t: t != "")
-    prep = docs.select(F.col(id_col), toks_f.alias("__toks"))
+    prep = docs.select(F.col(id_col), *carry, toks_f.alias("__toks"))
     bigrams = F.when(
         F.size("__toks") >= 2,
         F.transform(
@@ -70,11 +79,14 @@ def hashed_ngram_features(
     ).otherwise(F.array().cast("array<string>"))
     grams = prep.select(
         F.col(id_col),
+        *carry,
         F.explode(F.concat(F.col("__toks"), bigrams)).alias("gram"),
     )
     return grams.select(
-        F.col(id_col), _bucket(F.col("gram"), n_buckets).alias("bucket")
-    ).groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+        F.col(id_col),
+        *carry,
+        _bucket(F.col("gram"), n_buckets).alias("bucket"),
+    ).groupBy(id_col, *carry, "bucket").agg(F.count(F.lit(1)).alias("c"))
 
 
 def dsir_model(
@@ -89,7 +101,20 @@ def dsir_model(
     (bucket, logprob) with logprob = ln((c_b + 1) / (N + B)). Train
     once per corpus (target AND raw), persist — model tables are at
     most ``n_buckets`` rows and always broadcast."""
-    feats = hashed_ngram_features(corpus, id_col, text_col, n_buckets)
+    return dsir_model_from_features(
+        hashed_ngram_features(corpus, id_col, text_col, n_buckets),
+        n_buckets,
+    )
+
+
+def dsir_model_from_features(
+    feats: DataFrame, n_buckets: int = 10_000
+) -> DataFrame:
+    """``dsir_model`` over an ALREADY-featurized (…, bucket, c) frame
+    — the sharing entry point: featurize the whole corpus once (with
+    ``carry`` tags), slice it per model, and Spark's exchange reuse
+    computes the md5-per-gram pass a single time for every model and
+    the scorer (vs one full featurize pass per consumer)."""
     counts = feats.groupBy("bucket").agg(F.sum("c").alias("cb"))
     total = feats.agg(
         (F.sum("c") + F.lit(float(n_buckets))).alias("__denom")
@@ -122,7 +147,26 @@ def dsir_log_weights(
     broadcast joins, one per-doc sum. Docs with no grams weight 0
     (target and raw floors cancel only per-bucket — an empty doc has
     no buckets at all). Returns (id, n_grams, log_weight)."""
-    feats = hashed_ngram_features(docs, id_col, text_col, n_buckets)
+    return dsir_log_weights_from_features(
+        hashed_ngram_features(docs, id_col, text_col, n_buckets),
+        docs.select(id_col),
+        target_model,
+        raw_model,
+        id_col,
+    )
+
+
+def dsir_log_weights_from_features(
+    feats: DataFrame,
+    doc_ids: DataFrame,
+    target_model: DataFrame,
+    raw_model: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``dsir_log_weights`` over an already-featurized frame plus the
+    id universe (``doc_ids`` — needed because gram-less docs have no
+    feature rows but must still appear with weight 0). The sharing
+    entry point for the one-featurize-pass DSIR pipeline."""
 
     def side(model: DataFrame, out: str):
         floor = model.where(F.col("bucket") == -1).select(
@@ -158,7 +202,7 @@ def dsir_log_weights(
         )
     )
     return (
-        docs.select(id_col)
+        doc_ids.select(id_col)
         .distinct()
         .join(scored, id_col, "left")
         .select(

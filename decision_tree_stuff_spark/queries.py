@@ -1405,18 +1405,34 @@ def q_e8_dsir_sample(spark, sf_dir):
     docs with probability proportional to exp(log w), without
     replacement. The published pretraining-corpus selection recipe as
     counts + joins + one window."""
+    from decision_tree_stuff_spark.operators import pushdown_fence
     from decision_tree_stuff_spark.operators.selection import (
-        dsir_log_weights,
-        dsir_model,
+        dsir_log_weights_from_features,
+        dsir_model_from_features,
         gumbel_topk_sample,
+        hashed_ngram_features,
     )
 
     docs = _docs(spark, sf_dir)
-    hist = docs.where(F.col("doc_id") % 2 == 0)
-    target = dsir_model(hist.where(F.col("lang") == "en"), n_buckets=4096)
-    raw = dsir_model(hist, n_buckets=4096)
-    weights = dsir_log_weights(
-        docs.where(F.col("doc_id") % 2 == 1), target, raw, n_buckets=4096
+    # ONE featurize pass over the whole corpus (the md5-per-gram
+    # digest is the dominant cost), lang carried through; the fence
+    # keeps the parity/lang slices from being pushed below the
+    # feature aggregation's Exchange, so all three consumers (target
+    # model, raw model, scorer) hit ReuseExchange instead of each
+    # re-running the featurizer (r7 verdict: 3 passes → 1).
+    feats = pushdown_fence(
+        hashed_ngram_features(docs, n_buckets=4096, carry=["lang"])
+    )
+    hist = feats.where(F.col("doc_id") % 2 == 0)
+    target = dsir_model_from_features(
+        hist.where(F.col("lang") == "en"), n_buckets=4096
+    )
+    raw = dsir_model_from_features(hist, n_buckets=4096)
+    weights = dsir_log_weights_from_features(
+        feats.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 1).select("doc_id"),
+        target,
+        raw,
     )
     return gumbel_topk_sample(
         weights, 50, "log_weight", ["doc_id"], seed="dsir7"

@@ -42,6 +42,14 @@ TABLES = {
 }
 ID_STRIDE = 10_000_000
 
+# Optional table filter (e.g. building a documents+embeddings-only
+# sf10 = 100 replicas of sf0.1 for the iterative-query slope — NOTE:
+# always scale from sf0.1, never from an already-replicated set, or
+# replica offsets collide: stride*(i+j) repeats for equal sums).
+ONLY = {
+    t for t in os.environ.get("SPARK_GRAFT_SCALE_TABLES", "").split(",") if t
+}
+
 
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
@@ -56,6 +64,8 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     for table, id_cols in TABLES.items():
+        if ONLY and table not in ONLY:
+            continue
         src = f"{SRC}/{table}.parquet"
         if not os.path.exists(src):
             print(f"skip {table}: {src} missing", file=sys.stderr)
