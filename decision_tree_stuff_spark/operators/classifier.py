@@ -142,17 +142,33 @@ def _lr_fit_dense(
 
         wm: Dict[int, int] = {b: 0 for b in range(n_buckets)}
         wm[BIAS_BUCKET] = 0
+        keys = F.lit(list(range(n_buckets)))
         for _ in range(iters):
             # z in micro-units: exact BIGINT dot product against the
-            # current weight literals, zero-weight terms elided
-            # (iteration 1 is the bias literal alone). A/B'd against a
-            # broadcast 1-row weight-array variant: literals win — the
-            # hoped-for Janino cache hit never materializes and the
-            # extra BroadcastNestedLoopJoin costs ~0.5 s/iteration.
-            zm = F.lit(wm[BIAS_BUCKET]).cast("bigint")
-            for b in range(n_buckets):
-                if wm[b] != 0:
-                    zm = zm + cnt(b) * F.lit(wm[b])
+            # current weight literals, folded with ONE ``aggregate``
+            # HOF over the zipped (bucket, weight) literal arrays.
+            # Measured alternatives at sf10 (250k docs): a 64-term
+            # `+` chain (left-nested OR balanced) blows up
+            # superlinearly past ~32 terms — 0.5 s at 16 terms,
+            # 1.6 s at 32, 20 s at 64, codegen giving up — while the
+            # fold is 1.3 s and linear in n_buckets. Fold order is
+            # the fixed bucket order, so z stays bit-deterministic
+            # (and exact: integer arithmetic throughout). A broadcast
+            # 1-row weight-array variant was also A/B'd and lost
+            # (extra BroadcastNestedLoopJoin, no Janino cache hit).
+            ws = F.lit([wm[b] for b in range(n_buckets)])
+            zm = F.aggregate(
+                F.zip_with(
+                    keys, ws, lambda k, w: F.struct(k.alias("k"), w.alias("w"))
+                ),
+                F.lit(wm[BIAS_BUCKET]).cast("bigint"),
+                lambda acc, s: acc
+                + F.coalesce(
+                    F.element_at(F.col("__m"), s["k"].cast("bigint")),
+                    F.lit(0).cast("bigint"),
+                )
+                * s["w"],
+            )
             p = F.round(
                 F.lit(1.0)
                 / (F.lit(1.0) + F.exp(-(zm.cast("double") / F.lit(float(q))))),

@@ -46,9 +46,27 @@ def connected_components(
     pair_cols: tuple = ("id_a", "id_b"),
     max_rounds: int = 25,
     checkpoint_mode: str = "local",
+    contract: bool = True,
 ) -> DataFrame:
     """Label every node with the smallest node id reachable from it in
     the undirected graph given by ``pairs``.
+
+    ``contract=True`` (default) runs ONE min-neighbor contraction
+    before the propagation loop: M(u) = min(u, Γ(u)), every edge
+    (u, v) is rewritten to (M(u), M(v)), self-loops dropped,
+    duplicates collapsed — the star-rewriting move of Kiveris et
+    al.'s large-star (SoCC'14), applied once as a pre-pass. On the
+    clone-adversarial near-dup graphs that motivated it (exact-clone
+    groups = CLIQUES), a clique contracts to a single node in this
+    one pass, so the per-round edge join shrinks from |E| (quadratic
+    in clone multiplicity) to the tiny residual cross-edge graph —
+    measured at sf1, e7_dedup_clusters 165 s → the contracted loop's
+    residual rounds, and the e7b composition no longer DNFs. Cost on
+    graphs with nothing to contract: two |E| joins + a distinct, about
+    one loop round. Correctness: contraction preserves connectivity,
+    the component minimum m has M(m) = m so it survives as a
+    contracted node, and final labels compose as
+    label(u) = cc_label(M(u)).
 
     ``nodes`` must contain every id (isolated nodes label themselves).
     Returns (id_col, cluster_id). Deterministic; raises if the
@@ -103,6 +121,33 @@ def connected_components(
     pairs = ckpt(pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst")))
     edges = ckpt(pairs.union(pairs.select(F.col("dst"), F.col("src"))).distinct())
     release_local_checkpoint(pairs)
+
+    mmap = None
+    if contract:
+        # M(u) = min(u, Γ(u)) over the symmetric edge list, then the
+        # edge rewrite (u,v) → (M(u),M(v)) minus self-loops. Cliques
+        # vanish entirely; the loop below runs on the residue. M is
+        # checkpointed because the final composition join needs it
+        # AFTER the raw edge blocks are released in the finally.
+        mmap = ckpt(
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("__mn"))
+            .select(
+                F.col("src").alias("node"),
+                F.least(F.col("src"), F.col("__mn")).alias("m"),
+            )
+        )
+        msrc = mmap.select(F.col("node").alias("src"), F.col("m").alias("ms"))
+        mdst = mmap.select(F.col("node").alias("dst"), F.col("m").alias("md"))
+        cedges = ckpt(
+            edges.join(msrc, "src")
+            .join(mdst, "dst")
+            .where(F.col("ms") != F.col("md"))
+            .select(F.col("ms").alias("src"), F.col("md").alias("dst"))
+            .distinct()
+        )
+        release_local_checkpoint(edges)
+        edges = cedges
     # r4: iterate ONLY over edge-incident nodes. A near-dup graph is
     # sparse — the overwhelming majority of a corpus is isolated — so
     # every per-round join/shuffle shrinks from |corpus| to |touched
@@ -166,10 +211,28 @@ def connected_components(
                 # its in-nodes neighbors still account for it
                 # transitively. (r5: replaces a semi-join + anti-join
                 # + union over the same two inputs.)
-                touched = labels.select(
-                    F.col("node").alias(id_col),
-                    F.col("label").alias("cluster_id"),
-                )
+                if mmap is not None:
+                    # compose through the contraction: u's label is
+                    # the contracted component label of M(u); a
+                    # contracted node whose edges all collapsed
+                    # (pure clique) has no loop row and self-labels
+                    # as M(u) via the coalesce
+                    clabels = labels.select(
+                        F.col("node").alias("m"),
+                        F.col("label").alias("__cl"),
+                    )
+                    touched = (
+                        mmap.join(clabels, "m", "left")
+                        .select(
+                            F.col("node").alias(id_col),
+                            F.coalesce("__cl", "m").alias("cluster_id"),
+                        )
+                    )
+                else:
+                    touched = labels.select(
+                        F.col("node").alias(id_col),
+                        F.col("label").alias("cluster_id"),
+                    )
                 out = nodes.select(F.col(id_col)).join(
                     touched, id_col, "left"
                 ).select(
@@ -177,13 +240,18 @@ def connected_components(
                     F.coalesce("cluster_id", id_col).alias("cluster_id"),
                 )
                 # deterministic-release hook (see release_components):
-                # the final labels checkpoint's blocks are otherwise
-                # reaped only when the JVM GCs the RDD and the
-                # ContextCleaner notices — unbounded later
-                out._dts_final_checkpoint = labels
+                # the final labels (+ contraction map) checkpoints'
+                # blocks are otherwise reaped only when the JVM GCs
+                # the RDD and the ContextCleaner notices — unbounded
+                # later
+                out._dts_final_checkpoint = (
+                    [labels, mmap] if mmap is not None else [labels]
+                )
                 return out
             prev = cur
         release_local_checkpoint(labels)
+        if mmap is not None:
+            release_local_checkpoint(mmap)
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_rounds} rounds "
             "(diameter > 2^max_rounds — raise max_rounds)"
@@ -206,7 +274,9 @@ def release_components(labeled: DataFrame) -> bool:
     if ckpt is None:
         return False
     del labeled._dts_final_checkpoint
-    return release_local_checkpoint(ckpt)
+    frames = ckpt if isinstance(ckpt, list) else [ckpt]
+    done = [release_local_checkpoint(f) for f in frames]
+    return all(done)
 
 
 def dedup_clusters(

@@ -92,8 +92,12 @@ def pagerank(
             F.expr("rank_micro div deg").alias("c"),
         )
         sums = contribs.groupBy("src").agg(F.sum("c").alias("s"))
+        # the node universe rides on the previous ranks frame (all
+        # node ids by construction, and localCheckpointed after
+        # iteration 1) instead of re-scanning the caller's nodes
+        # source once per iteration
         new_ranks = (
-            nodes.select(F.col(id_col).alias("src"))
+            ranks.select("src")
             .join(sums, "src", "left")
             .select(
                 "src",

@@ -342,3 +342,227 @@ def sample_frames(media: DataFrame, every_n: int = 4, frame_bytes: int = 16) -> 
             F.col("payload"), F.col("frame_idx") * frame_bytes + 1, frame_bytes
         ).alias("frame_payload"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode: uncompressed formats (BMP 24-bit, binary PPM P6).
+# The codec-library stub above (`decode_media` for JPEG/PNG/...) is an
+# environment limitation; these two formats need no codec — the same
+# pure-Spark byte toolkit that parses JPEG SOF headers decodes their
+# pixels exactly, JVM-side, no UDF. Formats per the published specs
+# (Windows BITMAPINFOHEADER; netpbm P6).
+# ---------------------------------------------------------------------------
+
+
+def pixel_value(media_id, k):
+    """The deterministic synthetic pixel formula shared by the
+    encoders, the DuckDB oracle and the tests: byte k (flattened
+    TOP-DOWN row-major RGB) of media ``media_id`` is
+    ``(media_id·7 + k·13) mod 256``. The oracle recomputes pixels
+    from this closed form, so a Spark encode→binary→decode round trip
+    only matches if BOTH sides honor the real file layout (BMP's
+    bottom-up rows, BGR order and 4-byte stride padding undone
+    correctly)."""
+    return F.pmod(media_id * 7 + k * 13, F.lit(256)).cast("int")
+
+
+def _byte_hex(v):
+    """Two-hex-char rendering of the low byte of ``v``."""
+    return F.lpad(F.hex(F.pmod(v.cast("bigint"), F.lit(256))), 2, "0")
+
+
+def _le_hex(v, nbytes: int):
+    """Hex string of ``v`` as a little-endian ``nbytes`` integer."""
+    if not isinstance(v, Column):
+        v = F.lit(v)
+    v = v.cast("bigint")
+    return F.concat(*[_byte_hex(F.shiftright(v, 8 * i)) for i in range(nbytes)])
+
+
+def _bmp_stride(w):
+    """Bytes per BMP pixel row: 3·w padded up to a 4-byte multiple."""
+    raw = w * 3
+    return raw + F.pmod(F.lit(4) - F.pmod(raw, F.lit(4)), F.lit(4))
+
+
+def encode_bmp(media_id, w, h) -> Column:
+    """A spec-compliant 24-bit uncompressed BMP (54-byte
+    BITMAPFILEHEADER+BITMAPINFOHEADER, bottom-up rows, BGR byte
+    order, 4-byte row stride) whose logical top-down RGB pixels are
+    ``pixel_value(media_id, k)`` — built entirely as one hex-string
+    projection + ``unhex``. Columns ``w``/``h`` must be ≥ 1."""
+    stride = _bmp_stride(w)
+    img_size = stride * h
+    header = F.concat(
+        F.lit("424D"),                    # 'BM'
+        _le_hex(img_size + 54, 4),        # file size
+        F.lit("00000000"),                # reserved
+        _le_hex(54, 4),                   # pixel data offset
+        _le_hex(40, 4),                   # BITMAPINFOHEADER size
+        _le_hex(w, 4),
+        _le_hex(h, 4),                    # positive: bottom-up
+        _le_hex(1, 2),                    # planes
+        _le_hex(24, 2),                   # bits per pixel
+        _le_hex(0, 4),                    # BI_RGB (no compression)
+        _le_hex(img_size, 4),
+        _le_hex(2835, 4),                 # 72 dpi in px/metre
+        _le_hex(2835, 4),
+        _le_hex(0, 4),
+        _le_hex(0, 4),
+    )
+
+    def data_byte(i):
+        # i = 0-based offset in the pixel data: bottom-up source row
+        # r_b, byte j within the padded row; padding bytes are 0,
+        # pixel bytes map back to the top-down RGB index k
+        r_b = F.floor(i / stride).cast("bigint")
+        j = F.pmod(i, stride)
+        px = F.floor(j / F.lit(3)).cast("bigint")
+        c = F.pmod(j, F.lit(3))          # 0=B, 1=G, 2=R on disk
+        k = (h - 1 - r_b) * w * 3 + px * 3 + (F.lit(2) - c)
+        return F.when(j >= w * 3, F.lit("00")).otherwise(
+            _byte_hex(pixel_value(media_id, k))
+        )
+
+    data = F.array_join(
+        F.transform(F.sequence(F.lit(0), img_size - 1), data_byte), ""
+    )
+    return F.unhex(F.concat(header, data))
+
+
+def encode_ppm(media_id, w, h) -> Column:
+    """A binary netpbm P6 payload (``P6\\n<w> <h>\\n255\\n`` + raw
+    top-down RGB bytes) with ``pixel_value`` pixels."""
+    header = F.encode(
+        F.concat(
+            F.lit("P6\n"),
+            w.cast("string"),
+            F.lit(" "),
+            h.cast("string"),
+            F.lit("\n255\n"),
+        ),
+        "UTF-8",
+    )
+    data = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), w * h * 3 - 1),
+                lambda k: _byte_hex(pixel_value(media_id, k)),
+            ),
+            "",
+        )
+    )
+    return F.concat(header, data)
+
+
+def synthesize_decodable_media(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Tiny REAL image files derived from ``documents`` ids — BMP for
+    even ids, PPM for odd — so the pixel-decode path runs against
+    actual encoded binaries on real testdata. Dimensions are small
+    (w ∈ 2..6, h ∈ 2..5) to keep the decoded pixel arrays
+    oracle-comparable."""
+    mid = F.col(id_col)
+    w = (mid % 5 + 2).cast("int")
+    h = (mid % 4 + 2).cast("int")
+    payload = F.when(mid % 2 == 0, encode_bmp(mid, w, h)).otherwise(
+        encode_ppm(mid, w, h)
+    )
+    return docs.select(
+        mid.alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            w.alias("width"),
+            h.alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+            F.when(mid % 2 == 0, "bmp").otherwise("ppm").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def decode_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL pixel decode of uncompressed formats, pure Spark: returns
+    (media_id, img_format, width, height, pixels) where ``pixels`` is
+    the flattened TOP-DOWN row-major RGB byte array.
+
+    * BMP: dispatched on the 'BM' magic; data offset, dimensions,
+      bpp and compression are read from the actual header (only
+      24-bit BI_RGB with positive height — bottom-up — is supported;
+      anything else nulls out). Decoding undoes the bottom-up row
+      order, per-pixel BGR and the 4-byte row stride.
+    * PPM (P6): header parsed from the leading ASCII bytes
+      (canonical single-whitespace form, as emitted by most tools);
+      pixel data is already top-down RGB.
+
+    Compressed formats (JPEG/PNG/GIF) still require
+    ``decode_media``'s codec libraries — header metadata for those is
+    available via ``with_image_header_meta``."""
+    p = F.col(payload_col)
+    is_bmp = (F.length(p) >= 54) & (F.hex(F.substring(p, 1, 2)) == "424D")
+    is_ppm = (F.length(p) >= 9) & (F.hex(F.substring(p, 1, 3)) == "50360A")
+
+    # --- BMP ---
+    b_off = _le32(p, 11)
+    b_w = _le32(p, 19)
+    b_h = _le32(p, 23)
+    b_ok = (
+        is_bmp
+        & (_le16(p, 27) == 1)
+        & (_le16(p, 29) == 24)
+        & (_le32(p, 31) == 0)
+        & (b_h > 0)
+        & (b_w > 0)
+    )
+    b_stride = _bmp_stride(b_w)
+
+    def bmp_row(r):
+        # output row r (top-down) reads source row h-1-r; byte j of
+        # the RGB output maps to source byte px·3 + (2 − channel)
+        return F.transform(
+            F.sequence(F.lit(0), b_w * 3 - 1),
+            lambda j: _u8(
+                p,
+                b_off
+                + (b_h - 1 - r) * b_stride
+                + (F.floor(j / F.lit(3)).cast("bigint") * 3)
+                + (F.lit(2) - F.pmod(j, F.lit(3)))
+                + 1,
+            ),
+        )
+
+    bmp_pixels = F.flatten(
+        F.transform(F.sequence(F.lit(0), b_h - 1), bmp_row)
+    )
+
+    # --- PPM ---
+    hdr_len = F.least(F.length(p), F.lit(32))
+    hdr = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), hdr_len), lambda i: F.char(_u8(p, i))
+        ),
+        "",
+    )
+    m = F.regexp_extract(hdr, r"^(P6\s\d+\s\d+\s255\s)", 1)
+    p_ok = is_ppm & (F.length(m) > 0)
+    p_w = F.regexp_extract(hdr, r"^P6\s(\d+)\s", 1).cast("int")
+    p_h = F.regexp_extract(hdr, r"^P6\s\d+\s(\d+)\s", 1).cast("int")
+    p_off = F.length(m)  # header is pure ASCII: chars == bytes
+    ppm_pixels = F.transform(
+        F.sequence(F.lit(0), p_w * p_h * 3 - 1),
+        lambda k: _u8(p, p_off + k + 1),
+    )
+
+    fmt = F.when(b_ok, "bmp").when(p_ok, "ppm")
+    width = F.when(b_ok, b_w).when(p_ok, p_w)
+    height = F.when(b_ok, b_h).when(p_ok, p_h)
+    pixels = F.when(b_ok, bmp_pixels).when(p_ok, ppm_pixels)
+    return media.select(
+        "media_id",
+        fmt.alias("img_format"),
+        width.cast("int").alias("width"),
+        height.cast("int").alias("height"),
+        pixels.alias("pixels"),
+    )
