@@ -119,18 +119,24 @@ def connected_components(
     # emitter (the Jaccard verify join) would otherwise execute twice
     # (measured 15.7 s → 5.5 s for edge build at sf0.1)
     pairs = ckpt(pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst")))
-    edges = ckpt(pairs.union(pairs.select(F.col("dst"), F.col("src"))).distinct())
-    release_local_checkpoint(pairs)
 
     mmap = None
     if contract:
-        # M(u) = min(u, Γ(u)) over the symmetric edge list, then the
-        # edge rewrite (u,v) → (M(u),M(v)) minus self-loops. Cliques
-        # vanish entirely; the loop below runs on the residue. M is
-        # checkpointed because the final composition join needs it
-        # AFTER the raw edge blocks are released in the finally.
+        # M(u) = min(u, Γ(u)) over the (lazy) symmetric pair view,
+        # then the edge rewrite (u,v) → (M(u),M(v)) minus self-loops
+        # and duplicates. Cliques vanish entirely; the loop below
+        # runs on the residue. Deliberately NOTHING corpus-pair-sized
+        # is checkpointed here: the full symmetric+distinct edge list
+        # of a clone-dense graph is exactly the thing that blew
+        # executor storage at sf1 (AGGREGATE_OUT_OF_MEMORY with both
+        # the raw and contracted checkpoints alive) — the symmetric
+        # view recomputes from the small checkpointed pair list, and
+        # only the post-contraction residue (tiny on dense graphs) is
+        # pinned. M IS checkpointed: the final composition join needs
+        # it after the pair blocks are released.
+        sym = pairs.union(pairs.select(F.col("dst"), F.col("src")))
         mmap = ckpt(
-            edges.groupBy("src")
+            sym.groupBy("src")
             .agg(F.min("dst").alias("__mn"))
             .select(
                 F.col("src").alias("node"),
@@ -139,15 +145,18 @@ def connected_components(
         )
         msrc = mmap.select(F.col("node").alias("src"), F.col("m").alias("ms"))
         mdst = mmap.select(F.col("node").alias("dst"), F.col("m").alias("md"))
-        cedges = ckpt(
-            edges.join(msrc, "src")
+        edges = ckpt(
+            sym.join(msrc, "src")
             .join(mdst, "dst")
             .where(F.col("ms") != F.col("md"))
             .select(F.col("ms").alias("src"), F.col("md").alias("dst"))
             .distinct()
         )
-        release_local_checkpoint(edges)
-        edges = cedges
+    else:
+        edges = ckpt(
+            pairs.union(pairs.select(F.col("dst"), F.col("src"))).distinct()
+        )
+    release_local_checkpoint(pairs)
     # r4: iterate ONLY over edge-incident nodes. A near-dup graph is
     # sparse — the overwhelming majority of a corpus is isolated — so
     # every per-round join/shuffle shrinks from |corpus| to |touched

@@ -2,10 +2,13 @@
 
 Media travels as an opaque ``binary`` payload column plus a typed
 metadata struct — the schema, partitioning and Arrow-batched UDF
-plumbing are real and tested; only the codec step is stubbed
-(`decode_media` raises ``NotImplementedError``: no image/audio libs in
-this container) with a deterministic fake feature extractor standing
-in so the pipeline shape can be exercised end-to-end.
+plumbing are real and tested. PIXEL decode is REAL for the
+uncompressed formats (24-bit BMP and binary PPM — ``decode_pixels``
+as pure Spark byte expressions, ``decode_media`` per-payload in
+Python, r8); only COMPRESSED-codec decode (JPEG/PNG/GIF, audio,
+video) still raises ``NotImplementedError`` — those libraries are
+not in this container — with a deterministic fake feature extractor
+standing in so that pipeline shape is exercised end-to-end too.
 
 Scale notes:
 * Payloads stay on executors — nothing here collects binary to the
@@ -25,7 +28,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -82,12 +85,49 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def decode_media(payload: bytes, fmt: str):
-    """STUB: PIXEL decode (PIL/libav/opencv) — the libraries are not
-    available in this container. The Spark-side plumbing (schema,
-    batching, partitioning) is real; swap this function for the
-    actual decoder in production. Header-level metadata decode is NOT
-    stubbed — see ``with_image_header_meta`` (real PNG/GIF/JPEG
-    parsing in pure Spark byte expressions)."""
+    """Pixel decode of a single payload, driver/UDF-side.
+
+    REAL for the uncompressed formats: 24-bit BI_RGB BMP and binary
+    PPM (P6) decode here in pure Python (and distributed, in pure
+    Spark expressions, via ``decode_pixels`` below) — returns
+    ``(width, height, pixels)`` with pixels the flattened top-down
+    row-major RGB bytes. COMPRESSED formats (JPEG/PNG/GIF/audio/
+    video) still raise: their codecs (PIL/libav/opencv) are not
+    available in this container — swap in the real decoder in
+    production. Header-level metadata for those is not stubbed — see
+    ``with_image_header_meta``."""
+    import struct
+
+    f = (fmt or "").lower()
+    if f == "bmp" or payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        off, = struct.unpack_from("<I", payload, 10)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        comp, = struct.unpack_from("<I", payload, 30)
+        if planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+            raise ValueError(
+                f"unsupported BMP variant (planes={planes} bpp={bpp} "
+                f"compression={comp} w={w} h={h})"
+            )
+        stride = (w * 3 + 3) & ~3
+        px = []
+        for r in range(h):                      # output rows top-down
+            base = off + (h - 1 - r) * stride   # source rows bottom-up
+            for p in range(w):
+                b, g, rr = payload[base + 3 * p: base + 3 * p + 3]
+                px.extend((rr, g, b))           # BGR on disk → RGB out
+        return w, h, px
+    if f == "ppm" or payload[:3] == b"P6\n":
+        import re as _re
+
+        m = _re.match(rb"^P6\s(\d+)\s(\d+)\s255\s", payload)
+        if not m:
+            raise ValueError("unsupported PPM header")
+        w, h = int(m.group(1)), int(m.group(2))
+        off = m.end()
+        return w, h, list(payload[off: off + w * h * 3])
     raise NotImplementedError(
         f"media decode for format {fmt!r} requires codec libraries "
         "not present in this environment"

@@ -2326,6 +2326,24 @@ def q_e6_frame_sample(spark, sf_dir):
     )
 
 
+def q_e6_pixel_decode(spark, sf_dir):
+    """REAL pixel decode (E-6, r8 — retires the last stub): tiny
+    spec-compliant BMP (even ids) / PPM (odd ids) binaries are
+    encoded from the closed-form pixel formula, then decoded back by
+    the pure-Spark byte-expression decoder (``decode_pixels`` —
+    undoes BMP's bottom-up rows, BGR order, 4-byte stride; parses the
+    PPM ASCII header). The oracle recomputes the pixels directly from
+    the formula, so any layout mistake on EITHER side of the round
+    trip mismatches."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_pixels,
+        synthesize_decodable_media,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    return decode_pixels(synthesize_decodable_media(docs))
+
+
 def q_rel_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary (group-by agg over lineitem)."""
     li = _read_parquet(spark, f"{sf_dir}/lineitem.parquet")
@@ -4901,6 +4919,21 @@ SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
        substr(h, CAST(32 * frame_idx + 1 AS BIGINT), 32) AS frame_hex
 FROM (SELECT media_id, h, unnest(range(0, n_frames, 4)) AS frame_idx FROM v) fr
 """,
+    # E-6 pixel decode: the oracle side never touches binary — it
+    # recomputes the decoded pixels from the shared closed form
+    # (multimodal.pixel_value), so Spark's encode→BMP/PPM bytes→decode
+    # round trip must undo the real file layout exactly to match.
+    "e6_pixel_decode": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS img_format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       list_transform(
+         range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
+         k -> CAST((doc_id * 7 + k * 13) % 256 AS INT)
+       ) AS pixels
+FROM documents WHERE doc_id % 7 = 0
+""",
     "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -5257,6 +5290,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_lr_langid": q_e4_lr_langid,                # r7: logistic-regression gate
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
+    "e6_pixel_decode": q_e6_pixel_decode,          # r8: REAL BMP/PPM decode
 }
 
 EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {
