@@ -365,3 +365,86 @@ def dedup_keep(
         docs, pairs, id_col, pair_cols, checkpoint_mode=checkpoint_mode
     ).where("is_kept")
     return docs.join(kept.select(id_col), id_col, "semi")
+
+
+def exact_collapse(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Collapse byte-identical texts to one representative BEFORE a
+    fuzzy-dedup pair emitter — the standard production staging
+    (Dolma/RefinedWeb run exact dedup ahead of MinHash) and the move
+    that tames clone-heavy corpora: a group of c identical docs
+    otherwise lands in every LSH band bucket together and the bucket
+    self-join pays c² per band.
+
+    Returns ``(rep_docs, membership)``: ``rep_docs`` = the docs whose
+    id is the MINIMUM of their exact-text group (plus every
+    non-collapsible doc), ``membership`` = (id_col, rep_id) for ALL
+    docs. Equivalence to running the fuzzy pipeline on the full
+    corpus, for MIN-ID canonical selection: identical texts have
+    identical signatures, so a clone pairs with exactly the partners
+    its representative pairs with, every clone group is internally
+    connected at est_jaccard = 1, and the component minimum over all
+    members equals the minimum over representatives (each rep IS its
+    group's min). NOT equivalence-preserving for keep-BEST selection
+    (clones can differ on non-text score columns) — use it only with
+    min-id keep semantics.
+
+    Token-less docs (null/empty/punctuation-only text) are NOT
+    collapsed: the MinHash pipeline emits no pairs for them (their
+    est_jaccard is null), so byte-identical empty docs are distinct
+    singletons there, and collapsing them would change the result.
+    """
+    from decision_tree_stuff_spark.functions.text import tokens
+
+    has_tok = (
+        F.size(F.filter(tokens(F.col(text_col)), lambda t: t != "")) > 0
+    )
+    keyed = docs.select(
+        F.col(id_col),
+        F.when(has_tok, F.md5(F.col(text_col)))
+        .otherwise(F.concat(F.lit("S|"), F.col(id_col).cast("string")))
+        .alias("__th"),
+    )
+    reps = keyed.groupBy("__th").agg(F.min(id_col).alias("rep_id"))
+    membership = keyed.join(reps, "__th").select(F.col(id_col), "rep_id")
+    rep_docs = docs.join(
+        reps.select(F.col("rep_id").alias(id_col)), id_col, "semi"
+    )
+    return rep_docs, membership
+
+
+def dedup_keep_collapsed(
+    docs: DataFrame,
+    pairs_fn,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """``dedup_keep`` with the exact-collapse staging: build candidate
+    pairs with ``pairs_fn(rep_docs)`` over the exact-text
+    representatives only, resolve components there, then attach every
+    clone to its representative's cluster. Same kept set as running
+    ``pairs_fn`` + ``dedup_keep`` over the full corpus (see
+    ``exact_collapse`` for the argument), at 1/c² of the bucket-join
+    cost on clone-heavy data."""
+    rep_docs, membership = exact_collapse(docs, id_col, text_col)
+    pairs = pairs_fn(rep_docs)
+    comp = connected_components(
+        rep_docs, pairs, id_col, checkpoint_mode=checkpoint_mode
+    )
+    kept = (
+        membership.join(
+            comp.select(
+                F.col(id_col).alias("rep_id"), "cluster_id"
+            ),
+            "rep_id",
+        )
+        .where(F.col(id_col) == F.col("cluster_id"))
+        .select(id_col)
+    )
+    out = docs.join(kept, id_col, "semi")
+    out._dts_final_checkpoint = comp._dts_final_checkpoint
+    return out

@@ -1239,12 +1239,25 @@ def q_e7b_minhash_dedup_keep(spark, sf_dir):
     → connected components → keep one canonical doc per near-dup
     cluster. Returns the deduplicated corpus (doc_id, lang, n_chars)
     — every piece is individually oracled elsewhere; this row checks
-    the composition."""
-    from decision_tree_stuff_spark.operators.clustering import dedup_keep
+    the composition.
+
+    r8: staged behind ``exact_collapse`` (the Dolma/RefinedWeb
+    ordering — exact dedup BEFORE MinHash): byte-identical clones
+    collapse to their min-id representative ahead of the band
+    self-join, which otherwise pays clone-count² per bucket; the kept
+    set is provably identical for min-id canonical selection (see
+    ``clustering.exact_collapse``) and the oracle is unchanged."""
+    from decision_tree_stuff_spark.operators.clustering import (
+        dedup_keep_collapsed,
+    )
 
     docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs, bands=8, threshold=0.7, hash_fn="md5km")
-    return dedup_keep(docs, pairs).select("doc_id", "lang", "n_chars")
+    return dedup_keep_collapsed(
+        docs,
+        lambda reps: minhash_lsh_pairs(
+            reps, bands=8, threshold=0.7, hash_fn="md5km"
+        ),
+    ).select("doc_id", "lang", "n_chars")
 
 
 def q_e2_minhash_km_pairs(spark, sf_dir):
@@ -1812,6 +1825,55 @@ def q_e4_hybrid_rrf(spark, sf_dir):
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return rrf_fuse(lex, dense, k=HYBRID_K)
+
+
+def q_e4_retrieval_pipeline(spark, sf_dir):
+    """End-to-end retrieval pipeline (r8 — the composed-pipeline
+    pattern e7b set, per the r7 verdict): probe queries → BM25
+    lexical top-k + exact dense top-k → RRF fusion → benchmark
+    DECONTAMINATION of the fused results (retrieved docs containing
+    ≥ 20 % of any %7==0 benchmark doc's token 3-grams are dropped; a
+    benchmark member that retrieves itself is dropped by its own 1.0
+    self-containment). One lazy plan exercising retrieval, fusion and
+    decontamination together; the oracle composes the identical CTEs.
+    The funnel-audit accounting twin lives in
+    tests/test_retrieval_pipeline.py (run_with_audit over the same
+    stages ≡ independent counts)."""
+    from decision_tree_stuff_spark.operators.decontam import (
+        ngram_contamination,
+    )
+    from decision_tree_stuff_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from decision_tree_stuff_spark.operators.similarity import cosine_topk
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.where(F.col("doc_id").isin(HYBRID_PROBES)).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    lex = bm25_topk(
+        docs, probes, k=HYBRID_K, k1=BM25_K1, b=BM25_B
+    ).select("query_id", "doc_id", "rank")
+    dense = cosine_topk(
+        _emb(spark, sf_dir), HYBRID_PROBES, k=HYBRID_K
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse(lex, dense, k=HYBRID_K)
+    retrieved = docs.join(fused.select("doc_id").distinct(), "doc_id")
+    contaminated = (
+        ngram_contamination(
+            retrieved,
+            docs.where("doc_id % 7 = 0"),
+            n=DECON_N,
+            threshold=DECON_THRESHOLD,
+        )
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    return fused.join(contaminated, "doc_id", "left_anti").select(
+        "query_id", "doc_id", "rrf_score", "rank"
+    )
 
 
 def q_e4_cms_profile(spark, sf_dir):
@@ -3881,6 +3943,113 @@ SELECT query_id, doc_id, rrf_score, rank FROM (
   FROM fused) r
 WHERE rank <= {HYBRID_K}
 """,
+    # r8 composed pipeline: the hybrid fused top-k (identical CTEs as
+    # e4_hybrid_rrf) anti-joined against benchmark 3-gram containment
+    # (identical gram CTEs as e9_decontamination, train side = the
+    # retrieved ids) — the oracle for queries.q_e4_retrieval_pipeline.
+    "e4_retrieval_pipeline": f"""
+
+WITH base AS (
+  SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks FROM documents
+),
+occ AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM base),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl FROM occ GROUP BY 1, 2
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM base),
+qraw AS (
+  SELECT doc_id AS query_id, text AS query_text FROM documents
+  WHERE doc_id IN ({', '.join(str(i) for i in HYBRID_PROBES)})
+),
+qterms AS (
+  SELECT DISTINCT query_id, token FROM (
+    SELECT query_id,
+           unnest(string_split(trim(regexp_replace(lower(query_text),
+             '\\s+', ' ', 'g')), ' ')) AS token
+    FROM qraw) u WHERE token <> ''
+),
+qdf AS (
+  SELECT qt.query_id, qt.token, d.df
+  FROM qterms qt JOIN dfreq d USING (token)
+),
+scored AS (
+  SELECT qdf.query_id, t.doc_id,
+         round(sum(
+           ln((s.n_docs - qdf.df + 0.5) / (qdf.df + 0.5) + 1.0)
+           * (t.tf * {BM25_K1 + 1.0}
+              / (t.tf + {BM25_K1}
+                 * ({1.0 - BM25_B} + {BM25_B} * t.dl / s.avgdl)))
+         ), 6) AS score
+  FROM tf t JOIN qdf USING (token) CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+lexr AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id ASC)
+             AS INT) AS rank
+    FROM scored) t WHERE rank <= {HYBRID_K}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({', '.join(str(i) for i in HYBRID_PROBES)})
+),
+ds AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         round({_cos_sql('q.qv', 'e.embedding')}, 6) AS cosine
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+),
+denser AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC)
+             AS INT) AS rank
+    FROM ds) t WHERE rank <= {HYBRID_K}
+),
+fused AS (
+  SELECT query_id, doc_id,
+         round(coalesce(1.0/(60.0 + l.rank), 0.0)
+               + coalesce(1.0/(60.0 + d.rank), 0.0), 6) AS rrf_score
+  FROM lexr l FULL JOIN denser d USING (query_id, doc_id)
+),
+topk AS (
+  SELECT query_id, doc_id, rrf_score, rank FROM (
+    SELECT query_id, doc_id, rrf_score,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC)
+             AS INT) AS rank
+    FROM fused) r
+  WHERE rank <= {HYBRID_K}
+),
+g AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(toks) - {DECON_N} + 2, 1)),
+             i -> array_to_string(toks[i:i + {DECON_N} - 1], ' '))) AS gram
+    FROM base
+  ) gg GROUP BY 1, 2
+),
+bg AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 7 = 0),
+sizes AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_n FROM bg GROUP BY 1),
+tg AS (
+  SELECT g.doc_id AS train_id, gram
+  FROM g JOIN (SELECT DISTINCT doc_id FROM topk) r USING (doc_id)
+),
+contam AS (
+  SELECT DISTINCT train_id AS doc_id
+  FROM (SELECT train_id, bench_id, CAST(count(*) AS BIGINT) AS matched
+        FROM tg JOIN bg USING (gram) GROUP BY 1, 2) m
+  JOIN sizes USING (bench_id)
+  WHERE round(matched / CAST(bench_n AS DOUBLE), 6) >= {DECON_THRESHOLD}
+)
+SELECT t.query_id, t.doc_id, t.rrf_score, t.rank
+FROM topk t LEFT JOIN contam c ON t.doc_id = c.doc_id
+WHERE c.doc_id IS NULL
+""",
     # Bloom membership twin: a bit is set iff its position is in the
     # benchmark position set, so the bitset probe == position-set
     # semi-join — false positives (position collisions) reproduce
@@ -5291,6 +5460,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
     "e6_pixel_decode": q_e6_pixel_decode,          # r8: REAL BMP/PPM decode
+    "e4_retrieval_pipeline": q_e4_retrieval_pipeline,  # r8: BM25+RRF+decontam
 }
 
 EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {
