@@ -146,3 +146,123 @@ def write_zordered(
         out = staged.repartitionByRange(num_files, "__z")
         out = out.sortWithinPartitions("__z").drop("__z")
     out.write.mode("overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# E-14b: Hilbert-curve layout (the locality-optimal sibling of Morton)
+# ---------------------------------------------------------------------------
+
+
+def hilbert_value(xcol, ycol, bits: int = 16) -> Column:
+    """Hilbert-curve distance d of a 2-D point — the layout key
+    Delta Lake's OPTIMIZE added after ZORDER because the Hilbert
+    curve has no Morton "seams": every curve-adjacent pair of cells
+    is also grid-adjacent, so equal-size d-ranges cover tighter
+    (x, y) rectangles and min-max pruning skips strictly more files
+    on worst-case quadrant-crossing ranges.
+
+    The classic xy→d walk (Wikipedia/Warren, public domain: per bit
+    plane s from high to low — quadrant digit 3·rx XOR ry, then the
+    (rx, ry)-dependent reflect/swap rotation of the remaining low
+    bits) carries state, so unlike the Morton interleave it is not a
+    sum of independent bit terms; it compiles to ONE ``aggregate``
+    fold over the bit planes — still a single shuffle-free JVM
+    projection, no UDF (the same fold device as the JPEG header walk
+    and the LR dot product). Inputs: non-negative ints < 2^bits,
+    2·bits ≤ 62. The DuckDB twin (``hilbert_sql``) unrolls the same
+    walk as nested CASE steps and matches bit-for-bit.
+    """
+    if 2 * bits > 62:
+        raise ValueError(f"2 x {bits} bits exceeds a signed long")
+    x0 = (xcol if isinstance(xcol, Column) else F.col(xcol)).cast("bigint")
+    y0 = (ycol if isinstance(ycol, Column) else F.col(ycol)).cast("bigint")
+    init = F.struct(
+        x0.alias("x"), y0.alias("y"), F.lit(0).cast("bigint").alias("d")
+    )
+
+    def step(acc, i):
+        # i counts 1..bits; bit plane s = 2^(bits - i). shiftleft()
+        # takes only a literal shift amount, so the plane comes from
+        # pow() — exact in double well past the 2^30 bound 2·bits ≤ 62
+        # already enforces.
+        s = F.pow(F.lit(2.0), (F.lit(bits) - i).cast("double")).cast("bigint")
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        d = acc["d"] + s * s * (
+            (F.lit(3) * rx).bitwiseXOR(ry)
+        )
+        # rotation of the low bits (only when ry == 0): reflect if
+        # rx == 1, then swap x and y
+        refl_x = F.when(rx == 1, s - 1 - acc["x"]).otherwise(acc["x"])
+        refl_y = F.when(rx == 1, s - 1 - acc["y"]).otherwise(acc["y"])
+        nx = F.when(ry == 0, refl_y).otherwise(acc["x"])
+        ny = F.when(ry == 0, refl_x).otherwise(acc["y"])
+        return F.struct(nx.alias("x"), ny.alias("y"), d.alias("d"))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)), init, step
+    )["d"]
+
+
+def hilbert_sql(inner: str, bits: int = 16, carry: Sequence[str] = ()) -> str:
+    """The identical Hilbert walk as a DuckDB query — the per-bit
+    state steps unrolled as a LINEAR chain of nested subselects (one
+    per bit plane; textual substitution into a single expression
+    would nest each step's x/y into the next and blow up 2^bits).
+    ``inner`` is a subquery exposing BIGINT columns ``x`` and ``y``
+    plus any ``carry`` columns; the result exposes ``carry`` +
+    ``hval``. Twin generator for the oracle."""
+    cs = "".join(f"{c}, " for c in carry)
+    q = f"(SELECT {cs}x, y, CAST(0 AS BIGINT) AS d FROM {inner})"
+    for i in range(1, bits + 1):
+        s = 1 << (bits - i)
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        refl_x = f"(CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END)"
+        refl_y = f"(CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END)"
+        q = (
+            f"(SELECT {cs}"
+            f"(CASE WHEN {ry} = 0 THEN {refl_y} ELSE x END) AS x, "
+            f"(CASE WHEN {ry} = 0 THEN {refl_x} ELSE y END) AS y, "
+            f"d + {s * s} * xor(3 * {rx}, {ry}) AS d FROM {q})"
+        )
+    return f"(SELECT {cs}d AS hval FROM {q})"
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    xcol: str,
+    ycol: str,
+    bits: int = 16,
+    num_files: int = 8,
+) -> None:
+    """``write_zordered``'s deterministic write path on the Hilbert
+    key: exact min/max pass → equi-width d-buckets → injective
+    hash-preimage routing → sort within partitions. Same
+    retry-idempotent layout contract."""
+    hv = hilbert_value(xcol, ycol, bits)
+    staged = df.withColumn("__h", hv)
+    hmin, hmax = staged.agg(F.min("__h"), F.max("__h")).first()
+    n = num_files
+    if hmin is None or hmax == hmin:
+        bucket = F.lit(0)
+    else:
+        bucket = F.floor(
+            (F.col("__h") - F.lit(hmin)) * n / F.lit(hmax - hmin + 1)
+        ).cast("int")
+    pre = _hash_preimages(df.sparkSession, n)
+    routed = staged.withColumn(
+        "__route", F.element_at(F.lit(pre), bucket + 1)
+    )
+    (
+        routed.repartition(n, "__route")
+        .sortWithinPartitions("__h")
+        .drop("__h", "__route")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -44,6 +44,7 @@ from decision_tree_stuff_spark.operators.similarity import (
 )
 from decision_tree_stuff_spark.operators.sampling import rate_threshold
 from decision_tree_stuff_spark.operators.zorder import zorder_sql
+from decision_tree_stuff_spark.operators.zorder import hilbert_sql
 from decision_tree_stuff_spark.operators.textstats import document_stats, tf_idf
 from decision_tree_stuff_spark.splitting import SplitParams, compute_all_splits
 
@@ -1726,6 +1727,27 @@ def q_e14_zorder(spark, sf_dir):
         (F.col("l_suppkey") % 8).alias("sk"),
     )
     return li.withColumn("zval", zorder_value(["pk", "sk"], bits=4))
+
+
+def q_e14b_hilbert(spark, sf_dir):
+    """Hilbert-curve distance values over the same bucketized lineitem
+    keys (r8, E-14b): the locality-optimal layout key (Delta OPTIMIZE
+    grew a Hilbert mode after ZORDER for exactly the Morton-seam
+    reason). The stateful xy→d walk compiles to ONE aggregate() fold
+    — shuffle-free projection, exact LONGs; the twin unrolls the
+    identical walk as a linear subselect chain. The measured
+    pruning/locality comparison vs Morton lives in
+    tests/test_zorder.py."""
+    from decision_tree_stuff_spark.operators.zorder import hilbert_value
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 16).alias("pk"),
+        (F.col("l_suppkey") % 16).alias("sk"),
+    )
+    return li.withColumn("hval", hilbert_value("pk", "sk", bits=4))
+
 
 
 def q_e4_heavy_hitters(spark, sf_dir):
@@ -3793,6 +3815,20 @@ SELECT l_orderkey, l_linenumber,
        {zorder_sql(['(l_partkey % 16)', '(l_suppkey % 8)'], 4)} AS zval
 FROM lineitem
 """,
+    # r8 Hilbert layout key: the same walk unrolled as a linear
+    # subselect chain (hilbert_sql) over the bucketized keys.
+    "e14b_hilbert": f"""
+SELECT l_orderkey, l_linenumber, pk, sk, hval
+FROM {hilbert_sql(
+    "(SELECT l_orderkey, l_linenumber, "
+    "CAST(l_partkey % 16 AS BIGINT) AS pk, "
+    "CAST(l_suppkey % 16 AS BIGINT) AS sk, "
+    "CAST(l_partkey % 16 AS BIGINT) AS x, "
+    "CAST(l_suppkey % 16 AS BIGINT) AS y FROM lineitem)",
+    bits=4,
+    carry=["l_orderkey", "l_linenumber", "pk", "sk"],
+)} h
+""",
     # r7 exact heavy hitters: the two-pass MG candidates are an
     # implementation detail — the recount + strict integer threshold
     # equals the plain HAVING program.
@@ -5461,6 +5497,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
     "e6_pixel_decode": q_e6_pixel_decode,          # r8: REAL BMP/PPM decode
     "e4_retrieval_pipeline": q_e4_retrieval_pipeline,  # r8: BM25+RRF+decontam
+    "e14b_hilbert": q_e14b_hilbert,                # r8: Hilbert layout key
 }
 
 EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {

@@ -141,3 +141,131 @@ def test_measured_pruning_win_on_lineitem(spark, tmp_path):
         # simultaneously (one-column sort can only do one)
         assert z_skip >= 0.4, (ci, z_skip, zs)
         assert z_skip > r_skip + 0.25, (ci, z_skip, r_skip)
+
+
+# ---------------------------------------------------------------------------
+# E-14b: Hilbert curve
+# ---------------------------------------------------------------------------
+
+from decision_tree_stuff_spark.operators.zorder import (  # noqa: E402
+    hilbert_value,
+    write_hilbert,
+)
+
+
+def _ref_hilbert(x, y, bits):
+    """Pure-Python xy→d reference (the classic public-domain walk)."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_value_matches_reference(spark):
+    rows = [(a * 37 % 64, a * 91 % 64) for a in range(300)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y", hilbert_value("x", "y", bits=6).alias("h")
+    ).collect()
+    for r in got:
+        assert r["h"] == _ref_hilbert(r["x"], r["y"], 6), (r["x"], r["y"])
+
+
+def test_hilbert_is_bijective_and_unit_steps(spark):
+    """The two properties that make Hilbert the better layout key:
+    bijectivity onto [0, 4^bits), and UNIT curve steps — consecutive
+    d values are grid-adjacent cells (Manhattan distance exactly 1),
+    which Morton violates at every quadrant seam."""
+    bits = 4
+    side = 1 << bits
+    df = spark.createDataFrame(
+        [(x, y) for x in range(side) for y in range(side)],
+        "x long, y long",
+    )
+    rows = df.select(
+        "x", "y", hilbert_value("x", "y", bits=bits).alias("h")
+    ).collect()
+    assert len({r["h"] for r in rows}) == side * side
+    assert min(r["h"] for r in rows) == 0
+    assert max(r["h"] for r in rows) == side * side - 1
+    byd = {r["h"]: (r["x"], r["y"]) for r in rows}
+    for d in range(side * side - 1):
+        (x1, y1), (x2, y2) = byd[d], byd[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+    # Morton, for contrast, takes a non-unit jump at every 2x2 seam
+    zd = {
+        _ref_z((x, y), bits): (x, y)
+        for x in range(side)
+        for y in range(side)
+    }
+    jumps = sum(
+        abs(zd[d][0] - zd[d + 1][0]) + abs(zd[d][1] - zd[d + 1][1]) > 1
+        for d in range(side * side - 1)
+    )
+    assert jumps > 0
+
+
+def test_hilbert_sql_twin_matches_spark(spark):
+    import duckdb
+
+    from decision_tree_stuff_spark.operators.zorder import hilbert_sql
+
+    rows = [(a * 13 % 32, a * 29 % 32) for a in range(200)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    s = sorted(
+        tuple(r)
+        for r in df.select(
+            "x", "y", hilbert_value("x", "y", 5).alias("h")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    inner = "(SELECT x AS ox, y AS oy, x, y FROM t)"
+    d = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"SELECT ox, oy, hval FROM {hilbert_sql(inner, 5, ['ox', 'oy'])} q"
+        ).fetchall()
+    )
+    assert s == d
+
+
+def test_hilbert_layout_prunes_both_keys(spark, tmp_path):
+    """write_hilbert's measured pruning win, same protocol as the
+    Morton test: after clustering on the Hilbert key both bucketized
+    columns get tight per-file ranges."""
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select(
+            (F.col("l_partkey") % 16).alias("pk"),
+            (F.col("l_suppkey") % 16).alias("sk"),
+            "l_quantity",
+        )
+    )
+    hpath = str(tmp_path / "hilbert")
+    write_hilbert(li, hpath, "pk", "sk", bits=4, num_files=8)
+    spans = _file_spans(spark, hpath, ["pk", "sk"])
+    assert len(spans) == 8
+
+    def prunable(spans, ci, probes):
+        total = skipped = 0
+        for p in probes:
+            for s in spans:
+                lo, hi = s[ci]
+                total += 1
+                skipped += not (lo <= p <= hi)
+        return skipped / total
+
+    for ci, probes in ((0, [1, 5, 9, 13]), (1, [1, 5, 9, 13])):
+        skip = prunable(spans, ci, probes)
+        assert skip >= 0.4, (ci, skip, spans)
