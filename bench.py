@@ -110,6 +110,10 @@ BENCH_QUERIES = [
     "e4_heavy_hitters",     # exact two-pass Misra-Gries heavy hitters
     "e14_zorder",           # Morton layout keys for multi-column skipping
     "e10c_interval_coverage",  # gaps-and-islands union coverage
+    # round-8 additions
+    "e4_retrieval_pipeline",  # BM25 + dense -> RRF -> decontam, one plan
+    "e6_pixel_decode",        # real BMP/PPM encode->decode round trip
+    "e14b_hilbert",           # Hilbert layout keys (aggregate-fold walk)
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so
