@@ -113,7 +113,8 @@ BENCH_QUERIES = [
     # round-8 additions
     "e4_retrieval_pipeline",  # BM25 + dense -> RRF -> decontam, one plan
     "e6_pixel_decode",        # real BMP/PPM encode->decode round trip
-    "e14b_hilbert",           # Hilbert layout keys (aggregate-fold walk)
+    "e14b_hilbert",           # Hilbert layout keys (LUT / aggregate-fold walk)
+    "e9c_semantic_decontam",  # embedding-space fuzzy decontamination
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -334,3 +334,63 @@ def decontaminate(
         train, bench, n, threshold, train_id=train_id, **kwargs
     ).select(F.col("train_id").alias(train_id)).distinct()
     return train.join(bad, train_id, "anti")
+
+
+def embedding_decontamination(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC decontamination (E-9c): flag corpus items whose
+    embedding is near-identical to any benchmark item — the fuzzy
+    complement to the n-gram/Bloom checks, which a paraphrased or
+    reformatted benchmark leak walks straight past (the
+    "fuzzy/semantic decontamination" step of recent LLM data
+    pipelines; same scoring as SemDeDup, pointed at an eval set).
+
+    Returns (id_col, max_bench_cos, bench_id, contaminated): per
+    corpus item, its maximum 6dp-rounded cosine against the benchmark
+    set, the lowest-id benchmark item attaining it, and the
+    threshold flag.
+
+    Scale shape: the benchmark side is small by nature (it's an eval
+    set) — it BROADCASTS, and the corpus side never shuffles: scoring
+    is a broadcast nested-loop over |bench| rows per corpus row
+    followed by one map-side-combinable max-struct aggregate keyed on
+    the corpus id. |bench| ≫ 10⁴ is the IVF/LSH regime — prefilter
+    with `similarity.ivf_topk`/sign-LSH buckets and verify only
+    bucket-mates, exactly the SemDeDup staging.
+    """
+    from decision_tree_stuff_spark.functions.array_math import (
+        cosine_similarity,
+    )
+
+    bench = bench_emb.select(
+        F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bvec")
+    )
+    scored = corpus_emb.select(id_col, vec_col).join(
+        F.broadcast(bench), F.lit(True)
+    )
+    cos = F.round(
+        cosine_similarity(F.col(vec_col), F.col("__bvec")), 6
+    )
+    # max(struct(cos, -bid)) = highest cosine, ties to the LOWEST
+    # bench id — deterministic winner without a rank window
+    best = (
+        scored.select(
+            F.col(id_col),
+            F.struct(cos.alias("c"), (-F.col("__bid")).alias("nb")).alias(
+                "__s"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.max("__s").alias("__m"))
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("__m.c").alias("max_bench_cos"),
+        (-F.col("__m.nb")).alias("bench_id"),
+        (F.col("__m.c") >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -1632,6 +1632,25 @@ def q_e9_decontamination(spark, sf_dir):
     )
 
 
+def q_e9c_semantic_decontam(spark, sf_dir):
+    """Semantic decontamination (r8, E-9c): every corpus embedding
+    scored by its max cosine against the benchmark embedding set
+    (vec_id % 7 == 0 plays the eval set) — the fuzzy complement to
+    the n-gram/Bloom checks that paraphrased leaks walk past. The
+    benchmark side broadcasts; the corpus never shuffles (one
+    max-struct aggregate keyed on the corpus id)."""
+    from decision_tree_stuff_spark.operators.decontam import (
+        embedding_decontamination,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return embedding_decontamination(
+        emb.where("vec_id % 7 <> 0"),
+        emb.where("vec_id % 7 = 0"),
+        threshold=0.8,
+    )
+
+
 def q_e3_rp_topk(spark, sf_dir):
     """Brute-force cosine top-k in the Johnson-Lindenstrauss projected
     space (r7): 64-d -> 16-d via the seeded Gaussian literals, ONE
@@ -3616,6 +3635,30 @@ SELECT train_id, bench_id, matched, bench_n,
 FROM matched JOIN sizes USING (bench_id)
 WHERE round(matched / CAST(bench_n AS DOUBLE), 6) >= {DECON_THRESHOLD}
 """,
+    # r8 semantic decontamination: arg-max cosine vs the broadcast
+    # benchmark set, ties to the lowest bench id (the max-struct
+    # winner), same _cos_sql fold parity as the e3 rows.
+    "e9c_semantic_decontam": f"""
+WITH bench AS (
+  SELECT vec_id AS bid, embedding AS bvec FROM embeddings
+  WHERE vec_id % 7 = 0
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0
+),
+scored AS (
+  SELECT c.vec_id, round({_cos_sql('c.embedding', 'b.bvec')}, 6) AS cos,
+         b.bid
+  FROM corpus c CROSS JOIN bench b
+)
+SELECT vec_id, cos AS max_bench_cos, bid AS bench_id,
+       cos >= 0.8 AS contaminated
+FROM (SELECT vec_id, cos, bid,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, bid ASC) AS rn
+      FROM scored) t
+WHERE rn = 1
+""",
     "e3_rp_topk": f"""
 WITH p AS (
   SELECT vec_id,
@@ -5498,6 +5541,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e6_pixel_decode": q_e6_pixel_decode,          # r8: REAL BMP/PPM decode
     "e4_retrieval_pipeline": q_e4_retrieval_pipeline,  # r8: BM25+RRF+decontam
     "e14b_hilbert": q_e14b_hilbert,                # r8: Hilbert layout key
+    "e9c_semantic_decontam": q_e9c_semantic_decontam,  # r8: fuzzy decontam
 }
 
 EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {

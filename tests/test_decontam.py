@@ -3,6 +3,8 @@ parity vs DuckDB runs via test_oracle_parity (e9_decontamination)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from decision_tree_stuff_spark.operators.decontam import (
@@ -10,6 +12,8 @@ from decision_tree_stuff_spark.operators.decontam import (
     ngram_contamination,
     token_ngrams,
 )
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _df(spark, rows):
@@ -134,3 +138,51 @@ def test_max_df_caps_bench_denominator_too(spark):
             for r in out2.collect()}
     assert got == {}
     assert got2 == {(50, 100): (2, 4)}
+
+
+def test_embedding_decontam_flags_planted_leak(spark):
+    from decision_tree_stuff_spark.operators.decontam import (
+        embedding_decontamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (7, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.01, 0.0]),    # ~bench 0: leak
+            (2, [0.0, 0.0, 1.0]),      # orthogonal to both
+            (3, [0.0, -1.0, 0.0]),     # anti-parallel: cos = -1
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in embedding_decontamination(
+            corpus, bench, threshold=0.95
+        ).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["bench_id"] == 0
+    assert not out[2]["contaminated"] and out[2]["max_bench_cos"] == 0.0
+    assert not out[3]["contaminated"] and out[3]["max_bench_cos"] == 0.0
+    # ties break to the LOWEST bench id: equidistant from both
+    tied = spark.createDataFrame(
+        [(9, [1.0, 1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    r = embedding_decontamination(tied, bench, threshold=0.99).first()
+    assert r["bench_id"] == 0 and not r["contaminated"]
+
+
+def test_embedding_decontam_scores_every_corpus_row(spark):
+    from decision_tree_stuff_spark.operators.decontam import (
+        embedding_decontamination,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.where("vec_id % 7 <> 0")
+    out = embedding_decontamination(
+        corpus, emb.where("vec_id % 7 = 0"), threshold=0.8
+    )
+    assert out.count() == corpus.count()
+    assert out.where(F.col("max_bench_cos").isNull()).count() == 0

@@ -171,13 +171,21 @@ def _ref_hilbert(x, y, bits):
 
 
 def test_hilbert_value_matches_reference(spark):
+    """Both column paths — the LUT dispatch (bits <= lut_max_bits)
+    and the aggregate-fold walk (forced with lut_max_bits=0) — must
+    equal the pure-Python reference."""
     rows = [(a * 37 % 64, a * 91 % 64) for a in range(300)]
     df = spark.createDataFrame(rows, "x long, y long")
     got = df.select(
-        "x", "y", hilbert_value("x", "y", bits=6).alias("h")
+        "x",
+        "y",
+        hilbert_value("x", "y", bits=6).alias("h_lut"),
+        hilbert_value("x", "y", bits=6, lut_max_bits=0).alias("h_fold"),
     ).collect()
     for r in got:
-        assert r["h"] == _ref_hilbert(r["x"], r["y"], 6), (r["x"], r["y"])
+        want = _ref_hilbert(r["x"], r["y"], 6)
+        assert r["h_lut"] == want, (r["x"], r["y"])
+        assert r["h_fold"] == want, (r["x"], r["y"])
 
 
 def test_hilbert_is_bijective_and_unit_steps(spark):
