@@ -363,18 +363,31 @@ def embedding_decontamination(
     with `similarity.ivf_topk`/sign-LSH buckets and verify only
     bucket-mates, exactly the SemDeDup staging.
     """
-    from decision_tree_stuff_spark.functions.array_math import (
-        cosine_similarity,
-    )
+    from decision_tree_stuff_spark.functions.array_math import dot_product
 
+    def norm(v):
+        return F.sqrt(dot_product(v, v))
+
+    # norms are HOISTED to one computation per row on each side (the
+    # per-pair work is then a single dot-product fold instead of
+    # three): cos = dot/(sqrt(A)·sqrt(B)) is the identical expression
+    # tree either way, so every double — and the 6dp rounding — is
+    # bit-for-bit what the per-pair form and the _cos_sql twin produce
     bench = bench_emb.select(
-        F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bvec")
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bvec"),
+        norm(F.col(vec_col)).alias("__bn"),
     )
-    scored = corpus_emb.select(id_col, vec_col).join(
-        F.broadcast(bench), F.lit(True)
-    )
+    scored = corpus_emb.select(
+        id_col, vec_col, norm(F.col(vec_col)).alias("__cn")
+    ).join(F.broadcast(bench), F.lit(True))
+    denom = F.col("__cn") * F.col("__bn")
     cos = F.round(
-        cosine_similarity(F.col(vec_col), F.col("__bvec")), 6
+        F.when(
+            denom > 0.0,
+            dot_product(F.col(vec_col), F.col("__bvec")) / denom,
+        ),
+        6,
     )
     # max(struct(cos, -bid)) = highest cosine, ties to the LOWEST
     # bench id — deterministic winner without a rank window
