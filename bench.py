@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "e6_pixel_decode",        # real BMP/PPM encode->decode round trip
     "e14b_hilbert",           # Hilbert layout keys (LUT / aggregate-fold walk)
     "e9c_semantic_decontam",  # embedding-space fuzzy decontamination
+    "e9d_contamination_spans",  # token-span leak report (islands merge)
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

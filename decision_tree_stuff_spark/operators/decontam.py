@@ -407,3 +407,116 @@ def embedding_decontamination(
         (-F.col("__m.nb")).alias("bench_id"),
         (F.col("__m.c") >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def token_ngram_positions(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, pos, gram) for EVERY n-gram occurrence — ``pos`` is the
+    1-based index of the gram's first token. The positional variant
+    of ``token_ngrams`` (which deduplicates to set semantics);
+    repeated grams keep every position, which is what span reporting
+    needs."""
+    from decision_tree_stuff_spark.operators import spread_small
+
+    tokd = spread_small(df).select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("_toks"),
+    )
+    t = F.col("_toks")
+    pg = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.struct(
+                i.alias("pos"), F.concat_ws(" ", F.slice(t, i, n)).alias("gram")
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<pos:int,gram:string>>")
+    )
+    ex = tokd.select(F.col(id_col), F.explode(pg).alias("__pg"))
+    return ex.select(
+        F.col(id_col),
+        F.col("__pg.pos").alias("pos"),
+        F.col("__pg.gram").alias("gram"),
+    )
+
+
+def contamination_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    train_id: str = "doc_id",
+    bench_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WHERE the leak is (E-9d): for every contaminated
+    (train, bench) pair — same flagging as ``ngram_contamination`` —
+    the merged TOKEN spans of the train doc that matched benchmark
+    n-grams. The audit/redaction artifact: instead of dropping a
+    10-page doc over a leaked 10-line item, strip exactly
+    [start_tok, end_tok] (Dolma's paragraph-removal move, at token
+    resolution).
+
+    Returns (train_id, bench_id, start_tok, end_tok, span_tokens) —
+    one row per maximal contaminated span; positions are 1-based
+    inclusive token indices. Span merging is the gaps-and-islands
+    program (same two-window plan as ``temporal.interval_coverage``)
+    over gram intervals [pos, pos+n−1], merging overlap AND
+    adjacency (contiguous tokens = one span). All-integer ⇒ exact
+    and engine-portable.
+
+    Scale: flagged pairs bound everything — positions join the (small
+    by nature) benchmark gram set first, then semi-join the flagged
+    pairs; the windows partition by (train, bench) pair, so no global
+    sort and no hot key beyond a single pathological pair.
+    """
+    from pyspark.sql import Window
+
+    flagged = ngram_contamination(
+        train, bench, n=n, threshold=threshold,
+        train_id=train_id, bench_id=bench_id, text_col=text_col,
+    ).select("train_id", "bench_id")
+    tpos = token_ngram_positions(train, train_id, text_col, n).select(
+        F.col(train_id).alias("train_id"), "pos", "gram"
+    )
+    bg = token_ngrams(bench, bench_id, text_col, n).select(
+        F.col(bench_id).alias("bench_id"), "gram"
+    )
+    hits = (
+        tpos.join(bg, "gram")
+        .join(flagged, ["train_id", "bench_id"], "semi")
+        .select(
+            "train_id",
+            "bench_id",
+            F.col("pos").alias("__s"),
+            (F.col("pos") + F.lit(n - 1)).alias("__e"),
+        )
+    )
+    w = Window.partitionBy("train_id", "bench_id").orderBy("__s", "__e")
+    prev_max_end = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # break only when a GAP of at least one token separates the next
+    # gram from everything seen: s > prev_max_e + 1 (adjacency merges)
+    flagged_rows = hits.withColumn(
+        "__ni",
+        F.when(
+            prev_max_end.isNull() | (F.col("__s") > prev_max_end + 1), 1
+        ).otherwise(0),
+    )
+    w2 = w.rowsBetween(Window.unboundedPreceding, 0)
+    islands = flagged_rows.withColumn("__iid", F.sum("__ni").over(w2))
+    return (
+        islands.groupBy("train_id", "bench_id", "__iid")
+        .agg(F.min("__s").alias("start_tok"), F.max("__e").alias("end_tok"))
+        .select(
+            "train_id",
+            "bench_id",
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok") + 1).alias("span_tokens"),
+        )
+    )

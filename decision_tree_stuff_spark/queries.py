@@ -1651,6 +1651,25 @@ def q_e9c_semantic_decontam(spark, sf_dir):
     )
 
 
+def q_e9d_contamination_spans(spark, sf_dir):
+    """Contamination SPAN report (r8, E-9d): for every contaminated
+    (train, bench) pair, the merged token spans of the train doc that
+    matched benchmark 3-grams — the audit/redaction artifact (strip
+    the span instead of dropping the doc). Gram intervals merge via
+    the gaps-and-islands two-window program; all-integer, exact."""
+    from decision_tree_stuff_spark.operators.decontam import (
+        contamination_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return contamination_spans(
+        docs.where("doc_id % 7 <> 0"),
+        docs.where("doc_id % 7 = 0"),
+        n=DECON_N,
+        threshold=DECON_THRESHOLD,
+    )
+
+
 def q_e3_rp_topk(spark, sf_dir):
     """Brute-force cosine top-k in the Johnson-Lindenstrauss projected
     space (r7): 64-d -> 16-d via the seeded Gaussian literals, ONE
@@ -3659,6 +3678,70 @@ FROM (SELECT vec_id, cos, bid,
       FROM scored) t
 WHERE rn = 1
 """,
+    # r8 contamination spans: flagged pairs (same program as e9) +
+    # positional train grams + the two-window islands merge (the e10c
+    # pattern), adjacency included (s > prev_max_e + 1 breaks).
+    "e9d_contamination_spans": f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(toks) - {DECON_N} + 2, 1)),
+             i -> array_to_string(toks[i:i + {DECON_N} - 1], ' '))) AS gram
+    FROM toks) gg
+  GROUP BY 1, 2
+),
+tg AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 7 <> 0),
+bg AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 7 = 0),
+sizes AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS bench_n
+          FROM bg GROUP BY 1),
+flagged AS (
+  SELECT train_id, bench_id
+  FROM (SELECT train_id, bench_id, CAST(count(*) AS BIGINT) AS matched
+        FROM tg JOIN bg USING (gram) GROUP BY 1, 2) m
+  JOIN sizes USING (bench_id)
+  WHERE round(matched / CAST(bench_n AS DOUBLE), 6) >= {DECON_THRESHOLD}
+),
+tpos AS (
+  SELECT doc_id AS train_id, u.pos AS pos, u.gram AS gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(toks) - {DECON_N} + 2, 1)),
+             i -> {{'pos': i,
+                    'gram': array_to_string(toks[i:i + {DECON_N} - 1], ' ')}}))
+             AS u
+    FROM toks WHERE doc_id % 7 <> 0) q
+),
+hits AS (
+  SELECT t.train_id, b.bench_id, t.pos AS s, t.pos + {DECON_N - 1} AS e
+  FROM tpos t JOIN bg b USING (gram)
+  JOIN flagged f ON t.train_id = f.train_id AND b.bench_id = f.bench_id
+),
+marked AS (
+  SELECT train_id, bench_id, s, e,
+         CASE WHEN s > coalesce(
+                max(e) OVER (PARTITION BY train_id, bench_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING),
+                CAST(-9223372036854775807 AS BIGINT)) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM hits
+),
+iid AS (
+  SELECT *, sum(ni) OVER (PARTITION BY train_id, bench_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS iid
+  FROM marked
+)
+SELECT train_id, bench_id,
+       CAST(min(s) AS INT) AS start_tok,
+       CAST(max(e) AS INT) AS end_tok,
+       CAST(max(e) - min(s) + 1 AS INT) AS span_tokens
+FROM iid GROUP BY train_id, bench_id, iid
+""",
     "e3_rp_topk": f"""
 WITH p AS (
   SELECT vec_id,
@@ -5542,6 +5625,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_retrieval_pipeline": q_e4_retrieval_pipeline,  # r8: BM25+RRF+decontam
     "e14b_hilbert": q_e14b_hilbert,                # r8: Hilbert layout key
     "e9c_semantic_decontam": q_e9c_semantic_decontam,  # r8: fuzzy decontam
+    "e9d_contamination_spans": q_e9d_contamination_spans,  # r8: span report
 }
 
 EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {

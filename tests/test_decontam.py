@@ -186,3 +186,70 @@ def test_embedding_decontam_scores_every_corpus_row(spark):
     )
     assert out.count() == corpus.count()
     assert out.where(F.col("max_bench_cos").isNull()).count() == 0
+
+
+def test_contamination_spans_locates_the_leak(spark):
+    from decision_tree_stuff_spark.operators.decontam import (
+        contamination_spans,
+    )
+
+    bench = _df(spark, [(70, "the quick brown fox jumps")])
+    # train doc 1: the benchmark sentence verbatim at tokens 4..8,
+    # surrounded by noise; doc 2: unrelated
+    train = _df(
+        spark,
+        [
+            (1, "alpha beta gamma the quick brown fox jumps delta"),
+            (2, "nothing to see here at all folks"),
+        ],
+    )
+    out = contamination_spans(train, bench, n=3, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["train_id"], r["bench_id"]) == (1, 70)
+    # grams (3-grams of the 5-token leak) start at tokens 4,5,6 and
+    # merge into ONE span covering tokens 4..8
+    assert (r["start_tok"], r["end_tok"], r["span_tokens"]) == (4, 8, 5)
+
+
+def test_contamination_spans_merges_adjacent_but_not_gapped(spark):
+    from decision_tree_stuff_spark.operators.decontam import (
+        contamination_spans,
+    )
+
+    bench = _df(spark, [(70, "aa bb cc dd ee ff")])
+    # two disjoint leaks separated by a 2-token gap -> two spans
+    train = _df(spark, [(1, "aa bb cc xx yy dd ee ff zz")])
+    out = sorted(
+        (r["start_tok"], r["end_tok"])
+        for r in contamination_spans(
+            train, bench, n=3, threshold=0.3
+        ).collect()
+    )
+    assert out == [(1, 3), (6, 8)]
+
+
+def test_contamination_spans_empty_below_threshold(spark):
+    from decision_tree_stuff_spark.operators.decontam import (
+        contamination_spans,
+    )
+
+    bench = _df(spark, [(70, "one two three four five six seven eight")])
+    train = _df(spark, [(1, "one two three unrelated words here")])
+    # 1 of 6 bench grams matched = 0.1667 < 0.5 threshold
+    assert (
+        contamination_spans(train, bench, n=3, threshold=0.5).count() == 0
+    )
+
+
+def test_token_ngram_positions_keeps_repeats(spark):
+    from decision_tree_stuff_spark.operators.decontam import (
+        token_ngram_positions,
+    )
+
+    df = _df(spark, [(1, "x y x y x")])
+    got = sorted(
+        (r["pos"], r["gram"])
+        for r in token_ngram_positions(df, "doc_id", "text", 2).collect()
+    )
+    assert got == [(1, "x y"), (2, "y x"), (3, "x y"), (4, "y x")]
