@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "e14b_hilbert",           # Hilbert layout keys (LUT / aggregate-fold walk)
     "e9c_semantic_decontam",  # embedding-space fuzzy decontamination
     "e9d_contamination_spans",  # token-span leak report (islands merge)
+    "e9c_ivf_decontam",         # IVF-staged semantic decontam (scale path)
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

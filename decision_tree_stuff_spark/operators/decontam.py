@@ -520,3 +520,92 @@ def contamination_spans(
             (F.col("end_tok") - F.col("start_tok") + 1).alias("span_tokens"),
         )
     )
+
+
+def embedding_decontamination_ivf(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mode: str = "first",
+) -> DataFrame:
+    """The SCALE path for ``embedding_decontamination`` — the IVF
+    staging the brute-force docstring promises, as real code: both
+    sides coarse-quantize against the corpus quantizer
+    (``similarity._quantizer_centroids`` — 'first' is the
+    deterministic oracle mode, 'kmeans' the production one); the
+    corpus keeps its ONE home cell, each benchmark item probes its
+    ``nprobe`` nearest cells, and only cell-mates are verified. The
+    |corpus|×|bench| cross join becomes a cell equi-join ~
+    (n_centroids/nprobe)× smaller — SemDeDup's staging pointed at an
+    eval set.
+
+    APPROXIMATE by construction: a leak whose embedding lands in a
+    cell none of the bench item's probes reach is missed (recall
+    rises with nprobe; an IDENTICAL embedding is always caught — it
+    shares the exact argmax cell). Corpus items with no bench
+    cell-mate return null score and contaminated = false.
+    Same output schema as the exact operator.
+    """
+    from decision_tree_stuff_spark.functions.array_math import dot_product
+    from decision_tree_stuff_spark.operators.similarity import (
+        _assigned_cells,
+        _quantizer_centroids,
+    )
+
+    def norm(v):
+        return F.sqrt(dot_product(v, v))
+
+    centroids = _quantizer_centroids(
+        corpus_emb, n_centroids, id_col, vec_col, centroid_mode
+    )
+    ccells = (
+        _assigned_cells(corpus_emb, centroids, id_col, vec_col)
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "cid")
+        .withColumn("__cn", norm(F.col(vec_col)))
+    )
+    bcells = (
+        _assigned_cells(bench_emb, centroids, id_col, vec_col)
+        .where(F.col("rn") <= nprobe)
+        .select(
+            F.col(id_col).alias("__bid"),
+            F.col(vec_col).alias("__bvec"),
+            "cid",
+        )
+        .withColumn("__bn", norm(F.col("__bvec")))
+    )
+    denom = F.col("__cn") * F.col("__bn")
+    cos = F.round(
+        F.when(
+            denom > 0.0,
+            dot_product(F.col(vec_col), F.col("__bvec")) / denom,
+        ),
+        6,
+    )
+    best = (
+        ccells.join(F.broadcast(bcells), "cid")
+        .select(
+            F.col(id_col),
+            F.struct(cos.alias("c"), (-F.col("__bid")).alias("nb")).alias(
+                "__s"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.max("__s").alias("__m"))
+    )
+    return (
+        corpus_emb.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__m.c").alias("max_bench_cos"),
+            (-F.col("__m.nb")).alias("bench_id"),
+            F.coalesce(
+                F.col("__m.c") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
+        )
+    )

@@ -1670,6 +1670,27 @@ def q_e9d_contamination_spans(spark, sf_dir):
     )
 
 
+def q_e9c_ivf_decontam(spark, sf_dir):
+    """IVF-staged semantic decontamination (r8): the scale path of
+    e9c as code — both sides coarse-quantize against the corpus
+    'first' quantizer, corpus keeps its home cell, bench probes its
+    2 nearest cells, only cell-mates verify. Approximate by
+    construction; the oracle reproduces the same quantizer, probes
+    and arg-max."""
+    from decision_tree_stuff_spark.operators.decontam import (
+        embedding_decontamination_ivf,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return embedding_decontamination_ivf(
+        emb.where("vec_id % 7 <> 0"),
+        emb.where("vec_id % 7 = 0"),
+        threshold=0.8,
+        n_centroids=16,
+        nprobe=2,
+    )
+
+
 def q_e3_rp_topk(spark, sf_dir):
     """Brute-force cosine top-k in the Johnson-Lindenstrauss projected
     space (r7): 64-d -> 16-d via the seeded Gaussian literals, ONE
@@ -3742,6 +3763,54 @@ SELECT train_id, bench_id,
        CAST(max(e) - min(s) + 1 AS INT) AS span_tokens
 FROM iid GROUP BY train_id, bench_id, iid
 """,
+    # r8 IVF-staged semantic decontam: corpus 'first' quantizer
+    # (lowest-id CORPUS vectors below 16), home-cell corpus
+    # assignment, nprobe=2 bench probes, arg-max over cell-mates.
+    "e9c_ivf_decontam": f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < 16 AND vec_id % 7 <> 0
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0
+),
+bench AS (
+  SELECT vec_id AS bid, embedding AS bvec FROM embeddings
+  WHERE vec_id % 7 = 0
+),
+casg AS (
+  SELECT c.vec_id, c.embedding, t.cid,
+         row_number() OVER (PARTITION BY c.vec_id
+           ORDER BY round({_cos_sql('c.embedding', 't.cvec')}, 6) DESC,
+                    t.cid ASC) AS rn
+  FROM corpus c CROSS JOIN cent t
+),
+ccells AS (SELECT vec_id, embedding, cid FROM casg WHERE rn = 1),
+basg AS (
+  SELECT b.bid, b.bvec, t.cid,
+         row_number() OVER (PARTITION BY b.bid
+           ORDER BY round({_cos_sql('b.bvec', 't.cvec')}, 6) DESC,
+                    t.cid ASC) AS rn
+  FROM bench b CROSS JOIN cent t
+),
+s AS (
+  SELECT cc.vec_id,
+         round({_cos_sql('cc.embedding', 'b.bvec')}, 6) AS cos, b.bid
+  FROM ccells cc JOIN (SELECT bid, bvec, cid FROM basg WHERE rn <= 2) b
+    USING (cid)
+),
+best AS (
+  SELECT vec_id, cos, bid FROM (
+    SELECT vec_id, cos, bid,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, bid ASC) AS rn
+    FROM s) t
+  WHERE rn = 1
+)
+SELECT c.vec_id, b.cos AS max_bench_cos, b.bid AS bench_id,
+       coalesce(b.cos >= 0.8, false) AS contaminated
+FROM corpus c LEFT JOIN best b USING (vec_id)
+""",
     "e3_rp_topk": f"""
 WITH p AS (
   SELECT vec_id,
@@ -5626,6 +5695,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e14b_hilbert": q_e14b_hilbert,                # r8: Hilbert layout key
     "e9c_semantic_decontam": q_e9c_semantic_decontam,  # r8: fuzzy decontam
     "e9d_contamination_spans": q_e9d_contamination_spans,  # r8: span report
+    "e9c_ivf_decontam": q_e9c_ivf_decontam,        # r8: IVF-staged e9c
 }
 
 EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {

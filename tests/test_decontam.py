@@ -253,3 +253,48 @@ def test_token_ngram_positions_keeps_repeats(spark):
         for r in token_ngram_positions(df, "doc_id", "text", 2).collect()
     )
     assert got == [(1, "x y"), (2, "y x"), (3, "x y"), (4, "y x")]
+
+
+def test_ivf_decontam_catches_identical_and_bounds_recall(spark):
+    """An identical embedding shares the exact argmax cell — the IVF
+    staging can never miss it; and on real testdata every IVF flag
+    must be a subset of the exact operator's flags with the same
+    scores where present (pruning only removes candidates)."""
+    from decision_tree_stuff_spark.operators.decontam import (
+        embedding_decontamination,
+        embedding_decontamination_ivf,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus, bench = emb.where("vec_id % 7 <> 0"), emb.where("vec_id % 7 = 0")
+    exact = {
+        r["vec_id"]: r
+        for r in embedding_decontamination(
+            corpus, bench, threshold=0.8
+        ).collect()
+    }
+    approx = {
+        r["vec_id"]: r
+        for r in embedding_decontamination_ivf(
+            corpus, bench, threshold=0.8, n_centroids=16, nprobe=2
+        ).collect()
+    }
+    assert approx.keys() == exact.keys()  # every corpus row scored
+    for vid, a in approx.items():
+        e = exact[vid]
+        if a["max_bench_cos"] is not None:
+            # a candidate the IVF saw can never beat the exact max
+            assert a["max_bench_cos"] <= e["max_bench_cos"], vid
+        if a["contaminated"]:
+            assert e["contaminated"], vid
+    # planted identical vector: corpus clone of a bench embedding
+    brow = bench.orderBy("vec_id").first()
+    clone = spark.createDataFrame(
+        [(999_999, list(brow["embedding"]))],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = embedding_decontamination_ivf(
+        corpus.select("vec_id", "embedding").unionByName(clone),
+        bench, threshold=0.99, n_centroids=16, nprobe=1,
+    ).where(F.col("vec_id") == 999_999).first()
+    assert got["contaminated"] and got["bench_id"] == brow["vec_id"]
