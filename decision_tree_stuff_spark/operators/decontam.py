@@ -342,6 +342,11 @@ def embedding_decontamination(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool | None = None,
+    ivf_bench_bound: int = 10_000,
+    n_centroids: int = 64,
+    nprobe: int = 4,
+    centroid_mode: str = "first",
 ) -> DataFrame:
     """SEMANTIC decontamination (E-9c): flag corpus items whose
     embedding is near-identical to any benchmark item — the fuzzy
@@ -352,18 +357,44 @@ def embedding_decontamination(
 
     Returns (id_col, max_bench_cos, bench_id, contaminated): per
     corpus item, its maximum 6dp-rounded cosine against the benchmark
-    set, the lowest-id benchmark item attaining it, and the
-    threshold flag.
+    set, the lowest-id benchmark item attaining it, and the threshold
+    flag. Corpus items that score against nothing (empty benchmark
+    set, zero-norm vectors, or — on the IVF path — no bench
+    cell-mate) are KEPT with null score and contaminated = false;
+    both paths share this contract.
 
-    Scale shape: the benchmark side is small by nature (it's an eval
-    set) — it BROADCASTS, and the corpus side never shuffles: scoring
-    is a broadcast nested-loop over |bench| rows per corpus row
-    followed by one map-side-combinable max-struct aggregate keyed on
-    the corpus id. |bench| ≫ 10⁴ is the IVF/LSH regime — prefilter
-    with `similarity.ivf_topk`/sign-LSH buckets and verify only
-    bucket-mates, exactly the SemDeDup staging.
+    Path selection (r9): the scale path is what a naive caller gets.
+    ``exact=None`` (default) counts the benchmark side once — an eval
+    set is small, so the count is cheap — and brute-forces when
+    |bench| <= ``ivf_bench_bound``, else delegates to
+    ``embedding_decontamination_ivf`` (approximate: recall < 1,
+    identical vectors always caught; tune ``n_centroids``/``nprobe``,
+    and ``centroid_mode='kmeans'`` for data-adaptive cells).
+    ``exact=True`` forces the brute-force scorer regardless of size;
+    ``exact=False`` forces IVF.
+
+    Scale shape (exact path): the benchmark side BROADCASTS and the
+    corpus side never shuffles — scoring is a broadcast nested-loop
+    over |bench| rows per corpus row followed by one
+    map-side-combinable max-struct aggregate keyed on the corpus id.
+    That is linear in |corpus|x|bench|, which is exactly why
+    |bench| > ``ivf_bench_bound`` auto-routes to the IVF staging.
     """
     from decision_tree_stuff_spark.functions.array_math import dot_product
+
+    if exact is None:
+        exact = bench_emb.count() <= ivf_bench_bound
+    if not exact:
+        return embedding_decontamination_ivf(
+            corpus_emb,
+            bench_emb,
+            threshold=threshold,
+            n_centroids=n_centroids,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroid_mode=centroid_mode,
+        )
 
     def norm(v):
         return F.sqrt(dot_product(v, v))
@@ -401,11 +432,21 @@ def embedding_decontamination(
         .groupBy(id_col)
         .agg(F.max("__s").alias("__m"))
     )
-    return best.select(
-        F.col(id_col),
-        F.col("__m.c").alias("max_bench_cos"),
-        (-F.col("__m.nb")).alias("bench_id"),
-        (F.col("__m.c") >= F.lit(threshold)).alias("contaminated"),
+    # left-join back onto the corpus ids (r9 advice): an empty
+    # benchmark set or an all-zero-norm corpus row must yield the row
+    # with contaminated = false, not drop it — the IVF variant's
+    # contract, now shared
+    return (
+        corpus_emb.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__m.c").alias("max_bench_cos"),
+            (-F.col("__m.nb")).alias("bench_id"),
+            F.coalesce(
+                F.col("__m.c") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
+        )
     )
 
 

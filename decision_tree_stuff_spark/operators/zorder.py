@@ -104,6 +104,22 @@ def _hash_preimages(spark, n: int) -> List[int]:
     return [pre[i] for i in range(n)]
 
 
+def _equi_width_bucket(col: str, vmin, vmax, n: int) -> Column:
+    """Equi-width bucket id over the occupied [vmin, vmax] key range,
+    ALL-INTEGER (r9 advice): the old ``(v - vmin) * n / (range + 1)``
+    form multiplies before dividing, which (a) overflows bigint once
+    the key domain nears 63 bits (`zorder_value` allows it — ANSI
+    error under Spark 4, silent mis-bucketing otherwise) and (b)
+    routes the quotient through double division, which loses exactness
+    past 2^53. ``width = range div n + 1; bucket = delta div width``
+    is exact at any bigint width, monotone, and lands in [0, n-1]:
+    width > range/n so delta div width <= range/width < n."""
+    if vmin is None or vmax == vmin:
+        return F.lit(0)
+    width = (int(vmax) - int(vmin)) // n + 1
+    return F.expr(f"cast(({col} - {int(vmin)}L) div {width}L as int)")
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -130,12 +146,7 @@ def write_zordered(
     if deterministic:
         zmin, zmax = staged.agg(F.min("__z"), F.max("__z")).first()
         n = num_files
-        if zmin is None or zmax == zmin:
-            bucket = F.lit(0)
-        else:
-            bucket = F.floor(
-                (F.col("__z") - F.lit(zmin)) * n / F.lit(zmax - zmin + 1)
-            ).cast("int")
+        bucket = _equi_width_bucket("__z", zmin, zmax, n)
         pre = _hash_preimages(df.sparkSession, n)
         routed = staged.withColumn(
             "__route", F.element_at(F.lit(pre), bucket + 1)
@@ -285,12 +296,7 @@ def write_hilbert(
     staged = df.withColumn("__h", hv)
     hmin, hmax = staged.agg(F.min("__h"), F.max("__h")).first()
     n = num_files
-    if hmin is None or hmax == hmin:
-        bucket = F.lit(0)
-    else:
-        bucket = F.floor(
-            (F.col("__h") - F.lit(hmin)) * n / F.lit(hmax - hmin + 1)
-        ).cast("int")
+    bucket = _equi_width_bucket("__h", hmin, hmax, n)
     pre = _hash_preimages(df.sparkSession, n)
     routed = staged.withColumn(
         "__route", F.element_at(F.lit(pre), bucket + 1)

@@ -1638,7 +1638,9 @@ def q_e9c_semantic_decontam(spark, sf_dir):
     (vec_id % 7 == 0 plays the eval set) — the fuzzy complement to
     the n-gram/Bloom checks that paraphrased leaks walk past. The
     benchmark side broadcasts; the corpus never shuffles (one
-    max-struct aggregate keyed on the corpus id)."""
+    max-struct aggregate keyed on the corpus id). exact=True pins the
+    brute-force BASELINE path — production auto-routes to the IVF
+    staging above ivf_bench_bound (e9c_ivf_decontam is that row)."""
     from decision_tree_stuff_spark.operators.decontam import (
         embedding_decontamination,
     )
@@ -1648,6 +1650,7 @@ def q_e9c_semantic_decontam(spark, sf_dir):
         emb.where("vec_id % 7 <> 0"),
         emb.where("vec_id % 7 = 0"),
         threshold=0.8,
+        exact=True,
     )
 
 

@@ -111,6 +111,29 @@ def test_lr_empty_docs_train_bias_only(spark):
     assert out[1]["score"] == sig and out[2]["score"] == sig
 
 
+def test_lr_joined_path_matches_dense_bitwise(spark):
+    """The _lr_fit_joined fallback (n_buckets > dense_max_buckets)
+    claims bit-identical weights to the dense unroll; pin it (r9
+    advice — the e4_lr_langid gate only ever exercises the dense
+    path, so without this the claim was regression-unprotected)."""
+    rows = [
+        (i, f"tok{i % 13} tok{(i * 3) % 17} tok{(i * 5) % 11} tok{i % 4}",
+         i % 2)
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, y int")
+    for n_buckets in (32, 64):
+        dense = lr_fit(
+            docs, "y", n_buckets=n_buckets, iters=3, lr=0.5,
+            dense_max_buckets=512,
+        )
+        joined = lr_fit(
+            docs, "y", n_buckets=n_buckets, iters=3, lr=0.5,
+            dense_max_buckets=0,
+        )
+        assert dense == joined, n_buckets
+
+
 def test_lr_empty_corpus_raises(spark):
     import pytest
 

@@ -188,6 +188,73 @@ def test_embedding_decontam_scores_every_corpus_row(spark):
     assert out.where(F.col("max_bench_cos").isNull()).count() == 0
 
 
+def test_embedding_decontam_degenerate_inputs_keep_rows(spark):
+    """r9 advice: an empty benchmark set or a zero-norm corpus vector
+    must KEEP the corpus row with contaminated = false (null score),
+    matching the IVF variant's contract — not drop it / flag null."""
+    from decision_tree_stuff_spark.operators.decontam import (
+        embedding_decontamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    empty_bench = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in embedding_decontamination(
+            corpus, empty_bench, threshold=0.5, exact=True
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert all(
+        r["contaminated"] is False and r["max_bench_cos"] is None
+        for r in out.values()
+    )
+    # zero-norm corpus row against a real bench: kept, flag false
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    out2 = {
+        r["vec_id"]: r
+        for r in embedding_decontamination(
+            corpus, bench, threshold=0.5, exact=True
+        ).collect()
+    }
+    assert out2[1]["contaminated"] is True
+    assert out2[2]["contaminated"] is False
+    assert out2[2]["max_bench_cos"] is None
+
+
+def test_embedding_decontam_auto_routes_to_ivf(spark):
+    """r9 verdict task 3: the naive caller gets the scale path —
+    exact=None with |bench| above the bound must produce exactly the
+    IVF operator's frame; exact=True stays brute-force."""
+    from decision_tree_stuff_spark.operators.decontam import (
+        embedding_decontamination,
+        embedding_decontamination_ivf,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus, bench = emb.where("vec_id % 7 <> 0"), emb.where("vec_id % 7 = 0")
+    kw = dict(threshold=0.8, n_centroids=16, nprobe=2)
+    auto = embedding_decontamination(
+        corpus, bench, ivf_bench_bound=0, **kw
+    )
+    want = embedding_decontamination_ivf(corpus, bench, **kw)
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(auto) == rows(want)
+    # below the bound: auto == exact path
+    exact = embedding_decontamination(corpus, bench, threshold=0.8, exact=True)
+    auto_small = embedding_decontamination(
+        corpus, bench, threshold=0.8, ivf_bench_bound=10_000
+    )
+    assert rows(auto_small) == rows(exact)
+
+
 def test_contamination_spans_locates_the_leak(spark):
     from decision_tree_stuff_spark.operators.decontam import (
         contamination_spans,
