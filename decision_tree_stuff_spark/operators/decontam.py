@@ -591,31 +591,69 @@ def embedding_decontamination_ivf(
     cell-mate return null score and contaminated = false.
     Same output schema as the exact operator.
     """
-    from decision_tree_stuff_spark.functions.array_math import dot_product
+    from decision_tree_stuff_spark.functions.array_math import (
+        cosine_similarity,
+        dot_product,
+    )
+    from decision_tree_stuff_spark.operators import spread_small
     from decision_tree_stuff_spark.operators.similarity import (
-        _assigned_cells,
         _quantizer_centroids,
     )
 
     def norm(v):
         return F.sqrt(dot_product(v, v))
 
-    centroids = _quantizer_centroids(
-        corpus_emb, n_centroids, id_col, vec_col, centroid_mode
+    # The quantizer is a bounded model artifact (n_centroids rows) —
+    # like the k-means/PQ codebooks it rides in the PLAN as literals,
+    # so cell assignment is a shuffle-free per-row argmax projection.
+    # The r8 version assigned cells with a broadcast join + row_number
+    # window: correct, but the window shuffles the full corpus (64-dim
+    # vectors through the exchange) AND its small post-shuffle output
+    # let AQE coalesce the heavy verify fan-out onto 4 of 32 cores
+    # (measured sf1: 17 s; literal assignment + spread_small: the
+    # whole query is one scan-side pipeline into the aggregate).
+    # Ordering matches the window exactly: max rounded cosine, ties to
+    # the lowest cid, NULL cosines (zero-norm) never win.
+    crows = sorted(
+        _quantizer_centroids(
+            corpus_emb, n_centroids, id_col, vec_col, centroid_mode
+        ).collect()
     )
-    ccells = (
-        _assigned_cells(corpus_emb, centroids, id_col, vec_col)
-        .where(F.col("rn") == 1)
-        .select(id_col, vec_col, "cid")
-        .withColumn("__cn", norm(F.col(vec_col)))
+
+    def cell_rank_structs(vec):
+        out = []
+        for cid, cvec in crows:
+            clit = F.array(*[F.lit(float(v)) for v in cvec])
+            negc = F.coalesce(
+                -F.round(cosine_similarity(vec, clit), 6),
+                F.lit(float("inf")),
+            )
+            out.append(
+                F.struct(negc.alias("negc"), F.lit(int(cid)).alias("cid"))
+            )
+        return out
+
+    ccells = spread_small(corpus_emb).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array_min(F.array(*cell_rank_structs(F.col(vec_col))))[
+            "cid"
+        ].alias("cid"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
     bcells = (
-        _assigned_cells(bench_emb, centroids, id_col, vec_col)
-        .where(F.col("rn") <= nprobe)
-        .select(
+        bench_emb.select(
             F.col(id_col).alias("__bid"),
             F.col(vec_col).alias("__bvec"),
-            "cid",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.array(*cell_rank_structs(F.col(vec_col)))
+                    ),
+                    1,
+                    nprobe,
+                )["cid"]
+            ).alias("cid"),
         )
         .withColumn("__bn", norm(F.col("__bvec")))
     )

@@ -99,35 +99,53 @@ def decode_media(payload: bytes, fmt: str):
     import struct
 
     f = (fmt or "").lower()
-    if f == "bmp" or payload[:2] == b"BM":
+    if f in ("bmp", "bmp8") or payload[:2] == b"BM":
         if len(payload) < 54:
             raise ValueError("truncated BMP header")
         off, = struct.unpack_from("<I", payload, 10)
         w, h = struct.unpack_from("<ii", payload, 18)
         planes, bpp = struct.unpack_from("<HH", payload, 26)
         comp, = struct.unpack_from("<I", payload, 30)
-        if planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+        if planes != 1 or bpp not in (8, 24) or comp != 0 or w <= 0 or h <= 0:
             raise ValueError(
                 f"unsupported BMP variant (planes={planes} bpp={bpp} "
                 f"compression={comp} w={w} h={h})"
             )
-        stride = (w * 3 + 3) & ~3
         px = []
-        for r in range(h):                      # output rows top-down
-            base = off + (h - 1 - r) * stride   # source rows bottom-up
-            for p in range(w):
-                b, g, rr = payload[base + 3 * p: base + 3 * p + 3]
-                px.extend((rr, g, b))           # BGR on disk → RGB out
+        if bpp == 24:
+            stride = (w * 3 + 3) & ~3
+            for r in range(h):                      # output rows top-down
+                base = off + (h - 1 - r) * stride   # source rows bottom-up
+                for p in range(w):
+                    b, g, rr = payload[base + 3 * p: base + 3 * p + 3]
+                    px.extend((rr, g, b))           # BGR on disk → RGB out
+        else:  # 8-bit paletted (r9): BGR0 palette after the info header
+            nclr, = struct.unpack_from("<I", payload, 46)
+            nclr = nclr or 256
+            if off < 54 + 4 * nclr:
+                raise ValueError("BMP palette overlaps pixel data")
+            stride = (w + 3) & ~3
+            for r in range(h):
+                base = off + (h - 1 - r) * stride
+                for p in range(w):
+                    e = 54 + 4 * payload[base + p]
+                    b, g, rr = payload[e: e + 3]
+                    px.extend((rr, g, b))
         return w, h, px
-    if f == "ppm" or payload[:3] == b"P6\n":
+    if f in ("ppm", "pgm") or payload[:3] in (b"P6\n", b"P5\n"):
         import re as _re
 
-        m = _re.match(rb"^P6\s(\d+)\s(\d+)\s255\s", payload)
+        m = _re.match(rb"^(P[56])\s(\d+)\s(\d+)\s255\s", payload)
         if not m:
-            raise ValueError("unsupported PPM header")
-        w, h = int(m.group(1)), int(m.group(2))
+            raise ValueError("unsupported PPM/PGM header")
+        w, h = int(m.group(2)), int(m.group(3))
         off = m.end()
-        return w, h, list(payload[off: off + w * h * 3])
+        if m.group(1) == b"P6":
+            return w, h, list(payload[off: off + w * h * 3])
+        # P5 grayscale (r9) expanded to R=G=B, matching decode_pixels
+        return w, h, [
+            v for g in payload[off: off + w * h] for v in (g, g, g)
+        ]
     raise NotImplementedError(
         f"media decode for format {fmt!r} requires codec libraries "
         "not present in this environment"
@@ -495,19 +513,119 @@ def encode_ppm(media_id, w, h) -> Column:
     return F.concat(header, data)
 
 
+def _palette_channel(idx, c):
+    """RGB channel ``c`` (0=R, 1=G, 2=B) of palette entry ``idx`` —
+    the deterministic synthetic palette shared by ``encode_bmp8``,
+    the decode oracle and the tests: R=(i·5+11)%256, G=(i·3+7)%256,
+    B=(i·9+3)%256."""
+    r = F.pmod(idx * 5 + 11, F.lit(256))
+    g = F.pmod(idx * 3 + 7, F.lit(256))
+    b = F.pmod(idx * 9 + 3, F.lit(256))
+    return F.when(c == 0, r).when(c == 1, g).otherwise(b)
+
+
+def _bmp8_stride(w):
+    """Bytes per 8-bit BMP pixel row: w padded up to a 4-byte
+    multiple."""
+    return w + F.pmod(F.lit(4) - F.pmod(w, F.lit(4)), F.lit(4))
+
+
+def encode_bmp8(media_id, w, h) -> Column:
+    """A spec-compliant 8-bit PALETTED uncompressed BMP (r9): 54-byte
+    headers + a full 256-entry BGR0 palette (``_palette_channel``) +
+    bottom-up index rows at 4-byte stride. The index of top-down
+    pixel q is ``pixel_value(media_id, q)``, so the decoded RGB bytes
+    have a closed form the oracle recomputes."""
+    stride = _bmp8_stride(w)
+    img_size = stride * h
+    header = F.concat(
+        F.lit("424D"),
+        _le_hex(img_size + 54 + 1024, 4),  # file size
+        F.lit("00000000"),
+        _le_hex(54 + 1024, 4),            # pixel data offset
+        _le_hex(40, 4),
+        _le_hex(w, 4),
+        _le_hex(h, 4),                    # positive: bottom-up
+        _le_hex(1, 2),
+        _le_hex(8, 2),                    # bits per pixel
+        _le_hex(0, 4),                    # BI_RGB
+        _le_hex(img_size, 4),
+        _le_hex(2835, 4),
+        _le_hex(2835, 4),
+        _le_hex(256, 4),                  # biClrUsed
+        _le_hex(0, 4),
+    )
+    # palette: 256 entries of B, G, R, 0 — a media-independent literal
+    palette = F.lit(
+        "".join(
+            f"{(i * 9 + 3) % 256:02X}{(i * 3 + 7) % 256:02X}"
+            f"{(i * 5 + 11) % 256:02X}00"
+            for i in range(256)
+        )
+    )
+
+    def data_byte(i):
+        r_b = F.floor(i / stride).cast("bigint")
+        px = F.pmod(i, stride)
+        q = (h - 1 - r_b) * w + px       # top-down pixel index
+        return F.when(px >= w, F.lit("00")).otherwise(
+            _byte_hex(pixel_value(media_id, q))
+        )
+
+    data = F.array_join(
+        F.transform(F.sequence(F.lit(0), img_size - 1), data_byte), ""
+    )
+    return F.unhex(F.concat(header, palette, data))
+
+
+def encode_pgm(media_id, w, h) -> Column:
+    """A binary netpbm P5 payload (``P5\\n<w> <h>\\n255\\n`` + raw
+    top-down grayscale bytes): gray of pixel q is
+    ``pixel_value(media_id, q)``."""
+    header = F.encode(
+        F.concat(
+            F.lit("P5\n"),
+            w.cast("string"),
+            F.lit(" "),
+            h.cast("string"),
+            F.lit("\n255\n"),
+        ),
+        "UTF-8",
+    )
+    data = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), w * h - 1),
+                lambda q: _byte_hex(pixel_value(media_id, q)),
+            ),
+            "",
+        )
+    )
+    return F.concat(header, data)
+
+
 def synthesize_decodable_media(
-    docs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame, id_col: str = "doc_id", formats=("bmp", "ppm")
 ) -> DataFrame:
-    """Tiny REAL image files derived from ``documents`` ids — BMP for
-    even ids, PPM for odd — so the pixel-decode path runs against
-    actual encoded binaries on real testdata. Dimensions are small
-    (w ∈ 2..6, h ∈ 2..5) to keep the decoded pixel arrays
-    oracle-comparable."""
+    """Tiny REAL image files derived from ``documents`` ids — the
+    first format in ``formats`` for even ids, the second for odd — so
+    the pixel-decode path runs against actual encoded binaries on
+    real testdata. Dimensions are small (w ∈ 2..6, h ∈ 2..5) to keep
+    the decoded pixel arrays oracle-comparable. Formats: 'bmp'
+    (24-bit), 'ppm' (P6), 'bmp8' (8-bit paletted, r9), 'pgm' (P5,
+    r9)."""
+    encoders = {
+        "bmp": encode_bmp,
+        "ppm": encode_ppm,
+        "bmp8": encode_bmp8,
+        "pgm": encode_pgm,
+    }
+    even_fmt, odd_fmt = formats
     mid = F.col(id_col)
     w = (mid % 5 + 2).cast("int")
     h = (mid % 4 + 2).cast("int")
-    payload = F.when(mid % 2 == 0, encode_bmp(mid, w, h)).otherwise(
-        encode_ppm(mid, w, h)
+    payload = F.when(mid % 2 == 0, encoders[even_fmt](mid, w, h)).otherwise(
+        encoders[odd_fmt](mid, w, h)
     )
     return docs.select(
         mid.alias("media_id"),
@@ -518,7 +636,9 @@ def synthesize_decodable_media(
             h.alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
             F.lit(1).alias("n_frames"),
-            F.when(mid % 2 == 0, "bmp").otherwise("ppm").alias("format"),
+            F.when(mid % 2 == 0, even_fmt).otherwise(odd_fmt).alias(
+                "format"
+            ),
         ).alias("meta"),
     )
 
@@ -533,9 +653,14 @@ def decode_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
       24-bit BI_RGB with positive height — bottom-up — is supported;
       anything else nulls out). Decoding undoes the bottom-up row
       order, per-pixel BGR and the 4-byte row stride.
-    * PPM (P6): header parsed from the leading ASCII bytes
-      (canonical single-whitespace form, as emitted by most tools);
-      pixel data is already top-down RGB.
+    * BMP 8-bit paletted (r9): same header dispatch with bpp == 8;
+      each index byte is looked up in the BGR0 palette that follows
+      BITMAPINFOHEADER (biClrUsed entries; 0 means 256), rows
+      bottom-up at a 4-byte-padded one-byte-per-pixel stride.
+    * PPM (P6) / PGM (P5, r9): header parsed from the leading ASCII
+      bytes (canonical single-whitespace form, as emitted by most
+      tools); P6 data is already top-down RGB, P5 grayscale is
+      expanded to R=G=B so ``pixels`` has one shape for every format.
 
     Compressed formats (JPEG/PNG/GIF) still require
     ``decode_media``'s codec libraries — header metadata for those is
@@ -543,19 +668,20 @@ def decode_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     p = F.col(payload_col)
     is_bmp = (F.length(p) >= 54) & (F.hex(F.substring(p, 1, 2)) == "424D")
     is_ppm = (F.length(p) >= 9) & (F.hex(F.substring(p, 1, 3)) == "50360A")
+    is_pgm = (F.length(p) >= 9) & (F.hex(F.substring(p, 1, 3)) == "50350A")
 
-    # --- BMP ---
+    # --- BMP (shared header fields) ---
     b_off = _le32(p, 11)
     b_w = _le32(p, 19)
     b_h = _le32(p, 23)
-    b_ok = (
+    b_hdr_ok = (
         is_bmp
         & (_le16(p, 27) == 1)
-        & (_le16(p, 29) == 24)
         & (_le32(p, 31) == 0)
         & (b_h > 0)
         & (b_w > 0)
     )
+    b_ok = b_hdr_ok & (_le16(p, 29) == 24)
     b_stride = _bmp_stride(b_w)
 
     def bmp_row(r):
@@ -577,6 +703,32 @@ def decode_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.transform(F.sequence(F.lit(0), b_h - 1), bmp_row)
     )
 
+    # --- BMP 8-bit paletted (r9) ---
+    nclr = _le32(p, 47)
+    pal_n = F.when(nclr == 0, F.lit(256)).otherwise(nclr)
+    b8_ok = (
+        b_hdr_ok
+        & (_le16(p, 29) == 8)
+        & (b_off >= F.lit(54) + pal_n * 4)
+    )
+    b8_stride = _bmp8_stride(b_w)
+
+    def bmp8_byte(k):
+        # output byte k of the top-down RGB array: pixel q, channel c;
+        # index byte from the bottom-up padded row, then the BGR0
+        # palette entry (B at +0, G at +1, R at +2 — channel c reads
+        # offset 2-c)
+        q = F.floor(k / F.lit(3)).cast("bigint")
+        c = F.pmod(k, F.lit(3))
+        r_t = F.floor(q / b_w).cast("bigint")
+        px = F.pmod(q, b_w)
+        idx = _u8(p, b_off + (b_h - 1 - r_t) * b8_stride + px + 1)
+        return _u8(p, F.lit(55) + idx * 4 + (F.lit(2) - c))
+
+    bmp8_pixels = F.transform(
+        F.sequence(F.lit(0), b_w * b_h * 3 - 1), bmp8_byte
+    )
+
     # --- PPM ---
     hdr_len = F.least(F.length(p), F.lit(32))
     hdr = F.array_join(
@@ -595,10 +747,31 @@ def decode_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
         lambda k: _u8(p, p_off + k + 1),
     )
 
-    fmt = F.when(b_ok, "bmp").when(p_ok, "ppm")
-    width = F.when(b_ok, b_w).when(p_ok, p_w)
-    height = F.when(b_ok, b_h).when(p_ok, p_h)
-    pixels = F.when(b_ok, bmp_pixels).when(p_ok, ppm_pixels)
+    # --- PGM (P5, r9): gray expanded to R=G=B ---
+    gm = F.regexp_extract(hdr, r"^(P5\s\d+\s\d+\s255\s)", 1)
+    g_ok = is_pgm & (F.length(gm) > 0)
+    g_w = F.regexp_extract(hdr, r"^P5\s(\d+)\s", 1).cast("int")
+    g_h = F.regexp_extract(hdr, r"^P5\s\d+\s(\d+)\s", 1).cast("int")
+    g_off = F.length(gm)
+    pgm_pixels = F.transform(
+        F.sequence(F.lit(0), g_w * g_h * 3 - 1),
+        lambda k: _u8(p, g_off + F.floor(k / F.lit(3)).cast("bigint") + 1),
+    )
+
+    fmt = (
+        F.when(b_ok, "bmp")
+        .when(b8_ok, "bmp8")
+        .when(p_ok, "ppm")
+        .when(g_ok, "pgm")
+    )
+    width = F.when(b_ok | b8_ok, b_w).when(p_ok, p_w).when(g_ok, g_w)
+    height = F.when(b_ok | b8_ok, b_h).when(p_ok, p_h).when(g_ok, g_h)
+    pixels = (
+        F.when(b_ok, bmp_pixels)
+        .when(b8_ok, bmp8_pixels)
+        .when(p_ok, ppm_pixels)
+        .when(g_ok, pgm_pixels)
+    )
     return media.select(
         "media_id",
         fmt.alias("img_format"),

@@ -1,0 +1,208 @@
+"""Multimodal binary columns (E-6): header metadata, features, frame sampling, real pixel decode.
+
+Split out of the monolithic queries.py (r9); function and
+oracle text moved verbatim — see queries/__init__.py for
+the registry.
+"""
+
+from __future__ import annotations
+
+from decision_tree_stuff_spark.queries._shared import (  # noqa: F401
+    Dict,
+    F,
+    _docs,
+)
+
+
+
+def q_e6_media_meta(spark, sf_dir):
+    """Multimodal table plumbing: synthesized media metadata + payload
+    byte length (payload is binary; the meta arithmetic and byte count
+    are SQL-expressible so this one is oracle-checked)."""
+    from decision_tree_stuff_spark.operators.multimodal import synthesize_media
+
+    media = synthesize_media(_docs(spark, sf_dir))
+    return media.select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.length("payload").alias("n_bytes"),
+    )
+
+
+def q_e6_media_features(spark, sf_dir):
+    """Arrow-batched (mapInPandas) feature extraction, flattened to
+    scalar columns f0..f7 (the harness canonicalizes via pandas, which
+    cannot hash array cells). The byte-bucket-mean math is exact
+    integer-sum arithmetic, so a DuckDB oracle reproduces it
+    bit-for-bit (payloads are ASCII → ord(substr) == byte value)."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        N_MEDIA_FEATURES,
+        extract_features,
+        synthesize_media,
+    )
+
+    feats = extract_features(
+        synthesize_media(_docs(spark, sf_dir)), n_features=N_MEDIA_FEATURES
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[
+            F.round(F.col("features").getItem(i), 6).alias(f"f{i}")
+            for i in range(N_MEDIA_FEATURES)
+        ],
+    )
+
+
+def q_e6_frame_sample(spark, sf_dir):
+    """Video frame sampling (pure Spark binary slicing). The binary
+    frame payload is hex-encoded for the gate (Spark ``hex`` ↔ DuckDB
+    ``hex``, both uppercase) so the slice bytes are value-checked."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_media,
+    )
+
+    frames = sample_frames(synthesize_media(_docs(spark, sf_dir)))
+    return frames.select(
+        "media_id", "frame_idx", F.hex("frame_payload").alias("frame_hex")
+    )
+
+
+def q_e6_pixel_decode(spark, sf_dir):
+    """REAL pixel decode (E-6, r8 — retires the last stub): tiny
+    spec-compliant BMP (even ids) / PPM (odd ids) binaries are
+    encoded from the closed-form pixel formula, then decoded back by
+    the pure-Spark byte-expression decoder (``decode_pixels`` —
+    undoes BMP's bottom-up rows, BGR order, 4-byte stride; parses the
+    PPM ASCII header). The oracle recomputes the pixels directly from
+    the formula, so any layout mistake on EITHER side of the round
+    trip mismatches."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_pixels,
+        synthesize_decodable_media,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    return decode_pixels(synthesize_decodable_media(docs))
+
+def q_e6_pixel_decode_paletted(spark, sf_dir):
+    """Pixel decode for the r9 uncompressed additions: 8-bit PALETTED
+    BMP (even ids — index rows bottom-up at 1-byte stride padding,
+    BGR0 palette lookup) and binary PGM P5 (odd ids — grayscale
+    expanded to R=G=B). Same closed-form trap as e6_pixel_decode: the
+    oracle recomputes RGB straight from the pixel/palette formulas,
+    so the round trip only matches if the decoder undoes the real
+    file layout including the palette indirection."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_pixels,
+        synthesize_decodable_media,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    return decode_pixels(
+        synthesize_decodable_media(docs, formats=("bmp8", "pgm"))
+    )
+
+
+ORACLE_SQL: Dict[str, str] = {
+    "e6_pixel_decode_paletted": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp8' ELSE 'pgm' END AS img_format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       list_transform(
+         range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
+         k -> CASE
+           WHEN doc_id % 2 <> 0
+             THEN CAST((doc_id * 7 + (k // 3) * 13) % 256 AS INT)
+           WHEN k % 3 = 0
+             THEN CAST(((doc_id * 7 + (k // 3) * 13) % 256 * 5 + 11) % 256 AS INT)
+           WHEN k % 3 = 1
+             THEN CAST(((doc_id * 7 + (k // 3) * 13) % 256 * 3 + 7) % 256 AS INT)
+           ELSE CAST(((doc_id * 7 + (k // 3) * 13) % 256 * 9 + 3) % 256 AS INT)
+         END
+       ) AS pixels
+FROM documents WHERE doc_id % 7 = 0
+""",
+    "e6_media_meta": """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+       CAST(doc_id % 640 + 16 AS INT) AS width,
+       CAST(doc_id % 480 + 16 AS INT) AS height,
+       CAST(doc_id % 24 + 1 AS INT) AS n_frames,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes
+FROM documents
+""",
+    # np.array_split(payload, 8) bucket means: the first (l % 8)
+    # buckets hold (l // 8 + 1) bytes, the rest (l // 8). Payload is
+    # the UTF-8 text (ASCII in this corpus), so ord(substr(text,i,1))
+    # IS byte i; integer sums make avg() bit-exact across engines.
+    "e6_media_features": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         text, octet_length(encode(text)) AS l
+  FROM documents
+),
+byt AS (
+  SELECT media_id,
+         CASE WHEN (i - 1) < (l % 8) * (l // 8 + 1)
+              THEN (i - 1) // (l // 8 + 1)
+              ELSE (l % 8) + ((i - 1) - (l % 8) * (l // 8 + 1))
+                   // greatest(l // 8, 1)
+         END AS bucket,
+         ord(substr(text, CAST(i AS INT), 1)) AS b
+  FROM (SELECT media_id, l, text, unnest(range(1, l + 1)) AS i FROM m
+        WHERE l > 0) p
+),
+f AS (
+  SELECT media_id,
+"""
+    + ",\n".join(
+        f"         round(coalesce(avg(CASE WHEN bucket = {i} THEN b END), 0.0), 6)"
+        f" AS f{i}"
+        for i in range(8)
+    )
+    + """
+  FROM byt GROUP BY 1
+)
+SELECT m.media_id, m.kind, CAST(m.l AS BIGINT) AS n_bytes,
+"""
+    + ",\n".join(f"       coalesce(f.f{i}, 0.0) AS f{i}" for i in range(8))
+    + """
+FROM m LEFT JOIN f USING (media_id)
+""",
+    # sample_frames: kind='video' ⇔ doc_id % 3 = 2; frame slice i =
+    # payload bytes [16i, 16i+16) ⇔ hex chars [32i+1, 32i+32] (both
+    # engines' hex() is uppercase; short/empty tail slices agree).
+    "e6_frame_sample": """
+WITH v AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+         CAST(doc_id % 24 + 1 AS INT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       substr(h, CAST(32 * frame_idx + 1 AS BIGINT), 32) AS frame_hex
+FROM (SELECT media_id, h, unnest(range(0, n_frames, 4)) AS frame_idx FROM v) fr
+""",
+    # E-6 pixel decode: the oracle side never touches binary — it
+    # recomputes the decoded pixels from the shared closed form
+    # (multimodal.pixel_value), so Spark's encode→BMP/PPM bytes→decode
+    # round trip must undo the real file layout exactly to match.
+    "e6_pixel_decode": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS img_format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       list_transform(
+         range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
+         k -> CAST((doc_id * 7 + k * 13) % 256 AS INT)
+       ) AS pixels
+FROM documents WHERE doc_id % 7 = 0
+""",
+}

@@ -18,7 +18,27 @@ byte-identical. Two consequences to read the numbers with:
   real split parallelism (and ``spread_small`` correctly no-ops —
   the guard is exercised, not bypassed).
 
-Usage: python scripts/make_scaled_sf.py [out_dir] [replicas]
+Perturbed mode (r9 verdict task 4 — honest GRAPH scaling): exact
+clone replicas make the near-dup pair graph quadratic in replicas
+(every doc gains a replicas-clique), so graph-family slopes
+(e7/e7b/e7d) measured on clone unions stop at sf1 by construction.
+``perturb`` replaces ~25% of each replica's documents.text tokens
+with a replica-keyed junk token at hash-chosen positions:
+
+* the noise pattern is keyed on (position, replica) — NOT the doc —
+  so two docs that were near-dups inside sf0.1 stay near-dups inside
+  every replica (same positions get the same junk token);
+* cross-replica twins of the same doc share only ~56% of token
+  occurrences (0.75^2), Jaccard ~0.39 — far below the 0.7-band LSH
+  collision regime, so cross-replica pairs mostly DON'T collide and
+  the pair graph grows ~linearly in replicas, which is the realistic
+  100 TB shape (a corpus 100x bigger has ~100x the near-dup pairs,
+  not 10,000x);
+* replica 0 stays byte-identical to sf0.1. Only documents.text is
+  perturbed; the mode is for graph/dedup scaling runs, not for the
+  text-quality twins (position-keyed junk shifts token stats).
+
+Usage: python scripts/make_scaled_sf.py [out_dir] [replicas] [perturb]
 Default out: /tmp/sf1 (regenerable; NOT committed — the repo carries
 this script instead of 100 MB of derived parquet).
 """
@@ -51,9 +71,26 @@ ONLY = {
 }
 
 
+def _perturb_text(i: int):
+    """Replica i's token noise: positions where xxhash64(pos, i) % 4
+    == 0 are replaced with the replica-keyed junk token w<i>x<pos>.
+    Deterministic, engine-independent, and shared by every doc in the
+    replica (2-arg transform lambda = (element, index))."""
+    toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    noised = F.transform(
+        toks,
+        lambda t, p: F.when(
+            F.pmod(F.xxhash64(p, F.lit(i)), F.lit(4)) == 0,
+            F.concat(F.lit(f"w{i}x"), p.cast("string")),
+        ).otherwise(t),
+    )
+    return F.concat_ws(" ", noised)
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    perturb = len(sys.argv) > 3 and sys.argv[3] == "perturb"
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("make-scaled-sf")
@@ -78,6 +115,8 @@ def main() -> None:
             rep = base
             for c in id_cols:
                 rep = rep.withColumn(c, F.col(c) + F.lit(i * ID_STRIDE))
+            if perturb and i > 0 and table == "documents":
+                rep = rep.withColumn("text", _perturb_text(i))
             scaled = rep if scaled is None else scaled.unionByName(rep)
         (
             scaled.repartition(32)

@@ -107,10 +107,115 @@ def test_unsupported_formats_still_raise():
     with pytest.raises(NotImplementedError, match="codec"):
         decode_media(b"\xff\xd8\xff\xe0fakejpeg", "jpeg")
     with pytest.raises(ValueError, match="unsupported BMP"):
-        # 8-bit palette BMP: header parses, variant rejected
+        # 4-bit BMP: header parses, variant rejected (8/24 supported)
         bad = bytearray(_golden_bmp_2x2()[0])
-        bad[28] = 8
+        bad[28] = 4
         decode_media(bytes(bad), "bmp")
+
+
+def _golden_bmp8_2x2():
+    """A 2×2 8-bit PALETTED BMP built by hand: indices chosen so the
+    palette indirection is visible (entry 0 = RED, 1 = GREEN, 2 =
+    BLUE, 3 = WHITE; everything else black). Rows bottom-up, 1 byte
+    per pixel padded from 2 to 4 bytes."""
+    import struct as _s
+
+    w, h, stride = 2, 2, 4
+    header = (
+        b"BM"
+        + _s.pack("<I", 54 + 1024 + stride * h)
+        + b"\x00\x00\x00\x00"
+        + _s.pack("<I", 54 + 1024)
+        + _s.pack("<I", 40)
+        + _s.pack("<ii", w, h)
+        + _s.pack("<HH", 1, 8)
+        + _s.pack("<I", 0)
+        + _s.pack("<I", stride * h)
+        + _s.pack("<ii", 2835, 2835)
+        + _s.pack("<II", 256, 0)
+    )
+    pal = {  # disk layout B, G, R, 0
+        0: bytes([0, 0, 255, 0]),       # RED
+        1: bytes([0, 255, 0, 0]),       # GREEN
+        2: bytes([255, 0, 0, 0]),       # BLUE
+        3: bytes([255, 255, 255, 0]),   # WHITE
+    }
+    palette = b"".join(pal.get(i, b"\x00" * 4) for i in range(256))
+    bottom_row = bytes([2, 3]) + b"\x00\x00"  # BLUE, WHITE
+    top_row = bytes([0, 1]) + b"\x00\x00"     # RED, GREEN
+    expected_rgb = [
+        255, 0, 0,      # top-left RED
+        0, 255, 0,      # top-right GREEN
+        0, 0, 255,      # bottom-left BLUE
+        255, 255, 255,  # bottom-right WHITE
+    ]
+    return header + palette + bottom_row + top_row, expected_rgb
+
+
+def test_golden_bmp8_both_paths(spark):
+    payload, expected = _golden_bmp8_2x2()
+    w, h, px = decode_media(payload, "bmp8")
+    assert (w, h, px) == (2, 2, expected)
+    media = spark.createDataFrame(
+        [(1, payload)], "media_id bigint, payload binary"
+    )
+    row = decode_pixels(media).first()
+    assert row["img_format"] == "bmp8"
+    assert (row["width"], row["height"]) == (2, 2)
+    assert list(row["pixels"]) == expected
+
+
+def test_golden_pgm_both_paths(spark):
+    payload = b"P5\n3 1\n255\n" + bytes([7, 128, 255])
+    w, h, px = decode_media(payload, "pgm")
+    want = [7, 7, 7, 128, 128, 128, 255, 255, 255]
+    assert (w, h, px) == (3, 1, want)
+    media = spark.createDataFrame(
+        [(1, payload)], "media_id bigint, payload binary"
+    )
+    row = decode_pixels(media).first()
+    assert row["img_format"] == "pgm"
+    assert (row["width"], row["height"]) == (3, 1)
+    assert list(row["pixels"]) == want
+
+
+def test_paletted_round_trip_matches_formula_and_python(spark):
+    """bmp8/pgm encode → real binary → decode must reproduce the
+    closed-form pixels (palette indirection undone for bmp8, R=G=B
+    expansion for pgm); the Python decoder must agree byte-for-byte."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 13)], "doc_id bigint"
+    )
+    media = synthesize_decodable_media(docs, formats=("bmp8", "pgm"))
+    rows = {
+        r["media_id"]: r
+        for r in decode_pixels(media)
+        .join(media.select("media_id", "payload", "meta"), "media_id")
+        .collect()
+    }
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        w, h = mid % 5 + 2, mid % 4 + 2
+        if mid % 2 == 0:  # bmp8: palette channel of the index formula
+            expect = []
+            for q in range(w * h):
+                idx = (mid * 7 + q * 13) % 256
+                expect += [
+                    (idx * 5 + 11) % 256,
+                    (idx * 3 + 7) % 256,
+                    (idx * 9 + 3) % 256,
+                ]
+        else:  # pgm: gray expanded to R=G=B
+            expect = [
+                v
+                for q in range(w * h)
+                for v in [(mid * 7 + q * 13) % 256] * 3
+            ]
+        assert r["img_format"] == ("bmp8" if mid % 2 == 0 else "pgm"), mid
+        assert (r["width"], r["height"]) == (w, h), mid
+        assert list(r["pixels"]) == expect, mid
+        pw, ph, ppx = decode_media(bytes(r["payload"]), r["meta"]["format"])
+        assert (pw, ph, ppx) == (w, h, expect), mid
 
 
 def test_non_image_payloads_null_out(spark):
