@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "e9c_semantic_decontam",  # embedding-space fuzzy decontamination
     "e9d_contamination_spans",  # token-span leak report (islands merge)
     "e9c_ivf_decontam",         # IVF-staged semantic decontam (scale path)
+    # round-9 additions
+    "e6_pixel_decode_paletted",  # 8-bit paletted BMP + PGM round trip
+    "e12_batch_ingest",          # Dolma-style composed ingest, one plan
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so
@@ -134,6 +137,12 @@ DUCKDB_TWIN_EXCLUDED = {
         "the loop as the family's transparent slow row) before the "
         "levenshtein verify. One such row is evidence; two is a third "
         "of the bench budget. Twin still value-verifies in the "
+        "driver's sf0.01 correctness gate each round"
+    ),
+    "e12_batch_ingest": (
+        "contains e7b's recursive-CTE transitive closure as its first "
+        "stage, which alone DNFs at sf0.1 (>290 s, see the e7b row "
+        "below); the composed twin still value-verifies in the "
         "driver's sf0.01 correctness gate each round"
     ),
     "e7b_minhash_dedup_keep": (

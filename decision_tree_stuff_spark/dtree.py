@@ -327,6 +327,15 @@ class DecisionTree:
         ``strategy='level_wise'`` trains the identical tree with the
         PLANET-style plan (2 jobs per depth instead of 2 per node —
         see plans/level_wise.py for the crossover analysis).
+
+        Selection rule (measured, SCALING_r09.md): pick level_wise
+        when ``max_depth >= 6`` AND the frame is beyond bench scale
+        (millions of rows) — 2^d per-node passes lose to d per-level
+        passes once both the node count and per-pass data cost grow
+        (sf10/depth 6: 36.8 s vs 45.6 s). Depth-first wins shallow
+        trees and small frames (its per-node jobs are sub-second). At
+        cluster scale the choice is unambiguous: depth-first launches
+        2^d full scans, level_wise launches d.
         """
         if strategy == "level_wise":
             from decision_tree_stuff_spark.plans import fit_level_wise

@@ -85,6 +85,14 @@ def fit_level_wise(
     depth = 0
     # nodes whose (n, n1) are already known from the parent's Job B
     known_stats: Dict[int, tuple] = {}
+    # the parent level's frame, released only AFTER the child frame
+    # has materialized (r9): unpersisting it at reassignment time —
+    # before anything has executed the child — evicted the blocks the
+    # child's first job rebuilds from, so every level's Job A
+    # recomputed the whole routing chain back to the original scan.
+    # That is QUADRATIC in depth; measured at sf10/depth 6 it was the
+    # difference between 94 s and linear-in-levels behavior.
+    pending_release = None
 
     while True:
         # ---- Job A: per-node stats + candidate thresholds ----------
@@ -118,6 +126,11 @@ def fit_level_wise(
                 ],
             ).values()
         )
+        # Job A has executed -> the current frame's blocks are live;
+        # the parent's blocks are now safe to drop
+        if pending_release is not None:
+            pending_release.unpersist()
+            pending_release = None
         if not stat_rows:
             break
         if depth == 0:
@@ -249,14 +262,15 @@ def fit_level_wise(
             F.col(NODE_COL) * 2
             + F.when(feature_value <= F.col("__thr"), F.lit(0)).otherwise(F.lit(1))
         ).cast("int")
-        prev_frame, frame = frame, routed.select(
+        pending_release, frame = frame, routed.select(
             *attrs, cls, child.alias(NODE_COL)
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        prev_frame.unpersist()
         known_stats = new_known
         depth += 1
 
     frame.unpersist()
+    if pending_release is not None:
+        pending_release.unpersist()
 
     # ---- assemble the driver-side tree -----------------------------
     def build(nid: int) -> TreeNode:

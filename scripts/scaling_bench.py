@@ -45,10 +45,12 @@ def bench_spark(sf_dirs):
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("scaling-bench")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
