@@ -86,12 +86,15 @@ def ingest_stages(spark, sf_dir):
     bench_emb = emb.where("vec_id % 7 = 0 AND vec_id < 10000000")
 
     def dedup(d):
-        return dedup_keep_collapsed(
+        out = dedup_keep_collapsed(
             d,
             lambda reps: minhash_lsh_pairs(
                 reps, bands=8, threshold=0.7, hash_fn="md5km"
             ),
         )
+        # barrier (see bloom below): gopher joins its keep set back
+        # onto its input, so the LSH+CC pipeline would execute twice
+        return out.localCheckpoint(eager=True)
 
     def gopher(d):
         keep = gopher_rules(d, min_words=15).where("keep").select("doc_id")
@@ -107,9 +110,20 @@ def ingest_stages(spark, sf_dir):
         return d.join(scored.select("doc_id"), "doc_id")
 
     def bloom(d):
-        return bloom_decontaminate(
+        out = bloom_decontaminate(
             d, bench_docs, n=DECON_N, threshold=BLOOM_T
         )
+        # MATERIALIZATION BARRIER (r9): the stages downstream of here
+        # each reference their input twice in one plan (semantic: the
+        # flag derivation AND the anti-join stream; sampling: the
+        # group-count aggregate AND the ranked window) — without a
+        # barrier the whole dedup->gopher->lm->bloom prefix re-executes
+        # 4-6x inside the single action (measured 44 s -> barrier
+        # here cuts it to the once-through cost). Production pipelines
+        # materialize between ingest phases anyway (Dolma writes
+        # intermediate shards); the CC stage already runs build-time
+        # jobs, so the row was never a literally-lazy plan.
+        return out.localCheckpoint(eager=True)
 
     def semantic(d):
         flagged = (
