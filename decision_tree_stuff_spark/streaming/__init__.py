@@ -213,6 +213,49 @@ def stream_exact_dedup(
     )
 
 
+def stream_semantic_decontam(
+    stream_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming SEMANTIC decontamination (r9, the stream twin of
+    ``decontam.embedding_decontamination``'s drop semantics): remove
+    stream rows whose embedding's 6dp-rounded cosine against ANY item
+    of the static benchmark set reaches ``threshold``.
+
+    STATELESS by construction — a stream-static LEFT ANTI join
+    against the broadcast eval set needs no watermark and no state
+    store (contamination is a property of the row and the fixed
+    benchmark, not of stream history), so stream ≡ batch for any
+    micro-batch slicing, trivially. Per-batch cost is |batch| x
+    |bench| cosine folds, the same broadcast nested-loop as the batch
+    exact path; a huge benchmark belongs behind the IVF staging
+    offline, not in the hot path. Zero-norm rows (null cosine) are
+    never flagged — kept, matching the batch contract."""
+    from decision_tree_stuff_spark.functions.array_math import dot_product
+
+    def norm(v):
+        return F.sqrt(dot_product(v, v))
+
+    bench = bench_emb.select(
+        F.col(vec_col).alias("__bvec"),
+        norm(F.col(vec_col)).alias("__bn"),
+    )
+    denom = norm(F.col(vec_col)) * F.col("__bn")
+    cos = F.round(
+        F.when(
+            denom > 0.0,
+            dot_product(F.col(vec_col), F.col("__bvec")) / denom,
+        ),
+        6,
+    )
+    return stream_emb.join(
+        F.broadcast(bench), cos >= F.lit(threshold), "left_anti"
+    )
+
+
 def stream_cap_per_group(
     stream_df: DataFrame,
     state_dir: str,
