@@ -75,6 +75,13 @@ def family_of(key: str) -> str:
 
 
 def main() -> None:
+    if not os.path.exists(SRC):
+        sys.exit(
+            "historical tool: the monolithic queries.py was split in r9 "
+            "and no longer exists — the package under "
+            "decision_tree_stuff_spark/queries/ is now hand-maintained "
+            "(this script is kept so the split stays auditable)."
+        )
     src = open(SRC).read()
     lines = src.splitlines(keepends=True)
     tree = ast.parse(src)
