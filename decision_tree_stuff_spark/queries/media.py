@@ -73,6 +73,28 @@ def q_e6_frame_sample(spark, sf_dir):
     )
 
 
+def _hex_packed_pixels(decoded):
+    """Gate-shape helper (r10, verdict task 1): the driver's pandas
+    canonicalizer cannot sort array cells, so the decoded pixel array
+    is hex-packed into ONE scalar string column — 2 uppercase hex
+    chars per byte, same packing as ``q_e6_frame_sample`` (Spark
+    ``hex`` ↔ DuckDB ``printf('%02X')``, both uppercase). A null
+    pixel array (non-decodable payload) stays null via
+    ``array_join``'s null propagation."""
+    return decoded.select(
+        "media_id",
+        "img_format",
+        "width",
+        "height",
+        F.array_join(
+            F.transform(
+                "pixels", lambda v: F.lpad(F.hex(v), 2, "0")
+            ),
+            "",
+        ).alias("pixels_hex"),
+    )
+
+
 def q_e6_pixel_decode(spark, sf_dir):
     """REAL pixel decode (E-6, r8 — retires the last stub): tiny
     spec-compliant BMP (even ids) / PPM (odd ids) binaries are
@@ -81,14 +103,17 @@ def q_e6_pixel_decode(spark, sf_dir):
     undoes BMP's bottom-up rows, BGR order, 4-byte stride; parses the
     PPM ASCII header). The oracle recomputes the pixels directly from
     the formula, so any layout mistake on EITHER side of the round
-    trip mismatches."""
+    trip mismatches. Pixels are hex-packed to a scalar column (r10 —
+    the r9 array-valued shape ERRORed in the driver's pandas
+    canonicalizer; values were already hash-matched in the self-
+    audit)."""
     from decision_tree_stuff_spark.operators.multimodal import (
         decode_pixels,
         synthesize_decodable_media,
     )
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
-    return decode_pixels(synthesize_decodable_media(docs))
+    return _hex_packed_pixels(decode_pixels(synthesize_decodable_media(docs)))
 
 def q_e6_pixel_decode_paletted(spark, sf_dir):
     """Pixel decode for the r9 uncompressed additions: 8-bit PALETTED
@@ -97,27 +122,33 @@ def q_e6_pixel_decode_paletted(spark, sf_dir):
     expanded to R=G=B). Same closed-form trap as e6_pixel_decode: the
     oracle recomputes RGB straight from the pixel/palette formulas,
     so the round trip only matches if the decoder undoes the real
-    file layout including the palette indirection."""
+    file layout including the palette indirection. Hex-packed scalar
+    output (r10), same as ``q_e6_pixel_decode``."""
     from decision_tree_stuff_spark.operators.multimodal import (
         decode_pixels,
         synthesize_decodable_media,
     )
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
-    return decode_pixels(
-        synthesize_decodable_media(docs, formats=("bmp8", "pgm"))
+    return _hex_packed_pixels(
+        decode_pixels(
+            synthesize_decodable_media(docs, formats=("bmp8", "pgm"))
+        )
     )
 
 
 ORACLE_SQL: Dict[str, str] = {
+    # r10: pixels hex-packed to one scalar string (driver pandas
+    # canonicalizer cannot sort array cells) — printf('%02X') per byte
+    # matches Spark's lpad(hex(v), 2, '0'), both uppercase.
     "e6_pixel_decode_paletted": """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 2 = 0 THEN 'bmp8' ELSE 'pgm' END AS img_format,
        CAST(doc_id % 5 + 2 AS INT) AS width,
        CAST(doc_id % 4 + 2 AS INT) AS height,
-       list_transform(
+       array_to_string(list_transform(
          range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
-         k -> CASE
+         k -> printf('%02X', CASE
            WHEN doc_id % 2 <> 0
              THEN CAST((doc_id * 7 + (k // 3) * 13) % 256 AS INT)
            WHEN k % 3 = 0
@@ -125,8 +156,8 @@ SELECT doc_id AS media_id,
            WHEN k % 3 = 1
              THEN CAST(((doc_id * 7 + (k // 3) * 13) % 256 * 3 + 7) % 256 AS INT)
            ELSE CAST(((doc_id * 7 + (k // 3) * 13) % 256 * 9 + 3) % 256 AS INT)
-         END
-       ) AS pixels
+         END)
+       ), '') AS pixels_hex
 FROM documents WHERE doc_id % 7 = 0
 """,
     "e6_media_meta": """
@@ -199,10 +230,10 @@ SELECT doc_id AS media_id,
        CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS img_format,
        CAST(doc_id % 5 + 2 AS INT) AS width,
        CAST(doc_id % 4 + 2 AS INT) AS height,
-       list_transform(
+       array_to_string(list_transform(
          range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
-         k -> CAST((doc_id * 7 + k * 13) % 256 AS INT)
-       ) AS pixels
+         k -> printf('%02X', (doc_id * 7 + k * 13) % 256)
+       ), '') AS pixels_hex
 FROM documents WHERE doc_id % 7 = 0
 """,
 }

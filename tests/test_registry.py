@@ -5,8 +5,12 @@ refactor (or an accidental dict edit) can never silently change what
 the driver checks. Rotations must edit this snapshot deliberately,
 alongside GATE_ROTATION.md.
 
-No Spark session needed: everything here is import-time metadata.
+Most tests here are import-time metadata; the gate-schema contract
+(r10) builds the 50 gate plans at sf0.001 and needs the session
+Spark fixture.
 """
+
+import os
 
 from decision_tree_stuff_spark.queries import (
     ALL_ORACLE_SQL,
@@ -102,3 +106,36 @@ def test_query_fn_names_match_keys():
 def test_oracle_sql_is_nonempty_text():
     for k, sql in ALL_ORACLE_SQL.items():
         assert isinstance(sql, str) and sql.strip(), k
+
+
+def _complex_fields(schema):
+    from pyspark.sql.types import ArrayType, BinaryType, MapType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, BinaryType))
+    ]
+
+
+def test_gate_schemas_are_driver_canonicalizable(spark):
+    """r10 (r9 verdict task 2): the driver's correctness harness
+    canonicalizes result frames with pandas ``sort_values``, which
+    cannot sort array/map cells and hashes binary differently per
+    engine — so NO gate query may return an ArrayType / MapType /
+    BinaryType column (hex-pack or explode instead; EXTRA-parity rows
+    are exempt because the self-audit canonicalizer handles lists).
+    This failed on the r9 `q_e6_pixel_decode` shape; rotation
+    candidates must pass it BEFORE being promoted."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    offenders = {}
+    for key in GATE_KEYS:
+        schema = SPARK_QUERIES[key](spark, sf_dir).schema
+        bad = _complex_fields(schema)
+        if bad:
+            offenders[key] = bad
+    assert not offenders, (
+        f"gate queries returning pandas-unsortable columns: {offenders}"
+    )
