@@ -312,9 +312,16 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e8_sample": q_e8_sample,
     "e8_stratified_sample": q_e8_stratified_sample,
     "e8_hash_split": q_e8_hash_split,
-    "e8_global_shuffle": q_e8_global_shuffle,
+    # r10 rotation (GATE_ROTATION.md; r9 verdict task 6): the r9
+    # flagship composed ingest + the repaired paletted pixel decode
+    # promoted — both validated against the r10 gate-schema contract
+    # test (scalar-only output columns) BEFORE the swap — in place of
+    # two long-green rows from over-represented families (sampling
+    # keeps e8_sample/stratified/hash_split/pack_materialize; E-5
+    # keeps e5_sessions; shuffle and tumbling stay EXTRA-parity).
+    "e12_batch_ingest": q_e12_batch_ingest,
     "e8_pack_materialize": q_e8_pack_materialize,
-    "e5_tumbling_counts": q_e5_tumbling_counts,
+    "e6_pixel_decode_paletted": q_e6_pixel_decode_paletted,
     "e5_sessions": q_e5_sessions,
     "e4_document_stats": q_e4_document_stats,
     "e4_lm_bigram": q_e4_lm_bigram,
@@ -437,13 +444,10 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "o09_constant_label": q_o09_constant_label,
     "e2_semdedup": q_e2_semdedup,
     "e10b_interval_join": q_e10b_interval_join,
-    # r9: paletted-BMP + PGM decode (verdict task 8 — the sibling row
-    # of the gate's e6_pixel_decode, covering the palette indirection)
-    "e6_pixel_decode_paletted": q_e6_pixel_decode_paletted,
-    # r9: the Dolma-style composed batch ingest (verdict task 9) —
-    # dedup -> Gopher -> LM -> Bloom -> semantic -> temperature ->
-    # pack, one lazy plan, composed CTE oracle (queries/ingest.py)
-    "e12_batch_ingest": q_e12_batch_ingest,
+    # r10 rotation: two long-green rows demoted to make room for
+    # e12_batch_ingest / e6_pixel_decode_paletted (GATE_ROTATION.md)
+    "e8_global_shuffle": q_e8_global_shuffle,
+    "e5_tumbling_counts": q_e5_tumbling_counts,
 }
 
 EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {

@@ -21,7 +21,7 @@ from decision_tree_stuff_spark.queries import (
     SPARK_QUERIES,
 )
 
-# The exact 50-key gate window, in driver order (r9 rotation —
+# The exact 50-key gate window, in driver order (r10 rotation —
 # GATE_ROTATION.md has the swap history).
 GATE_KEYS = [
     "o01_filter_split",
@@ -52,9 +52,9 @@ GATE_KEYS = [
     "e8_sample",
     "e8_stratified_sample",
     "e8_hash_split",
-    "e8_global_shuffle",
+    "e12_batch_ingest",
     "e8_pack_materialize",
-    "e5_tumbling_counts",
+    "e6_pixel_decode_paletted",
     "e5_sessions",
     "e4_document_stats",
     "e4_lm_bigram",
