@@ -58,10 +58,31 @@ INGEST_SEED = "ing9"       # sampling hash seed
 INGEST_PACK_SEED = "ing9p"  # packing layout seed
 
 
-def ingest_stages(spark, sf_dir):
+def ingest_stages(spark, sf_dir, checkpoint_mode: str = "local"):
     """The pipeline as ordered ``(name, DataFrame -> DataFrame)``
     stages over ``documents`` — shared by the gate query (composed
-    into one plan) and the ``run_with_audit`` funnel test."""
+    into one plan) and the ``run_with_audit`` funnel test.
+
+    ``checkpoint_mode`` (r10, mirroring
+    ``clustering.connected_components``): the two materialization
+    barriers below — and the CC rounds inside the dedup stage — use
+    executor-local blocks under ``'local'`` (fastest, dies with an
+    executor) or the session checkpoint dir under ``'reliable'``
+    (requires ``setCheckpointDir``; the right switch for a multi-hour
+    100 TB ingest where one preemption must not restart the whole
+    pipeline — production Dolma-style runs materialize intermediate
+    shards between phases for exactly this reason)."""
+    if checkpoint_mode not in ("local", "reliable"):
+        raise ValueError(
+            f"checkpoint_mode must be 'local' or 'reliable', got "
+            f"{checkpoint_mode!r}"
+        )
+
+    def barrier(df):
+        if checkpoint_mode == "reliable":
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     from decision_tree_stuff_spark.operators.clustering import (
         dedup_keep_collapsed,
     )
@@ -91,10 +112,11 @@ def ingest_stages(spark, sf_dir):
             lambda reps: minhash_lsh_pairs(
                 reps, bands=8, threshold=0.7, hash_fn="md5km"
             ),
+            checkpoint_mode=checkpoint_mode,
         )
         # barrier (see bloom below): gopher joins its keep set back
         # onto its input, so the LSH+CC pipeline would execute twice
-        return out.localCheckpoint(eager=True)
+        return barrier(out)
 
     def gopher(d):
         keep = gopher_rules(d, min_words=15).where("keep").select("doc_id")
@@ -123,7 +145,7 @@ def ingest_stages(spark, sf_dir):
         # materialize between ingest phases anyway (Dolma writes
         # intermediate shards); the CC stage already runs build-time
         # jobs, so the row was never a literally-lazy plan.
-        return out.localCheckpoint(eager=True)
+        return barrier(out)
 
     def semantic(d):
         flagged = (

@@ -52,6 +52,36 @@ def test_bench_members_never_survive(spark):
     assert all(r["doc_id"] % 7 != 0 for r in rows)
 
 
+def test_reliable_checkpoint_mode_identical_manifest(spark, tmp_path):
+    """r10 (r9 verdict task 4): the barriers are a durability knob,
+    not a semantics knob — 'reliable' (checkpoint dir) must produce
+    the exact manifest 'local' does."""
+    import pytest
+
+    with pytest.raises(ValueError, match="checkpoint_mode"):
+        ingest_stages(spark, SF_DIR, checkpoint_mode="banana")
+
+    sc = spark.sparkContext
+    had_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        local = _docs(spark, SF_DIR)
+        for _, fn in ingest_stages(spark, SF_DIR, checkpoint_mode="local"):
+            local = fn(local)
+        reliable = _docs(spark, SF_DIR)
+        for _, fn in ingest_stages(
+            spark, SF_DIR, checkpoint_mode="reliable"
+        ):
+            reliable = fn(reliable)
+        cols = ["doc_id", "lang", "n_tokens", "pack_id", "pack_offset"]
+        a = sorted(map(tuple, local.select(*cols).collect()))
+        b = sorted(map(tuple, reliable.select(*cols).collect()))
+        assert a == b and a
+    finally:
+        if not had_dir:
+            sc._jsc.sc().setCheckpointDir(None)
+
+
 def test_packed_layout_is_gap_free(spark):
     rows = sorted(
         q_e12_batch_ingest(spark, SF_DIR).collect(),
