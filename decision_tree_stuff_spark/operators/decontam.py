@@ -224,13 +224,18 @@ def bloom_contamination(
 
 
 def _bloom_scored(
-    train, bench, n, train_id, bench_id, text_col, m, k
+    train, bench, n, train_id, bench_id, text_col, m, k, bits=None
 ) -> DataFrame:
     """All train columns + (n_grams, n_hit, hit_frac) — one pure
-    projection, no shuffle, no join."""
+    projection, no shuffle, no join. ``bits`` (r10): a precomputed
+    ``bloom_bitset`` artifact — pass it when the same filter probes
+    many frames (the streaming ingest probes one per micro-batch;
+    rebuilding the bitset would re-scan the bench every batch)."""
     from decision_tree_stuff_spark.operators import spread_small
 
-    bits = F.lit(bloom_bitset(bench, bench_id, text_col, n, m, k))
+    if bits is None:
+        bits = bloom_bitset(bench, bench_id, text_col, n, m, k)
+    bits = F.lit(bits)
 
     tokd = spread_small(train).withColumn(
         "_toks", F.filter(tokens(F.col(text_col)), lambda t: t != "")
@@ -296,7 +301,7 @@ def _bloom_scored(
 
 def bloom_decontaminate(
     train: DataFrame,
-    bench: DataFrame,
+    bench: DataFrame = None,
     n: int = 3,
     threshold: float = 0.5,
     train_id: str = "doc_id",
@@ -304,15 +309,19 @@ def bloom_decontaminate(
     text_col: str = "text",
     m: int = BLOOM_M,
     k: int = BLOOM_K,
+    bits: bytes = None,
 ) -> DataFrame:
     """The cleaned corpus under the Bloom measure: drop train docs
     whose benchmark-gram hit fraction reaches threshold. NO join —
     the flag is an expression, so the whole decontamination pass is
     scan -> projection -> filter on the corpus (false positives
     over-drop slightly; that is the documented trade, tunable via
-    m/k)."""
+    m/k). Either ``bench`` (bitset built here) or a precomputed
+    ``bits`` artifact must be given."""
+    if bench is None and bits is None:
+        raise ValueError("bloom_decontaminate needs bench or bits")
     scored = _bloom_scored(
-        train, bench, n, train_id, bench_id, text_col, m, k
+        train, bench, n, train_id, bench_id, text_col, m, k, bits=bits
     )
     return scored.where(
         (F.col("n_grams") == 0) | (F.col("hit_frac") < threshold)

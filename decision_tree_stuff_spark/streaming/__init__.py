@@ -465,8 +465,17 @@ def stream_ingest_pipeline(
     seed: str = "cap",
     checkpoint_dir: str = None,
     audit_log: list = None,
+    bloom_bench: DataFrame = None,
+    bloom_n: int = 3,
+    bloom_threshold: float = 0.5,
+    emb_lookup: DataFrame = None,
+    bench_emb: DataFrame = None,
+    sem_threshold: float = 0.8,
+    vec_col: str = "embedding",
 ):
-    """The 100 TB ingest story as ONE stream (round-7 task): per
+    """The 100 TB ingest story as ONE stream (round-7 task; r10 adds
+    the Bloom + semantic decontamination stages so the stream matches
+    the batch flagship ``e12_batch_ingest`` stage-for-stage): per
     micro-batch,
 
       1. span-strip against the MATERIALIZED corpus boilerplate table
@@ -475,7 +484,18 @@ def stream_ingest_pipeline(
          (docs scoring below ``min_logprob`` on their STRIPPED text
          are dropped — score after boilerplate removal, the order a
          production pipeline wants),
-      3. fold into the per-group quota state exactly as
+      3. (``bloom_bench`` given) Bloom n-gram decontamination: the
+         bitset is built ONCE at pipeline setup — a bounded driver
+         artifact, exactly the batch ``bloom_decontaminate`` filter —
+         and each batch is a stateless scan→projection→filter probe
+         of the binary literal (e12's s5 stage),
+      4. (``bench_emb`` given) semantic decontamination: batch ids
+         joined to the static ``emb_lookup`` embedding table, then
+         the stateless broadcast anti-join of
+         ``stream_semantic_decontam`` (e12's s6 stage; docs without
+         an embedding and zero-norm vectors are kept, the batch
+         contract),
+      5. fold into the per-group quota state exactly as
          ``stream_cap_per_group`` does (versioned compacted snapshots,
          predecessor retained for retry idempotence, older pruned),
 
@@ -483,12 +503,15 @@ def stream_ingest_pipeline(
     writes the state (``run_with_audit`` — zero extra passes;
     per-batch funnels appended to ``audit_log`` as (batch_id, rows)).
 
-    Stream ≡ batch by construction: stages 1-2 are pure per-document
-    functions of (row, static tables) — micro-batch-invariant — and
-    the quota fold is the mergeable cap(A ∪ B) = cap(cap(A) ∪ B)
-    selection, so the final state equals ``cap_per_group(quality(
-    strip(all input)))`` regardless of batch boundaries (pinned in
-    tests/test_ingest_pipeline.py, including cross-batch evictions).
+    Stream ≡ batch by construction: stages 1-4 are pure per-document
+    functions of (row, static tables/artifacts) — micro-batch-
+    invariant — and the quota fold is the mergeable
+    cap(A ∪ B) = cap(cap(A) ∪ B) selection, so the final state equals
+    ``cap_per_group(sem(bloom(quality(strip(all input)))))``
+    regardless of batch boundaries (pinned in
+    tests/test_ingest_pipeline.py and
+    tests/test_stream_semantic_decontam.py, including cross-batch
+    evictions and the stage-for-stage e12 equality).
 
     Extra input columns (language tags, lengths — anything the quota
     groups on) ride through: the strip output is re-joined to the
@@ -500,6 +523,10 @@ def stream_ingest_pipeline(
     from decision_tree_stuff_spark.operators.audit import (
         audit_counts,
         run_with_audit,
+    )
+    from decision_tree_stuff_spark.operators.decontam import (
+        bloom_bitset,
+        bloom_decontaminate,
     )
     from decision_tree_stuff_spark.operators.dedup import (
         span_dedup_against_corpus,
@@ -523,6 +550,46 @@ def stream_ingest_pipeline(
         )
         return d.join(keep, id_col)
 
+    # the Bloom bitset is a bounded model artifact (k x |distinct
+    # bench grams| positions): build it once here, NOT per micro-batch
+    bloom_bits = (
+        bloom_bitset(bloom_bench, id_col, text_col, bloom_n)
+        if bloom_bench is not None
+        else None
+    )
+
+    def _bloom(d: DataFrame) -> DataFrame:
+        return bloom_decontaminate(
+            d,
+            n=bloom_n,
+            threshold=bloom_threshold,
+            train_id=id_col,
+            text_col=text_col,
+            bits=bloom_bits,
+        )
+
+    def _semantic(d: DataFrame) -> DataFrame:
+        embd = d.select(id_col).join(emb_lookup, id_col)
+        kept_ids = stream_semantic_decontam(
+            embd,
+            bench_emb,
+            threshold=sem_threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).select(id_col)
+        # rows WITHOUT an embedding are kept (batch contract): drop
+        # only ids that had an embedding and were anti-joined away
+        flagged = embd.select(id_col).join(kept_ids, id_col, "left_anti")
+        return d.join(flagged, id_col, "left_anti")
+
+    stage_fns = [("span_strip", _strip), ("lm_quality", _quality)]
+    if bloom_bench is not None:
+        stage_fns.append(("bloom_decontam", _bloom))
+    if bench_emb is not None:
+        if emb_lookup is None:
+            raise ValueError("bench_emb requires emb_lookup")
+        stage_fns.append(("semantic_decontam", _semantic))
+
     def _latest_version(below=None):
         try:
             versions = [
@@ -538,9 +605,7 @@ def stream_ingest_pipeline(
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        staged, obs = run_with_audit(
-            batch_df, [("span_strip", _strip), ("lm_quality", _quality)]
-        )
+        staged, obs = run_with_audit(batch_df, stage_fns)
         prev = _latest_version(below=batch_id)
         merged = staged
         if prev is not None:

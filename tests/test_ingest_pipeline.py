@@ -139,6 +139,88 @@ def test_ingest_pipeline_stream_equals_batch(spark, sf_dir, tmp_path):
     assert len(versions) <= 2, versions
 
 
+def test_stream_ingest_bloom_semantic_match_e12_stages(
+    spark, sf_dir, tmp_path
+):
+    """r10 (r9 verdict task 8): with the Bloom + semantic stages
+    enabled, the streamed ingest's kept set over ≥3 micro-batches
+    equals applying ``e12_batch_ingest``'s OWN s5/s6 stage callables
+    (``ingest_stages``'s bloom_decontam + semantic_decontam) to the
+    full input in batch — the stream now matches the batch flagship
+    stage-for-stage. Strip/quality/cap are configured neutral so the
+    equality isolates the two new stages; benchmark members must drop
+    on their own 1.0 self-containment (the planted leak)."""
+    from decision_tree_stuff_spark.operators.textstats import unigram_model
+    from decision_tree_stuff_spark.queries._shared import BLOOM_T, DECON_N
+    from decision_tree_stuff_spark.queries.ingest import ingest_stages
+    from decision_tree_stuff_spark.streaming import (
+        read_capped_state,
+        stream_ingest_pipeline,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bloom_bench = docs.where(F.col("doc_id") % 7 == 0)
+    bench_emb = emb.where(
+        (F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 10_000_000)
+    )
+    emb_lookup = emb.select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(3):
+        staging = str(tmp_path / f"s{i}")
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            staging
+        )
+        shutil.move(
+            glob.glob(f"{staging}/part-*.parquet")[0],
+            str(d / f"b{i}.parquet"),
+        )
+
+    empty_freq = spark.createDataFrame([], "span_key string")
+    state = str(tmp_path / "state")
+    audit = []
+    stream_ingest_pipeline(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d)),
+        state,
+        empty_freq,
+        unigram_model(docs),
+        group_cols=["lang"],
+        n=10**9,           # quota never binds: state = sem(bloom(all))
+        key_cols=["doc_id"],
+        span_n=5,
+        min_logprob=-100.0,  # quality never drops
+        seed="e12eq",
+        audit_log=audit,
+        bloom_bench=bloom_bench,
+        bloom_n=DECON_N,
+        bloom_threshold=BLOOM_T,
+        emb_lookup=emb_lookup,
+        bench_emb=bench_emb,
+        sem_threshold=0.8,
+    )
+    assert len(audit) >= 3, "expected >= 3 micro-batches"
+
+    # batch twin: e12_batch_ingest's OWN stage callables, same order
+    stages = dict(ingest_stages(spark, sf_dir))
+    want_df = stages["semantic_decontam"](stages["bloom_decontam"](docs))
+
+    got = sorted(
+        r["doc_id"] for r in read_capped_state(spark, state).collect()
+    )
+    want = sorted(r["doc_id"] for r in want_df.select("doc_id").collect())
+    assert got == want and got
+    # the stages actually fired: benchmark members (planted leaks,
+    # 1.0 self-containment) are gone, and something was kept
+    assert all(i % 7 != 0 for i in got)
+    assert len(got) < docs.count()
+
+
 def test_ingest_pipeline_cross_batch_eviction(spark, tmp_path):
     """A later micro-batch carrying lower-hash rows evicts earlier
     keepers through the strip+quality stages — the compacted-state
