@@ -358,6 +358,17 @@ def main() -> None:
             f"top {len(keep)} of {len(timings)} by wall; rest in detail"
         )
         line = json.dumps(compact, separators=(",", ":"))
+    # stage 4 (r10 advice): the loop can exhaust the map (falsy {})
+    # with the fixed fields still over the window — drop the query
+    # fields entirely; totals + the detail-file pointer remain.
+    if len(line) > 1500:
+        compact.pop("queries", None)
+        compact.pop("queries_shown", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    # r10 self-check (r9 verdict task 9): the guarantee is now HARD —
+    # fail the run loudly rather than emit a line the driver's tail
+    # window would truncate into `parsed: null`.
+    assert len(line) <= 1500 and json.loads(line), len(line)
     # The result JSON is the ONLY stdout line, flushed last.
     print(line, flush=True)
     spark.stop()

@@ -388,6 +388,16 @@ def embedding_decontamination(
     map-side-combinable max-struct aggregate keyed on the corpus id.
     That is linear in |corpus|x|bench|, which is exactly why
     |bench| > ``ivf_bench_bound`` auto-routes to the IVF staging.
+
+    Contract notes (r10, documenting two builder-time behaviors):
+    ``exact=None`` fires the bench count as a Spark job at
+    plan-construction time (cheap — the bench side is an eval set);
+    pass ``exact`` explicitly to keep the builder fully lazy. And
+    ``id_col`` is assumed UNIQUE per corpus row (the natural key of
+    an embedding table): with duplicate ids the join-back returns one
+    row per corpus ROW, not per distinct id — deduplicate upstream
+    (a corpus-side ``distinct`` is a shuffle this operator refuses to
+    pay for you).
     """
     from decision_tree_stuff_spark.functions.array_math import dot_product
 

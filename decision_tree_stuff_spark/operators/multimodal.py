@@ -120,6 +120,15 @@ def decode_media(payload: bytes, fmt: str):
                     b, g, rr = payload[base + 3 * p: base + 3 * p + 3]
                     px.extend((rr, g, b))           # BGR on disk → RGB out
         else:  # 8-bit paletted (r9): BGR0 palette after the info header
+            # r10 (advice): the palette-at-54 read assumes a 40-byte
+            # BITMAPINFOHEADER — a V4/V5 DIB puts the palette later
+            # and would silently decode header bytes as colors
+            hdr_size, = struct.unpack_from("<I", payload, 14)
+            if hdr_size != 40:
+                raise ValueError(
+                    f"unsupported BMP DIB header size {hdr_size} for "
+                    "8-bit palette decode (expected BITMAPINFOHEADER=40)"
+                )
             nclr, = struct.unpack_from("<I", payload, 46)
             nclr = nclr or 256
             if off < 54 + 4 * nclr:
@@ -128,7 +137,12 @@ def decode_media(payload: bytes, fmt: str):
             for r in range(h):
                 base = off + (h - 1 - r) * stride
                 for p in range(w):
-                    e = 54 + 4 * payload[base + p]
+                    idx = payload[base + p]
+                    if idx >= nclr:
+                        raise ValueError(
+                            f"palette index {idx} >= biClrUsed {nclr}"
+                        )
+                    e = 54 + 4 * idx
                     b, g, rr = payload[e: e + 3]
                     px.extend((rr, g, b))
         return w, h, px
@@ -706,12 +720,31 @@ def decode_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     # --- BMP 8-bit paletted (r9) ---
     nclr = _le32(p, 47)
     pal_n = F.when(nclr == 0, F.lit(256)).otherwise(nclr)
+    b8_stride = _bmp8_stride(b_w)
+
+    def _b8_idx(q):
+        # palette index of pixel q (top-down order) from the
+        # bottom-up padded index rows
+        r_t = F.floor(q / b_w).cast("bigint")
+        px = F.pmod(q, b_w)
+        return _u8(p, b_off + (b_h - 1 - r_t) * b8_stride + px + 1)
+
     b8_ok = (
         b_hdr_ok
+        # r10 (advice): the fixed-offset palette read (55 + idx*4) and
+        # the biClrUsed read at 47 assume a 40-byte BITMAPINFOHEADER;
+        # V4/V5 DIBs place the palette after their larger header, so
+        # anything but 40 nulls out instead of decoding header bytes
+        & (_le32(p, 15) == 40)
         & (_le16(p, 29) == 8)
         & (b_off >= F.lit(54) + pal_n * 4)
+        # an index past biClrUsed reads bytes outside the palette —
+        # invalid, whole image nulls out (matches decode_media's raise)
+        & ~F.exists(
+            F.sequence(F.lit(0), b_w * b_h - 1),
+            lambda q: _b8_idx(q) >= pal_n,
+        )
     )
-    b8_stride = _bmp8_stride(b_w)
 
     def bmp8_byte(k):
         # output byte k of the top-down RGB array: pixel q, channel c;

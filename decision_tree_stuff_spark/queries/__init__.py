@@ -164,6 +164,7 @@ from decision_tree_stuff_spark.queries.text import (  # noqa: F401,E501
     q_e4_cms_profile,
     q_e4_cms_watchlist,
     q_e4_lr_langid,
+    q_e4_lr_langid_joined,
     q_e4_bpe_merges,
     q_e4_wordpiece_merges,
     q_e4_bpe_encode,
@@ -433,6 +434,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_wordpiece_merges": q_e4_wordpiece_merges,  # r7: WordPiece criterion
     "e4_bpe_encode": q_e4_bpe_encode,              # r7: BPE encode projection
     "e4_lr_langid": q_e4_lr_langid,                # r7: logistic-regression gate
+    "e4_lr_langid_joined": q_e4_lr_langid_joined,  # r10: joined path, own oracle
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
     "e4_retrieval_pipeline": q_e4_retrieval_pipeline,  # r8: BM25+RRF+decontam

@@ -152,7 +152,13 @@ WHERE round(matched / CAST(bench_n AS DOUBLE), 6) >= {DECON_THRESHOLD}
 """,
     # r8 semantic decontamination: arg-max cosine vs the broadcast
     # benchmark set, ties to the lowest bench id (the max-struct
-    # winner), same _cos_sql fold parity as the e3 rows.
+    # winner), same _cos_sql fold parity as the e3 rows. r10 (advice):
+    # LEFT JOIN the best match back onto the corpus + coalesce false,
+    # mirroring the e9c_ivf_decontam oracle — the exact path's
+    # keep-with-null contract (empty bench set / zero-norm corpus
+    # vectors are KEPT with contaminated=false, cos NULL), which the
+    # old inner-join + bare `cos >= 0.8` form diverged from on those
+    # degenerate inputs.
     "e9c_semantic_decontam": f"""
 WITH bench AS (
   SELECT vec_id AS bid, embedding AS bvec FROM embeddings
@@ -165,14 +171,18 @@ scored AS (
   SELECT c.vec_id, round({_cos_sql('c.embedding', 'b.bvec')}, 6) AS cos,
          b.bid
   FROM corpus c CROSS JOIN bench b
+),
+best AS (
+  SELECT vec_id, cos, bid
+  FROM (SELECT vec_id, cos, bid,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, bid ASC) AS rn
+        FROM scored) t
+  WHERE rn = 1 AND cos IS NOT NULL
 )
-SELECT vec_id, cos AS max_bench_cos, bid AS bench_id,
-       cos >= 0.8 AS contaminated
-FROM (SELECT vec_id, cos, bid,
-             row_number() OVER (
-               PARTITION BY vec_id ORDER BY cos DESC, bid ASC) AS rn
-      FROM scored) t
-WHERE rn = 1
+SELECT c.vec_id, b.cos AS max_bench_cos, b.bid AS bench_id,
+       coalesce(b.cos >= 0.8, false) AS contaminated
+FROM corpus c LEFT JOIN best b USING (vec_id)
 """,
     # r8 contamination spans: flagged pairs (same program as e9) +
     # positional train grams + the two-window islands merge (the e10c

@@ -255,6 +255,33 @@ def q_e4_lr_langid(spark, sf_dir):
     return lr_classify(docs.where("doc_id % 2 = 1"), w)
 
 
+def q_e4_lr_langid_joined(spark, sf_dir):
+    """The JOINED LR path (r10, r9 verdict task 7): identical program
+    to ``q_e4_lr_langid`` but forced through ``_lr_fit_joined`` and
+    the broadcast-weight-table classify with ``dense_max_buckets=0``
+    — the code path a 100 TB run with a large feature space takes.
+    The dense≡joined regression test (tests/test_classifier.py) pins
+    self-consistency; this row gives the joined path its own DuckDB
+    VALUE check every session (same oracle as the dense twin: the
+    paths claim bit-identical trajectories)."""
+    from decision_tree_stuff_spark.operators.classifier import (
+        lr_classify,
+        lr_fit,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where("doc_id % 2 = 0").withColumn(
+        "is_en", (F.col("lang") == "en").cast("int")
+    )
+    w = lr_fit(
+        train, "is_en", n_buckets=LR_BUCKETS, iters=LR_ITERS,
+        lr=LR_RATE, dense_max_buckets=0,
+    )
+    return lr_classify(
+        docs.where("doc_id % 2 = 1"), w, dense_max_buckets=0
+    )
+
+
 def q_e4_bpe_merges(spark, sf_dir):
     """BPE tokenizer training (r7, Sennrich et al. 2016): 12 merges
     learned on the word-type table — one corpus shuffle builds the
@@ -512,6 +539,16 @@ GROUP BY 1
 """,
     # LR twin: unrolled gradient-descent iterations (see _lr_cte_sql).
     "e4_lr_langid": _lr_cte_sql(
+        "doc_id % 2 = 0",
+        "doc_id % 2 = 1",
+        "lang = 'en'",
+        LR_BUCKETS,
+        LR_ITERS,
+        LR_RATE,
+    ),
+    # the joined-path row shares the oracle verbatim — the two code
+    # paths claim bit-identical trajectories (r10)
+    "e4_lr_langid_joined": _lr_cte_sql(
         "doc_id % 2 = 0",
         "doc_id % 2 = 1",
         "lang = 'en'",

@@ -218,6 +218,38 @@ def test_paletted_round_trip_matches_formula_and_python(spark):
         assert (pw, ph, ppx) == (w, h, expect), mid
 
 
+def test_bmp8_v4_header_rejected_both_paths(spark):
+    """r10 (advice): the palette-at-54 read is only valid for a
+    40-byte BITMAPINFOHEADER — a V4/V5 DIB size must null out in
+    Spark and raise in Python instead of decoding header bytes as
+    palette colors."""
+    payload = bytearray(_golden_bmp8_2x2()[0])
+    payload[14:18] = struct.pack("<I", 108)  # BITMAPV4HEADER size
+    payload = bytes(payload)
+    with pytest.raises(ValueError, match="DIB header size"):
+        decode_media(payload, "bmp8")
+    media = spark.createDataFrame(
+        [(1, payload)], "media_id bigint, payload binary"
+    )
+    row = decode_pixels(media).first()
+    assert row["img_format"] is None and row["pixels"] is None
+
+
+def test_bmp8_index_past_biClrUsed_rejected_both_paths(spark):
+    """r10 (advice): an index byte >= biClrUsed addresses bytes
+    outside the palette — invalid, not silently-garbage."""
+    payload = bytearray(_golden_bmp8_2x2()[0])
+    payload[46:50] = struct.pack("<I", 3)  # data uses index 3
+    payload = bytes(payload)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_media(payload, "bmp8")
+    media = spark.createDataFrame(
+        [(1, payload)], "media_id bigint, payload binary"
+    )
+    row = decode_pixels(media).first()
+    assert row["img_format"] is None and row["pixels"] is None
+
+
 def test_non_image_payloads_null_out(spark):
     media = spark.createDataFrame(
         [(1, b"not an image at all, just bytes")],
