@@ -18,6 +18,7 @@ mechanics as ``ngram_jaccard_pairs``.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
@@ -610,10 +611,7 @@ def embedding_decontamination_ivf(
     cell-mate return null score and contaminated = false.
     Same output schema as the exact operator.
     """
-    from decision_tree_stuff_spark.functions.array_math import (
-        cosine_similarity,
-        dot_product,
-    )
+    from decision_tree_stuff_spark.functions.array_math import dot_product
     from decision_tree_stuff_spark.operators import spread_small
     from decision_tree_stuff_spark.operators.similarity import (
         _quantizer_centroids,
@@ -639,42 +637,75 @@ def embedding_decontamination_ivf(
         ).collect()
     )
 
-    def cell_rank_structs(vec):
+    # r10 (the sf0.1 intercept A/B, SCALING_r10.md): the r9 argmax
+    # called cosine_similarity(vec, clit) per centroid, which re-folds
+    # dot(v,v) AND dot(c,c) inside every branch — Catalyst does no CSE
+    # across lambda boundaries, so each row paid 3·n_centroids folds.
+    # The centroid norms are plan-time Python constants (computed with
+    # the IDENTICAL left-to-right (acc + x·x) order as the aggregate
+    # fold, then sqrt — same IEEE op sequence, so every double and the
+    # 6dp rounding stay bit-identical to the oracle) and the row norm
+    # binds ONCE as a column; the argmax now costs n_centroids folds
+    # per row, not 3x. Measured: 3.5 -> ~1.5 s at sf0.1.
+    def _py_norm(vals) -> float:
+        acc = 0.0
+        for v in vals:
+            acc += float(v) * float(v)
+        return math.sqrt(acc)
+
+    def cell_rank_structs(vec, vn):
         out = []
         for cid, cvec in crows:
-            clit = F.array(*[F.lit(float(v)) for v in cvec])
-            negc = F.coalesce(
-                -F.round(cosine_similarity(vec, clit), 6),
-                F.lit(float("inf")),
-            )
+            cn = _py_norm(cvec)
+            if cn > 0.0:
+                clit = F.array(*[F.lit(float(v)) for v in cvec])
+                denom = vn * F.lit(cn)
+                cos = F.when(denom > 0.0, dot_product(vec, clit) / denom)
+                negc = F.coalesce(-F.round(cos, 6), F.lit(float("inf")))
+            else:
+                negc = F.lit(float("inf"))
             out.append(
                 F.struct(negc.alias("negc"), F.lit(int(cid)).alias("cid"))
             )
         return out
 
-    ccells = spread_small(corpus_emb).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.array_min(F.array(*cell_rank_structs(F.col(vec_col))))[
-            "cid"
-        ].alias("cid"),
-        norm(F.col(vec_col)).alias("__cn"),
-    )
-    bcells = (
-        bench_emb.select(
-            F.col(id_col).alias("__bid"),
-            F.col(vec_col).alias("__bvec"),
-            F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.array(*cell_rank_structs(F.col(vec_col)))
-                    ),
-                    1,
-                    nprobe,
-                )["cid"]
-            ).alias("cid"),
+    ccells = (
+        spread_small(corpus_emb)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("__cn"),
         )
-        .withColumn("__bn", norm(F.col("__bvec")))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.array_min(
+                F.array(
+                    *cell_rank_structs(F.col(vec_col), F.col("__cn"))
+                )
+            )["cid"].alias("cid"),
+            F.col("__cn"),
+        )
+    )
+    bcells = bench_emb.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bvec"),
+        norm(F.col(vec_col)).alias("__bn"),
+    ).select(
+        "__bid",
+        "__bvec",
+        "__bn",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.array(
+                        *cell_rank_structs(F.col("__bvec"), F.col("__bn"))
+                    )
+                ),
+                1,
+                nprobe,
+            )["cid"]
+        ).alias("cid"),
     )
     denom = F.col("__cn") * F.col("__bn")
     cos = F.round(
