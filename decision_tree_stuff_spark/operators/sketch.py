@@ -138,3 +138,165 @@ FROM ({source_sql}) src,
      (SELECT unnest(range(0, {d})) AS i) i
 GROUP BY 1, 2
 """
+
+
+# --- HyperLogLog (r10) -------------------------------------------------
+
+HLL_B = 8                      # 2^8 = 256 registers
+HLL_W = 32                     # rho window width (bits)
+
+
+def hll_alpha(m: int) -> float:
+    """The standard bias constant (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(
+    keyed: DataFrame,
+    key_col: str = "token",
+    group_cols: Sequence[str] = (),
+    b: int = HLL_B,
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet, Fusy, Gandouet, Meunier
+    2007): per group, ``(bucket, maxrho)`` over the keys' md5 hashes —
+    the fixed-size distinct-count summary that pairs with the CMS
+    frequency summary above.
+
+    Why it matters at 100 TB: exact ``count(distinct)`` shuffles the
+    full key space; the register table shuffles at most ``2^b`` rows
+    per group REGARDLESS of input size, and map-side partial ``max``
+    collapses each partition's updates onto the grid before the
+    exchange — the same bounded-shuffle argument as ``cms_cells``.
+    Registers are mergeable by ``max`` (associative, commutative,
+    idempotent), so sketches union across shards/streams for free —
+    the fold the streaming twin (``streaming.stream_hll``) uses.
+
+    Determinism/oracle parity: bucket = the first 60-bit md5 half mod
+    ``2^b``; rho = (leading zeros in a 32-bit window of the second
+    half) + 1, computed as ``33 - len(bin(h))`` — integer string
+    arithmetic both engines share exactly (``F.bin`` ↔ DuckDB
+    ``bin``, no leading zeros; h = 0 → rho = 33).
+    """
+    m = 1 << b
+    d = F.md5(F.col(key_col))
+    h1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(d, 17, 8), 16, 10).cast("bigint")
+    rho = F.when(h2 == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.bin(h2))
+    )
+    gcols = list(group_cols)
+    return (
+        keyed.select(
+            *gcols,
+            (h1 % F.lit(m)).alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("rho").alias("maxrho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: Sequence[str] = (),
+    b: int = HLL_B,
+) -> DataFrame:
+    """Distinct-count estimate per group from a register table.
+
+    The harmonic-mean denominator is computed in EXACT integer
+    arithmetic — ``2^(32 - maxrho)`` summed as BIGINT (absent
+    registers contribute ``2^32`` each), no float-summation order
+    anywhere — then one double division per group, so the estimate is
+    bit-reproducible across engines and partitionings. Small-range
+    correction per the paper: ``E <= 2.5m`` with empty registers →
+    linear counting ``m·ln(m/V)``. Returns (group_cols..., est)
+    rounded 6dp."""
+    m = 1 << b
+    alpha = hll_alpha(m)
+    gcols = list(group_cols)
+    agg = registers.groupBy(*gcols).agg(
+        F.sum(
+            # exact BIGINT 2^(W - maxrho); the maxrho = W+1 register
+            # (an all-zero 32-bit window, p = 2^-32 per item) would
+            # shift by -1 — clamp its sub-integer contribution to 0,
+            # identically on both engines
+            F.when(F.col("maxrho") > HLL_W, F.lit(0).cast("bigint"))
+            .otherwise(
+                # pyspark's shiftleft() only takes a literal count —
+                # the SQL form accepts the column expression
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W} - maxrho)")
+            )
+        ).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    denom = (
+        F.col("_s_present")
+        + (F.lit(m) - F.col("_n_present")) * F.lit(1 << HLL_W)
+    ).cast("double")
+    e_raw = F.lit(alpha * m * m * float(1 << HLL_W)) / denom
+    v = F.lit(m) - F.col("_n_present")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(*gcols, F.round(est, 6).alias("est"))
+
+
+def hll_sql(source_sql: str, group_cols: Sequence[str] = (), b: int = HLL_B) -> str:
+    """DuckDB twin of ``hll_registers`` + ``hll_estimate`` over
+    ``source_sql`` (a relation with a ``key`` column and the group
+    columns) — single-sourced next to the operator like
+    ``cms_sql_cells``."""
+    m = 1 << b
+    alpha = hll_alpha(m)
+    # the SAME Python double Spark's hll_estimate puts in its plan
+    # (folding it here also keeps DuckDB in DOUBLE arithmetic — a bare
+    # 0.72132... literal parses as DECIMAL and overflows the product)
+    num = alpha * m * m * float(1 << HLL_W)
+    gsel = "".join(f"{c}, " for c in group_cols)
+    gby = ", ".join(str(i + 1) for i in range(len(group_cols) + 1))
+    ggby = (
+        ", ".join(str(i + 1) for i in range(len(group_cols)))
+        if group_cols
+        else ""
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {gsel}
+         ('0x' || substr(md5(key), 1, 15))::BIGINT % {m} AS bucket,
+         CASE WHEN ('0x' || substr(md5(key), 17, 8))::BIGINT = 0
+              THEN {HLL_W + 1}
+              ELSE {HLL_W + 1}
+                   - length(bin(('0x' || substr(md5(key), 17, 8))::BIGINT))
+         END AS rho
+  FROM ({source_sql}) src
+),
+regs AS (
+  SELECT {gsel} bucket, max(rho) AS maxrho FROM hashed GROUP BY {gby}
+),
+agg AS (
+  SELECT {gsel}
+         CAST(sum(CASE WHEN maxrho > {HLL_W} THEN 0
+                       ELSE 1::BIGINT << ({HLL_W} - maxrho) END)
+              AS BIGINT) AS s_present,
+         count(*) AS n_present
+  FROM regs {("GROUP BY " + ggby) if group_cols else ""}
+)
+SELECT {gsel}
+       round(CASE WHEN {num!r} / CAST(s_present
+                              + ({m} - n_present) * {1 << HLL_W} AS DOUBLE)
+                    <= {float(2.5 * m)!r}
+                  AND {m} - n_present > 0
+             THEN {float(m)!r} * ln({float(m)!r}
+                                    / CAST({m} - n_present AS DOUBLE))
+             ELSE {num!r} / CAST(s_present
+                         + ({m} - n_present) * {1 << HLL_W} AS DOUBLE)
+             END, 6) AS est
+FROM agg
+"""

@@ -183,6 +183,7 @@ from decision_tree_stuff_spark.queries.text import (  # noqa: F401,E501
     q_e4_nb_langid,
     q_e4_top_tokens,
     q_e4_corpus_profile,
+    q_e4_hll_distinct,
     q_e4_chunks,
 )
 from decision_tree_stuff_spark.queries.temporal import (  # noqa: F401,E501
@@ -435,6 +436,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_bpe_encode": q_e4_bpe_encode,              # r7: BPE encode projection
     "e4_lr_langid": q_e4_lr_langid,                # r7: logistic-regression gate
     "e4_lr_langid_joined": q_e4_lr_langid_joined,  # r10: joined path, own oracle
+    "e4_hll_distinct": q_e4_hll_distinct,          # r10: oracle-exact HyperLogLog
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
     "e4_retrieval_pipeline": q_e4_retrieval_pipeline,  # r8: BM25+RRF+decontam

@@ -7,6 +7,7 @@ the registry.
 
 from __future__ import annotations
 
+from decision_tree_stuff_spark.operators.sketch import hll_sql
 from decision_tree_stuff_spark.queries._shared import (  # noqa: F401
     Dict,
     BM25_B,
@@ -475,6 +476,37 @@ def q_e4_top_tokens(spark, sf_dir):
     return top_tokens(_docs(spark, sf_dir), k=10)
 
 
+def q_e4_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token estimate per lang (r10) next to the
+    exact count: the ORACLE-EXACT sketch variant —
+    ``corpus_profile``'s approximate mode uses Spark's built-in
+    ``approx_count_distinct`` (HLL++, engine-internal hashing, only
+    tolerance-testable), while ``sketch.hll_registers`` hashes with
+    md5 and folds the harmonic-mean denominator in exact BIGINT
+    arithmetic, so DuckDB reproduces the estimate bit-for-bit. The
+    register shuffle is ≤ 2^b rows per lang regardless of corpus
+    size (map-side max), the 100 TB distinct-count shape."""
+    from decision_tree_stuff_spark.functions.text import tokens
+    from decision_tree_stuff_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        "lang",
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda t: t != "")
+        ).alias("token"),
+    )
+    est = hll_estimate(hll_registers(toks, "token", ["lang"]), ["lang"])
+    exact = (
+        toks.distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    )
+    return est.join(exact, "lang")
+
+
 def q_e4_corpus_profile(spark, sf_dir):
     """Per-lang corpus profile, EXACT mode (the oracled gate; the
     approximate HLL/GK mode is the 100 TB path, tolerance-tested vs
@@ -897,6 +929,21 @@ contam AS (
 SELECT t.query_id, t.doc_id, t.rrf_score, t.rank
 FROM topk t LEFT JOIN contam c ON t.doc_id = c.doc_id
 WHERE c.doc_id IS NULL
+""",
+    # HLL twin (r10): registers + the exact-integer harmonic fold are
+    # single-sourced in sketch.hll_sql; exact distinct joined beside.
+    "e4_hll_distinct": f"""
+WITH src AS (
+  SELECT lang, tok AS key FROM (
+    SELECT lang, unnest({TOKS_SQL}) AS tok FROM documents
+  ) u WHERE tok <> ''
+),
+e AS (
+  SELECT lang, CAST(count(DISTINCT key) AS BIGINT) AS exact_distinct
+  FROM src GROUP BY 1
+),
+h AS ({hll_sql('SELECT lang, key FROM src', ['lang'])})
+SELECT h.lang, h.est, e.exact_distinct FROM h JOIN e USING (lang)
 """,
     "e4_top_tokens": f"""
 WITH toks AS (

@@ -385,6 +385,46 @@ def stream_cms(
     )
 
 
+def stream_hll(
+    stream_df: DataFrame,
+    state_dir: str,
+    key_col: str = "token",
+    group_cols: list = None,
+    b: int = None,
+    checkpoint_dir: str = None,
+):
+    """Streaming HyperLogLog (r10): maintain, across micro-batches,
+    exactly the register table the batch ``sketch.hll_registers``
+    would produce over all input seen so far — distinct counting on
+    an unbounded stream with ≤ groups × 2^b rows of state, forever.
+
+    Exactness argument: registers are MAXIMA, so the merge is ``max``
+    — associative, commutative, and idempotent (retried batches
+    cannot inflate the count, unlike an additive fold) — hence
+    ``state ← max(state ∪ registers(batch))`` equals the batch
+    register table regardless of batch boundaries. Layout, retry
+    idempotence and snapshot retention are shared with the other
+    mergeable folds (``_stream_mergeable_fold``). Read the newest
+    snapshot with ``read_capped_state`` and estimate with
+    ``sketch.hll_estimate``."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        HLL_B,
+        hll_registers,
+    )
+
+    gcols = list(group_cols or [])
+    b = b or HLL_B
+    return _stream_mergeable_fold(
+        stream_df,
+        state_dir,
+        lambda regs: regs.groupBy(*gcols, "bucket").agg(
+            F.max("maxrho").alias("maxrho")
+        ),
+        checkpoint_dir,
+        prep_fn=lambda batch: hll_registers(batch, key_col, gcols, b),
+    )
+
+
 def _stream_mergeable_fold(
     stream_df: DataFrame,
     state_dir: str,

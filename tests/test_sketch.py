@@ -186,3 +186,116 @@ def test_merge_equals_batch_on_dataframe_level(spark):
         (r["row"], r.col): r.cnt for r in cms_cells(both, d=3, w=32).collect()
     }
     assert merged == batch
+
+
+def test_hll_estimate_within_theoretical_error(spark, sf_dir):
+    """m=256 registers → standard error ~6.5%; assert every per-lang
+    estimate lands within 4σ of the exact distinct count (and that
+    the corpus actually exercises the harmonic-mean path, not just
+    linear counting)."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "lang",
+        F.explode(F.filter(tokens(F.col("text")), lambda t: t != "")).alias(
+            "token"
+        ),
+    )
+    est = {
+        r["lang"]: r["est"]
+        for r in hll_estimate(
+            hll_registers(toks, "token", ["lang"]), ["lang"]
+        ).collect()
+    }
+    exact = {
+        r["lang"]: r["n"]
+        for r in toks.distinct().groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert set(est) == set(exact) and est
+    for lang, n in exact.items():
+        assert abs(est[lang] - n) <= 0.26 * n, (lang, est[lang], n)
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """Sketch mergeability — the 100 TB union property: max-merging
+    the two halves' register tables equals the one-shot table (hence
+    identical estimates), and re-merging the same half is a no-op
+    (idempotence, the retry-safety argument)."""
+    from decision_tree_stuff_spark.operators.sketch import hll_registers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok_expr = F.explode(
+        F.filter(tokens(F.col("text")), lambda t: t != "")
+    ).alias("token")
+    toks = docs.select("doc_id", tok_expr)
+
+    def regs(df):
+        return {
+            r["bucket"]: r["maxrho"]
+            for r in hll_registers(df, "token").collect()
+        }
+
+    whole = regs(toks)
+    a = regs(toks.where("doc_id % 2 = 0"))
+    b = regs(toks.where("doc_id % 2 = 1"))
+    merged = dict(a)
+    for k, v in b.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == whole
+    remerged = {k: max(v, a.get(k, 0)) for k, v in merged.items()}
+    assert remerged == whole
+
+
+def test_stream_hll_state_equals_batch_registers(
+    spark, sf_dir, tmp_path_factory
+):
+    """Versioned-snapshot HLL state after draining >=3 micro-batches
+    equals the batch register table exactly (so the estimates are
+    identical too)."""
+    import os
+
+    from decision_tree_stuff_spark.operators.sketch import hll_registers
+    from decision_tree_stuff_spark.streaming import (
+        read_capped_state,
+        stream_hll,
+    )
+
+    d = tmp_path_factory.mktemp("hll_stream_op")
+    state = str(tmp_path_factory.mktemp("hll_state"))
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    third = t.num_rows // 3
+    for i in range(3):
+        n = third if i < 2 else t.num_rows - 2 * third
+        pq.write_table(t.slice(i * third, n), f"{d}/part{i}.parquet")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok_expr = F.explode(
+        F.filter(tokens(F.col("text")), lambda t: t != "")
+    ).alias("token")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .select("lang", tok_expr)
+    )
+    stream_hll(stream, state, group_cols=["lang"])
+
+    got = {
+        (r["lang"], r["bucket"]): r["maxrho"]
+        for r in read_capped_state(spark, state).collect()
+    }
+    batch = {
+        (r["lang"], r["bucket"]): r["maxrho"]
+        for r in hll_registers(
+            docs.select("lang", tok_expr), "token", ["lang"]
+        ).collect()
+    }
+    assert got == batch and got
+    versions = [v for v in os.listdir(state) if v.startswith("v")]
+    assert len(versions) <= 2, versions
