@@ -64,8 +64,16 @@ def hashed_ngram_features(
     separately — the md5-per-gram digest is the dominant cost and
     this is how consumers share it."""
     carry = list(carry)
+    from decision_tree_stuff_spark.operators import spread_small
+
+    # the md5-per-gram digest below is the dominant cost and runs
+    # scan-side — spread a single-split input across the executor
+    # first (guarded no-op on real multi-split tables); measured
+    # r10: lr_fit featurize 2x faster at bench scale
     toks_f = F.filter(tokens(F.col(text_col)), lambda t: t != "")
-    prep = docs.select(F.col(id_col), *carry, toks_f.alias("__toks"))
+    prep = spread_small(docs).select(
+        F.col(id_col), *carry, toks_f.alias("__toks")
+    )
     bigrams = F.when(
         F.size("__toks") >= 2,
         F.transform(
