@@ -442,7 +442,13 @@ def kmeans_fit(
 
     Returns ``[(cid, [double, ...]), ...]`` (rounded coordinates).
     """
-    proj = embeddings.select(
+    from decision_tree_stuff_spark.operators import spread_small
+
+    # spread a single-split input first (guarded no-op on multi-split
+    # tables): the persisted frame keeps the scan's partitioning, so
+    # without this every iteration's k×d distance projection AND the
+    # update aggregate run on one core of the executor (r10)
+    proj = spread_small(embeddings).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     if cache:
@@ -493,9 +499,12 @@ def kmeans_assign(
 ) -> DataFrame:
     """(id, cid, dist) under literal ``centroids`` (coordinate lists,
     e.g. ``[c for _, c in kmeans_fit(...)]``) — one shuffle-free
-    projection over the corpus."""
+    projection over the corpus (spread first when the input is a
+    single scan split, r10)."""
+    from decision_tree_stuff_spark.operators import spread_small
+
     best = _kmeans_best(F.col(vec_col), centroids)
-    return embeddings.select(
+    return spread_small(embeddings).select(
         F.col(id_col),
         best["cid"].alias("cid"),
         best["dist"].alias("dist"),

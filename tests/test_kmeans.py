@@ -76,10 +76,22 @@ def test_kmeans_fit_raises_when_corpus_smaller_than_k(spark):
 
 
 def test_kmeans_assign_is_shuffle_free(spark, sf_dir):
+    """Assignment must never shuffle ON A KEY — the only admissible
+    exchange is spread_small's guarded round-robin parallelism spread
+    of a single-split input (r10), which no-ops on real multi-split
+    tables."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = [[0.0] * 64, [1.0] * 64]
     plan = _plan(kmeans_assign(emb, cents))
-    assert "Exchange" not in plan, "assignment must be a pure projection"
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1, "at most the round-robin spread"
+    # pre-spread input (>= defaultParallelism partitions): the guard
+    # no-ops and the plan is the pure projection the operator claims
+    pre = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
+    plan2 = _plan(kmeans_assign(pre, cents))
+    assert "Exchange" not in plan2, "assignment must be a pure projection"
 
 
 def test_kmeans_distortion_decreases_on_real_corpus(spark, sf_dir):
