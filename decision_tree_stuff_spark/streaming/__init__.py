@@ -512,12 +512,23 @@ def stream_ingest_pipeline(
     bench_emb: DataFrame = None,
     sem_threshold: float = 0.8,
     vec_col: str = "embedding",
+    dedup_corpus: DataFrame = None,
+    dedup_mode: str = "minhash",
+    dedup_bands: int = 8,
+    dedup_hash_fn: str = "md5km",
 ):
     """The 100 TB ingest story as ONE stream (round-7 task; r10 adds
-    the Bloom + semantic decontamination stages so the stream matches
-    the batch flagship ``e12_batch_ingest`` stage-for-stage): per
-    micro-batch,
+    incremental dedup + the Bloom + semantic decontamination stages so
+    the stream covers the batch flagship ``e12_batch_ingest``'s full
+    stage ladder): per micro-batch,
 
+      0. (``dedup_corpus`` given) incremental dedup against the
+         MATERIALIZED historical corpus
+         (``dedup.dedup_against_corpus`` — exact fingerprint or
+         minhash band anti-join; the streaming answer to the batch
+         flagship's within-corpus CC dedup, which is not
+         micro-batch-expressible: a growing dataset dedups each new
+         batch against what it already keeps),
       1. span-strip against the MATERIALIZED corpus boilerplate table
          (``frequent_spans`` output — learned offline, static here),
       2. LM-quality filter against the MATERIALIZED unigram model
@@ -622,7 +633,25 @@ def stream_ingest_pipeline(
         flagged = embd.select(id_col).join(kept_ids, id_col, "left_anti")
         return d.join(flagged, id_col, "left_anti")
 
-    stage_fns = [("span_strip", _strip), ("lm_quality", _quality)]
+    def _dedup(d: DataFrame) -> DataFrame:
+        from decision_tree_stuff_spark.operators.dedup import (
+            dedup_against_corpus,
+        )
+
+        return dedup_against_corpus(
+            d,
+            dedup_corpus,
+            id_col=id_col,
+            text_col=text_col,
+            mode=dedup_mode,
+            bands=dedup_bands,
+            hash_fn=dedup_hash_fn,
+        )
+
+    stage_fns = []
+    if dedup_corpus is not None:
+        stage_fns.append(("incremental_dedup", _dedup))
+    stage_fns += [("span_strip", _strip), ("lm_quality", _quality)]
     if bloom_bench is not None:
         stage_fns.append(("bloom_decontam", _bloom))
     if bench_emb is not None:

@@ -221,6 +221,71 @@ def test_stream_ingest_bloom_semantic_match_e12_stages(
     assert len(got) < docs.count()
 
 
+def test_stream_ingest_incremental_dedup_stage(spark, sf_dir, tmp_path):
+    """r10: with ``dedup_corpus`` given, the stream's first stage is
+    the incremental minhash-band dedup against the materialized
+    historical corpus — the kept set over ≥3 micro-batches equals the
+    batch ``dedup_against_corpus`` over the full input (the stage is
+    a stateless per-row decision against a static table)."""
+    from decision_tree_stuff_spark.operators.dedup import (
+        dedup_against_corpus,
+    )
+    from decision_tree_stuff_spark.operators.textstats import unigram_model
+    from decision_tree_stuff_spark.streaming import (
+        read_capped_state,
+        stream_ingest_pipeline,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(3):
+        staging = str(tmp_path / f"s{i}")
+        incoming.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            staging
+        )
+        shutil.move(
+            glob.glob(f"{staging}/part-*.parquet")[0],
+            str(d / f"b{i}.parquet"),
+        )
+
+    state = str(tmp_path / "state")
+    audit = []
+    stream_ingest_pipeline(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d)),
+        state,
+        spark.createDataFrame([], "span_key string"),  # strip neutral
+        unigram_model(docs),
+        group_cols=["lang"],
+        n=10**9,             # quota never binds
+        key_cols=["doc_id"],
+        span_n=5,
+        min_logprob=-100.0,  # quality never drops
+        seed="dedup",
+        audit_log=audit,
+        dedup_corpus=corpus,
+    )
+    assert len(audit) >= 3
+    assert audit[0][1][1]["stage"] == "incremental_dedup"
+
+    got = sorted(
+        r["doc_id"] for r in read_capped_state(spark, state).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in dedup_against_corpus(
+            incoming, corpus, mode="minhash", bands=8, hash_fn="md5km"
+        ).collect()
+    )
+    assert got == want and got
+    assert len(got) < incoming.count(), "dedup stage must actually drop"
+
+
 def test_ingest_pipeline_cross_batch_eviction(spark, tmp_path):
     """A later micro-batch carrying lower-hash rows evicts earlier
     keepers through the strip+quality stages — the compacted-state
