@@ -618,6 +618,138 @@ def encode_pgm(media_id, w, h) -> Column:
     return F.concat(header, data)
 
 
+def sample_value(media_id, i):
+    """The deterministic synthetic 8-bit PCM sample formula shared by
+    the WAV encoder, the DuckDB oracle and the tests: sample i of
+    media ``media_id`` is ``(media_id·11 + i·17) mod 256``."""
+    return F.pmod(media_id * 11 + i * 17, F.lit(256)).cast("int")
+
+
+def encode_wav(media_id, n_samples, sample_rate) -> Column:
+    """A spec-compliant 8-bit mono PCM WAV (canonical 44-byte
+    RIFF/WAVE header: 16-byte fmt chunk, audio format 1 = PCM, one
+    channel, 8 bits/sample, byte rate = block align · rate) whose
+    samples are ``sample_value(media_id, i)`` — one hex-string
+    projection + ``unhex``, exactly like the image encoders. REAL
+    audio: uncompressed PCM needs no codec library, so the decode
+    round trip runs in pure Spark expressions (r10 — the 'audio' kind
+    had only header metadata and fake features before this)."""
+    n = n_samples if isinstance(n_samples, Column) else F.lit(n_samples)
+    n = n.cast("bigint")
+    header = F.concat(
+        F.lit("52494646"),            # 'RIFF'
+        _le_hex(n + 36, 4),           # riff chunk size
+        F.lit("57415645"),            # 'WAVE'
+        F.lit("666D7420"),            # 'fmt '
+        _le_hex(16, 4),               # fmt chunk size
+        _le_hex(1, 2),                # PCM
+        _le_hex(1, 2),                # mono
+        _le_hex(sample_rate, 4),
+        _le_hex(sample_rate, 4),      # byte rate (8-bit mono)
+        _le_hex(1, 2),                # block align
+        _le_hex(8, 2),                # bits per sample
+        F.lit("64617461"),            # 'data'
+        _le_hex(n, 4),
+    )
+    data = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: _byte_hex(sample_value(media_id, i)),
+        ),
+        "",
+    )
+    return F.unhex(F.concat(header, data))
+
+
+def synthesize_decodable_audio(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Tiny REAL WAV files derived from ``documents`` ids — the audio
+    twin of ``synthesize_decodable_media``: n_samples ∈ 4..28, sample
+    rate ∈ {8000, 12000, 16000, 20000} Hz, both closed forms of the
+    id so the oracle recomputes them without touching binary."""
+    mid = F.col(id_col)
+    n = (mid % 25 + 4).cast("int")
+    rate = (F.lit(8000) + (mid % 4) * 4000).cast("int")
+    return docs.select(
+        mid.alias("media_id"),
+        F.lit("audio").alias("kind"),
+        encode_wav(mid, n, rate).alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            rate.alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+            F.lit("wav").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def decode_samples(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode of canonical 8-bit mono PCM WAV, pure Spark:
+    returns (media_id, audio_format, sample_rate, n_samples, samples)
+    with ``samples`` the unsigned 8-bit PCM array. Every header field
+    is read from the actual bytes (RIFF/WAVE magic, 16-byte fmt
+    chunk, PCM=1, mono, block align 1, 8 bits, 'data' chunk with an
+    in-bounds length) — anything else nulls out, including
+    multi-channel, 16-bit, or extensible-fmt files whose layout this
+    canonical-form parser does not cover. Compressed audio
+    (MP3/AAC/...) still requires codec libraries, as documented on
+    ``decode_media``."""
+    p = F.col(payload_col)
+    n = _le32(p, 41)
+    ok = (
+        (F.length(p) >= 45)
+        & (F.hex(F.substring(p, 1, 4)) == "52494646")
+        & (F.hex(F.substring(p, 9, 8)) == "57415645666D7420")
+        & (_le32(p, 17) == 16)            # canonical fmt size
+        & (_le16(p, 21) == 1)             # PCM
+        & (_le16(p, 23) == 1)             # mono
+        & (_le16(p, 33) == 1)             # block align
+        & (_le16(p, 35) == 8)             # bits per sample
+        & (F.hex(F.substring(p, 37, 4)) == "64617461")
+        & (n > 0)
+        & (n + 44 <= F.length(p))
+    )
+    samples = F.transform(
+        F.sequence(F.lit(0), n - 1), lambda k: _u8(p, F.lit(45) + k)
+    )
+    return media.select(
+        "media_id",
+        F.when(ok, "wav").alias("audio_format"),
+        F.when(ok, _le32(p, 25)).cast("int").alias("sample_rate"),
+        F.when(ok, n).cast("int").alias("n_samples"),
+        F.when(ok, samples).alias("samples"),
+    )
+
+
+def decode_audio(payload: bytes):
+    """Python single-payload twin of ``decode_samples`` (driver/UDF
+    side): returns ``(sample_rate, samples)`` for a canonical 8-bit
+    mono PCM WAV, raises on anything else."""
+    import struct
+
+    if len(payload) < 45 or payload[:4] != b"RIFF" or payload[8:16] != b"WAVEfmt ":
+        raise ValueError("not a canonical RIFF/WAVE payload")
+    fmt_size, = struct.unpack_from("<I", payload, 16)
+    audio_fmt, channels = struct.unpack_from("<HH", payload, 20)
+    rate, = struct.unpack_from("<I", payload, 24)
+    align, bits = struct.unpack_from("<HH", payload, 32)
+    if (fmt_size, audio_fmt, channels, align, bits) != (16, 1, 1, 1, 8):
+        raise ValueError(
+            f"unsupported WAV variant (fmt_size={fmt_size} fmt={audio_fmt} "
+            f"ch={channels} align={align} bits={bits})"
+        )
+    if payload[36:40] != b"data":
+        raise ValueError("missing canonical data chunk")
+    n, = struct.unpack_from("<I", payload, 40)
+    if n == 0 or 44 + n > len(payload):
+        raise ValueError("data chunk length out of bounds")
+    return rate, list(payload[44:44 + n])
+
+
 def synthesize_decodable_media(
     docs: DataFrame, id_col: str = "doc_id", formats=("bmp", "ppm")
 ) -> DataFrame:

@@ -137,7 +137,48 @@ def q_e6_pixel_decode_paletted(spark, sf_dir):
     )
 
 
+def q_e6_wav_decode(spark, sf_dir):
+    """REAL audio decode (r10 — extends the real-codec treatment from
+    images to the 'audio' kind): tiny spec-compliant 8-bit mono PCM
+    WAV binaries are encoded from the closed-form sample formula,
+    then decoded back by the pure-Spark byte-expression parser
+    (``decode_samples`` — RIFF/WAVE/fmt/data chunk layout read from
+    the actual bytes). The oracle recomputes the samples straight
+    from the formula, so a header-layout mistake on either side of
+    the round trip mismatches. Samples hex-packed (the driver-safe
+    scalar shape, gate-rotation-ready)."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_samples,
+        synthesize_decodable_audio,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    return decode_samples(synthesize_decodable_audio(docs)).select(
+        "media_id",
+        "audio_format",
+        "sample_rate",
+        "n_samples",
+        F.array_join(
+            F.transform("samples", lambda v: F.lpad(F.hex(v), 2, "0")),
+            "",
+        ).alias("samples_hex"),
+    )
+
+
 ORACLE_SQL: Dict[str, str] = {
+    # r10: WAV round trip — the oracle never touches binary, it
+    # recomputes rate/length/samples from the closed forms.
+    "e6_wav_decode": """
+SELECT doc_id AS media_id,
+       'wav' AS audio_format,
+       CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+       CAST(doc_id % 25 + 4 AS INT) AS n_samples,
+       array_to_string(list_transform(
+         range(0, doc_id % 25 + 4),
+         i -> printf('%02X', (doc_id * 11 + i * 17) % 256)
+       ), '') AS samples_hex
+FROM documents WHERE doc_id % 7 = 0
+""",
     # r10: pixels hex-packed to one scalar string (driver pandas
     # canonicalizer cannot sort array cells) — printf('%02X') per byte
     # matches Spark's lpad(hex(v), 2, '0'), both uppercase.

@@ -257,3 +257,91 @@ def test_non_image_payloads_null_out(spark):
     )
     row = decode_pixels(media).first()
     assert row["img_format"] is None and row["pixels"] is None
+
+
+def _golden_wav():
+    """A canonical 8-bit mono PCM WAV built by hand from the RIFF
+    spec: 3 samples [16, 128, 240] at 8000 Hz."""
+    samples = bytes([16, 128, 240])
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(samples))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HH", 1, 1)          # PCM, mono
+        + struct.pack("<II", 8000, 8000)    # rate, byte rate
+        + struct.pack("<HH", 1, 8)          # align, bits
+        + b"data"
+        + struct.pack("<I", len(samples))
+        + samples
+    ), [16, 128, 240]
+
+
+def test_golden_wav_both_paths(spark):
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_audio,
+        decode_samples,
+    )
+
+    payload, expected = _golden_wav()
+    rate, samples = decode_audio(payload)
+    assert (rate, samples) == (8000, expected)
+    media = spark.createDataFrame(
+        [(1, payload)], "media_id bigint, payload binary"
+    )
+    row = decode_samples(media).first()
+    assert row["audio_format"] == "wav"
+    assert (row["sample_rate"], row["n_samples"]) == (8000, 3)
+    assert list(row["samples"]) == expected
+
+
+def test_wav_round_trip_matches_formula_and_python(spark):
+    """encode_wav -> real binary -> decode_samples must reproduce the
+    closed-form samples; the Python decoder must agree byte-for-byte."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_audio,
+        decode_samples,
+        synthesize_decodable_audio,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id bigint")
+    media = synthesize_decodable_audio(docs)
+    rows = {
+        r["media_id"]: r
+        for r in decode_samples(media)
+        .join(media.select("media_id", "payload"), "media_id")
+        .collect()
+    }
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        n, rate = mid % 25 + 4, 8000 + (mid % 4) * 4000
+        expect = [(mid * 11 + i * 17) % 256 for i in range(n)]
+        assert r["audio_format"] == "wav", mid
+        assert (r["sample_rate"], r["n_samples"]) == (rate, n), mid
+        assert list(r["samples"]) == expect, mid
+        prate, psamples = decode_audio(bytes(r["payload"]))
+        assert (prate, psamples) == (rate, expect), mid
+
+
+def test_wav_unsupported_variants_rejected_both_paths(spark):
+    """Stereo / 16-bit / truncated-data WAVs must null out in Spark
+    and raise in Python — never silently decode garbage."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_audio,
+        decode_samples,
+    )
+
+    base, _ = _golden_wav()
+    stereo = bytearray(base); stereo[22:24] = struct.pack("<H", 2)
+    bits16 = bytearray(base); bits16[34:36] = struct.pack("<H", 16)
+    short = bytearray(base); short[40:44] = struct.pack("<I", 99)
+    for bad in (bytes(stereo), bytes(bits16), bytes(short)):
+        with pytest.raises(ValueError):
+            decode_audio(bad)
+        row = decode_samples(
+            spark.createDataFrame(
+                [(1, bad)], "media_id bigint, payload binary"
+            )
+        ).first()
+        assert row["audio_format"] is None and row["samples"] is None
