@@ -750,6 +750,197 @@ def decode_audio(payload: bytes):
     return rate, list(payload[44:44 + n])
 
 
+def luma_value(media_id, f, q):
+    """The deterministic synthetic luma formula shared by the Y4M
+    encoder, the DuckDB oracle and the tests: luma byte q of frame f
+    of media ``media_id`` is ``(media_id·7 + f·31 + q·13) mod 256``."""
+    return F.pmod(media_id * 7 + f * 31 + q * 13, F.lit(256)).cast("int")
+
+
+_Y4M_FRAME_MAGIC = "4652414D450A"  # 'FRAME\n'
+
+
+def encode_y4m(media_id, w, h, n_frames) -> Column:
+    """A spec-compliant uncompressed YUV4MPEG2 stream (mono chroma —
+    ``Cmono``, so each frame is exactly w·h luma bytes after its
+    ``FRAME\\n`` marker) whose frame-f luma plane is
+    ``luma_value(media_id, f, ·)``. REAL video: Y4M is the standard
+    uncompressed interchange format (what ffmpeg pipes), and like
+    BMP/PPM/WAV it needs no codec library, so the decode round trip
+    runs in pure Spark expressions (r10 — the 'video' kind had only
+    opaque-byte frame slicing before this)."""
+    header = F.encode(
+        F.concat(
+            F.lit("YUV4MPEG2 W"),
+            w.cast("string"),
+            F.lit(" H"),
+            h.cast("string"),
+            F.lit(" F25:1 Ip A1:1 Cmono\n"),
+        ),
+        "UTF-8",
+    )
+
+    def frame_hex(f):
+        return F.concat(
+            F.lit(_Y4M_FRAME_MAGIC),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), w * h - 1),
+                    lambda q: _byte_hex(luma_value(media_id, f, q)),
+                ),
+                "",
+            ),
+        )
+
+    data = F.unhex(
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_frames - 1), frame_hex), ""
+        )
+    )
+    return F.concat(header, data)
+
+
+def synthesize_decodable_video(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Tiny REAL Y4M streams derived from ``documents`` ids — the
+    video twin of ``synthesize_decodable_media``: w ∈ 2..5, h ∈ 2..4,
+    n_frames ∈ 1..5, all closed forms of the id."""
+    mid = F.col(id_col)
+    w = (mid % 4 + 2).cast("int")
+    h = (mid % 3 + 2).cast("int")
+    n = (mid % 5 + 1).cast("int")
+    return docs.select(
+        mid.alias("media_id"),
+        F.lit("video").alias("kind"),
+        encode_y4m(mid, w, h, n).alias("payload"),
+        F.struct(
+            w.alias("width"),
+            h.alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            n.alias("n_frames"),
+            F.lit("y4m").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def decode_y4m_frames(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video decode of uncompressed YUV4MPEG2 (mono chroma),
+    pure Spark: ONE ROW PER FRAME — (media_id, video_format, width,
+    height, n_frames, frame_idx, luma) with ``luma`` the frame's
+    top-down w·h luma plane. The variable-length ASCII stream header
+    is parsed like PPM's (chars == bytes), the frame count is derived
+    from the payload length, and EVERY frame's ``FRAME\\n`` marker is
+    verified (``F.forall`` — a stream with one corrupt marker nulls
+    out entirely rather than emitting garbage frames). Non-mono
+    chroma (420/422/444 subsampled streams) is rejected: their frame
+    size differs and this canonical-mono parser does not cover them.
+    Invalid payloads yield one row with null decode columns, so the
+    operator is total over mixed media tables."""
+    p = F.col(payload_col)
+    hdr_len = F.least(F.length(p), F.lit(80))
+    hdr = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), hdr_len), lambda i: F.char(_u8(p, i))
+        ),
+        "",
+    )
+    m = F.regexp_extract(
+        hdr, r"^(YUV4MPEG2 W\d+ H\d+ F\d+:\d+[^\n]*Cmono[^\n]*\n)", 1
+    )
+    # nullif: an unmatched header extracts '' and ANSI cast of ''
+    # RAISES on Spark 4 — invalid payloads must null out, not error
+    w = F.nullif(F.regexp_extract(m, r" W(\d+)", 1), F.lit("")).cast("int")
+    h = F.nullif(F.regexp_extract(m, r" H(\d+)", 1), F.lit("")).cast("int")
+    off = F.length(m)  # ASCII header: chars == bytes
+    fsize = w * h + 6
+    n = F.floor((F.length(p) - off) / fsize).cast("int")
+    ok = (
+        (F.length(m) > 0)
+        & (w > 0)
+        & (h > 0)
+        & (n >= 1)
+        & (F.pmod(F.length(p) - off, fsize) == 0)
+        & F.forall(
+            F.sequence(F.lit(0), n - 1),
+            lambda f: F.hex(F.substring(p, off + f * fsize + 1, 6))
+            == _Y4M_FRAME_MAGIC,
+        )
+    )
+    base = media.select(
+        "media_id",
+        F.when(ok, "y4m").alias("video_format"),
+        F.when(ok, w).alias("width"),
+        F.when(ok, h).alias("height"),
+        F.when(ok, n).alias("n_frames"),
+        F.when(ok, off).alias("__off"),
+        F.when(ok, fsize).alias("__fsize"),
+        p.alias("__p"),
+    )
+    # outer explode keeps invalid payloads as one null-frame row
+    frames = base.select(
+        "media_id",
+        "video_format",
+        "width",
+        "height",
+        "n_frames",
+        F.explode_outer(
+            F.when(
+                F.col("n_frames").isNotNull(),
+                F.sequence(F.lit(0), F.col("n_frames") - 1),
+            )
+        ).alias("frame_idx"),
+        "__p",
+        "__off",
+        "__fsize",
+    )
+    luma = F.transform(
+        F.sequence(F.lit(0), F.col("width") * F.col("height") - 1),
+        lambda q: _u8(
+            F.col("__p"),
+            F.col("__off")
+            + F.col("frame_idx") * F.col("__fsize")
+            + 6
+            + q
+            + 1,
+        ),
+    )
+    return frames.select(
+        "media_id",
+        "video_format",
+        "width",
+        "height",
+        "n_frames",
+        "frame_idx",
+        F.when(F.col("frame_idx").isNotNull(), luma).alias("luma"),
+    )
+
+
+def decode_video(payload: bytes):
+    """Python single-payload twin of ``decode_y4m_frames``: returns
+    ``(w, h, [frame0_luma, frame1_luma, ...])`` for a canonical mono
+    Y4M stream, raises on anything else."""
+    import re as _re
+
+    m = _re.match(rb"^YUV4MPEG2 W(\d+) H(\d+) F\d+:\d+[^\n]*Cmono[^\n]*\n", payload)
+    if not m:
+        raise ValueError("not a canonical mono YUV4MPEG2 payload")
+    w, h = int(m.group(1)), int(m.group(2))
+    off, fsize = m.end(), w * h + 6
+    body = len(payload) - off
+    if w <= 0 or h <= 0 or body <= 0 or body % fsize != 0:
+        raise ValueError("Y4M frame data length mismatch")
+    frames = []
+    for f in range(body // fsize):
+        s = off + f * fsize
+        if payload[s:s + 6] != b"FRAME\n":
+            raise ValueError(f"missing FRAME marker at frame {f}")
+        frames.append(list(payload[s + 6:s + fsize]))
+    return w, h, frames
+
+
 def synthesize_decodable_media(
     docs: DataFrame, id_col: str = "doc_id", formats=("bmp", "ppm")
 ) -> DataFrame:

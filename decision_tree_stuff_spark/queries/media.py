@@ -165,7 +165,50 @@ def q_e6_wav_decode(spark, sf_dir):
     )
 
 
+def q_e6_y4m_decode(spark, sf_dir):
+    """REAL video decode (r10 — completes the real-codec triple:
+    image r8/r9, audio + video r10): tiny spec-compliant mono
+    YUV4MPEG2 streams encoded from the closed-form luma formula, then
+    decoded back frame-by-frame by the pure-Spark chunk parser
+    (``decode_y4m_frames`` — variable-length ASCII header, per-frame
+    FRAME markers verified). One row per frame, luma hex-packed
+    (driver-safe scalar shape)."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_y4m_frames,
+        synthesize_decodable_video,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    return decode_y4m_frames(synthesize_decodable_video(docs)).select(
+        "media_id",
+        "video_format",
+        "width",
+        "height",
+        "n_frames",
+        "frame_idx",
+        F.array_join(
+            F.transform("luma", lambda v: F.lpad(F.hex(v), 2, "0")), ""
+        ).alias("luma_hex"),
+    )
+
+
 ORACLE_SQL: Dict[str, str] = {
+    # r10: Y4M round trip — the oracle recomputes every frame's luma
+    # plane from the closed form (one row per frame via unnest).
+    "e6_y4m_decode": """
+SELECT doc_id AS media_id,
+       'y4m' AS video_format,
+       CAST(doc_id % 4 + 2 AS INT) AS width,
+       CAST(doc_id % 3 + 2 AS INT) AS height,
+       CAST(doc_id % 5 + 1 AS INT) AS n_frames,
+       CAST(f AS INT) AS frame_idx,
+       array_to_string(list_transform(
+         range(0, (doc_id % 4 + 2) * (doc_id % 3 + 2)),
+         q -> printf('%02X', (doc_id * 7 + f * 31 + q * 13) % 256)
+       ), '') AS luma_hex
+FROM (SELECT doc_id, unnest(range(0, doc_id % 5 + 1)) AS f
+      FROM documents WHERE doc_id % 7 = 0) u
+""",
     # r10: WAV round trip — the oracle never touches binary, it
     # recomputes rate/length/samples from the closed forms.
     "e6_wav_decode": """

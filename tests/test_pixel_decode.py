@@ -345,3 +345,95 @@ def test_wav_unsupported_variants_rejected_both_paths(spark):
             )
         ).first()
         assert row["audio_format"] is None and row["samples"] is None
+
+
+def _golden_y4m():
+    """A canonical mono Y4M built by hand: 2x2, 2 frames."""
+    f0, f1 = [10, 20, 30, 40], [50, 60, 70, 80]
+    payload = (
+        b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono\n"
+        + b"FRAME\n" + bytes(f0)
+        + b"FRAME\n" + bytes(f1)
+    )
+    return payload, [f0, f1]
+
+
+def test_golden_y4m_both_paths(spark):
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_video,
+        decode_y4m_frames,
+    )
+
+    payload, expected = _golden_y4m()
+    w, h, frames = decode_video(payload)
+    assert (w, h, frames) == (2, 2, expected)
+    media = spark.createDataFrame(
+        [(1, payload)], "media_id bigint, payload binary"
+    )
+    rows = sorted(
+        decode_y4m_frames(media).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert len(rows) == 2
+    for f, r in enumerate(rows):
+        assert r["video_format"] == "y4m"
+        assert (r["width"], r["height"], r["n_frames"]) == (2, 2, 2)
+        assert list(r["luma"]) == expected[f]
+
+
+def test_y4m_round_trip_matches_formula_and_python(spark):
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_video,
+        decode_y4m_frames,
+        synthesize_decodable_video,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id bigint")
+    media = synthesize_decodable_video(docs)
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.select("media_id", "payload").collect()
+    }
+    got = {}
+    for r in decode_y4m_frames(media).collect():
+        got.setdefault(r["media_id"], {})[r["frame_idx"]] = r
+    assert len(got) == 12
+    for mid, frames in got.items():
+        w, h, n = mid % 4 + 2, mid % 3 + 2, mid % 5 + 1
+        assert sorted(frames) == list(range(n)), mid
+        expect_frames = [
+            [(mid * 7 + f * 31 + q * 13) % 256 for q in range(w * h)]
+            for f in range(n)
+        ]
+        for f, r in frames.items():
+            assert r["video_format"] == "y4m", mid
+            assert (r["width"], r["height"], r["n_frames"]) == (w, h, n), mid
+            assert list(r["luma"]) == expect_frames[f], (mid, f)
+        pw, ph, pframes = decode_video(payloads[mid])
+        assert (pw, ph, pframes) == (w, h, expect_frames), mid
+
+
+def test_y4m_invalid_variants_rejected_both_paths(spark):
+    """Subsampled chroma (C420), a corrupt mid-stream FRAME marker,
+    and a truncated tail must null out in Spark (one null-frame row)
+    and raise in Python."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_video,
+        decode_y4m_frames,
+    )
+
+    base, _ = _golden_y4m()
+    c420 = base.replace(b"Cmono", b"C420")
+    corrupt = bytearray(base)
+    corrupt[36 + 6 + 4] = ord("X")  # second frame's 'F' -> 'X'
+    truncated = base[:-2]
+    for bad in (c420, bytes(corrupt), truncated):
+        with pytest.raises(ValueError):
+            decode_video(bad)
+        rows = decode_y4m_frames(
+            spark.createDataFrame(
+                [(1, bad)], "media_id bigint, payload binary"
+            )
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["video_format"] is None
+        assert rows[0]["frame_idx"] is None and rows[0]["luma"] is None
