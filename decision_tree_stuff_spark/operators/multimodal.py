@@ -918,6 +918,83 @@ def decode_y4m_frames(
     )
 
 
+def audio_features(decoded: DataFrame) -> DataFrame:
+    """Classic per-clip audio features over REAL decoded PCM (r10):
+    (media_id, n_samples, mean_level, rms, peak, zero_crossings) from
+    ``decode_samples`` output — one shuffle-free projection per clip,
+    the shape that holds when the clip table is 100 TB.
+
+    * mean_level / rms: 6dp-rounded mean and root-mean-square of the
+      unsigned samples (integer sums underneath, so both engines
+      round the same doubles);
+    * peak: max sample;
+    * zero_crossings: sign changes of the DC-centered signal
+      (8-bit PCM silence = 128) — the standard noisiness feature.
+    Undecodable rows pass through with null features."""
+    s = F.col("samples")
+    n = F.size(s)
+    total = F.aggregate(
+        s, F.lit(0).cast("bigint"), lambda a, v: a + v.cast("bigint")
+    )
+    sumsq = F.aggregate(
+        s,
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v.cast("bigint") * v.cast("bigint"),
+    )
+    zc = F.size(
+        F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: (F.element_at(s, i) - 128)
+            * (F.element_at(s, i + 1) - 128)
+            < 0,
+        )
+    )
+    return decoded.select(
+        "media_id",
+        "n_samples",
+        F.when(
+            s.isNotNull(),
+            F.round(total / n.cast("double"), 6),
+        ).alias("mean_level"),
+        F.when(
+            s.isNotNull(),
+            F.round(F.sqrt(sumsq / n.cast("double")), 6),
+        ).alias("rms"),
+        F.when(s.isNotNull(), F.array_max(s)).alias("peak"),
+        F.when(s.isNotNull(), zc).cast("int").alias("zero_crossings"),
+    )
+
+
+def frame_motion(frames: DataFrame) -> DataFrame:
+    """Per-frame motion intensity over REAL decoded video (r10):
+    (media_id, frame_idx, motion) where motion is the 6dp-rounded
+    mean absolute luma difference against the PREVIOUS frame — the
+    standard shot-boundary / activity signal. One window keyed by
+    media (``lag`` of the luma plane, partition = clip — bounded rows
+    per clip however large the table, the natural video shuffle key),
+    then a shuffle-free zip_with fold. Frame 0 has no predecessor →
+    null motion."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    prev = F.lag("luma").over(w)
+    diff = F.aggregate(
+        F.zip_with(
+            F.col("luma"), prev, lambda a, b: F.abs(a.cast("bigint") - b)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.when(
+            prev.isNotNull() & F.col("luma").isNotNull(),
+            F.round(diff / F.size("luma").cast("double"), 6),
+        ).alias("motion"),
+    )
+
+
 def decode_video(payload: bytes):
     """Python single-payload twin of ``decode_y4m_frames``: returns
     ``(w, h, [frame0_luma, frame1_luma, ...])`` for a canonical mono

@@ -204,6 +204,8 @@ from decision_tree_stuff_spark.queries.media import (  # noqa: F401,E501
     q_e6_pixel_decode_paletted,
     q_e6_wav_decode,
     q_e6_y4m_decode,
+    q_e6_wav_features,
+    q_e6_y4m_motion,
 )
 from decision_tree_stuff_spark.queries.ingest import (  # noqa: F401,E501
     q_e12_batch_ingest,
@@ -441,6 +443,8 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_hll_distinct": q_e4_hll_distinct,          # r10: oracle-exact HyperLogLog
     "e6_wav_decode": q_e6_wav_decode,              # r10: real PCM audio decode
     "e6_y4m_decode": q_e6_y4m_decode,              # r10: real Y4M video decode
+    "e6_wav_features": q_e6_wav_features,          # r10: decoded-PCM features
+    "e6_y4m_motion": q_e6_y4m_motion,              # r10: per-frame motion
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
     "e4_repetition_stats": q_e4_repetition_stats,  # composed into e4_quality_filter
     "e4_retrieval_pipeline": q_e4_retrieval_pipeline,  # r8: BM25+RRF+decontam

@@ -192,7 +192,77 @@ def q_e6_y4m_decode(spark, sf_dir):
     )
 
 
+def q_e6_wav_features(spark, sf_dir):
+    """Decode→analyze composition over REAL audio (r10): classic
+    per-clip features (mean level, RMS, peak, zero crossings) from
+    the decoded PCM samples — integer sums underneath, so the oracle
+    recomputing from the closed-form samples matches bit-for-bit."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        audio_features,
+        decode_samples,
+        synthesize_decodable_audio,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    return audio_features(decode_samples(synthesize_decodable_audio(docs)))
+
+
+def q_e6_y4m_motion(spark, sf_dir):
+    """Decode→analyze composition over REAL video (r10): per-frame
+    motion intensity (mean |Δluma| vs the previous frame — the
+    shot-boundary signal) over the decoded Y4M frames; one window
+    keyed by clip, fold shuffle-free."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_y4m_frames,
+        frame_motion,
+        synthesize_decodable_video,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    return frame_motion(decode_y4m_frames(synthesize_decodable_video(docs)))
+
+
 ORACLE_SQL: Dict[str, str] = {
+    # r10: audio features recomputed from the closed-form samples
+    # (integer sums → identical rounded doubles; DuckDB lists are
+    # 1-indexed like Spark element_at).
+    "e6_wav_features": """
+WITH s AS (
+  SELECT doc_id AS media_id, CAST(doc_id % 25 + 4 AS INT) AS n_samples,
+         list_transform(range(0, doc_id % 25 + 4),
+                        i -> (doc_id * 11 + i * 17) % 256) AS sm
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT media_id, n_samples,
+       round(list_aggregate(sm, 'sum') / CAST(n_samples AS DOUBLE), 6)
+         AS mean_level,
+       round(sqrt(list_aggregate(list_transform(sm, v -> v * v), 'sum')
+                  / CAST(n_samples AS DOUBLE)), 6) AS rms,
+       CAST(list_aggregate(sm, 'max') AS INT) AS peak,
+       CAST(len(list_filter(range(1, n_samples),
+                            i -> (sm[i] - 128) * (sm[i + 1] - 128) < 0))
+            AS INT) AS zero_crossings
+FROM s
+""",
+    # r10: per-frame motion recomputed from the luma closed form
+    # (mod-256 wraps make it non-constant); frame 0 has no
+    # predecessor -> NULL.
+    "e6_y4m_motion": """
+WITH f AS (
+  SELECT doc_id AS media_id, doc_id AS d,
+         unnest(range(0, doc_id % 5 + 1)) AS frame_idx,
+         (doc_id % 4 + 2) * (doc_id % 3 + 2) AS wh
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CASE WHEN frame_idx = 0 THEN NULL
+            ELSE round(list_aggregate(list_transform(range(0, wh),
+                   q -> abs((d * 7 + frame_idx * 31 + q * 13) % 256
+                            - (d * 7 + (frame_idx - 1) * 31 + q * 13) % 256)),
+                   'sum') / CAST(wh AS DOUBLE), 6)
+       END AS motion
+FROM f
+""",
     # r10: Y4M round trip — the oracle recomputes every frame's luma
     # plane from the closed form (one row per frame via unnest).
     "e6_y4m_decode": """
