@@ -213,7 +213,7 @@ WITH RECURSIVE toks AS (
   ) u WHERE tok <> ''
 ),
 km AS ({_KM_HASHES}),
-sig AS (
+sig AS MATERIALIZED (
   SELECT doc_id,
 {_KM_SIG_AGGS}
   FROM km GROUP BY 1
@@ -246,7 +246,7 @@ reach(node, lab) AS (
   UNION
   SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
 ),
-s2 AS (
+s2 AS MATERIALIZED (
   SELECT d.* FROM documents d
   JOIN (SELECT node AS doc_id FROM reach GROUP BY node HAVING min(lab) = node)
   USING (doc_id)
@@ -275,7 +275,7 @@ gstats AS (
                                       l -> trim(l)), l -> l <> '') AS lines
     FROM s2) b
 ),
-s3 AS (
+s3 AS MATERIALIZED (
   SELECT s2.* FROM s2 JOIN gstats USING (doc_id)
   WHERE n_words BETWEEN 15 AND 100000
     AND mean_word_len BETWEEN 2.0 AND 10.0
@@ -284,25 +284,25 @@ s3 AS (
     AND stop_hits >= 2
     AND ellipsis_line_frac <= 0.3 AND bullet_line_frac <= 0.9
 ),
-occ AS (
+occ AS MATERIALIZED (
   SELECT doc_id, tok AS token FROM (
     SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
   ) u WHERE tok <> ''
 ),
-model AS (
+model AS MATERIALIZED (
   SELECT token, ln(CAST(count(*) AS DOUBLE)
                    / (SELECT count(*) FROM occ)) AS lp
   FROM occ GROUP BY 1
 ),
-lmscored AS (
+lmscored AS MATERIALIZED (
   SELECT doc_id, round(avg(lp), 6) AS mean_logprob
   FROM occ JOIN model USING (token) GROUP BY 1
 ),
-s4 AS (
+s4 AS MATERIALIZED (
   SELECT s3.* FROM s3 JOIN lmscored USING (doc_id)
   WHERE mean_logprob >= {INGEST_LM_T}
 ),
-allgrams AS (
+allgrams AS MATERIALIZED (
   SELECT doc_id, gram FROM (
     SELECT doc_id,
            unnest(list_transform(
@@ -335,7 +335,7 @@ bloomagg AS (
          CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
   FROM gramhit GROUP BY 1
 ),
-s5 AS (
+s5 AS MATERIALIZED (
   SELECT s4.* FROM s4 LEFT JOIN bloomagg USING (doc_id)
   WHERE n_grams IS NULL OR n_grams = 0
      OR round(n_hit / CAST(n_grams AS DOUBLE), 6) < {BLOOM_T}
@@ -356,7 +356,7 @@ semscore AS (
     FROM cemb c CROSS JOIN bemb b) t
   WHERE rn = 1
 ),
-s6 AS (
+s6 AS MATERIALIZED (
   SELECT s5.* FROM s5 LEFT JOIN semscore ON s5.doc_id = semscore.vec_id
   WHERE NOT coalesce(cos >= 0.8, false)
 ),
