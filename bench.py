@@ -120,6 +120,13 @@ BENCH_QUERIES = [
     # round-9 additions
     "e6_pixel_decode_paletted",  # 8-bit paletted BMP + PGM round trip
     "e12_batch_ingest",          # Dolma-style composed ingest, one plan
+    # round-10 additions
+    "e4_hll_distinct",       # oracle-exact HyperLogLog distinct sketch
+    "e4_lr_langid_joined",   # LR via the broadcast-weight-table path
+    "e6_wav_decode",         # real PCM WAV encode->decode round trip
+    "e6_y4m_decode",         # real mono-Y4M per-frame decode
+    "e6_wav_features",       # decoded-PCM clip features
+    "e6_y4m_motion",         # per-frame motion over decoded luma
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so
