@@ -202,6 +202,24 @@ def hll_registers(
     )
 
 
+def hll_merge(
+    *sketches: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Union + re-max: HLL registers are maxima, so merging sketches
+    of arbitrary (disjoint OR overlapping — max is idempotent) inputs
+    is exact — count-distinct over a union of shards for the price of
+    a 2^b-row-per-group aggregate, never a re-scan. The ``cms_merge``
+    twin for the distinct sketch; also what makes the streaming fold
+    (``streaming.stream_hll``) equal the batch register table."""
+    gcols = list(group_cols)
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*gcols, "bucket").agg(
+        F.max("maxrho").alias("maxrho")
+    )
+
+
 def hll_estimate(
     registers: DataFrame,
     group_cols: Sequence[str] = (),

@@ -299,3 +299,43 @@ def test_stream_hll_state_equals_batch_registers(
     assert got == batch and got
     versions = [v for v in os.listdir(state) if v.startswith("v")]
     assert len(versions) <= 2, versions
+
+
+def test_hll_merge_equals_one_shot_and_union_estimates(spark, sf_dir):
+    """hll_merge(shard sketches) == the one-shot register table — on
+    OVERLAPPING shards (max is idempotent), so the merged estimate is
+    the union's estimate, never an overcount."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(tokens(F.col("text")), lambda t: t != "")).alias(
+            "token"
+        ),
+    )
+    # overlapping shards: ids 0-2 mod 4 and 1-3 mod 4
+    a = hll_registers(toks.where("doc_id % 4 <= 2"), "token", ["lang"])
+    b = hll_registers(toks.where("doc_id % 4 >= 1"), "token", ["lang"])
+    merged = hll_merge(a, b, group_cols=["lang"])
+    whole = hll_registers(toks, "token", ["lang"])
+
+    def regs(df):
+        return {
+            (r["lang"], r["bucket"]): r["maxrho"] for r in df.collect()
+        }
+
+    assert regs(merged) == regs(whole)
+    est = {
+        r["lang"]: r["est"]
+        for r in hll_estimate(merged, ["lang"]).collect()
+    }
+    want = {
+        r["lang"]: r["est"] for r in hll_estimate(whole, ["lang"]).collect()
+    }
+    assert est == want and est
