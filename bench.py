@@ -374,8 +374,13 @@ def main() -> None:
         line = json.dumps(compact, separators=(",", ":"))
     # r10 self-check (r9 verdict task 9): the guarantee is now HARD —
     # fail the run loudly rather than emit a line the driver's tail
-    # window would truncate into `parsed: null`.
-    assert len(line) <= 1500 and json.loads(line), len(line)
+    # window would truncate into `parsed: null`. Explicit raise, not
+    # assert: asserts vanish under python -O (r10 advice).
+    if len(line) > 1500:
+        raise RuntimeError(
+            f"result line {len(line)} chars exceeds driver 1500-char window"
+        )
+    json.loads(line)  # raises on malformed output
     # The result JSON is the ONLY stdout line, flushed last.
     print(line, flush=True)
     spark.stop()

@@ -758,6 +758,10 @@ def luma_value(media_id, f, q):
 
 
 _Y4M_FRAME_MAGIC = "4652414D450A"  # 'FRAME\n'
+# Both Y4M decode paths (Spark + the Python twin) require the stream
+# header to end within this many bytes; longer spec-valid headers are
+# rejected IDENTICALLY on both paths (r10 advice: the caps must agree).
+_Y4M_HEADER_CAP = 80
 
 
 def encode_y4m(media_id, w, h, n_frames) -> Column:
@@ -837,10 +841,13 @@ def decode_y4m_frames(
     out entirely rather than emitting garbage frames). Non-mono
     chroma (420/422/444 subsampled streams) is rejected: their frame
     size differs and this canonical-mono parser does not cover them.
-    Invalid payloads yield one row with null decode columns, so the
-    operator is total over mixed media tables."""
+    The header must end within ``_Y4M_HEADER_CAP`` (80) bytes — the
+    Python twin ``decode_video`` enforces the SAME cap, so the two
+    paths agree on long-parameter headers (r10 advice). Invalid
+    payloads yield one row with null decode columns, so the operator
+    is total over mixed media tables."""
     p = F.col(payload_col)
-    hdr_len = F.least(F.length(p), F.lit(80))
+    hdr_len = F.least(F.length(p), F.lit(_Y4M_HEADER_CAP))
     hdr = F.array_join(
         F.transform(
             F.sequence(F.lit(1), hdr_len), lambda i: F.char(_u8(p, i))
@@ -941,14 +948,20 @@ def audio_features(decoded: DataFrame) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda a, v: a + v.cast("bigint") * v.cast("bigint"),
     )
-    zc = F.size(
-        F.filter(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: (F.element_at(s, i) - 128)
-            * (F.element_at(s, i + 1) - 128)
-            < 0,
-        )
-    )
+    # n == 1 guard (r10 advice): sequence(1, n-1) with n=1 yields the
+    # DESCENDING [1, 0] and element_at(s, 0) raises — a single-sample
+    # clip has zero crossings by definition, so gate the fold.
+    zc = F.when(
+        n >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: (F.element_at(s, i) - 128)
+                * (F.element_at(s, i + 1) - 128)
+                < 0,
+            )
+        ),
+    ).otherwise(F.lit(0))
     return decoded.select(
         "media_id",
         "n_samples",
@@ -998,12 +1011,20 @@ def frame_motion(frames: DataFrame) -> DataFrame:
 def decode_video(payload: bytes):
     """Python single-payload twin of ``decode_y4m_frames``: returns
     ``(w, h, [frame0_luma, frame1_luma, ...])`` for a canonical mono
-    Y4M stream, raises on anything else."""
+    Y4M stream, raises on anything else. Like the Spark path, the
+    stream header must terminate within the first 80 bytes (r10
+    advice: the Spark decoder scans only ``least(len, 80)`` header
+    chars, so a spec-valid header with a long parameter tail nulls
+    out there — this twin rejects it identically rather than
+    silently diverging)."""
     import re as _re
 
     m = _re.match(rb"^YUV4MPEG2 W(\d+) H(\d+) F\d+:\d+[^\n]*Cmono[^\n]*\n", payload)
-    if not m:
-        raise ValueError("not a canonical mono YUV4MPEG2 payload")
+    if not m or m.end() > _Y4M_HEADER_CAP:
+        raise ValueError(
+            "not a canonical mono YUV4MPEG2 payload (header must end "
+            f"within {_Y4M_HEADER_CAP} bytes)"
+        )
     w, h = int(m.group(1)), int(m.group(2))
     off, fsize = m.end(), w * h + 6
     body = len(payload) - off

@@ -437,3 +437,76 @@ def test_y4m_invalid_variants_rejected_both_paths(spark):
         assert len(rows) == 1
         assert rows[0]["video_format"] is None
         assert rows[0]["frame_idx"] is None and rows[0]["luma"] is None
+
+def test_y4m_long_header_rejected_identically_both_paths(spark):
+    """r10 advice: the Spark decoder scans only the first 80 header
+    bytes; the Python twin must enforce the SAME cap, so a spec-valid
+    mono stream whose parameter tail pushes the header past 80 bytes
+    is rejected on BOTH paths rather than silently diverging."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_video,
+        decode_y4m_frames,
+    )
+
+    f0 = [10, 20, 30, 40]
+    long_hdr = (
+        b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono "
+        b"XYSCSS=YUVMONO XCOLORRANGE=FULL XPADDING=" + b"z" * 40 + b"\n"
+    )
+    assert len(long_hdr) > 80  # the point of the test
+    payload = long_hdr + b"FRAME\n" + bytes(f0)
+    with pytest.raises(ValueError):
+        decode_video(payload)
+    rows = decode_y4m_frames(
+        spark.createDataFrame(
+            [(1, payload)], "media_id bigint, payload binary"
+        )
+    ).collect()
+    assert len(rows) == 1 and rows[0]["video_format"] is None
+    # ...and a short-tail header within the cap still decodes on both
+    short_hdr = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono XYSCSS=YUVMONO\n"
+    assert len(short_hdr) <= 80
+    ok_payload = short_hdr + b"FRAME\n" + bytes(f0)
+    w, h, frames = decode_video(ok_payload)
+    assert (w, h, frames) == (2, 2, [f0])
+    rows = decode_y4m_frames(
+        spark.createDataFrame(
+            [(1, ok_payload)], "media_id bigint, payload binary"
+        )
+    ).collect()
+    assert len(rows) == 1 and list(rows[0]["luma"]) == f0
+
+
+def test_audio_features_single_sample_clip(spark):
+    """r10 advice: a valid 1-sample WAV must yield zero_crossings=0,
+    not crash the fold (sequence(1, n-1) with n=1 is DESCENDING and
+    element_at(s, 0) raises)."""
+    import struct as _struct
+
+    from decision_tree_stuff_spark.operators.multimodal import (
+        audio_features,
+        decode_samples,
+    )
+
+    samples = bytes([200])
+    payload = (
+        b"RIFF"
+        + _struct.pack("<I", 36 + len(samples))
+        + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<I", 16)
+        + _struct.pack("<HH", 1, 1)
+        + _struct.pack("<II", 8000, 8000)
+        + _struct.pack("<HH", 1, 8)
+        + b"data"
+        + _struct.pack("<I", len(samples))
+        + samples
+    )
+    media = spark.createDataFrame(
+        [(1, payload)], "media_id bigint, payload binary"
+    )
+    row = audio_features(decode_samples(media)).first()
+    assert row["n_samples"] == 1
+    assert row["zero_crossings"] == 0
+    assert row["peak"] == 200
+    assert row["mean_level"] == 200.0
