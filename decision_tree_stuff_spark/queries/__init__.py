@@ -303,13 +303,18 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     # stay represented (simhash via e2_simhash_dups parity tests +
     # e2_jaccard/minhash gates; quantization via e3_pq parity tests)
     "e1d_span_dedup": q_e1d_span_dedup,
-    # r6 late rotation (same policy as the r5/r6 swaps the verdicts
-    # endorsed): winnowing + unigram-LM promoted — both sf0.01-green
-    # in CORRECTNESS_SELF_r06.json — in place of the two closest
-    # family variants (embedding near-dups: embedding-similarity
-    # stays via e2_semdedup + the e3 rows; top-tokens: the e4 family
-    # keeps 4 driver rows and top_tokens stays EXTRA-parity-checked)
-    "e2_winnow_pairs": q_e2_winnow_pairs,
+    # r11 rotation (GATE_ROTATION.md; r10 verdict task 2): the r10
+    # additions promoted — the HLL sketch family (oracle-exact incl.
+    # the estimate double) and the richest real-decode oracle (Y4M
+    # per-frame unnest + marker verification) — in place of two
+    # long-green rows from over-represented families (fingerprint
+    # dedup stays via e1d span + e2_jaccard/minhash/edit gates with
+    # winnowing EXTRA-parity; sampling keeps e8_sample/stratified/
+    # hash_split with pack_materialize EXTRA-parity). Both candidates
+    # pre-validated against the gate-schema contract test and
+    # sf0.01-hash-matched in CORRECTNESS_SELF_r10.json.
+    "e4_hll_distinct": q_e4_hll_distinct,
+    "e6_y4m_decode": q_e6_y4m_decode,
     "e4_lm_quality": q_e4_lm_quality,
     "e3_cosine_topk": q_e3_cosine_topk,
     "e3_rh_lsh_topk": q_e3_rh_lsh_topk,
@@ -326,7 +331,6 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     # keeps e8_sample/stratified/hash_split/pack_materialize; E-5
     # keeps e5_sessions; shuffle and tumbling stay EXTRA-parity).
     "e12_batch_ingest": q_e12_batch_ingest,
-    "e8_pack_materialize": q_e8_pack_materialize,
     "e6_pixel_decode_paletted": q_e6_pixel_decode_paletted,
     "e5_sessions": q_e5_sessions,
     "e4_document_stats": q_e4_document_stats,
@@ -440,9 +444,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_bpe_encode": q_e4_bpe_encode,              # r7: BPE encode projection
     "e4_lr_langid": q_e4_lr_langid,                # r7: logistic-regression gate
     "e4_lr_langid_joined": q_e4_lr_langid_joined,  # r10: joined path, own oracle
-    "e4_hll_distinct": q_e4_hll_distinct,          # r10: oracle-exact HyperLogLog
     "e6_wav_decode": q_e6_wav_decode,              # r10: real PCM audio decode
-    "e6_y4m_decode": q_e6_y4m_decode,              # r10: real Y4M video decode
     "e6_wav_features": q_e6_wav_features,          # r10: decoded-PCM features
     "e6_y4m_motion": q_e6_y4m_motion,              # r10: per-frame motion
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
@@ -460,6 +462,10 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # e12_batch_ingest / e6_pixel_decode_paletted (GATE_ROTATION.md)
     "e8_global_shuffle": q_e8_global_shuffle,
     "e5_tumbling_counts": q_e5_tumbling_counts,
+    # r11 rotation: two long-green rows demoted to make room for
+    # e4_hll_distinct / e6_y4m_decode (GATE_ROTATION.md)
+    "e2_winnow_pairs": q_e2_winnow_pairs,
+    "e8_pack_materialize": q_e8_pack_materialize,
 }
 
 EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {

@@ -21,7 +21,7 @@ from decision_tree_stuff_spark.queries import (
     SPARK_QUERIES,
 )
 
-# The exact 50-key gate window, in driver order (r10 rotation —
+# The exact 50-key gate window, in driver order (r11 rotation —
 # GATE_ROTATION.md has the swap history).
 GATE_KEYS = [
     "o01_filter_split",
@@ -43,7 +43,8 @@ GATE_KEYS = [
     "e10_asof_join",
     "e2_minhash_km_pairs",
     "e1d_span_dedup",
-    "e2_winnow_pairs",
+    "e4_hll_distinct",
+    "e6_y4m_decode",
     "e4_lm_quality",
     "e3_cosine_topk",
     "e3_rh_lsh_topk",
@@ -53,7 +54,6 @@ GATE_KEYS = [
     "e8_stratified_sample",
     "e8_hash_split",
     "e12_batch_ingest",
-    "e8_pack_materialize",
     "e6_pixel_decode_paletted",
     "e5_sessions",
     "e4_document_stats",
