@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "e6_y4m_decode",         # real mono-Y4M per-frame decode
     "e6_wav_features",       # decoded-PCM clip features
     "e6_y4m_motion",         # per-frame motion over decoded luma
+    # round-11 additions
+    "e1f_exact_substring",   # ExactSubstr dedup (anchor + diagonal merge)
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

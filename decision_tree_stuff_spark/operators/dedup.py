@@ -1433,3 +1433,146 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+def exact_substring_matches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+    max_df="auto",
+    auto_quantile: float = 0.70,
+) -> DataFrame:
+    """Suffix-array-STYLE exact-substring duplicate finder (r11; the
+    other half of Lee et al. 2022's dedup recipe — ExactSubstr — whose
+    reference implementation builds a monolithic suffix array): every
+    MAXIMAL verbatim cross-document match of length ≥ ``min_len``
+    normalized characters, with exact positions and exact length.
+    This is the deterministic complement of the probabilistic family:
+    chunk-frequency span dedup (``span_dedup``) only sees duplicates
+    that repeat OFTEN and align with its fixed n-gram chunking, and
+    MinHash only surfaces them probabilistically — a long verbatim
+    quote shared by exactly two documents at different offsets is
+    invisible to both, and is exactly what this operator returns.
+
+    No suffix array is built; the same output is reached with three
+    bounded dataflow steps (sorted-anchor + diagonal merge):
+
+    1. **Anchors** — a per-doc projection emits md5(L-gram) for EVERY
+       position of the normalized text (L = ``min_len``). Any common
+       substring of length ≥ L contains an aligned common L-gram, so
+       anchor recall is exact, not sampled. O(total chars) md5s,
+       shuffle-free, embarrassingly parallel (``spread_small`` guards
+       the single-split small-corpus case).
+    2. **Candidate pairs** — anchors group by gram hash; each group's
+       (id, pos) list is bounded by the ``max_df`` hot-gram cap
+       (ubiquitous boilerplate grams — the keys that would square —
+       are dropped by a broadcast anti-join FIRST, the same guard as
+       ``winnow_pairs``/PPJoin, so no aggregation buffer is
+       unbounded), then ordered cross-doc pairs are generated
+       array-locally (the capped grouped-pairs pattern: Σ df² rows
+       are born map-side of the next aggregate).
+    3. **Diagonal merge** — a shared verbatim run of length m places
+       its anchors at CONSECUTIVE positions on one alignment diagonal
+       (pos_a − pos_b constant), so gaps-and-islands over each
+       (id_a, id_b, diagonal) — ``row_number`` window, no per-group
+       buffering — merges them: match_len = L + count − 1 recovers m
+       EXACTLY, and the run's flanks are guaranteed mismatches
+       (maximality) because an extension anchor would have merged.
+
+    The one approximation is the hot-gram cap itself: a maximal run
+    whose INTERIOR crosses a dropped boilerplate gram splits into two
+    reported sub-runs (still ≥ L each), and runs consisting ONLY of
+    over-cap grams are suppressed — the standard df-cap trade
+    documented on every banded operator here. ``max_df='auto'``
+    derives the cap from the anchor-df distribution (P70, floor 10)
+    exactly like ``winnow_pairs``; pass an int for oracle-stable
+    plans or ``None`` to disable the guard (unbounded fan-out — only
+    for tiny corpora).
+
+    100 TB: two shuffles (gram groupBy, diagonal window+groupBy),
+    both on keys whose group sizes are capped (max_df anchors per
+    gram; ≤ doc-length anchors per doc-pair diagonal), no driver
+    collect (the auto cap is ONE scalar quantile action), no UDFs.
+    Raising ``min_len`` (Lee et al. use 50 tokens ≈ 250 chars) makes
+    grams rarer and every stage cheaper — the natural scale knob.
+
+    Returns (id_a, id_b, pos_a, pos_b, match_len) with id_a < id_b;
+    positions are 1-based offsets into the NORMALIZED text.
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    from decision_tree_stuff_spark.functions.text import normalize_text
+    from decision_tree_stuff_spark.operators import spread_small
+
+    L = int(min_len)
+    prep = (
+        spread_small(docs)
+        .select(id_col, normalize_text(F.col(text_col)).alias("__norm"))
+        .where(F.length("__norm") >= L)
+    )
+    anchors = prep.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__norm") - L + 1),
+                lambda i: F.md5(F.substring(F.col("__norm"), i, L)),
+            )
+        ).alias("__pos0", "__g"),
+    ).select(
+        "__id", (F.col("__pos0") + 1).cast("int").alias("__pos"), "__g"
+    )
+    if max_df == "auto":
+        q = (
+            anchors.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.percentile_approx("df", F.lit(auto_quantile), F.lit(10000)))
+            .first()[0]
+        )
+        max_df = max(int(q), 10) if q is not None else None
+    if max_df is not None:
+        hot = (
+            anchors.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("__g")
+        )
+        anchors = anchors.join(F.broadcast(hot), "__g", "left_anti")
+    occ = anchors.groupBy("__g").agg(
+        F.collect_list(F.struct("__id", "__pos")).alias("occ")
+    )
+    pairs = occ.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("occ"),
+                    lambda a: F.filter(
+                        F.transform(
+                            F.col("occ"),
+                            lambda b: F.struct(
+                                a["__id"].alias("id_a"),
+                                a["__pos"].alias("pos_a"),
+                                b["__id"].alias("id_b"),
+                                b["__pos"].alias("pos_b"),
+                            ),
+                        ),
+                        lambda p: p["id_a"] < p["id_b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.pos_a", "p.id_b", "p.pos_b")
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("__diag")
+    w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pos_a")
+    runs = pairs.select("id_a", "id_b", "pos_a", "pos_b", diag).withColumn(
+        "__isl", F.col("pos_a") - F.row_number().over(w)
+    )
+    return runs.groupBy("id_a", "id_b", "__diag", "__isl").agg(
+        F.min("pos_a").alias("pos_a"),
+        F.count(F.lit(1)).alias("__n"),
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("pos_a").cast("int").alias("pos_a"),
+        (F.col("pos_a") - F.col("__diag")).cast("int").alias("pos_b"),
+        (F.lit(L) + F.col("__n") - 1).cast("int").alias("match_len"),
+    )

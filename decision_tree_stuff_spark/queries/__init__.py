@@ -125,6 +125,7 @@ from decision_tree_stuff_spark.queries.dedup import (  # noqa: F401,E501
     q_e1c_incremental_minhash,
     q_e1d_span_dedup,
     q_e1e_corpus_diff,
+    q_e1f_exact_substring,
     q_e2_jaccard_capped,
     q_e7_dedup_clusters,
     q_e7c_dedup_keep_best,
@@ -379,6 +380,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # (e1b incremental dedup / e7+e7b component dedup)
     "e1c_incremental_minhash": q_e1c_incremental_minhash,
     "e1e_corpus_diff": q_e1e_corpus_diff,  # r5: snapshot delta audit
+    "e1f_exact_substring": q_e1f_exact_substring,  # r11: ExactSubstr dedup
     "e4_quantile_filter": q_e4_quantile_filter,  # r5: quantile selection
     # r6: swapped out of the gate window for e1d/e2_semdedup — both
     # are parameter/hash-family variants of driver-gated siblings

@@ -301,6 +301,22 @@ def q_e2_winnow_pairs(spark, sf_dir):
     )
 
 
+def q_e1f_exact_substring(spark, sf_dir):
+    """Suffix-array-style exact-substring matches (r11, Lee et al.
+    2022 ExactSubstr semantics): every maximal cross-doc verbatim
+    match ≥ 25 normalized chars with exact positions and length —
+    sorted-anchor + diagonal gaps-and-islands merge, no suffix array.
+    max_df=50 is the same boilerplate-gram cap as the winnow row
+    (fixed int so the oracle is engine-stable)."""
+    from decision_tree_stuff_spark.operators.dedup import (
+        exact_substring_matches,
+    )
+
+    return exact_substring_matches(
+        _docs(spark, sf_dir), min_len=25, max_df=50
+    )
+
+
 def q_e2_edit_verified(spark, sf_dir):
     """Winnowing candidates confirmed by character-level edit distance
     (r6): certifies sequence similarity, not just bag overlap."""
@@ -325,6 +341,46 @@ SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
        min(doc_id) AS doc_id,
        CAST(count(*) AS BIGINT) AS dup_count
 FROM documents GROUP BY 1
+""",
+    # r11 exact-substring: anchor md5(25-gram) at EVERY normalized
+    # position, cap gram df at 50, pair cross-doc anchors per gram,
+    # then gaps-and-islands per (pair, diagonal = pos_a - pos_b):
+    # match_len = 25 + island size - 1 recovers each maximal run
+    # exactly. unnest(range(...)) multiplies rows; range() is
+    # upper-exclusive (Spark sequence inclusive -> len-25+2).
+    "e1f_exact_substring": """
+WITH nz AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+posns AS (
+  SELECT doc_id, t,
+         CAST(unnest(range(1, CAST(length(t) AS BIGINT) - 23)) AS INT) AS pos
+  FROM nz WHERE length(t) >= 25
+),
+anch AS (
+  SELECT doc_id, pos, md5(substr(t, pos, 25)) AS g FROM posns
+),
+ok AS (SELECT g FROM anch GROUP BY g HAVING count(*) <= 50),
+kept AS (SELECT a.* FROM anch a JOIN ok USING (g)),
+p AS (
+  SELECT a.doc_id AS id_a, a.pos AS pos_a,
+         b.doc_id AS id_b, b.pos AS pos_b
+  FROM kept a JOIN kept b USING (g)
+  WHERE a.doc_id < b.doc_id
+),
+r AS (
+  SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a,
+         pos_a - CAST(row_number() OVER (
+           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+         ) AS INT) AS isl
+  FROM p
+)
+SELECT id_a, id_b,
+       CAST(min(pos_a) AS INT) AS pos_a,
+       CAST(min(pos_a) - diag AS INT) AS pos_b,
+       CAST(25 + count(*) - 1 AS INT) AS match_len
+FROM r GROUP BY id_a, id_b, diag, isl
 """,
     "e2_jaccard_pairs": f"""
 WITH toks AS (
