@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "e6_y4m_motion",         # per-frame motion over decoded luma
     # round-11 additions
     "e1f_exact_substring",   # ExactSubstr dedup (anchor + diagonal merge)
+    "e4_unigram_lm",         # SentencePiece unigram-LM EM trainer
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -219,3 +219,259 @@ def bpe_encode(
         .otherwise(F.array_join(out_toks, " "))
         .alias("encoded"),
     )
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer trainer — r11.
+# ---------------------------------------------------------------------------
+
+MICRO = 1_000_000.0  # expected counts are accumulated in micro-units
+
+
+def _unigram_prob_map(probs: dict):
+    """The current piece→probability table as ONE bound map column
+    (bound once; an inline literal map would be re-created per HOF
+    element — the CreateArray-per-lambda-call pitfall)."""
+    items = []
+    for piece in sorted(probs):
+        items.append(F.lit(piece))
+        items.append(F.lit(float(probs[piece])))
+    return F.create_map(*items)
+
+
+def _unigram_estep(words: DataFrame, probs: dict, P: int) -> DataFrame:
+    """One soft-EM E-step over the word-type table: expected piece
+    counts in exact micro-unit BIGINTs.
+
+    Forward/backward are ``F.aggregate`` folds (linear, one pass —
+    the wide-column DP would hit the expression-chain cliff) whose
+    per-step sums are written with a FIXED term order (k = 1..P,
+    left-to-right additions) and whose probabilities are plain
+    double literals: IEEE +,*,/ are exactly specified, so the DuckDB
+    twin folding the identical expressions produces bit-identical
+    alphas/betas — the e9c/LR portability contract. The only
+    cross-row aggregation is the final per-piece SUM of
+    ``round(((alpha·p·beta)/Z)·f·1e6)`` BIGINTs: integer sums are
+    order-free under any partitioning, the same fixed-point trick as
+    ``classifier.lr_fit``.
+    """
+    pm = _unigram_prob_map(probs)
+    w = F.col("word")
+    n = F.col("__n")
+
+    def plook(s):
+        return F.coalesce(
+            F.try_element_at(F.col("__pm"), s), F.lit(0.0)
+        )
+
+    def alpha_step(acc, i):
+        terms = None
+        for k in range(1, P + 1):
+            t = F.when(
+                i - F.lit(k) >= 0,
+                F.element_at(acc, i - F.lit(k) + 1)
+                * plook(F.substring(w, i - F.lit(k) + 1, F.lit(k))),
+            ).otherwise(F.lit(0.0))
+            terms = t if terms is None else terms + t
+        return F.concat(acc, F.array(terms))
+
+    # betas are built end-first: __b = [beta_n, beta_{n-1}, ... beta_0],
+    # i.e. element d+1 is beta at distance d from the word end
+    def beta_step(acc, j):
+        terms = None
+        for k in range(1, P + 1):
+            t = F.when(
+                j + F.lit(k) <= n,
+                plook(F.substring(w, j + 1, F.lit(k)))
+                * F.element_at(acc, n - (j + F.lit(k)) + 1),
+            ).otherwise(F.lit(0.0))
+            terms = t if terms is None else terms + t
+        return F.concat(acc, F.array(terms))
+
+    base = words.select(
+        "word", "f", F.length("word").alias("__n"), pm.alias("__pm")
+    )
+    bound = base.select(
+        "word",
+        "f",
+        "__n",
+        "__pm",
+        F.aggregate(
+            F.sequence(F.lit(1), n), F.array(F.lit(1.0)), alpha_step
+        ).alias("__a"),
+        F.aggregate(
+            F.sequence(n - 1, F.lit(0), F.lit(-1)),
+            F.array(F.lit(1.0)),
+            beta_step,
+        ).alias("__b"),
+    )
+    z = F.element_at(F.col("__a"), n + 1)
+    fd = F.col("f").cast("double")
+
+    def edge(j, k):
+        piece = F.substring(w, j + 1, k)
+        em = F.when(
+            z > 0.0,
+            F.round(
+                (
+                    (
+                        (
+                            (F.element_at(F.col("__a"), j + 1) * plook(piece))
+                            * F.element_at(F.col("__b"), n - (j + k) + 1)
+                        )
+                        / z
+                    )
+                    * fd
+                )
+                * F.lit(MICRO),
+                0,
+            ),
+        ).otherwise(F.lit(0.0))
+        return F.struct(piece.alias("piece"), em.alias("em"))
+
+    edges = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(P), n - j)),
+                lambda k: edge(j, k),
+            ),
+        )
+    )
+    ex = bound.select("__pm", F.explode(edges).alias("e"))
+    return (
+        ex.where(
+            F.try_element_at(
+                F.col("__pm"), F.col("e.piece")
+            ).isNotNull()
+        )
+        .groupBy(F.col("e.piece").alias("piece"))
+        .agg(F.sum(F.col("e.em").cast("bigint")).alias("em"))
+    )
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    vocab_size: int = 40,
+    seed_size: int = 60,
+    max_piece_len: int = 3,
+    max_word_len: int = 8,
+    em_iters: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache: bool = True,
+):
+    """Unigram-LM subword trainer (Kudo 2018 — the SentencePiece
+    algorithm; r11, completing the BPE / WordPiece / Unigram trainer
+    triple): fit piece probabilities by soft EM over the word-type
+    table, then keep the ``vocab_size`` highest-expected-count pieces.
+
+    Faithful shape, bounded configuration:
+
+    * **seed** — candidate vocabulary = every single character plus
+      the ``seed_size`` most frequent substrings of length
+      2..``max_piece_len`` (frequency = Σ word-freq × occurrences;
+      ties lexicographic). Initial p ∝ seed frequency.
+    * **E-step** — exact forward-backward over each word type's
+      segmentation lattice (``_unigram_estep``): expected count of
+      piece g = Σ_edges α(j)·p(g)·β(j+k)/Z, accumulated in
+      micro-unit BIGINTs (order-free integer sums; per-edge
+      rounding — the LR fixed-point contract).
+    * **M-step** — p(g) = count(g)/Σcounts, one exact double
+      division of integers, computed driver-side like ``bpe_train``'s
+      argmax (the model table is vocabulary-sized by construction).
+    * **prune** — after ``em_iters`` rounds, rank by the LAST
+      E-step's expected counts (desc, piece asc) and keep the top
+      ``vocab_size``. (Production SentencePiece interleaves
+      prune/refit rounds; the single final prune keeps the driver
+      query's unrolled SQL twin tractable and is the documented
+      difference.)
+
+    Scale: like ``bpe_train``, everything after the one corpus-sized
+    word-count shuffle is vocabulary-sized work — each EM iteration
+    is ONE aggregate over word types (per-word O(len·P) expression
+    math, no joins) plus a bounded model collect. Words are truncated
+    to ``max_word_len`` chars (the lattice cost knob; SentencePiece's
+    own trainer caps sentence/word lengths the same way).
+
+    Training is bit-deterministic by arithmetic (fixed fold orders,
+    IEEE +,*,/ only — no transcendentals), so the DuckDB twin
+    unrolling the same iterations matches exactly, including the
+    micro counts. Returns ``[(rank, piece, count_micro), ...]``.
+    """
+    if max_piece_len < 1 or max_word_len < 1:
+        raise ValueError("max_piece_len and max_word_len must be >= 1")
+    if em_iters < 1:
+        raise ValueError("em_iters must be >= 1")
+    P = int(max_piece_len)
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .where(F.col("tok") != "")
+        .select(F.substring("tok", 1, max_word_len).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    if cache:
+        from pyspark import StorageLevel
+
+        words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    subs = words.select(
+        "f",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(P), F.length("word") - i + 1
+                            ),
+                        ),
+                        lambda k: F.substring(F.col("word"), i, k),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    cnts = subs.groupBy("piece").agg(F.sum("f").alias("cnt"))
+    singles = cnts.where(F.length("piece") == 1)
+    multis = (
+        cnts.where(F.length("piece") >= 2)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(seed_size)
+    )
+    seed = {
+        r["piece"]: int(r["cnt"])
+        for r in singles.unionAll(multis).collect()
+    }
+    total = sum(seed.values())
+    if total == 0:
+        if cache:
+            words.unpersist()
+        return []
+    probs = {g: c / total for g, c in seed.items()}
+    counts = {}
+    for _ in range(em_iters):
+        em = {
+            r["piece"]: int(r["em"])
+            for r in _unigram_estep(words, probs, P).collect()
+        }
+        counts = {g: em.get(g, 0) for g in probs}
+        t = sum(counts.values())
+        if t <= 0:
+            break
+        probs = {g: c / t for g, c in counts.items()}
+    if cache:
+        words.unpersist()
+    ranked = sorted(
+        (g for g, c in counts.items() if c > 0),
+        key=lambda g: (-counts[g], g),
+    )[:vocab_size]
+    return [(r + 1, g, counts[g]) for r, g in enumerate(ranked)]
+
+
+def unigram_table(spark, pieces) -> DataFrame:
+    """The portable (rank, piece, count_micro) model table."""
+    return spark.createDataFrame(
+        pieces, "rank int, piece string, count_micro bigint"
+    )

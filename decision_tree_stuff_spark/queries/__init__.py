@@ -168,6 +168,7 @@ from decision_tree_stuff_spark.queries.text import (  # noqa: F401,E501
     q_e4_lr_langid_joined,
     q_e4_bpe_merges,
     q_e4_wordpiece_merges,
+    q_e4_unigram_lm,
     q_e4_bpe_encode,
     q_e4_lm_buckets,
     q_e4_gopher_rules,
@@ -443,6 +444,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_lm_buckets": q_e4_lm_buckets,              # r7: CCNet head/mid/tail
     "e4_bpe_merges": q_e4_bpe_merges,              # r7: BPE trainer
     "e4_wordpiece_merges": q_e4_wordpiece_merges,  # r7: WordPiece criterion
+    "e4_unigram_lm": q_e4_unigram_lm,              # r11: SentencePiece EM
     "e4_bpe_encode": q_e4_bpe_encode,              # r7: BPE encode projection
     "e4_lr_langid": q_e4_lr_langid,                # r7: logistic-regression gate
     "e4_lr_langid_joined": q_e4_lr_langid_joined,  # r10: joined path, own oracle

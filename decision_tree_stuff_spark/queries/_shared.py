@@ -1013,3 +1013,150 @@ _RH_BUCKET = " + ".join(
 _RH_PROBES = ", ".join(
     ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(_RH_N_PLANES)]
 )
+
+def _unigram_lm_sql(
+    vocab_size: int = 40,
+    seed_size: int = 60,
+    P: int = 3,
+    W: int = 8,
+    em_iters: int = 2,
+) -> str:
+    """Unrolled soft-EM twin of ``bpe.unigram_lm_train`` (r11): the
+    forward/backward lattice DP becomes one lateral-alias column
+    chain per EM iteration (a_i / r_d columns; r_d = beta at distance
+    d from the word end, matching the Spark fold's end-first array),
+    written with the IDENTICAL term order and parenthesization as the
+    Spark expressions — IEEE +,*,/ are exactly specified, so the
+    alphas/betas match bit-for-bit (the LR/e9c portability contract).
+    Expected counts round to micro-unit integers PER EDGE before any
+    sum, so aggregation order is immaterial; M-step probabilities are
+    exact double divisions of those integers. Columns beyond a word's
+    length compute harmless junk that nothing indexes (edges stop at
+    n). Each DP column is its OWN MATERIALIZED CTE: DuckDB's binder
+    rejects lateral aliases whose expression contains a subquery (the
+    prob lookups are correlated scalar subqueries), and each a_i is
+    referenced by up to P later columns — inlined CTEs re-evaluate
+    multiplicatively (the e12 oracle lesson), so every link in the
+    chain materializes."""
+    pieces_cte = f"""words AS MATERIALIZED (
+  SELECT substr(tok, 1, {W}) AS word, CAST(count(*) AS BIGINT) AS f FROM (
+    SELECT unnest(list_filter({TOKS_SQL}, t -> t <> '')) AS tok
+    FROM documents
+  ) GROUP BY 1
+),
+spos AS (
+  SELECT word, f, CAST(unnest(range(1, length(word) + 1)) AS INT) AS i
+  FROM words
+),
+skl AS (
+  SELECT word, f, i,
+         CAST(unnest(range(1, least({P}, length(word) - i + 1) + 1)) AS INT) AS k
+  FROM spos
+),
+subs AS MATERIALIZED (
+  SELECT substr(word, i, k) AS piece, SUM(f) AS cnt FROM skl GROUP BY 1
+),
+vocab0 AS MATERIALIZED (
+  SELECT piece, cnt FROM subs WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM subs WHERE length(piece) >= 2
+    ORDER BY cnt DESC, piece ASC LIMIT {seed_size}
+  )
+),
+v0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(cnt AS DOUBLE) / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM vocab0) AS p
+  FROM vocab0
+)"""
+    parts = [pieces_cte]
+    for t in range(em_iters):
+        def pl(s: str) -> str:
+            return f"COALESCE((SELECT p FROM v{t} v WHERE v.piece = {s}), 0.0)"
+
+        parts.append(
+            f"""dp{t}_a0 AS MATERIALIZED (
+  SELECT word, f, length(word) AS n, 1.0 AS a0 FROM words
+)"""
+        )
+        prev = f"dp{t}_a0"
+        for i in range(1, W + 1):
+            terms = []
+            for k in range(1, P + 1):
+                if i - k >= 0:
+                    terms.append(
+                        f"(a{i - k} * {pl(f'substr(word, {i - k + 1}, {k})')})"
+                    )
+                else:
+                    terms.append("0.0")
+            parts.append(
+                f"""dp{t}_a{i} AS MATERIALIZED (
+  SELECT *, ({' + '.join(terms)}) AS a{i} FROM {prev}
+)"""
+            )
+            prev = f"dp{t}_a{i}"
+        parts.append(
+            f"""dp{t}_r0 AS MATERIALIZED (
+  SELECT *, 1.0 AS r0 FROM {prev}
+)"""
+        )
+        prev = f"dp{t}_r0"
+        for d in range(1, W + 1):
+            terms = []
+            for k in range(1, P + 1):
+                if k <= d:
+                    terms.append(
+                        f"({pl(f'substr(word, n - {d} + 1, {k})')} * r{d - k})"
+                    )
+                else:
+                    terms.append("0.0")
+            parts.append(
+                f"""dp{t}_r{d} AS MATERIALIZED (
+  SELECT *, ({' + '.join(terms)}) AS r{d} FROM {prev}
+)"""
+            )
+            prev = f"dp{t}_r{d}"
+        al = ", ".join(f"a{i}" for i in range(W + 1))
+        rl = ", ".join(f"r{d}" for d in range(W + 1))
+        parts.append(
+            f"""dl{t} AS (
+  SELECT word, f, n, list_value({al}) AS al, list_value({rl}) AS rl
+  FROM {prev}
+),
+ej{t} AS (
+  SELECT word, f, n, al, rl, CAST(unnest(range(0, n)) AS INT) AS j
+  FROM dl{t}
+),
+ek{t} AS (
+  SELECT word, f, n, al, rl, j,
+         CAST(unnest(range(1, least({P}, n - j) + 1)) AS INT) AS k
+  FROM ej{t}
+),
+ed{t} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(CAST(em AS BIGINT)) AS BIGINT) AS em FROM (
+    SELECT v.piece,
+      CASE WHEN e.al[e.n + 1] > 0.0 THEN
+        round(((((e.al[e.j + 1] * v.p) * e.rl[e.n - (e.j + e.k) + 1])
+                / e.al[e.n + 1]) * CAST(e.f AS DOUBLE)) * 1000000.0)
+      ELSE 0.0 END AS em
+    FROM ek{t} e JOIN v{t} v ON v.piece = substr(e.word, e.j + 1, e.k)
+  ) GROUP BY 1
+),
+v{t + 1} AS MATERIALIZED (
+  SELECT piece,
+         CAST(em AS DOUBLE) / (SELECT CAST(SUM(em) AS DOUBLE) FROM ed{t}) AS p
+  FROM ed{t}
+)"""
+        )
+    last = em_iters - 1
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT "rank", piece, count_micro FROM (
+  SELECT CAST(row_number() OVER (ORDER BY em DESC, piece ASC) AS INT) AS "rank",
+         piece, em AS count_micro
+  FROM ed{last} WHERE em > 0
+) ranked WHERE "rank" <= {vocab_size}
+"""
+    )

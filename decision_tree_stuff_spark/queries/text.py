@@ -37,6 +37,7 @@ from decision_tree_stuff_spark.queries._shared import (  # noqa: F401
     _LN_BACKOFF,
     _bpe_encode_sql,
     _bpe_merges_sql,
+    _unigram_lm_sql,
     _cms_sql_cells,
     _cos_sql,
     _docs,
@@ -315,6 +316,30 @@ def q_e4_wordpiece_merges(spark, sf_dir):
     return bpe_merge_table(spark, merges)
 
 
+def q_e4_unigram_lm(spark, sf_dir):
+    """Unigram-LM tokenizer training (r11, Kudo 2018 — the
+    SentencePiece trainer, completing the BPE/WordPiece/Unigram
+    triple): seed vocabulary from substring frequencies, 2 soft-EM
+    rounds of exact forward-backward over the word-type lattice, keep
+    the 40 highest-expected-count pieces. Bit-deterministic by
+    arithmetic (fixed IEEE fold orders; micro-unit integer expected
+    counts), so the unrolled CTE twin matches every count exactly."""
+    from decision_tree_stuff_spark.operators.bpe import (
+        unigram_lm_train,
+        unigram_table,
+    )
+
+    pieces = unigram_lm_train(
+        _docs(spark, sf_dir),
+        vocab_size=40,
+        seed_size=60,
+        max_piece_len=3,
+        max_word_len=8,
+        em_iters=2,
+    )
+    return unigram_table(spark, pieces)
+
+
 def q_e4_bpe_encode(spark, sf_dir):
     """BPE encoding (r7): the 12 learned merges applied to every
     document as a chain of literal replaces over the double-spaced
@@ -591,6 +616,9 @@ GROUP BY 1
     # BPE twins: unrolled merge iterations (see _bpe_ctes_sql); the
     # encode twin chains the same literal replaces over documents.
     "e4_bpe_merges": _bpe_merges_sql(BPE_MERGES),
+    "e4_unigram_lm": _unigram_lm_sql(
+        vocab_size=40, seed_size=60, P=3, W=8, em_iters=2
+    ),
     "e4_wordpiece_merges": _bpe_merges_sql(BPE_MERGES, "likelihood"),
     "e4_bpe_encode": _bpe_encode_sql(BPE_MERGES),
     # CCNet-bucket twin: the e4_lm_quality program + quantile_cont
