@@ -58,7 +58,12 @@ INGEST_SEED = "ing9"       # sampling hash seed
 INGEST_PACK_SEED = "ing9p"  # packing layout seed
 
 
-def ingest_stages(spark, sf_dir, checkpoint_mode: str = "local"):
+def ingest_stages(
+    spark,
+    sf_dir,
+    checkpoint_mode: str = "local",
+    barrier_mode: str = "rows",
+):
     """The pipeline as ordered ``(name, DataFrame -> DataFrame)``
     stages over ``documents`` — shared by the gate query (composed
     into one plan) and the ``run_with_audit`` funnel test.
@@ -71,17 +76,40 @@ def ingest_stages(spark, sf_dir, checkpoint_mode: str = "local"):
     (requires ``setCheckpointDir``; the right switch for a multi-hour
     100 TB ingest where one preemption must not restart the whole
     pipeline — production Dolma-style runs materialize intermediate
-    shards between phases for exactly this reason)."""
+    shards between phases for exactly this reason).
+
+    ``barrier_mode`` (r11, r10 verdict task 9 — the documented
+    SCALING_r10 lever): ``'rows'`` checkpoints the surviving rows
+    INCLUDING the raw text (~0.5 GB materialized at sf10p);
+    ``'ids'`` checkpoints only the kept id set and re-derives the
+    rows by joining the raw parquet scan back — the barrier then
+    stores 8 bytes/doc instead of the text, at the price of one extra
+    scan + join per barrier. Both modes produce the identical
+    manifest (pinned in tests/test_ingest_batch.py); the sf10p A/B
+    (SCALING_r11.md) records which wins at scale."""
     if checkpoint_mode not in ("local", "reliable"):
         raise ValueError(
             f"checkpoint_mode must be 'local' or 'reliable', got "
             f"{checkpoint_mode!r}"
         )
+    if barrier_mode not in ("rows", "ids"):
+        raise ValueError(
+            f"barrier_mode must be 'rows' or 'ids', got {barrier_mode!r}"
+        )
 
-    def barrier(df):
+    def _checkpoint(df):
         if checkpoint_mode == "reliable":
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
+
+    def barrier(df):
+        if barrier_mode == "ids":
+            # both barriered stages are keep-type filters over raw
+            # document rows, so the kept-id set re-derives them from
+            # the (column-pruned, pushdown-eligible) scan exactly
+            kept = _checkpoint(df.select("doc_id"))
+            return _docs(spark, sf_dir).join(kept, "doc_id")
+        return _checkpoint(df)
 
     from decision_tree_stuff_spark.operators.clustering import (
         dedup_keep_collapsed,
@@ -98,6 +126,7 @@ def ingest_stages(spark, sf_dir, checkpoint_mode: str = "local"):
     from decision_tree_stuff_spark.operators.textstats import (
         gopher_rules,
         unigram_logprob,
+        unigram_model,
     )
     from decision_tree_stuff_spark.functions.text import token_count
 
@@ -123,12 +152,17 @@ def ingest_stages(spark, sf_dir, checkpoint_mode: str = "local"):
         return d.join(keep, "doc_id")
 
     def lm_gate(d):
-        # scored under the RAW-corpus model: per-doc scores are
-        # corpus-level, so scoring all docs and filtering to the
-        # survivors is exactly "score survivors under the raw model"
-        scored = unigram_logprob(_docs(spark, sf_dir)).where(
-            F.col("mean_logprob") >= INGEST_LM_T
-        )
+        # model built on the RAW corpus (per-doc scores are
+        # corpus-level), but ONLY the survivor set is exploded and
+        # vocab-joined for scoring (r10 verdict task 5): survivors are
+        # a subset of the model corpus, so every token is
+        # in-vocabulary and the scores are identical to scoring the
+        # full corpus — exploding already-dropped docs through the
+        # model join was avoidable work at 100 TB (the model build
+        # itself still needs, and gets, the one full-corpus scan).
+        scored = unigram_logprob(
+            d, model=unigram_model(_docs(spark, sf_dir))
+        ).where(F.col("mean_logprob") >= INGEST_LM_T)
         return d.join(scored.select("doc_id"), "doc_id")
 
     def bloom(d):
