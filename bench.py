@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     # round-11 additions
     "e1f_exact_substring",   # ExactSubstr dedup (anchor + diagonal merge)
     "e4_unigram_lm",         # SentencePiece unigram-LM EM trainer
+    "e6_header_meta",        # JPEG/PNG/GIF header walk roundtrip
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -1233,3 +1233,95 @@ def decode_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
         height.cast("int").alias("height"),
         pixels.alias("pixels"),
     )
+
+def _be_hex(v, nbytes: int):
+    """Hex string of ``v`` as a big-endian ``nbytes`` integer."""
+    if not isinstance(v, Column):
+        v = F.lit(v)
+    v = v.cast("bigint")
+    return F.concat(
+        *[
+            _byte_hex(F.shiftright(v, 8 * i))
+            for i in range(nbytes - 1, -1, -1)
+        ]
+    )
+
+
+def synthesize_header_media(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Real JPEG / PNG / GIF header streams derived from document ids
+    (r11, closing the r10 'meta row covering JPEG' ask): doc_id % 3
+    dispatches the format; dimensions are the closed forms
+    ``w = id % 500 + 16``, ``h = id % 300 + 16`` so an oracle can
+    verify the encode→``with_image_header_meta``→dims ROUNDTRIP
+    without re-implementing the byte walk (the e6_pixel_decode
+    pattern; the hand-built struct.pack golden tests cover the parser
+    against an independent encoder).
+
+    The JPEG stream exercises the VARIABLE-offset SOF walk for real:
+    a JFIF APP0, then ``id % 3`` filler DQT segments of varying
+    length, then SOF0 — so the fold must skip 1-3 segments before the
+    dims, at different offsets per row. PNG is signature+IHDR at the
+    fixed offset; GIF87a/89a alternate by ``id % 2``. All built as
+    one hex projection + ``unhex``, no UDF.
+    """
+    mid = F.col(id_col)
+    w = (mid % 500 + 16).cast("int")
+    h = (mid % 300 + 16).cast("int")
+
+    # --- JPEG: SOI + APP0(JFIF) + (id%3) DQT fillers + SOF0 + EOI ---
+    app0 = F.lit(
+        "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "0001" + "0001"
+        + "00" + "00"
+    )
+    def dqt(i):
+        # segment body: 3 + i bytes keyed on (id, i); len = body + 2
+        body_len = 3 + i
+        body = F.concat(
+            *[_byte_hex(mid * 7 + F.lit(i * 31 + q)) for q in range(body_len)]
+        )
+        return F.concat(F.lit("FFDB"), _be_hex(body_len + 2, 2), body)
+
+    # 1 + (id % 3) DQT segments in total: dqt(0) always, then up to
+    # two more — the SOF lands 1-3 variable-length segments deep
+    fillers = F.concat(
+        *[
+            F.when(mid % 3 > F.lit(i - 1), dqt(i)).otherwise(F.lit(""))
+            for i in (1, 2)
+        ]
+    )
+    sof0 = F.concat(
+        F.lit("FFC0" + "0011" + "08"),
+        _be_hex(h, 2),
+        _be_hex(w, 2),
+        F.lit("03" + "011100" + "021101" + "031101"),
+    )
+    jpeg = F.concat(F.lit("FFD8"), app0, dqt(0), fillers, sof0, F.lit("FFD9"))
+
+    # --- PNG: signature + IHDR (fixed offsets; CRC unchecked) -------
+    png = F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        _be_hex(w, 4),
+        _be_hex(h, 4),
+        F.lit("08" + "02" + "00" + "00" + "00" + "DEADBEEF"),
+    )
+
+    # --- GIF: 87a/89a signature + LE16 logical screen dims ----------
+    gif = F.concat(
+        F.when(mid % 2 == 0, F.lit("474946383761")).otherwise(
+            F.lit("474946383961")
+        ),
+        _le_hex(w, 2),
+        _le_hex(h, 2),
+        F.lit("00" + "00" + "00"),
+    )
+
+    payload = F.unhex(
+        F.when(mid % 3 == 0, jpeg).when(mid % 3 == 1, png).otherwise(gif)
+    )
+    return docs.select(
+        mid.alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+    )

@@ -199,6 +199,7 @@ from decision_tree_stuff_spark.queries.temporal import (  # noqa: F401,E501
     q_e10b_interval_join,
 )
 from decision_tree_stuff_spark.queries.media import (  # noqa: F401,E501
+    q_e6_header_meta,
     q_e6_media_meta,
     q_e6_media_features,
     q_e6_frame_sample,
@@ -449,6 +450,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_lr_langid": q_e4_lr_langid,                # r7: logistic-regression gate
     "e4_lr_langid_joined": q_e4_lr_langid_joined,  # r10: joined path, own oracle
     "e6_wav_decode": q_e6_wav_decode,              # r10: real PCM audio decode
+    "e6_header_meta": q_e6_header_meta,            # r11: JPEG/PNG/GIF SOF walk
     "e6_wav_features": q_e6_wav_features,          # r10: decoded-PCM features
     "e6_y4m_motion": q_e6_y4m_motion,              # r10: per-frame motion
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking

@@ -15,6 +15,26 @@ from decision_tree_stuff_spark.queries._shared import (  # noqa: F401
 
 
 
+def q_e6_header_meta(spark, sf_dir):
+    """Compressed-format header metadata roundtrip (r11): real JPEG /
+    PNG / GIF header streams synthesized from doc ids (the JPEG SOF
+    sits 1-3 variable-length segments deep, exercising the bounded
+    aggregate-fold walk), parsed back by ``with_image_header_meta``
+    — pure byte expressions, no codec, no UDF. The oracle states the
+    closed-form dims, so any encode/parse disagreement mismatches;
+    the struct.pack golden tests cover the parser against an
+    independent encoder."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        synthesize_header_media,
+        with_image_header_meta,
+    )
+
+    media = synthesize_header_media(_docs(spark, sf_dir))
+    return with_image_header_meta(media).select(
+        "media_id", "img_format", "img_width", "img_height"
+    )
+
+
 def q_e6_media_meta(spark, sf_dir):
     """Multimodal table plumbing: synthesized media metadata + payload
     byte length (payload is binary; the meta arithmetic and byte count
@@ -223,6 +243,17 @@ def q_e6_y4m_motion(spark, sf_dir):
 
 
 ORACLE_SQL: Dict[str, str] = {
+    # r11: the header-meta roundtrip's closed-form dims — Spark must
+    # ENCODE the JPEG/PNG/GIF streams and PARSE them back correctly
+    # for the formulas to reappear.
+    "e6_header_meta": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+            ELSE 'gif' END AS img_format,
+       CAST(doc_id % 500 + 16 AS INT) AS img_width,
+       CAST(doc_id % 300 + 16 AS INT) AS img_height
+FROM documents
+""",
     # r10: audio features recomputed from the closed-form samples
     # (integer sums → identical rounded doubles; DuckDB lists are
     # 1-indexed like Spark element_at).

@@ -347,3 +347,47 @@ def test_image_header_meta_parses_real_jpeg(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_synthesized_header_media_parses_independently(spark):
+    """r11: the synthesized JPEG/PNG/GIF header streams must parse
+    with an INDEPENDENT Python reader (struct/re, not the Spark
+    walk), so the oracle roundtrip can't be satisfied by a mirrored
+    encode/parse bug."""
+    import struct
+
+    from decision_tree_stuff_spark.operators.multimodal import (
+        synthesize_header_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 19)], "doc_id bigint"
+    )
+    rows = synthesize_header_media(docs).collect()
+    assert len(rows) == 18
+    for r in rows:
+        mid, p = r["media_id"], bytes(r["payload"])
+        ew, eh = mid % 500 + 16, mid % 300 + 16
+        if mid % 3 == 0:  # jpeg: walk segments to SOF0
+            assert p[:2] == b"\xff\xd8"
+            o = 2
+            w = h = None
+            for _ in range(8):
+                assert p[o] == 0xFF
+                marker = p[o + 1]
+                seglen = struct.unpack_from(">H", p, o + 2)[0]
+                if marker == 0xC0:
+                    h, w = struct.unpack_from(">HH", p, o + 5)
+                    break
+                o += 2 + seglen
+            assert (w, h) == (ew, eh), mid
+            assert p.endswith(b"\xff\xd9")
+        elif mid % 3 == 1:  # png
+            assert p[:8] == b"\x89PNG\r\n\x1a\n"
+            assert p[12:16] == b"IHDR"
+            w, h = struct.unpack_from(">II", p, 16)
+            assert (w, h) == (ew, eh), mid
+        else:  # gif
+            assert p[:6] in (b"GIF87a", b"GIF89a")
+            w, h = struct.unpack_from("<HH", p, 6)
+            assert (w, h) == (ew, eh), mid
