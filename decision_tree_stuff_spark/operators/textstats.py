@@ -1176,13 +1176,19 @@ def corpus_profile(
       every distinct (group, token) pair and exact percentiles
       materialize each group's lengths in one task's memory — fine at
       bench scale, the wrong plan at 100 TB.
-    * ``approximate=True`` (the 100 TB path): HyperLogLog++
-      ``approx_count_distinct(rsd)`` — fixed ~kilobytes of sketch per
-      group, merged map-side, NO distinct shuffle — and
-      ``approx_percentile`` (GK sketch, bounded memory). Guaranteed
-      accuracy handled in tests/test_textstats_profile.py against the
-      exact mode. Not value-oracle-able (sketch internals differ
-      across engines), hence the mode split.
+    * ``approximate=True`` (the 100 TB path): the engine's own
+      HyperLogLog (``sketch.hll_registers`` + ``hll_estimate``, r11 —
+      previously the engine-internal ``approx_count_distinct``) —
+      register shuffle bounded at 2^b rows per group REGARDLESS of
+      corpus size, map-side max-merged, NO distinct shuffle — and
+      ``approx_percentile`` (GK sketch, bounded memory). ``rsd`` maps
+      to the register count via the standard 1.04/√m error model
+      (rsd=0.02 → b=12). The distinct estimate is now VALUE-
+      oracle-able (bit-reproducible integer-register arithmetic —
+      the ``e4_corpus_profile_approx`` EXTRA row checks it exactly
+      against DuckDB); the quartile columns stay engine-internal GK
+      sketches, bound-tested against the exact mode in
+      tests/test_textstats_profile.py.
 
     Output: (group_col, n_docs, n_tokens, n_distinct_tokens,
     len_p25/p50/p75) — bigints + doubles, deterministic in exact mode.
@@ -1191,13 +1197,34 @@ def corpus_profile(
         F.col(group_col), F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).where(F.col("token") != "")
     if approximate:
-        distinct_agg = F.approx_count_distinct("token", rsd)
+        import math
+
+        from decision_tree_stuff_spark.operators.sketch import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        b = max(4, min(16, math.ceil(math.log2((1.04 / rsd) ** 2))))
+        dist = hll_estimate(
+            hll_registers(toks, key_col="token", group_cols=[group_col], b=b),
+            group_cols=[group_col],
+            b=b,
+        ).select(
+            group_col,
+            F.round(F.col("est")).cast("bigint").alias(
+                "n_distinct_tokens"
+            ),
+        )
+        tok_stats = (
+            toks.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"))
+            .join(dist, group_col, "left")
+        )
     else:
-        distinct_agg = F.count_distinct(F.col("token"))
-    tok_stats = toks.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        distinct_agg.alias("n_distinct_tokens"),
-    )
+        tok_stats = toks.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct(F.col("token")).alias("n_distinct_tokens"),
+        )
     # n_docs counts EVERY doc in the group (a dataset card must not
     # silently exclude empty/null-text docs); token stats left-join in
     # with zero defaults for all-empty groups

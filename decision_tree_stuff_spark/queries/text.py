@@ -552,6 +552,23 @@ def q_e4_corpus_profile(spark, sf_dir):
     )
 
 
+def q_e4_corpus_profile_approx(spark, sf_dir):
+    """Per-lang corpus profile, APPROX mode's sketch-backed columns
+    (r11, r10 verdict task 7): the distinct-token estimate now rides
+    the engine's own oracle-exact HLL instead of the engine-internal
+    ``approx_count_distinct``, so approx mode is VALUE-checked
+    against DuckDB — including the estimate — not just bound-tested.
+    The GK-sketch quartiles stay engine-internal and are excluded
+    here (still tolerance-tested vs exact mode in
+    tests/test_textstats_profile.py)."""
+    from decision_tree_stuff_spark.operators.textstats import corpus_profile
+
+    prof = corpus_profile(
+        _docs(spark, sf_dir), group_col="lang", approximate=True, rsd=0.02
+    )
+    return prof.select("lang", "n_docs", "n_tokens", "n_distinct_tokens")
+
+
 def q_e4_chunks(spark, sf_dir):
     """Context-window chunking: every document split into 40-token
     windows with stride 30 (10-token overlap) — the splitting dual of
@@ -972,6 +989,23 @@ e AS (
 ),
 h AS ({hll_sql('SELECT lang, key FROM src', ['lang'])})
 SELECT h.lang, h.est, e.exact_distinct FROM h JOIN e USING (lang)
+""",
+    # r11: approx-mode profile twin — the HLL estimate is the
+    # operator's own sketch (hll_sql at b=12, the rsd=0.02 mapping),
+    # so the "approximate" number itself value-checks exactly.
+    "e4_corpus_profile_approx": f"""
+WITH src AS (
+  SELECT lang, tok AS key FROM (
+    SELECT lang, unnest({TOKS_SQL}) AS tok FROM documents
+  ) u WHERE tok <> ''
+),
+nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+nt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens FROM src GROUP BY 1),
+h AS ({hll_sql('SELECT lang, key FROM src', ['lang'], b=12)})
+SELECT nd.lang, nd.n_docs,
+       coalesce(nt.n_tokens, 0) AS n_tokens,
+       coalesce(CAST(round(h.est) AS BIGINT), 0) AS n_distinct_tokens
+FROM nd LEFT JOIN nt USING (lang) LEFT JOIN h USING (lang)
 """,
     "e4_top_tokens": f"""
 WITH toks AS (
