@@ -48,11 +48,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(stages):
-        out = _docs(spark, SF_DIR)
-        for _, fn in stages:
-            out = fn(out)
+    def run(stages_fn):
+        # time the WHOLE pipeline like scripts/scaling_bench.py does —
+        # the barriers are EAGER checkpoints, so stage application
+        # executes most of the work; timing only the final action
+        # would miss it
         t0 = time.time()
+        out = _docs(spark, SF_DIR)
+        for _, fn in stages_fn():
+            out = fn(out)
         n = out.select(
             "doc_id", "lang", "n_tokens", "pack_id", "pack_offset"
         ).count()
@@ -78,12 +82,15 @@ def main() -> None:
         ]
 
     out = {}
-    for label, stages in (
-        ("A_survivor_lm_rows", ingest_stages(spark, SF_DIR)),
-        ("B_fullcorpus_lm_rows", old_lm_stages()),
-        ("C_survivor_lm_ids", ingest_stages(spark, SF_DIR, barrier_mode="ids")),
+    for label, stages_fn in (
+        ("A_survivor_lm_rows", lambda: ingest_stages(spark, SF_DIR)),
+        ("B_fullcorpus_lm_rows", old_lm_stages),
+        (
+            "C_survivor_lm_ids",
+            lambda: ingest_stages(spark, SF_DIR, barrier_mode="ids"),
+        ),
     ):
-        sec, n = run(stages)
+        sec, n = run(stages_fn)
         out[label] = {"sec": sec, "manifest_rows": n}
         print(f"  {label}: {sec}s rows={n}", file=sys.stderr, flush=True)
         spark.catalog.clearCache()
