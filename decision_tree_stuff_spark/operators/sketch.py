@@ -266,6 +266,249 @@ def hll_estimate(
     return agg.select(*gcols, F.round(est, 6).alias("est"))
 
 
+# --- KMV / theta sketch (r11) -------------------------------------------
+
+KMV_K = 256                    # sketch size (minimum hash values kept)
+KMV_SPACE = 1 << 60            # 15 hex digits of md5 = 60-bit hash space
+
+
+def kmv_sketch(
+    keyed: DataFrame,
+    key_col: str = "token",
+    group_cols: Sequence[str] = (),
+    k: int = KMV_K,
+) -> DataFrame:
+    """K-Minimum-Values / theta sketch (Bar-Yossef et al. 2002;
+    Dasgupta et al. 2016's theta framing): per group, the ``k``
+    smallest DISTINCT 60-bit md5 hash values of the keys, as
+    ``(group_cols..., rank, h)`` rows. The third sketch in the family
+    — CMS answers "how often", HLL answers "how many distinct", KMV
+    answers those plus the SET questions HLL structurally can't:
+    intersection / union / Jaccard between corpora, because the kept
+    hashes are a uniform coordinated sample of the key space below a
+    per-sketch threshold theta (the k-th smallest hash).
+
+    Plan (the 100 TB shape): ``row_number() <= k`` over the hash
+    triggers Catalyst's WindowGroupLimit, so every map partition is
+    pruned to its own k smallest rows BEFORE the exchange — the
+    shuffle carries at most ``k x n_partitions`` rows per group, never
+    the key space (same argument as ``sampling.py:178``). Duplicate
+    hashes within a partition are collapsed map-side by the inner
+    per-partition groupBy implied by the distinct-before-window
+    two-step below being expressed as dense_rank: we instead dedup
+    with a (group, h) groupBy AFTER the partition-local prune, which
+    is at most k rows per (group, input partition).
+
+    Determinism/oracle parity: h = first 60-bit md5 half — the same
+    integer DuckDB computes with ``('0x' || substr(md5(key),1,15))``;
+    ties are impossible (equal h = equal hash = one distinct value),
+    so the k-set is unique and the sketch value-oracle-able.
+    """
+    gcols = list(group_cols)
+    h = F.conv(F.substring(F.md5(F.col(key_col)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    hashed = keyed.select(*gcols, h.alias("h"))
+    # partition-local prune: dense_rank <= k keeps each map task's k
+    # smallest distinct hashes (plus within-task duplicates of them,
+    # which the next groupBy collapses) — WindowGroupLimit pushes the
+    # limit below the exchange for rank-family functions
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gcols).orderBy("h")
+    pruned = (
+        hashed.withColumn("_dr", F.dense_rank().over(w))
+        .where(F.col("_dr") <= k)
+        .drop("_dr")
+        .groupBy(*gcols, "h")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    w2 = Window.partitionBy(*gcols).orderBy("h")
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(*gcols, "rank", "h")
+    )
+
+
+def kmv_merge(
+    *sketches: DataFrame, group_cols: Sequence[str] = (), k: int = KMV_K
+) -> DataFrame:
+    """Union + distinct + re-top-k: the k smallest of a union of
+    k-smallest sets is the true k-smallest of the union, so merging is
+    exact and idempotent (overlapping inputs fold safely — the
+    ``hll_merge`` property, which is what makes the streaming fold
+    retry-safe and equal to the batch sketch)."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    out = sketches[0].select(*gcols, "h")
+    for s in sketches[1:]:
+        out = out.unionByName(s.select(*gcols, "h"))
+    w = Window.partitionBy(*gcols).orderBy("h")
+    return (
+        out.groupBy(*gcols, "h")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*gcols, "rank", "h")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: Sequence[str] = (), k: int = KMV_K
+) -> DataFrame:
+    """Distinct-count estimate per group: if the sketch holds fewer
+    than ``k`` hashes the count is EXACT (= sketch size); otherwise
+    ``est = (k-1) * 2^60 / h_k`` with ``h_k`` the k-th smallest hash
+    (the unbiased KMV estimator). One integer max + count per group,
+    one double division — bit-reproducible, rounded 6dp like
+    ``hll_estimate``."""
+    gcols = list(group_cols)
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk")
+    )
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(float(KMV_SPACE))
+        / F.col("_hk").cast("double")
+    )
+    return agg.select(*gcols, F.round(est, 6).alias("est"))
+
+
+def kmv_set_estimates(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """Theta-sketch set operations between two (ungrouped) KMV
+    sketches: one row ``(theta, n_inter, est_intersection, est_union,
+    jaccard)``.
+
+    theta = min(theta_a, theta_b) where theta_x is the k-th smallest
+    hash of x if x is full, else 2^60 (an under-full sketch saw its
+    whole key space). Hashes below theta form a coordinated uniform
+    sample of BOTH key spaces, so
+
+      est_intersection = |A∩B below theta| * 2^60 / theta
+      est_union        = |A∪B below theta| * 2^60 / theta
+      jaccard          = |A∩B below theta| / |A∪B below theta|
+
+    Both sketches are <= k rows, so the full-outer join is over two
+    constant-size tables (a 256-row sort-merge, irrespective of input
+    scale) — overlap estimation between two 100 TB corpora costs two
+    sketch builds and a k-row join. Deterministic: counts are
+    integers, the divisions are single double ops.
+"""
+    theta_expr = lambda s: s.groupBy().agg(  # noqa: E731
+        F.when(F.count(F.lit(1)) < k, F.lit(KMV_SPACE).cast("bigint"))
+        .otherwise(F.max("h"))
+        .alias("theta")
+    )
+    ta = theta_expr(sketch_a).withColumnRenamed("theta", "ta")
+    tb = theta_expr(sketch_b).withColumnRenamed("theta", "tb")
+    theta = F.broadcast(ta).crossJoin(F.broadcast(tb)).select(
+        F.least("ta", "tb").alias("theta")
+    )
+    a = sketch_a.select(F.col("h").alias("h"), F.lit(1).alias("_a"))
+    b = sketch_b.select(F.col("h").alias("h"), F.lit(1).alias("_b"))
+    both = a.join(b, "h", "full").crossJoin(F.broadcast(theta))
+    counts = both.where(F.col("h") < F.col("theta")).groupBy("theta").agg(
+        F.sum(
+            F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("n_inter"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    scale = F.lit(float(KMV_SPACE)) / F.col("theta").cast("double")
+    return counts.select(
+        F.col("theta"),
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        F.round(F.col("n_inter").cast("double") * scale, 6).alias(
+            "est_intersection"
+        ),
+        F.round(F.col("n_union").cast("double") * scale, 6).alias(
+            "est_union"
+        ),
+        F.round(
+            F.when(F.col("n_union") > 0,
+                   F.col("n_inter").cast("double")
+                   / F.col("n_union").cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def kmv_sql_sketch(source_sql: str, k: int = KMV_K) -> str:
+    """DuckDB twin of ``kmv_sketch`` (ungrouped) over ``source_sql``
+    (a relation with a ``key`` column) — single-sourced next to the
+    operator like ``cms_sql_cells`` / ``hll_sql``."""
+    return f"""
+SELECT row_number() OVER (ORDER BY h) AS rank, h
+FROM (
+  SELECT DISTINCT ('0x' || substr(md5(key), 1, 15))::BIGINT AS h
+  FROM ({source_sql}) src
+) d
+ORDER BY h LIMIT {k}
+"""
+
+
+def kmv_sql_set_estimates(
+    src_a_sql: str, src_b_sql: str, k: int = KMV_K
+) -> str:
+    """DuckDB twin of ``kmv_sketch(A) x kmv_sketch(B) ->
+    kmv_set_estimates`` — the full theta-sketch overlap row, with the
+    double arithmetic in the exact op order Spark's plan uses
+    (``count * (2^60 / theta)``), so the estimates value-check."""
+    space = KMV_SPACE
+
+    def sk(src):
+        return f"""
+  SELECT h FROM (
+    SELECT DISTINCT ('0x' || substr(md5(key), 1, 15))::BIGINT AS h
+    FROM ({src}) s
+  ) d ORDER BY h LIMIT {k}
+"""
+
+    return f"""
+WITH ha AS ({sk(src_a_sql)}),
+hb AS ({sk(src_b_sql)}),
+th AS (
+  SELECT least(
+    (SELECT CASE WHEN count(*) >= {k} THEN max(h)
+                 ELSE {space} END FROM ha),
+    (SELECT CASE WHEN count(*) >= {k} THEN max(h)
+                 ELSE {space} END FROM hb)) AS theta
+),
+united AS (
+  SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT h, 1 AS in_a, 0 AS in_b FROM ha
+    UNION ALL
+    SELECT h, 0 AS in_a, 1 AS in_b FROM hb
+  ) u GROUP BY h
+),
+counts AS (
+  SELECT th.theta AS theta,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_inter,
+         CAST(count(*) AS BIGINT) AS n_union
+  FROM united, th WHERE h < th.theta GROUP BY 1
+)
+SELECT theta, n_inter,
+       round(CAST(n_inter AS DOUBLE)
+             * (CAST({space} AS DOUBLE) / CAST(theta AS DOUBLE)), 6)
+         AS est_intersection,
+       round(CAST(n_union AS DOUBLE)
+             * (CAST({space} AS DOUBLE) / CAST(theta AS DOUBLE)), 6)
+         AS est_union,
+       round(CASE WHEN n_union > 0
+                  THEN CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
+                  ELSE 0.0 END, 6) AS jaccard
+FROM counts
+"""
+
+
 def hll_sql(source_sql: str, group_cols: Sequence[str] = (), b: int = HLL_B) -> str:
     """DuckDB twin of ``hll_registers`` + ``hll_estimate`` over
     ``source_sql`` (a relation with a ``key`` column and the group

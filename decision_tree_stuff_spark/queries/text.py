@@ -7,7 +7,7 @@ the registry.
 
 from __future__ import annotations
 
-from decision_tree_stuff_spark.operators.sketch import hll_sql
+from decision_tree_stuff_spark.operators.sketch import hll_sql, kmv_sql_set_estimates
 from decision_tree_stuff_spark.queries._shared import (  # noqa: F401
     Dict,
     BM25_B,
@@ -532,6 +532,44 @@ def q_e4_hll_distinct(spark, sf_dir):
     return est.join(exact, "lang")
 
 
+def q_e4_kmv_overlap(spark, sf_dir):
+    """KMV / theta-sketch corpus-overlap estimate (r11): the SET
+    question the HLL row can't answer. Sketch the distinct-token sets
+    of two corpus halves (doc_id parity) at k=256, then estimate
+    |A∩B|, |A∪B| and Jaccard from the coordinated sample below
+    theta = min(theta_a, theta_b). The key space is 3-token SHINGLES
+    (the dedup family's unit), whose cardinality is corpus-scale —
+    unlike the tiny closed token vocabulary — so both sketches run
+    full and the theta estimator (not the under-full exact path) is
+    what's value-checked. Each sketch shuffles at most k rows per map
+    partition (WindowGroupLimit prunes below the exchange), and the
+    overlap join is over two ≤k-row tables — the cost of estimating
+    shingle overlap between two 100 TB corpora is two scans and a
+    256-row join. Deterministic md5 arithmetic end to end, so the
+    estimates themselves value-check vs DuckDB."""
+    from decision_tree_stuff_spark.functions.text import tokens
+    from decision_tree_stuff_spark.operators.sketch import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    t = tokens(F.col("text"))
+    sh = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 3),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(sh).alias("shingle"),
+    )
+    sa = kmv_sketch(shingled.where("side = 0"), "shingle")
+    sb = kmv_sketch(shingled.where("side = 1"), "shingle")
+    return kmv_set_estimates(sa, sb)
+
+
 def q_e4_corpus_profile(spark, sf_dir):
     """Per-lang corpus profile, EXACT mode (the oracled gate; the
     approximate HLL/GK mode is the 100 TB path, tolerance-tested vs
@@ -990,6 +1028,28 @@ e AS (
 h AS ({hll_sql('SELECT lang, key FROM src', ['lang'])})
 SELECT h.lang, h.est, e.exact_distinct FROM h JOIN e USING (lang)
 """,
+    # KMV twin (r11): sketches + theta-overlap arithmetic are
+    # single-sourced in sketch.kmv_sql_set_estimates.
+    "e4_kmv_overlap": kmv_sql_set_estimates(
+        f"""SELECT array_to_string(
+                     toks[(CAST(i AS INT)+1):(CAST(i AS INT)+3)], ' ')
+                   AS key
+            FROM (
+              SELECT toks, unnest(range(0, len(toks) - 2)) AS i FROM (
+                SELECT {TOKS_SQL} AS toks FROM documents
+                WHERE doc_id % 2 = 0
+              ) t0
+            ) u""",
+        f"""SELECT array_to_string(
+                     toks[(CAST(i AS INT)+1):(CAST(i AS INT)+3)], ' ')
+                   AS key
+            FROM (
+              SELECT toks, unnest(range(0, len(toks) - 2)) AS i FROM (
+                SELECT {TOKS_SQL} AS toks FROM documents
+                WHERE doc_id % 2 = 1
+              ) t0
+            ) u""",
+    ),
     # r11: approx-mode profile twin — the HLL estimate is the
     # operator's own sketch (hll_sql at b=12, the rsd=0.02 mapping),
     # so the "approximate" number itself value-checks exactly.

@@ -425,6 +425,59 @@ def stream_hll(
     )
 
 
+def stream_kmv(
+    stream_df: DataFrame,
+    state_dir: str,
+    key_col: str = "token",
+    k: int = None,
+    checkpoint_dir: str = None,
+):
+    """Streaming KMV / theta sketch (r11): maintain, across
+    micro-batches, exactly the k-minimum-hash table the batch
+    ``sketch.kmv_sketch`` would produce over all input seen so far —
+    a coordinated distinct-sample of an unbounded stream in ≤ k rows
+    of state, forever, from which ``kmv_estimate`` answers distinct
+    counts and ``kmv_set_estimates`` answers overlap against any
+    other sketch (the question the HLL fold can't).
+
+    Exactness argument: the k smallest of a union of k-smallest sets
+    IS the k-smallest of the union (min-selection is associative,
+    commutative, and idempotent — retried batches re-contribute the
+    same hashes, which dedup away), hence
+    ``state ← topk(distinct(state ∪ sketch(batch)))`` equals the
+    batch sketch regardless of batch boundaries. Layout, retry
+    idempotence and snapshot retention are shared with the other
+    mergeable folds (``_stream_mergeable_fold``)."""
+    from pyspark.sql import Window
+
+    from decision_tree_stuff_spark.operators.sketch import (
+        KMV_K,
+        kmv_sketch,
+    )
+
+    k = k or KMV_K
+    w = Window.orderBy("h")
+
+    def _fold(rows: DataFrame) -> DataFrame:
+        return (
+            rows.select("h")
+            .groupBy("h")
+            .agg(F.lit(1).alias("_one"))
+            .drop("_one")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("rank", "h")
+        )
+
+    return _stream_mergeable_fold(
+        stream_df,
+        state_dir,
+        _fold,
+        checkpoint_dir,
+        prep_fn=lambda batch: kmv_sketch(batch, key_col, k=k),
+    )
+
+
 def _stream_mergeable_fold(
     stream_df: DataFrame,
     state_dir: str,

@@ -339,3 +339,205 @@ def test_hll_merge_equals_one_shot_and_union_estimates(spark, sf_dir):
         r["lang"]: r["est"] for r in hll_estimate(whole, ["lang"]).collect()
     }
     assert est == want and est
+
+
+# --- KMV / theta sketch (r11) -------------------------------------------
+
+
+def _py_kmv(keys, k):
+    """Python reference: k smallest distinct 60-bit md5 halves."""
+    hs = sorted({int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                 for t in keys})
+    return hs[:k]
+
+
+def test_kmv_sketch_matches_python_reference(spark, sf_dir):
+    from decision_tree_stuff_spark.operators.sketch import kmv_sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.filter(tokens(F.col("text")), lambda t: t != "")).alias(
+            "token"
+        )
+    )
+    got = [
+        r["h"]
+        for r in kmv_sketch(toks, "token", k=64)
+        .orderBy("rank")
+        .collect()
+    ]
+    # differential over the engine's own token set, so the test is
+    # about the SKETCH (hashing, dedup, top-k), not the tokenizer
+    vocab = [r.token for r in toks.distinct().collect()]
+    assert got == _py_kmv(vocab, 64)
+
+
+def test_kmv_estimate_exact_when_underfull_and_formula_when_full(spark):
+    from decision_tree_stuff_spark.operators.sketch import (
+        KMV_SPACE,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    # 10 distinct keys, k=64 -> under-full -> exact count
+    small = spark.createDataFrame(
+        [(f"key{i}",) for i in range(10)] * 3, "token string"
+    )
+    est = kmv_estimate(kmv_sketch(small, k=64), k=64).collect()[0]["est"]
+    assert est == 10.0
+    # 500 distinct keys, k=64 -> full -> (k-1) * 2^60 / h_k
+    big = spark.createDataFrame(
+        [(f"key{i}",) for i in range(500)], "token string"
+    )
+    got = kmv_estimate(kmv_sketch(big, k=64), k=64).collect()[0]["est"]
+    hk = _py_kmv([f"key{i}" for i in range(500)], 64)[-1]
+    assert got == round(63 * float(KMV_SPACE) / float(hk), 6)
+    # and the estimate is in a sane band around the truth
+    assert 300 < got < 800
+
+
+def test_kmv_merge_equals_one_shot_on_overlapping_shards(spark, sf_dir):
+    from decision_tree_stuff_spark.operators.sketch import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(tokens(F.col("text")), lambda t: t != "")).alias(
+            "token"
+        ),
+    )
+    a = kmv_sketch(toks.where("doc_id % 4 <= 2"), "token", k=64)
+    b = kmv_sketch(toks.where("doc_id % 4 >= 1"), "token", k=64)
+    merged = [
+        (r["rank"], r["h"])
+        for r in kmv_merge(a, b, k=64).orderBy("rank").collect()
+    ]
+    whole = [
+        (r["rank"], r["h"])
+        for r in kmv_sketch(toks, "token", k=64).orderBy("rank").collect()
+    ]
+    vocab = toks.select("token").distinct().count()
+    assert merged == whole and len(whole) == min(64, vocab)
+
+
+def test_kmv_set_estimates_match_python_theta_math(spark):
+    from decision_tree_stuff_spark.operators.sketch import (
+        KMV_SPACE,
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    k = 64
+    a_keys = [f"shared{i}" for i in range(300)] + [
+        f"only_a{i}" for i in range(200)
+    ]
+    b_keys = [f"shared{i}" for i in range(300)] + [
+        f"only_b{i}" for i in range(400)
+    ]
+    sa = kmv_sketch(
+        spark.createDataFrame([(x,) for x in a_keys], "token string"), k=k
+    )
+    sb = kmv_sketch(
+        spark.createDataFrame([(x,) for x in b_keys], "token string"), k=k
+    )
+    row = kmv_set_estimates(sa, sb, k=k).collect()[0]
+
+    ha, hb = _py_kmv(a_keys, k), _py_kmv(b_keys, k)
+    theta = min(ha[-1], hb[-1])
+    inter = {h for h in ha if h < theta} & {h for h in hb if h < theta}
+    union = {h for h in ha if h < theta} | {h for h in hb if h < theta}
+    scale = float(KMV_SPACE) / float(theta)
+    assert row["theta"] == theta
+    assert row["n_inter"] == len(inter)
+    assert row["est_intersection"] == round(len(inter) * scale, 6)
+    assert row["est_union"] == round(len(union) * scale, 6)
+    assert row["jaccard"] == round(len(inter) / len(union), 6)
+    # sanity: truth intersection 300, union 900, jaccard 1/3
+    assert 100 < row["est_intersection"] < 600
+    assert 0.15 < row["jaccard"] < 0.55
+
+
+def test_kmv_sketch_vs_duckdb_twin(spark, sf_dir):
+    import duckdb
+
+    from decision_tree_stuff_spark.operators.sketch import (
+        kmv_sketch,
+        kmv_sql_sketch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.filter(tokens(F.col("text")), lambda t: t != "")).alias(
+            "token"
+        )
+    )
+    got = [
+        (r["rank"], r["h"])
+        for r in kmv_sketch(toks, "token", k=64).orderBy("rank").collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    src = r"""
+      SELECT tok AS key FROM (
+        SELECT unnest(string_split(
+          trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    """
+    want = con.execute(kmv_sql_sketch(src, k=64)).fetchall()
+    assert got == [(int(r0), int(r1)) for r0, r1 in want]
+
+
+def test_stream_kmv_state_equals_batch_sketch(
+    spark, sf_dir, tmp_path_factory
+):
+    """Versioned-snapshot KMV state after draining >=3 micro-batches
+    equals the batch k-minimum table exactly (min-selection is
+    idempotent, so batch boundaries are invisible)."""
+    import os
+
+    from decision_tree_stuff_spark.operators.sketch import kmv_sketch
+    from decision_tree_stuff_spark.streaming import (
+        read_capped_state,
+        stream_kmv,
+    )
+
+    d = tmp_path_factory.mktemp("kmv_stream_op")
+    state = str(tmp_path_factory.mktemp("kmv_state"))
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    third = t.num_rows // 3
+    for i in range(3):
+        n = third if i < 2 else t.num_rows - 2 * third
+        pq.write_table(t.slice(i * third, n), f"{d}/part{i}.parquet")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok_expr = F.explode(
+        F.filter(tokens(F.col("text")), lambda t: t != "")
+    ).alias("token")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .select(tok_expr)
+    )
+    stream_kmv(stream, state, k=16)
+
+    got = [
+        (r["rank"], r["h"])
+        for r in read_capped_state(spark, state).orderBy("rank").collect()
+    ]
+    batch = [
+        (r["rank"], r["h"])
+        for r in kmv_sketch(docs.select(tok_expr), "token", k=16)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == batch and got
+    versions = [v for v in os.listdir(state) if v.startswith("v")]
+    assert len(versions) <= 2, versions
