@@ -131,6 +131,10 @@ BENCH_QUERIES = [
     "e1f_exact_substring",   # ExactSubstr dedup (anchor + diagonal merge)
     "e4_unigram_lm",         # SentencePiece unigram-LM EM trainer
     "e6_header_meta",        # JPEG/PNG/GIF header walk roundtrip
+    "e4_kmv_overlap",        # KMV/theta-sketch corpus overlap estimates
+    "e4_unigram_encode",     # unigram-LM Viterbi encode (apply path)
+    "e6_png_decode",         # stored-deflate PNG encode->decode round trip
+    "e7f_label_prop",        # synchronous label-propagation communities
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

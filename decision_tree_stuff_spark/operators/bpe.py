@@ -475,3 +475,185 @@ def unigram_table(spark, pieces) -> DataFrame:
     return spark.createDataFrame(
         pieces, "rank int, piece string, count_micro bigint"
     )
+
+
+#: Fallback probability for out-of-vocabulary SINGLE characters during
+#: Viterbi encode — an exact power of two so every product is the same
+#: double on every engine. Multi-char OOV pieces get 0 (never chosen:
+#: the single-char fallback path always has positive score).
+UNIGRAM_UNK_P = 2.0 ** -40
+
+
+def unigram_encode(
+    docs: DataFrame,
+    pieces,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 3,
+    max_word_len: int = 8,
+) -> DataFrame:
+    """Viterbi segmentation under a trained unigram LM (Kudo 2018 §3 —
+    the SentencePiece ENCODE step; r11, the apply path the trainer
+    triple was missing: ``bpe_encode`` applies merges, WordPiece
+    shares it, this applies piece probabilities).
+
+    Per word: the max-probability segmentation by the textbook DP
+    ``best[i] = max_k best[i-k] · p(w[i-k+1..i])`` (k ≤
+    ``max_piece_len``), as ONE shuffle-free projection — the DP is an
+    ``F.aggregate`` fold building (score, back-pointer) pairs and the
+    backtrack a second bounded fold, the ``unigram_lm_train`` lattice
+    machinery reused for argmax instead of sums. p(g) =
+    count_micro/Σcount_micro over the model table (exact integer
+    division); OOV single chars fall back to ``UNIGRAM_UNK_P`` so
+    every word segments. DETERMINISTIC tie rule, required for the
+    enumeration oracle to match: on equal scores the LONGER piece
+    wins, applied right-to-left (the DP's natural greedy-from-end
+    order) — equivalently, among max-score segmentations, the one
+    whose reversed piece-length sequence is lexicographically
+    largest. Words are truncated to ``max_word_len`` chars (the same
+    lattice bound as the trainer; documented).
+
+    Returns (id, n_pieces, encoded) like ``bpe_encode``. Null text
+    propagates nulls; empty text encodes to 0 pieces.
+    """
+    total = float(sum(c for _, _, c in pieces))
+    probs = (
+        {g: c / total for _, g, c in pieces} if total > 0 else {}
+    )
+    P = int(max_piece_len)
+
+    def plook(s):
+        v = F.try_element_at(F.col("__pm"), s)
+        return F.coalesce(
+            v,
+            F.when(F.length(s) == 1, F.lit(UNIGRAM_UNK_P)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+
+    def encode_word(w):
+        n = F.length(w)
+
+        def step(acc, i):
+            best = None
+            for k in range(1, P + 1):
+                cand_s = F.when(
+                    i - F.lit(k) >= 0,
+                    F.element_at(acc, i - F.lit(k) + 1)["s"]
+                    * plook(F.substring(w, i - F.lit(k) + 1, F.lit(k))),
+                ).otherwise(F.lit(-1.0))
+                cand = F.struct(cand_s.alias("s"), F.lit(k).alias("k"))
+                if best is None:
+                    best = cand
+                else:
+                    # k ascends, so >= makes the LONGER piece win ties
+                    best = F.when(cand["s"] >= best["s"], cand).otherwise(
+                        best
+                    )
+            return F.concat(acc, F.array(best))
+
+        dp = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.array(F.struct(F.lit(1.0).alias("s"), F.lit(0).alias("k"))),
+            step,
+        )
+
+        def back(acc, _):
+            pos = acc["pos"]
+            k = F.element_at(dp, pos + 1)["k"]
+            return F.when(pos <= 0, acc).otherwise(
+                F.struct(
+                    (pos - k).alias("pos"),
+                    F.concat(
+                        F.array(F.substring(w, pos - k + 1, k)),
+                        acc["toks"],
+                    ).alias("toks"),
+                )
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.struct(
+                n.cast("int").alias("pos"),
+                F.array().cast("array<string>").alias("toks"),
+            ),
+            back,
+        )["toks"]
+
+    toks = F.filter(tokens(F.col("__text")), lambda t: t != "")
+    capped = F.transform(
+        toks, lambda t: F.substring(t, 1, max_word_len)
+    )
+    # materialize the per-word piece arrays ONCE: Catalyst does not
+    # CSE across lambda boundaries, so deriving n_pieces and encoded
+    # from the same inline expression would run the DP twice per word
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        _unigram_prob_map(probs).alias("__pm"),
+    ).select(
+        id_col,
+        "__text",
+        F.when(
+            F.col("__text").isNotNull(),
+            F.transform(capped, encode_word),
+        ).alias("__enc"),
+    )
+    return staged.select(
+        id_col,
+        F.when(
+            F.col("__text").isNull(), F.lit(None).cast("int")
+        )
+        .otherwise(F.size(F.flatten(F.col("__enc"))))
+        .alias("n_pieces"),
+        F.when(F.col("__text").isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    F.col("__enc"), lambda a: F.array_join(a, " ")
+                ),
+                " ",
+            )
+        )
+        .alias("encoded"),
+    )
+
+
+def unigram_encode_py(
+    text, pieces, max_piece_len: int = 3, max_word_len: int = 8
+):
+    """Pure-Python differential twin of ``unigram_encode`` for one
+    document: same probs, same UNK fallback, same DP and tie rule.
+    Returns the list of pieces (all words concatenated in order)."""
+    import re as _re
+
+    total = float(sum(c for _, _, c in pieces))
+    probs = {g: c / total for _, g, c in pieces} if total > 0 else {}
+    P = int(max_piece_len)
+
+    def plook(s):
+        if s in probs:
+            return probs[s]
+        return UNIGRAM_UNK_P if len(s) == 1 else 0.0
+
+    out = []
+    norm = _re.sub(r"\s+", " ", text.lower()).strip()
+    for word in [w for w in norm.split(" ") if w][: 10 ** 9]:
+        w = word[:max_word_len]
+        n = len(w)
+        best = [(1.0, 0)] + [(-1.0, 0)] * n
+        for i in range(1, n + 1):
+            bs, bk = -1.0, 0
+            for k in range(1, P + 1):
+                if i - k >= 0:
+                    s = best[i - k][0] * plook(w[i - k:i])
+                    if s >= bs:  # >= with ascending k: longer wins ties
+                        bs, bk = s, k
+            best[i] = (bs, bk)
+        toks, pos = [], n
+        while pos > 0:
+            k = best[pos][1]
+            toks.insert(0, w[pos - k:pos])
+            pos -= k
+        out += toks
+    return out

@@ -129,6 +129,83 @@ def pagerank(
     )
 
 
+def label_propagation(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_cols: tuple = ("id_a", "id_b"),
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    undirected pair graph — community detection one notch softer than
+    connected components: CC merges everything reachable, LPA keeps
+    weakly-bridged clusters apart (a chain of borderline near-dup
+    matches does not absorb two dense clusters into one), which is
+    the right granularity for "which docs are versions of the same
+    underlying document" when the pair graph has noisy bridges.
+
+    Determinism contract (the oracle-ability recipe shared by
+    ``pagerank``): labels start as the node id; every iteration each
+    node adopts the MOST FREQUENT label among its neighbors with ties
+    broken by SMALLEST label — an all-integer argmax (implemented as
+    ``min(struct(-count, label))``, order-free under any
+    partitioning) — and isolated nodes keep their label. Synchronous
+    updates + fixed ``iterations`` (asynchronous LPA is
+    schedule-dependent, so it can never value-oracle), so a DuckDB
+    twin unrolling the same rounds reproduces every label exactly.
+
+    Scale: one edge-list materialization, then per iteration ONE
+    co-partitioned join (labels leave the previous groupBy hash-
+    partitioned on the id) + ONE map-side-combined count + the argmax
+    — the Pregel shape; no per-node state, no driver collects.
+    Returns ``(id_col, label)``.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    a, b = pair_cols
+    edges = pairs.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).union(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    # the pair emitter (an LSH/PPJoin pipeline) runs once, not once
+    # per iteration through the lineage — the pagerank lesson
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    )
+    prev = None
+    for _ in range(iterations):
+        votes = (
+            edges.join(
+                labels.select(F.col("id").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = votes.groupBy("id").agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            )["label"].alias("new_label")
+        )
+        new_labels = (
+            labels.join(winner, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("new_label"), F.col("label")).alias(
+                    "label"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev, labels = new_labels, new_labels
+    release_local_checkpoint(edges)
+    return labels.select(F.col("id").alias(id_col), "label")
+
+
 def triangle_counts(
     pairs: DataFrame,
     pair_cols: tuple = ("id_a", "id_b"),

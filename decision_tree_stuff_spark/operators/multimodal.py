@@ -618,6 +618,81 @@ def encode_pgm(media_id, w, h) -> Column:
     return F.concat(header, data)
 
 
+def encode_png(media_id, w, h) -> Column:
+    """A spec-compliant grayscale 8-bit PNG (r11) whose top-down gray
+    pixel q is ``pixel_value(media_id, q)`` — REAL PNG, not just the
+    IHDR stub: signature, IHDR (bit depth 8, color type 0), one IDAT
+    whose zlib stream uses a STORED (BTYPE=00, uncompressed) deflate
+    block — the one deflate mode that needs no Huffman machinery, so
+    both the encode and the decode stay pure byte expressions — and
+    IEND. Every chunk carries its true CRC-32 (Spark's builtin
+    ``F.crc32`` over the type+data slice) and the zlib stream carries
+    its true Adler-32, computed in closed form from prefix sums
+    (``b = n + (n+1)·S1 − Σ j·d_j  (mod 65521)``), so a real PNG
+    reader accepts the file byte-for-byte. Scanlines use filter 0
+    (None). Raw stream must fit one stored block (≤ 65535 bytes)."""
+    wb = w.cast("bigint")
+    hb = h.cast("bigint")
+    raw_n = hb * (wb + 1)  # h scanlines of (filter byte + w gray bytes)
+
+    def raw_byte(j):
+        # byte j (1-based) of the decompressed scanline stream
+        r = F.floor((j - 1) / (wb + 1)).cast("bigint")
+        pos = F.pmod(j - 1, wb + 1)
+        return F.when(pos == 0, F.lit(0)).otherwise(
+            pixel_value(media_id, r * wb + pos - 1)
+        )
+
+    ihdr_td = F.concat(
+        F.lit("49484452"),  # 'IHDR'
+        _be_hex(w, 4),
+        _be_hex(h, 4),
+        F.lit("08" + "00" + "00" + "00" + "00"),
+    )
+    ihdr = F.concat(
+        F.lit("0000000D"),
+        ihdr_td,
+        _be_hex(F.crc32(F.unhex(ihdr_td)), 4),
+    )
+
+    raw_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), raw_n), lambda j: _byte_hex(raw_byte(j))
+        ),
+        "",
+    )
+    s1 = F.aggregate(
+        F.sequence(F.lit(1), raw_n),
+        F.lit(0).cast("bigint"),
+        lambda a, j: a + raw_byte(j),
+    )
+    sw = F.aggregate(
+        F.sequence(F.lit(1), raw_n),
+        F.lit(0).cast("bigint"),
+        lambda a, j: a + j.cast("bigint") * raw_byte(j),
+    )
+    adler_a = F.pmod(F.lit(1) + s1, F.lit(65521))
+    adler_b = F.pmod(raw_n + (raw_n + 1) * s1 - sw, F.lit(65521))
+    zstream = F.concat(
+        F.lit("7801"),              # CMF/FLG: deflate, (0x7801 % 31) == 0
+        F.lit("01"),                # BFINAL=1, BTYPE=00 (stored)
+        _le_hex(raw_n, 2),          # LEN
+        _le_hex(F.lit(65535) - raw_n, 2),  # NLEN = ~LEN
+        raw_hex,
+        _be_hex(adler_b * 65536 + adler_a, 4),
+    )
+    idat_td = F.concat(F.lit("49444154"), zstream)  # 'IDAT' + data
+    idat = F.concat(
+        _be_hex(raw_n + 11, 4),     # zlib stream = 2 + 5 + raw + 4
+        idat_td,
+        _be_hex(F.crc32(F.unhex(idat_td)), 4),
+    )
+    iend = F.lit("00000000" + "49454E44" + "AE426082")
+    return F.unhex(
+        F.concat(F.lit("89504E470D0A1A0A"), ihdr, idat, iend)
+    )
+
+
 def sample_value(media_id, i):
     """The deterministic synthetic 8-bit PCM sample formula shared by
     the WAV encoder, the DuckDB oracle and the tests: sample i of
@@ -1039,6 +1114,91 @@ def decode_video(payload: bytes):
     return w, h, frames
 
 
+def decode_png(payload: bytes):
+    """Python single-payload twin of the Spark ``_png_gray_decode``
+    branch: returns ``(w, h, rgb_pixels)`` (gray expanded to R=G=B,
+    flattened top-down) for a grayscale-8 stored-deflate PNG, raises
+    on anything else. stdlib only, and deliberately NOT
+    ``zlib.decompress`` for the deflate payload: the stored blocks are
+    parsed by hand under the SAME envelope the Spark path enforces
+    (single IDAT, ``_PNG_MAX_CHUNKS`` / ``_PNG_MAX_BLOCKS`` caps,
+    BTYPE=00 only) so the two paths accept and reject identically —
+    a Huffman-compressed PNG that zlib could inflate raises here just
+    like it nulls out in Spark (the r10 twin-parity rule).
+    ``zlib.crc32`` / ``zlib.adler32`` verify the checksums."""
+    import struct as _struct
+    import zlib as _zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    if _struct.unpack(">I", payload[8:12])[0] != 13 or payload[12:16] != b"IHDR":
+        raise ValueError("first chunk is not a 13-byte IHDR")
+    if _zlib.crc32(payload[12:29]) != _struct.unpack(">I", payload[29:33])[0]:
+        raise ValueError("IHDR CRC mismatch")
+    w, h = _struct.unpack(">II", payload[16:24])
+    depth, ctype, comp, filt, interlace = payload[24:29]
+    if (depth, ctype, comp, filt, interlace) != (8, 0, 0, 0, 0) or w <= 0 or h <= 0:
+        raise ValueError("unsupported IHDR (need grayscale-8, no interlace)")
+
+    pos, idat, n_idat, done = 33, b"", 0, False
+    for _ in range(_PNG_MAX_CHUNKS):
+        if pos + 12 > len(payload):
+            raise ValueError("truncated chunk header")
+        clen = _struct.unpack(">I", payload[pos:pos + 4])[0]
+        if pos + 12 + clen > len(payload):
+            raise ValueError("truncated chunk body")
+        ctag = payload[pos + 4:pos + 8]
+        if _zlib.crc32(payload[pos + 4:pos + 8 + clen]) != _struct.unpack(
+            ">I", payload[pos + 8 + clen:pos + 12 + clen]
+        )[0]:
+            raise ValueError(f"chunk {ctag!r} CRC mismatch")
+        if ctag == b"IEND":
+            done = True
+            break
+        if ctag == b"IDAT":
+            idat, n_idat = payload[pos + 8:pos + 8 + clen], n_idat + 1
+        pos += 12 + clen
+    if not done:
+        raise ValueError(f"no IEND within {_PNG_MAX_CHUNKS} chunks")
+    if n_idat != 1:
+        raise ValueError(f"need exactly one IDAT, saw {n_idat}")
+    if len(idat) < 11:
+        raise ValueError("IDAT too short for a zlib stream")
+
+    cmf, flg = idat[0], idat[1]
+    if cmf % 16 != 8 or (cmf * 256 + flg) % 31 != 0 or flg & 0x20:
+        raise ValueError("bad zlib header")
+    raw, bpos, final = b"", 2, False
+    for _ in range(_PNG_MAX_BLOCKS):
+        hb = idat[bpos]
+        if (hb >> 1) & 3 != 0:
+            raise ValueError("non-stored deflate block (codec-bound)")
+        blen, nlen = _struct.unpack("<HH", idat[bpos + 1:bpos + 5])
+        if nlen != 65535 - blen or bpos + 5 + blen > len(idat) - 4:
+            raise ValueError("stored block length mismatch")
+        raw += idat[bpos + 5:bpos + 5 + blen]
+        final = bool(hb & 1)
+        bpos += 5 + blen
+        if final:
+            break
+    if not final:
+        raise ValueError(f"no final block within {_PNG_MAX_BLOCKS} blocks")
+    if bpos != len(idat) - 4:
+        raise ValueError("trailing bytes between blocks and Adler-32")
+    if _zlib.adler32(raw) != _struct.unpack(">I", idat[-4:])[0]:
+        raise ValueError("Adler-32 mismatch")
+    if len(raw) != h * (w + 1):
+        raise ValueError("scanline stream length mismatch")
+    pixels = []
+    for r in range(h):
+        row = raw[r * (w + 1):(r + 1) * (w + 1)]
+        if row[0] != 0:
+            raise ValueError(f"scanline {r} uses filter {row[0]} (only 0)")
+        for g in row[1:]:
+            pixels += [g, g, g]
+    return w, h, pixels
+
+
 def synthesize_decodable_media(
     docs: DataFrame, id_col: str = "doc_id", formats=("bmp", "ppm")
 ) -> DataFrame:
@@ -1048,12 +1208,13 @@ def synthesize_decodable_media(
     real testdata. Dimensions are small (w ∈ 2..6, h ∈ 2..5) to keep
     the decoded pixel arrays oracle-comparable. Formats: 'bmp'
     (24-bit), 'ppm' (P6), 'bmp8' (8-bit paletted, r9), 'pgm' (P5,
-    r9)."""
+    r9), 'png' (grayscale-8 stored-deflate, r11)."""
     encoders = {
         "bmp": encode_bmp,
         "ppm": encode_ppm,
         "bmp8": encode_bmp8,
         "pgm": encode_pgm,
+        "png": encode_png,
     }
     even_fmt, odd_fmt = formats
     mid = F.col(id_col)
@@ -1078,6 +1239,248 @@ def synthesize_decodable_media(
     )
 
 
+#: Bounded-walk limits shared by the Spark PNG decoder and its Python
+#: twin ``decode_png`` (the r10 advice rule: caps must agree on both
+#: paths, pinned by tests). Real single-image PNGs reach IEND within a
+#: handful of chunks; the stored-deflate stream of a ≤64 KB-per-block
+#: image fits a few blocks.
+_PNG_MAX_CHUNKS = 8
+_PNG_MAX_BLOCKS = 4
+
+
+def _be32u(payload, pos):
+    """Big-endian uint32 at 1-based offset ``pos`` as BIGINT — CRC-32
+    and Adler-32 words exceed the signed-int range ``_be32`` uses."""
+    return F.conv(F.hex(F.substring(payload, pos, 4)), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _png_gray_decode(p):
+    """(ok, w, h, pixels) for a grayscale-8 stored-deflate PNG — the
+    pure-expression inverse of ``encode_png``, with REAL integrity
+    verification: IHDR + IDAT CRC-32s (``F.crc32``), zlib header
+    check, stored-block LEN/~LEN check, Adler-32 recomputed over the
+    decompressed stream, and per-scanline filter-0 check. Chunk and
+    stored-block walks are bounded ``aggregate`` folds
+    (``_PNG_MAX_CHUNKS`` / ``_PNG_MAX_BLOCKS`` — same caps as the
+    Python twin ``decode_png``). Supported envelope, all else nulls
+    out: bit depth 8, color type 0 (grayscale), no interlace, ONE
+    IDAT chunk, stored (BTYPE=00) deflate blocks only — Huffman-coded
+    blocks are the genuinely codec-bound case ``decode_media``
+    documents. Gray is expanded to R=G=B so ``pixels`` has the same
+    shape as every other format."""
+    w = _be32(p, 17)
+    h = _be32(p, 21)
+    wb = w.cast("bigint")
+    hb = h.cast("bigint")
+    raw_n = hb * (wb + 1)
+    ihdr_ok = (
+        (F.length(p) >= 46)  # sig 8 + IHDR 25 + shortest IDAT/IEND tail
+        & (F.hex(F.substring(p, 1, 8)) == _PNG_SIG)
+        & (_be32(p, 9) == 13)
+        & _sig(p, 13, "IHDR")
+        & (_u8(p, 25) == 8)   # bit depth
+        & (_u8(p, 26) == 0)   # color type: grayscale
+        & (_u8(p, 27) == 0)   # compression: deflate
+        & (_u8(p, 28) == 0)   # filter method 0
+        & (_u8(p, 29) == 0)   # no interlace
+        & (F.crc32(F.substring(p, 13, 17)) == _be32u(p, 30))
+        & (w > 0)
+        & (h > 0)
+    )
+
+    # --- chunk walk: find THE IDAT, CRC-checking every chunk --------
+    cinit = F.struct(
+        F.lit(34).cast("bigint").alias("pos"),
+        F.lit(None).cast("bigint").alias("zs"),   # IDAT data start
+        F.lit(None).cast("bigint").alias("zl"),   # IDAT data length
+        F.lit(0).alias("n_idat"),
+        F.lit(True).alias("ok"),
+        F.lit(False).alias("done"),
+    )
+
+    def cstep(acc, _):
+        pos = acc["pos"]
+        clen = _be32(p, pos).cast("bigint")
+        readable = (pos + 11 + clen) <= F.length(p)
+        crc_ok = F.crc32(F.substring(p, pos + 4, clen + 4)) == _be32u(
+            p, pos + 8 + clen
+        )
+        is_iend = _sig(p, pos + 4, "IEND")
+        is_idat = _sig(p, pos + 4, "IDAT")
+        bad = clen.isNull() | (clen < 0) | ~readable | ~crc_ok
+        adv = pos + 12 + clen
+        new = (
+            F.when(
+                bad,
+                F.struct(
+                    pos.alias("pos"),
+                    acc["zs"].alias("zs"),
+                    acc["zl"].alias("zl"),
+                    acc["n_idat"].alias("n_idat"),
+                    F.lit(False).alias("ok"),
+                    F.lit(True).alias("done"),
+                ),
+            )
+            .when(
+                is_iend,
+                F.struct(
+                    pos.alias("pos"),
+                    acc["zs"].alias("zs"),
+                    acc["zl"].alias("zl"),
+                    acc["n_idat"].alias("n_idat"),
+                    acc["ok"].alias("ok"),
+                    F.lit(True).alias("done"),
+                ),
+            )
+            .when(
+                is_idat,
+                F.struct(
+                    adv.alias("pos"),
+                    F.coalesce(acc["zs"], pos + 8).alias("zs"),
+                    F.coalesce(acc["zl"], clen).alias("zl"),
+                    (acc["n_idat"] + 1).alias("n_idat"),
+                    acc["ok"].alias("ok"),
+                    F.lit(False).alias("done"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    adv.alias("pos"),
+                    acc["zs"].alias("zs"),
+                    acc["zl"].alias("zl"),
+                    acc["n_idat"].alias("n_idat"),
+                    acc["ok"].alias("ok"),
+                    F.lit(False).alias("done"),
+                )
+            )
+        )
+        return F.when(acc["done"], acc).otherwise(new)
+
+    cw = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_PNG_MAX_CHUNKS)), cinit, cstep
+    )
+    zs, zl = cw["zs"], cw["zl"]
+    chunks_ok = (
+        cw["done"] & cw["ok"] & (cw["n_idat"] == 1) & (zl >= 11)
+    )
+
+    # --- zlib envelope ----------------------------------------------
+    cmf = _u8(p, zs)
+    flg = _u8(p, zs + 1)
+    zhdr_ok = (
+        (F.pmod(cmf, F.lit(16)) == 8)                      # deflate
+        & (F.pmod(cmf * 256 + flg, F.lit(31)) == 0)        # FCHECK
+        & (F.pmod(F.floor(flg / 32).cast("int"), F.lit(2)) == 0)  # no FDICT
+    )
+
+    # --- stored-block walk -------------------------------------------
+    binit = F.struct(
+        (zs + 2).alias("bpos"),
+        F.array().cast(
+            "array<struct<start:bigint,cum:bigint,len:bigint>>"
+        ).alias("blocks"),
+        F.lit(0).cast("bigint").alias("cum"),
+        F.lit(False).alias("final"),
+        F.lit(True).alias("ok"),
+    )
+
+    def bstep(acc, _):
+        bpos = acc["bpos"]
+        hbyte = _u8(p, bpos)
+        blen = _le16(p, bpos + 1).cast("bigint")
+        good = (
+            hbyte.isNotNull()
+            & (F.pmod(F.floor(hbyte / 2).cast("int"), F.lit(4)) == 0)
+            & (_le16(p, bpos + 3) == (F.lit(65535) - blen))
+            & ((bpos + 4 + blen) <= (zs + zl - 5))
+        )
+        new = F.when(
+            ~good,
+            F.struct(
+                bpos.alias("bpos"),
+                acc["blocks"].alias("blocks"),
+                acc["cum"].alias("cum"),
+                F.lit(True).alias("final"),
+                F.lit(False).alias("ok"),
+            ),
+        ).otherwise(
+            F.struct(
+                (bpos + 5 + blen).alias("bpos"),
+                F.concat(
+                    acc["blocks"],
+                    F.array(
+                        F.struct(
+                            (bpos + 5).alias("start"),
+                            acc["cum"].alias("cum"),
+                            blen.alias("len"),
+                        )
+                    ),
+                ).alias("blocks"),
+                (acc["cum"] + blen).alias("cum"),
+                (F.pmod(hbyte, F.lit(2)) == 1).alias("final"),
+                F.lit(True).alias("ok"),
+            )
+        )
+        return F.when(acc["final"] | ~acc["ok"], acc).otherwise(new)
+
+    bw = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_PNG_MAX_BLOCKS)), binit, bstep
+    )
+    blocks = bw["blocks"]
+    blocks_ok = (
+        bw["final"]
+        & bw["ok"]
+        & (bw["cum"] == raw_n)
+        & (bw["bpos"] == zs + zl - 4)  # stream consumed, Adler follows
+    )
+
+    def zraw(i):
+        # byte i (1-based) of the decompressed stream, via its block
+        blk = F.element_at(
+            F.filter(
+                blocks,
+                lambda b: (i > b["cum"]) & (i <= b["cum"] + b["len"]),
+            ),
+            1,
+        )
+        return _u8(p, blk["start"] + (i - blk["cum"]) - 1)
+
+    # --- Adler-32 over the decompressed stream -----------------------
+    s1 = F.aggregate(
+        F.sequence(F.lit(1), raw_n),
+        F.lit(0).cast("bigint"),
+        lambda a, j: a + zraw(j),
+    )
+    sw = F.aggregate(
+        F.sequence(F.lit(1), raw_n),
+        F.lit(0).cast("bigint"),
+        lambda a, j: a + j.cast("bigint") * zraw(j),
+    )
+    adler_ok = (
+        F.pmod(raw_n + (raw_n + 1) * s1 - sw, F.lit(65521)) * 65536
+        + F.pmod(F.lit(1) + s1, F.lit(65521))
+    ) == _be32u(p, zs + zl - 4)
+
+    filters_ok = F.forall(
+        F.sequence(F.lit(0), hb - 1),
+        lambda r: zraw(r * (wb + 1) + 1) == 0,
+    )
+
+    def png_byte(k):
+        q = F.floor(k / 3).cast("bigint")
+        r = F.floor(q / wb).cast("bigint")
+        px = F.pmod(q, wb)
+        return zraw(r * (wb + 1) + 2 + px)
+
+    pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
+    ok = (
+        ihdr_ok & chunks_ok & zhdr_ok & blocks_ok & adler_ok & filters_ok
+    )
+    return ok, w, h, pixels
+
+
 def decode_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """REAL pixel decode of uncompressed formats, pure Spark: returns
     (media_id, img_format, width, height, pixels) where ``pixels`` is
@@ -1097,10 +1500,17 @@ def decode_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
       tools); P6 data is already top-down RGB, P5 grayscale is
       expanded to R=G=B so ``pixels`` has one shape for every format.
 
-    Compressed formats (JPEG/PNG/GIF) still require
+    * PNG grayscale-8 with STORED-deflate zlib (r11,
+      ``_png_gray_decode``): signature + IHDR dispatch, CRC/Adler
+      verified, gray expanded to R=G=B. Huffman-compressed PNGs (the
+      overwhelmingly common kind) still null out here — that is the
+      genuinely codec-bound case ``decode_media`` documents.
+
+    JPEG/GIF (and compressed PNG) pixel decode still requires
     ``decode_media``'s codec libraries — header metadata for those is
     available via ``with_image_header_meta``."""
     p = F.col(payload_col)
+    png_ok, png_w, png_h, png_pixels = _png_gray_decode(p)
     is_bmp = (F.length(p) >= 54) & (F.hex(F.substring(p, 1, 2)) == "424D")
     is_ppm = (F.length(p) >= 9) & (F.hex(F.substring(p, 1, 3)) == "50360A")
     is_pgm = (F.length(p) >= 9) & (F.hex(F.substring(p, 1, 3)) == "50350A")
@@ -1217,14 +1627,26 @@ def decode_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(b8_ok, "bmp8")
         .when(p_ok, "ppm")
         .when(g_ok, "pgm")
+        .when(png_ok, "png")
     )
-    width = F.when(b_ok | b8_ok, b_w).when(p_ok, p_w).when(g_ok, g_w)
-    height = F.when(b_ok | b8_ok, b_h).when(p_ok, p_h).when(g_ok, g_h)
+    width = (
+        F.when(b_ok | b8_ok, b_w)
+        .when(p_ok, p_w)
+        .when(g_ok, g_w)
+        .when(png_ok, png_w)
+    )
+    height = (
+        F.when(b_ok | b8_ok, b_h)
+        .when(p_ok, p_h)
+        .when(g_ok, g_h)
+        .when(png_ok, png_h)
+    )
     pixels = (
         F.when(b_ok, bmp_pixels)
         .when(b8_ok, bmp8_pixels)
         .when(p_ok, ppm_pixels)
         .when(g_ok, pgm_pixels)
+        .when(png_ok, png_pixels)
     )
     return media.select(
         "media_id",

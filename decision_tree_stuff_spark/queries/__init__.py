@@ -131,6 +131,7 @@ from decision_tree_stuff_spark.queries.dedup import (  # noqa: F401,E501
     q_e7c_dedup_keep_best,
     q_e7d_pagerank,
     q_e7e_triangles,
+    q_e7f_label_prop,
     q_e2_minhash_pairs,
     q_e2_minhash_md5_pairs,
     q_e7b_minhash_dedup_keep,
@@ -168,6 +169,7 @@ from decision_tree_stuff_spark.queries.text import (  # noqa: F401,E501
     q_e4_lr_langid_joined,
     q_e4_bpe_merges,
     q_e4_wordpiece_merges,
+    q_e4_unigram_encode,
     q_e4_unigram_lm,
     q_e4_bpe_encode,
     q_e4_lm_buckets,
@@ -207,6 +209,7 @@ from decision_tree_stuff_spark.queries.media import (  # noqa: F401,E501
     q_e6_frame_sample,
     q_e6_pixel_decode,
     q_e6_pixel_decode_paletted,
+    q_e6_png_decode,
     q_e6_wav_decode,
     q_e6_y4m_decode,
     q_e6_wav_features,
@@ -420,6 +423,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_chi2_features": q_e4_chi2_features,        # r7: χ² feature selection
     "linreg_fit_transform": q_linreg_fit_transform,  # r7: E-12c normal equations
     "e7e_triangles": q_e7e_triangles,              # r7: E-7e triangle counts
+    "e7f_label_prop": q_e7f_label_prop,            # r11: E-7f communities
     "e4_hybrid_rrf": q_e4_hybrid_rrf,              # r7: lexical+dense RRF fusion
     "e4_quantile_by_domain": q_e4_quantile_by_domain,  # r7: per-domain floor
     # r8 rotation: three long-green rows demoted to make room for
@@ -448,10 +452,12 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_bpe_merges": q_e4_bpe_merges,              # r7: BPE trainer
     "e4_wordpiece_merges": q_e4_wordpiece_merges,  # r7: WordPiece criterion
     "e4_unigram_lm": q_e4_unigram_lm,              # r11: SentencePiece EM
+    "e4_unigram_encode": q_e4_unigram_encode,      # r11: Viterbi apply path
     "e4_bpe_encode": q_e4_bpe_encode,              # r7: BPE encode projection
     "e4_lr_langid": q_e4_lr_langid,                # r7: logistic-regression gate
     "e4_lr_langid_joined": q_e4_lr_langid_joined,  # r10: joined path, own oracle
     "e6_wav_decode": q_e6_wav_decode,              # r10: real PCM audio decode
+    "e6_png_decode": q_e6_png_decode,              # r11: stored-deflate PNG
     "e6_header_meta": q_e6_header_meta,            # r11: JPEG/PNG/GIF SOF walk
     "e4_corpus_profile_approx": q_e4_corpus_profile_approx,  # r11: HLL profile
     "e4_kmv_overlap": q_e4_kmv_overlap,            # r11: theta-sketch overlap

@@ -1014,6 +1014,98 @@ _RH_PROBES = ", ".join(
     ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(_RH_N_PLANES)]
 )
 
+def _compositions(n: int, p: int):
+    """All ordered compositions of ``n`` into parts <= ``p``."""
+    if n == 0:
+        return [[]]
+    out = []
+    for k in range(1, min(p, n) + 1):
+        out += [[k] + rest for rest in _compositions(n - k, p)]
+    return out
+
+
+def _unigram_encode_sql(
+    vocab_size: int = 40,
+    seed_size: int = 60,
+    P: int = 3,
+    W: int = 8,
+    em_iters: int = 2,
+) -> str:
+    """Twin of ``bpe.unigram_encode`` that verifies the Viterbi DP by
+    EXHAUSTIVE ENUMERATION: the trainer CTE chain (``_unigram_lm_sql``
+    verbatim, as a subquery) yields the model, then every word is
+    scored against ALL segmentations into pieces <= ``P`` chars (one
+    UNION ALL branch per composition of each length <= ``W`` — 176
+    branches at P=3/W=8, over the DISTINCT-word table). Products are
+    written LEFT-NESTED in word order — the exact association the
+    Spark fold uses, so scores are bit-identical — and the winner is
+    ``ORDER BY score DESC, rkey DESC`` where ``rkey`` is the REVERSED
+    piece-length digit string: lexicographically-largest-reversed-
+    lengths is precisely the DP's greedy-from-the-end longer-piece
+    tie rule. Spark computes the argmax in O(n·P) per word; the twin
+    checks it against all O(3^n) candidates — agreement proves the
+    DP, not just reproduces it."""
+    unk = repr(2.0 ** -40)
+
+    def pl(s: str, k: int) -> str:
+        fb = unk if k == 1 else "0.0"
+        return f"COALESCE((SELECT p FROM probs v WHERE v.piece = {s}), {fb})"
+
+    branches = []
+    for n in range(1, W + 1):
+        for comp in _compositions(n, P):
+            pos, pieces = 1, []
+            for k in comp:
+                pieces.append((f"substr(word, {pos}, {k})", k))
+                pos += k
+            score = pl(*pieces[0])
+            for s, k in pieces[1:]:
+                score = f"({score} * {pl(s, k)})"
+            enc = " || ' ' || ".join(s for s, _ in pieces)
+            rkey = "".join(str(k) for k in reversed(comp))
+            branches.append(
+                f"""SELECT word, {enc} AS enc, {score} AS score,
+       '{rkey}' AS rkey, {len(comp)} AS np
+FROM uwords WHERE length(word) = {n}"""
+            )
+    segs = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH model AS MATERIALIZED ({_unigram_lm_sql(vocab_size, seed_size, P, W, em_iters)}),
+probs AS MATERIALIZED (
+  SELECT piece,
+         CAST(count_micro AS DOUBLE)
+           / (SELECT CAST(SUM(count_micro) AS DOUBLE) FROM model) AS p
+  FROM model
+),
+dwords AS MATERIALIZED (
+  SELECT doc_id, i, substr(toks[CAST(i AS INT) + 1], 1, {W}) AS word
+  FROM (
+    SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM (
+      SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks
+      FROM documents
+    ) t0
+  ) u
+),
+uwords AS MATERIALIZED (SELECT DISTINCT word FROM dwords),
+segs AS ({segs}),
+best AS MATERIALIZED (
+  SELECT word, enc, np FROM (
+    SELECT word, enc, np,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY score DESC, rkey DESC) AS rn
+    FROM segs
+  ) r WHERE rn = 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(SUM(b.np), 0) AS INT) AS n_pieces,
+       coalesce(string_agg(b.enc, ' ' ORDER BY w.i), '') AS encoded
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN dwords w USING (doc_id)
+LEFT JOIN best b USING (word)
+GROUP BY d.doc_id
+"""
+
+
 def _unigram_lm_sql(
     vocab_size: int = 40,
     seed_size: int = 60,

@@ -186,6 +186,21 @@ def q_e7e_triangles(spark, sf_dir):
     return triangle_counts(pairs)
 
 
+def q_e7f_label_prop(spark, sf_dir):
+    """Synchronous label propagation over the near-dup pair graph
+    (r11, E-7f): community detection one notch softer than CC — a
+    weak bridge between two dense near-dup clusters does not merge
+    them. All-integer argmax (most-frequent neighbor label, min-label
+    ties), synchronous rounds, so the 3-iteration unrolled DuckDB
+    twin reproduces every label exactly."""
+    from decision_tree_stuff_spark.operators.graph import (
+        label_propagation,
+    )
+
+    docs, pairs = _pair_graph(spark, sf_dir)
+    return label_propagation(docs, pairs, iterations=3)
+
+
 def q_e2_minhash_pairs(spark, sf_dir):
     """MinHash LSH near-dup candidates (xxhash64-based → rows-only
     check). bands=8/r=8 puts the LSH S-curve knee at j≈0.77,
@@ -471,6 +486,54 @@ FROM reach GROUP BY node
     # iterations — contributions are truncating BIGINT divisions,
     # sums exact BIGINTs, the damping multiply mirrors the Spark
     # expression (0.85 * exact int, half-away round) term-for-term.
+    # r11 label propagation: synchronous rounds unrolled; the argmax
+    # (count DESC, label ASC) is row_number's order — all integers.
+    "e7f_label_prop": f"""
+WITH {PAIR_GRAPH_SQL.format(toks=TOKS_SQL)},
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM jp
+),
+l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+w1 AS (
+  SELECT id, label FROM (
+    SELECT e.dst AS id, l.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst, l.label
+  ) x WHERE rn = 1
+),
+l1 AS MATERIALIZED (
+  SELECT n.id, coalesce(w.label, n.label) AS label
+  FROM l0 n LEFT JOIN w1 w ON w.id = n.id
+),
+w2 AS (
+  SELECT id, label FROM (
+    SELECT e.dst AS id, l.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst, l.label
+  ) x WHERE rn = 1
+),
+l2 AS MATERIALIZED (
+  SELECT n.id, coalesce(w.label, n.label) AS label
+  FROM l1 n LEFT JOIN w2 w ON w.id = n.id
+),
+w3 AS (
+  SELECT id, label FROM (
+    SELECT e.dst AS id, l.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM edges e JOIN l2 l ON l.id = e.src GROUP BY e.dst, l.label
+  ) x WHERE rn = 1
+),
+l3 AS (
+  SELECT n.id, coalesce(w.label, n.label) AS label
+  FROM l2 n LEFT JOIN w3 w ON w.id = n.id
+)
+SELECT id AS doc_id, label FROM l3
+""",
     "e7d_pagerank": f"""
 WITH {PAIR_GRAPH_SQL.format(toks=TOKS_SQL)},
 edges AS MATERIALIZED (

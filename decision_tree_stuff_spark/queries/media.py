@@ -157,6 +157,29 @@ def q_e6_pixel_decode_paletted(spark, sf_dir):
     )
 
 
+def q_e6_png_decode(spark, sf_dir):
+    """REAL PNG decode (r11): every clip a grayscale-8 PNG whose zlib
+    stream is a STORED deflate block — signature, IHDR, chunk CRC-32s,
+    zlib header, block LEN/~LEN, Adler-32 and scanline filters all
+    verified in pure byte expressions, then gray expanded to R=G=B.
+    Same closed-form trap as e6_pixel_decode (the oracle recomputes
+    pixels from the formula, so a layout or checksum mistake on either
+    side mismatches); Huffman-compressed PNGs stay codec-bound and
+    null out (documented, tests pin both paths). Hex-packed scalar
+    output."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_pixels,
+        synthesize_decodable_media,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    return _hex_packed_pixels(
+        decode_pixels(
+            synthesize_decodable_media(docs, formats=("png", "png"))
+        )
+    )
+
+
 def q_e6_wav_decode(spark, sf_dir):
     """REAL audio decode (r10 — extends the real-codec treatment from
     images to the 'audio' kind): tiny spec-compliant 8-bit mono PCM
@@ -326,6 +349,17 @@ FROM documents WHERE doc_id % 7 = 0
     # r10: pixels hex-packed to one scalar string (driver pandas
     # canonicalizer cannot sort array cells) — printf('%02X') per byte
     # matches Spark's lpad(hex(v), 2, '0'), both uppercase.
+    "e6_png_decode": """
+SELECT doc_id AS media_id,
+       'png' AS img_format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       array_to_string(list_transform(
+         range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
+         k -> printf('%02X', (doc_id * 7 + (k // 3) * 13) % 256)
+       ), '') AS pixels_hex
+FROM documents WHERE doc_id % 7 = 0
+""",
     "e6_pixel_decode_paletted": """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 2 = 0 THEN 'bmp8' ELSE 'pgm' END AS img_format,

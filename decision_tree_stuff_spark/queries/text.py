@@ -37,6 +37,7 @@ from decision_tree_stuff_spark.queries._shared import (  # noqa: F401
     _LN_BACKOFF,
     _bpe_encode_sql,
     _bpe_merges_sql,
+    _unigram_encode_sql,
     _unigram_lm_sql,
     _cms_sql_cells,
     _cos_sql,
@@ -338,6 +339,32 @@ def q_e4_unigram_lm(spark, sf_dir):
         em_iters=2,
     )
     return unigram_table(spark, pieces)
+
+
+def q_e4_unigram_encode(spark, sf_dir):
+    """Unigram-LM Viterbi encode (r11 — the SentencePiece APPLY step,
+    completing the trainer triple's apply path next to
+    ``e4_bpe_encode``): train the 40-piece model, then segment every
+    document by the max-probability DP in one shuffle-free projection.
+    The oracle is an EXHAUSTIVE twin — it rescores every possible
+    segmentation (176 composition branches) and picks the max with
+    the same tie rule, so a match proves the DP's argmax, not just
+    the arithmetic."""
+    from decision_tree_stuff_spark.operators.bpe import (
+        unigram_encode,
+        unigram_lm_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pieces = unigram_lm_train(
+        docs,
+        vocab_size=40,
+        seed_size=60,
+        max_piece_len=3,
+        max_word_len=8,
+        em_iters=2,
+    )
+    return unigram_encode(docs, pieces)
 
 
 def q_e4_bpe_encode(spark, sf_dir):
@@ -672,6 +699,10 @@ GROUP BY 1
     # encode twin chains the same literal replaces over documents.
     "e4_bpe_merges": _bpe_merges_sql(BPE_MERGES),
     "e4_unigram_lm": _unigram_lm_sql(
+        vocab_size=40, seed_size=60, P=3, W=8, em_iters=2
+    ),
+    # r11: exhaustive-enumeration Viterbi twin (176 branches)
+    "e4_unigram_encode": _unigram_encode_sql(
         vocab_size=40, seed_size=60, P=3, W=8, em_iters=2
     ),
     "e4_wordpiece_merges": _bpe_merges_sql(BPE_MERGES, "likelihood"),

@@ -168,3 +168,74 @@ def test_triangles_skewed_hub_differential(spark):
     }
     assert got == _ref_triangles(edges)
     assert sum(got.values()) == 3
+
+
+# --- label propagation (E-7f, r11) ----------------------------------------
+
+
+def _ref_label_prop(node_ids, edge_pairs, iters):
+    """Pure-Python mirror: synchronous rounds, most-frequent neighbor
+    label, ties to the smallest label, isolated nodes keep theirs."""
+    adj = defaultdict(list)
+    for a, b in edge_pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    labels = {v: v for v in node_ids}
+    for _ in range(iters):
+        new = {}
+        for v in node_ids:
+            if not adj[v]:
+                new[v] = labels[v]
+                continue
+            cnt = defaultdict(int)
+            for u in adj[v]:
+                cnt[labels[u]] += 1
+            new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        labels = new
+    return labels
+
+
+def test_label_prop_matches_pure_python(graph_dfs):
+    from decision_tree_stuff_spark.operators.graph import label_propagation
+
+    nodes, pairs = graph_dfs
+    for iters in (1, 3):
+        got = {
+            r["doc_id"]: r["label"]
+            for r in label_propagation(nodes, pairs, iterations=iters).collect()
+        }
+        assert got == _ref_label_prop(NODES, EDGES, iters), iters
+
+
+def test_label_prop_communities_structure(spark):
+    """Two 4-cliques joined by ONE bridge edge: CC would merge them;
+    LPA keeps two communities (each clique converges to its min id)."""
+    from decision_tree_stuff_spark.operators.graph import label_propagation
+
+    clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = clique1 + clique2 + [(3, 10)]
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(4)) + list(range(10, 14))], "doc_id long"
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["label"]
+        for r in label_propagation(nodes, pairs, iterations=4).collect()
+    }
+    # the two cliques form distinct communities despite the bridge
+    labels1 = {got[i] for i in range(4)}
+    labels2 = {got[i] for i in range(10, 14)}
+    assert labels1 == {0}
+    assert labels2 == {10}
+
+
+def test_label_prop_isolated_node_keeps_own_label(graph_dfs):
+    from decision_tree_stuff_spark.operators.graph import label_propagation
+
+    nodes, pairs = graph_dfs
+    got = {
+        r["doc_id"]: r["label"]
+        for r in label_propagation(nodes, pairs, iterations=3).collect()
+    }
+    assert got[11] == 11

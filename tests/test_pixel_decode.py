@@ -510,3 +510,141 @@ def test_audio_features_single_sample_clip(spark):
     assert row["zero_crossings"] == 0
     assert row["peak"] == 200
     assert row["mean_level"] == 200.0
+
+
+# --- PNG grayscale-8 / stored-deflate (r11) -------------------------------
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", _z.crc32(tag + data))
+    )
+
+
+def _png_from(raw, w, h, idat_data=None, ctype=0, split_idat=False):
+    """Assemble a PNG from parts with stdlib zlib/struct — independent
+    of BOTH the Spark encoder and the Python twin. ``zlib.compress(
+    raw, 0)`` emits exactly the stored-block zlib stream the decoders
+    support."""
+    import zlib as _z
+
+    ihdr = _png_chunk(
+        b"IHDR", struct.pack(">II", w, h) + bytes([8, ctype, 0, 0, 0])
+    )
+    z = idat_data if idat_data is not None else _z.compress(raw, 0)
+    if split_idat:
+        idat = _png_chunk(b"IDAT", z[:4]) + _png_chunk(b"IDAT", z[4:])
+    else:
+        idat = _png_chunk(b"IDAT", z)
+    return b"\x89PNG\r\n\x1a\n" + ihdr + idat + _png_chunk(b"IEND", b"")
+
+
+def _golden_png_2x2():
+    """A 2×2 grayscale-8 PNG whose zlib stream comes straight from
+    ``zlib.compress(level=0)`` (a stored block) — external bytes, not
+    our encoder. Grays 10/200 (top row), 30/255 (bottom row)."""
+    raw = b"\x00" + bytes([10, 200]) + b"\x00" + bytes([30, 255])
+    expected_rgb = [10, 10, 10, 200, 200, 200, 30, 30, 30, 255, 255, 255]
+    return _png_from(raw, 2, 2), expected_rgb
+
+
+def test_golden_png_both_paths(spark):
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    payload, expect = _golden_png_2x2()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id bigint, payload binary"
+    )
+    r = decode_pixels(df).collect()[0]
+    assert (r["img_format"], r["width"], r["height"]) == ("png", 2, 2)
+    assert list(r["pixels"]) == expect
+    assert decode_png(payload) == (2, 2, expect)
+
+
+def test_png_round_trip_matches_formula_and_python(spark):
+    """Spark encode_png → real PNG bytes → Spark decode must reproduce
+    the closed-form grays (expanded to RGB); the Python twin must
+    agree on the same payload bytes."""
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 13)], "doc_id bigint"
+    )
+    media = synthesize_decodable_media(docs, formats=("png", "png"))
+    rows = {
+        r["media_id"]: r
+        for r in decode_pixels(media)
+        .join(media.select("media_id", "payload"), "media_id")
+        .collect()
+    }
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        w, h = mid % 5 + 2, mid % 4 + 2
+        expect = [
+            (mid * 7 + (k // 3) * 13) % 256 for k in range(w * h * 3)
+        ]
+        assert r["img_format"] == "png", mid
+        assert (r["width"], r["height"]) == (w, h), mid
+        assert list(r["pixels"]) == expect, mid
+        assert decode_png(bytes(r["payload"])) == (w, h, expect), mid
+
+
+def test_png_invalid_variants_rejected_both_paths(spark):
+    """Each variant must null out in Spark AND raise in the Python
+    twin — the two paths accept and reject identically (the r10
+    twin-parity rule). The Huffman-compressed variant is the key one:
+    stdlib zlib COULD inflate it, but the twin enforces the same
+    stored-block envelope as the expression decoder."""
+    import zlib as _z
+
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    raw = b"\x00" + bytes([10, 200]) + b"\x00" + bytes([30, 255])
+    good = _png_from(raw, 2, 2)
+
+    # layout from the end: IEND [-12:], IDAT CRC [-16:-12]
+    bad_idat_crc = bytearray(good)
+    bad_idat_crc[-14] ^= 0xFF  # a byte inside IDAT's CRC word
+    # corrupt ONLY the Adler-32: flip its last byte inside the zlib
+    # stream, then let _png_from recompute a VALID chunk CRC over it
+    z = _z.compress(raw, 0)
+    bad_adler = _png_from(
+        raw, 2, 2, idat_data=z[:-1] + bytes([z[-1] ^ 1])
+    )
+    compressed = _png_from(raw, 2, 2, idat_data=_z.compress(raw, 9))
+    bad_filter = _png_from(
+        b"\x01" + raw[1:], 2, 2
+    )  # filter 1 (Sub) on row 0, checksums all valid
+    two_idat = _png_from(raw, 2, 2, split_idat=True)
+    rgb_ctype = _png_from(raw, 2, 2, ctype=2)
+
+    variants = {
+        "bad_idat_crc": bytes(bad_idat_crc),
+        "bad_adler": bad_adler,
+        "compressed": compressed,
+        "bad_filter": bad_filter,
+        "two_idat": two_idat,
+        "rgb_ctype": rgb_ctype,
+    }
+    df = spark.createDataFrame(
+        [(name, bytearray(p)) for name, p in variants.items()],
+        "name string, payload binary",
+    )
+    decoded = {
+        r["media_id"]: r
+        for r in decode_pixels(
+            df.withColumnRenamed("name", "media_id")
+        ).collect()
+    }
+    for name, payload in variants.items():
+        assert decoded[name]["img_format"] is None, name
+        assert decoded[name]["pixels"] is None, name
+        with pytest.raises(ValueError):
+            decode_png(payload)
+    # and the good payload still decodes after all that
+    assert decode_png(good)[0:2] == (2, 2)

@@ -53,7 +53,11 @@ def test_minhash_cache_released_when_result_dropped(spark):
     del out
     gc.collect()
     assert _cache_manager_empty(spark)
-    assert _persistent_rdd_count(spark) == before
+    # <=, not ==: the leak signal is an INCREASE. The shared-session
+    # ContextCleaner reaps other tests' dropped localCheckpoint blocks
+    # asynchronously, so the count can legitimately FALL between the
+    # 'before' capture and here (observed in-suite: 4 -> 2).
+    assert _persistent_rdd_count(spark) <= before
 
 
 def _persistent_rdd_ids(spark):

@@ -227,3 +227,114 @@ def test_repeated_call_is_deterministic(spark):
         em_iters=2,
     )
     assert unigram_lm_train(df, **kw) == unigram_lm_train(df, **kw)
+
+
+# --- Viterbi encode (r11, the apply path) ---------------------------------
+
+
+def _brute_best_seg(word, probs, P):
+    """Exhaustive segmentation argmax with the operator's tie rule:
+    max score, then lexicographically-largest REVERSED piece-length
+    sequence (longer last piece first) — independent of the DP."""
+    from decision_tree_stuff_spark.operators.bpe import UNIGRAM_UNK_P
+
+    def plook(s):
+        if s in probs:
+            return probs[s]
+        return UNIGRAM_UNK_P if len(s) == 1 else 0.0
+
+    def segs(w):
+        if not w:
+            yield []
+            return
+        for k in range(1, min(P, len(w)) + 1):
+            for rest in segs(w[k:]):
+                yield [w[:k]] + rest
+
+    best, best_key = None, None
+    for seg in segs(word):
+        score = plook(seg[0])
+        for piece in seg[1:]:
+            score = score * plook(piece)  # left-nested, like the DP
+        key = (score, tuple(len(p) for p in reversed(seg)))
+        if best_key is None or key > best_key:
+            best, best_key = seg, key
+    return best
+
+
+def test_encode_differential_vs_python_and_brute_force(spark):
+    from decision_tree_stuff_spark.operators.bpe import (
+        unigram_encode,
+        unigram_encode_py,
+        unigram_lm_train,
+    )
+
+    texts = [
+        "lowest newer low lower newest wide widely news",
+        "low low lower newest wide news widely",
+        "the newest of the new lows",
+        "wid wid wid lo lo lo we we we",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    pieces = unigram_lm_train(
+        docs, vocab_size=20, seed_size=30, max_piece_len=3,
+        max_word_len=8, em_iters=2,
+    )
+    assert pieces
+    got = {
+        r["doc_id"]: (r["n_pieces"], r["encoded"])
+        for r in unigram_encode(docs, pieces).collect()
+    }
+    total = float(sum(c for _, _, c in pieces))
+    probs = {g: c / total for _, g, c in pieces}
+    for i, t in enumerate(texts):
+        # Python twin of the DP
+        want = unigram_encode_py(t, pieces)
+        assert got[i] == (len(want), " ".join(want)), (i, got[i], want)
+        # and the DP result IS the exhaustive argmax, word by word
+        for w in t.split():
+            enc = unigram_encode_py(w, pieces)
+            assert enc == _brute_best_seg(w[:8], probs, 3), w
+
+
+def test_encode_oov_chars_fall_back_to_singles(spark):
+    from decision_tree_stuff_spark.operators.bpe import (
+        unigram_encode,
+        unigram_lm_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aaa bbb aaa")], "doc_id bigint, text string"
+    )
+    pieces = unigram_lm_train(docs, vocab_size=8, seed_size=10)
+    probe = spark.createDataFrame(
+        [(1, "aaa zzz")], "doc_id bigint, text string"
+    )
+    r = unigram_encode(probe, pieces).collect()[0]
+    # 'zzz' has no in-vocab pieces: segments as UNK singles z z z
+    assert "z z z" in r["encoded"]
+    assert r["n_pieces"] >= 4
+
+
+def test_encode_null_and_empty_text(spark):
+    from decision_tree_stuff_spark.operators.bpe import (
+        unigram_encode,
+        unigram_lm_train,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "ab ab ba")], "doc_id bigint, text string"
+    )
+    pieces = unigram_lm_train(train, vocab_size=6, seed_size=8)
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ab")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_pieces"], r["encoded"])
+        for r in unigram_encode(docs, pieces).collect()
+    }
+    assert got[1] == (None, None)
+    assert got[2] == (0, "")
+    assert got[3][0] >= 1
