@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "e4_unigram_encode",     # unigram-LM Viterbi encode (apply path)
     "e6_png_decode",         # stored-deflate PNG encode->decode round trip
     "e7f_label_prop",        # synchronous label-propagation communities
+    "e4_hist_quantiles",     # fixed-grid histogram quantile sketch
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -509,6 +509,200 @@ FROM counts
 """
 
 
+# --- fixed-grid histogram quantile sketch (r11) ---------------------------
+
+HIST_BUCKETS = 256
+
+
+def hist_buckets(
+    keyed: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    lo: float = 0.0,
+    hi: float = 1024.0,
+    n_buckets: int = HIST_BUCKETS,
+) -> DataFrame:
+    """Fixed-grid histogram sketch: per group, ``(bucket, cnt)`` over
+    a linear [lo, hi) grid with underflow (−1) / overflow
+    (``n_buckets``) buckets — the QUANTILE member completing the
+    mergeable sketch family (CMS = frequency, HLL = distinct, KMV =
+    set ops). Spark's own ``percentile_approx`` (GK) is
+    engine-internal and insertion-order dependent, so it can only be
+    tolerance-tested; this grid is deterministic double arithmetic
+    (``floor((v − lo) · scale)`` with literal lo/scale), so every
+    bucket count and every interpolated quantile value-checks against
+    DuckDB exactly, and the error bound is transparent (one grid
+    cell). Shuffle ≤ ``n_buckets + 2`` rows per group regardless of
+    input size (map-side partial sum — the ``cms_cells`` argument);
+    counts are additive, so sketches merge exactly
+    (``hist_merge`` / the streaming fold)."""
+    scale = float(n_buckets) / (float(hi) - float(lo))
+    v = F.col(value_col).cast("double")
+    bucket = (
+        F.when(v < float(lo), F.lit(-1))
+        .when(v >= float(hi), F.lit(int(n_buckets)))
+        .otherwise(
+            F.floor((v - F.lit(float(lo))) * F.lit(scale)).cast("int")
+        )
+    )
+    gcols = list(group_cols)
+    return (
+        keyed.where(v.isNotNull())
+        .select(*gcols, bucket.alias("bucket"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(
+    *sketches: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Union + re-sum (the ``cms_merge`` twin): bucket counts are
+    additive, so merging shard/stream sketches is exact."""
+    gcols = list(group_cols)
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*gcols, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    buckets: DataFrame,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    lo: float = 0.0,
+    hi: float = 1024.0,
+    n_buckets: int = HIST_BUCKETS,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: per group and per
+    ``q``, rank ``t = floor(q·(n−1)) + 1`` is located in the sorted
+    bucket array (ONE bounded groupBy collecting ≤ n_buckets+2 rows
+    per group, then a fold — no second shuffle, no window over data
+    rows) and linearly interpolated inside its cell:
+    ``est = (lo + width·bucket) + width·((t − cum_before)/cnt)``.
+    Underflow/overflow buckets clamp to lo/hi. Every op is
+    deterministic IEEE double arithmetic in a fixed order, rounded
+    6dp — the DuckDB twin matches bit-for-bit. |est − true| ≤ width
+    for in-range data by construction. Returns (group_cols..., q,
+    est)."""
+    width = (float(hi) - float(lo)) / float(n_buckets)
+    gcols = list(group_cols)
+    agg = buckets.groupBy(*gcols).agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket", "cnt"))
+        ).alias("__h"),
+        F.sum("cnt").alias("__n"),
+    )
+
+    def est_for(q: float):
+        t = (
+            F.floor(F.lit(float(q)) * (F.col("__n") - 1).cast("double"))
+            .cast("bigint")
+            + 1
+        )
+
+        def step(acc, e):
+            hit = acc["est"].isNull() & ((acc["cum"] + e["cnt"]) >= t)
+            est = (
+                F.when(e["bucket"] == -1, F.lit(float(lo)))
+                .when(e["bucket"] == n_buckets, F.lit(float(hi)))
+                .otherwise(
+                    (
+                        F.lit(float(lo))
+                        + F.lit(width) * e["bucket"].cast("double")
+                    )
+                    + F.lit(width)
+                    * (
+                        (t - acc["cum"]).cast("double")
+                        / e["cnt"].cast("double")
+                    )
+                )
+            )
+            return F.struct(
+                (acc["cum"] + e["cnt"]).alias("cum"),
+                F.when(hit, est).otherwise(acc["est"]).alias("est"),
+            )
+
+        folded = F.aggregate(
+            F.col("__h"),
+            F.struct(
+                F.lit(0).cast("bigint").alias("cum"),
+                F.lit(None).cast("double").alias("est"),
+            ),
+            step,
+        )
+        return F.struct(
+            F.lit(float(q)).alias("q"),
+            F.round(folded["est"], 6).alias("est"),
+        )
+
+    pairs = F.array(*[est_for(q) for q in qs])
+    out = agg.select(*gcols, F.explode(pairs).alias("__qe"))
+    return out.select(
+        *gcols, F.col("__qe.q").alias("q"), F.col("__qe.est").alias("est")
+    )
+
+
+def hist_sql(
+    source_sql: str,
+    group_cols: Sequence[str] = (),
+    qs: Sequence[float] = (0.5,),
+    lo: float = 0.0,
+    hi: float = 1024.0,
+    n_buckets: int = HIST_BUCKETS,
+) -> str:
+    """DuckDB twin of ``hist_buckets`` + ``hist_quantiles`` over
+    ``source_sql`` (a relation with a ``v`` column and the group
+    columns) — single-sourced like ``hll_sql``. The interpolation is
+    written with the IDENTICAL parenthesization as the Spark fold."""
+    scale = float(n_buckets) / (float(hi) - float(lo))
+    width = (float(hi) - float(lo)) / float(n_buckets)
+    gsel = "".join(f"{c}, " for c in group_cols)
+    gpart = ", ".join(group_cols) if group_cols else "1"
+    # CAST: a bare 0.25 literal parses as DECIMAL and the driver's
+    # schema compare would flag q against Spark's DOUBLE column
+    qrows = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    return f"""
+WITH src AS (SELECT * FROM ({source_sql}) s WHERE v IS NOT NULL),
+b AS (
+  SELECT {gsel}
+         CASE WHEN CAST(v AS DOUBLE) < {float(lo)!r} THEN -1
+              WHEN CAST(v AS DOUBLE) >= {float(hi)!r} THEN {int(n_buckets)}
+              ELSE CAST(floor((CAST(v AS DOUBLE) - {float(lo)!r})
+                              * {scale!r}) AS INT)
+         END AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM src GROUP BY ALL
+),
+c AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY {gpart} ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) - cnt AS cum_before,
+         sum(cnt) OVER (PARTITION BY {gpart}) AS n
+  FROM b
+),
+qq AS (SELECT * FROM (VALUES {qrows}) q(q)),
+hits AS (
+  SELECT {gsel} q,
+         CASE WHEN bucket = -1 THEN {float(lo)!r}
+              WHEN bucket = {int(n_buckets)} THEN {float(hi)!r}
+              ELSE ({float(lo)!r} + {width!r} * CAST(bucket AS DOUBLE))
+                   + {width!r}
+                     * (CAST((CAST(floor(q * CAST(n - 1 AS DOUBLE))
+                                   AS BIGINT) + 1) - cum_before AS DOUBLE)
+                        / CAST(cnt AS DOUBLE))
+         END AS est,
+         row_number() OVER (
+           PARTITION BY {gpart}, q ORDER BY bucket
+         ) AS rn
+  FROM c, qq
+  WHERE cum_before + cnt
+        >= CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+)
+SELECT {gsel} q, round(est, 6) AS est FROM hits WHERE rn = 1
+"""
+
+
 def hll_sql(source_sql: str, group_cols: Sequence[str] = (), b: int = HLL_B) -> str:
     """DuckDB twin of ``hll_registers`` + ``hll_estimate`` over
     ``source_sql`` (a relation with a ``key`` column and the group

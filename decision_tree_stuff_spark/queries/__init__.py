@@ -189,6 +189,7 @@ from decision_tree_stuff_spark.queries.text import (  # noqa: F401,E501
     q_e4_corpus_profile,
     q_e4_corpus_profile_approx,
     q_e4_kmv_overlap,
+    q_e4_hist_quantiles,
     q_e4_hll_distinct,
     q_e4_chunks,
 )
@@ -461,6 +462,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e6_header_meta": q_e6_header_meta,            # r11: JPEG/PNG/GIF SOF walk
     "e4_corpus_profile_approx": q_e4_corpus_profile_approx,  # r11: HLL profile
     "e4_kmv_overlap": q_e4_kmv_overlap,            # r11: theta-sketch overlap
+    "e4_hist_quantiles": q_e4_hist_quantiles,      # r11: grid-quantile sketch
     "e6_wav_features": q_e6_wav_features,          # r10: decoded-PCM features
     "e6_y4m_motion": q_e6_y4m_motion,              # r10: per-frame motion
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking

@@ -7,7 +7,7 @@ the registry.
 
 from __future__ import annotations
 
-from decision_tree_stuff_spark.operators.sketch import hll_sql, kmv_sql_set_estimates
+from decision_tree_stuff_spark.operators.sketch import hist_sql, hll_sql, kmv_sql_set_estimates
 from decision_tree_stuff_spark.queries._shared import (  # noqa: F401
     Dict,
     BM25_B,
@@ -597,6 +597,34 @@ def q_e4_kmv_overlap(spark, sf_dir):
     return kmv_set_estimates(sa, sb)
 
 
+def q_e4_hist_quantiles(spark, sf_dir):
+    """Histogram-sketch quantiles (r11): per-lang n_chars quartiles +
+    p95 from a fixed-grid sketch — the QUANTILE member completing the
+    mergeable sketch family (CMS frequency / HLL distinct / KMV set
+    ops). Unlike ``percentile_approx`` (GK, engine-internal,
+    tolerance-only), the grid is deterministic double arithmetic, so
+    the interpolated estimates themselves value-check vs DuckDB; the
+    sketch shuffles ≤ n_buckets+2 rows per lang however large the
+    corpus."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets,
+        hist_quantiles,
+    )
+
+    docs = _docs(spark, sf_dir).select("lang", "n_chars")
+    b = hist_buckets(
+        docs, "n_chars", ["lang"], lo=0.0, hi=1024.0, n_buckets=64
+    )
+    return hist_quantiles(
+        b,
+        (0.25, 0.5, 0.75, 0.95),
+        ["lang"],
+        lo=0.0,
+        hi=1024.0,
+        n_buckets=64,
+    )
+
+
 def q_e4_corpus_profile(spark, sf_dir):
     """Per-lang corpus profile, EXACT mode (the oracled gate; the
     approximate HLL/GK mode is the 100 TB path, tolerance-tested vs
@@ -1059,6 +1087,16 @@ e AS (
 h AS ({hll_sql('SELECT lang, key FROM src', ['lang'])})
 SELECT h.lang, h.est, e.exact_distinct FROM h JOIN e USING (lang)
 """,
+    # Histogram-quantile twin (r11): grid + interpolation single-
+    # sourced in sketch.hist_sql.
+    "e4_hist_quantiles": hist_sql(
+        "SELECT lang, n_chars AS v FROM documents",
+        ["lang"],
+        qs=(0.25, 0.5, 0.75, 0.95),
+        lo=0.0,
+        hi=1024.0,
+        n_buckets=64,
+    ),
     # KMV twin (r11): sketches + theta-overlap arithmetic are
     # single-sourced in sketch.kmv_sql_set_estimates.
     "e4_kmv_overlap": kmv_sql_set_estimates(

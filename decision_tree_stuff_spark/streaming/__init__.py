@@ -425,6 +425,43 @@ def stream_hll(
     )
 
 
+def stream_hist(
+    stream_df: DataFrame,
+    state_dir: str,
+    value_col: str = "v",
+    group_cols: list = None,
+    lo: float = 0.0,
+    hi: float = 1024.0,
+    n_buckets: int = None,
+    checkpoint_dir: str = None,
+):
+    """Streaming histogram-quantile sketch (r11): maintain, across
+    micro-batches, exactly the bucket table the batch
+    ``sketch.hist_buckets`` would produce — quantile estimates on an
+    unbounded stream with ≤ groups × (n_buckets+2) rows of state,
+    forever (``sketch.hist_quantiles`` reads the snapshot). Counts
+    are ADDITIVE, so the fold is the ``stream_cms`` shape: exact
+    regardless of batch boundaries."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        HIST_BUCKETS,
+        hist_buckets,
+    )
+
+    gcols = list(group_cols or [])
+    n_buckets = n_buckets or HIST_BUCKETS
+    return _stream_mergeable_fold(
+        stream_df,
+        state_dir,
+        lambda cells: cells.groupBy(*gcols, "bucket").agg(
+            F.sum("cnt").alias("cnt")
+        ),
+        checkpoint_dir,
+        prep_fn=lambda batch: hist_buckets(
+            batch, value_col, gcols, lo, hi, n_buckets
+        ),
+    )
+
+
 def stream_kmv(
     stream_df: DataFrame,
     state_dir: str,

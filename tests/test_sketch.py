@@ -541,3 +541,161 @@ def test_stream_kmv_state_equals_batch_sketch(
     assert got == batch and got
     versions = [v for v in os.listdir(state) if v.startswith("v")]
     assert len(versions) <= 2, versions
+
+
+# --- fixed-grid histogram quantile sketch (r11) ---------------------------
+
+
+def _py_hist(values, lo, hi, n):
+    scale = float(n) / (float(hi) - float(lo))
+    out = {}
+    for v in values:
+        if v is None:
+            continue
+        fv = float(v)
+        if fv < lo:
+            b = -1
+        elif fv >= hi:
+            b = n
+        else:
+            b = int((fv - float(lo)) * scale // 1)
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+def _py_hist_quantile(values, q, lo, hi, n):
+    """Python mirror of the exact interpolation recipe."""
+    h = sorted(_py_hist(values, lo, hi, n).items())
+    total = sum(c for _, c in h)
+    width = (float(hi) - float(lo)) / float(n)
+    t = int(q * float(total - 1) // 1) + 1
+    cum = 0
+    for b, c in h:
+        if cum + c >= t:
+            if b == -1:
+                return round(float(lo), 6)
+            if b == n:
+                return round(float(hi), 6)
+            return round(
+                (float(lo) + width * float(b))
+                + width * (float(t - cum) / float(c)),
+                6,
+            )
+        cum += c
+    raise AssertionError("rank past histogram")
+
+
+def test_hist_buckets_match_python_reference(spark, sf_dir):
+    from decision_tree_stuff_spark.operators.sketch import hist_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["lang"], r["bucket"]): r["cnt"]
+        for r in hist_buckets(
+            docs, "n_chars", ["lang"], lo=0.0, hi=300.0, n_buckets=16
+        ).collect()
+    }
+    by_lang = {}
+    for r in docs.select("lang", "n_chars").collect():
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    want = {
+        (lang, b): c
+        for lang, vs in by_lang.items()
+        for b, c in _py_hist(vs, 0.0, 300.0, 16).items()
+    }
+    assert got == want and got
+
+
+def test_hist_quantiles_match_python_and_error_bound(spark, sf_dir):
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets,
+        hist_quantiles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo, hi, n = 0.0, 1024.0, 64
+    width = (hi - lo) / n
+    b = hist_buckets(docs, "n_chars", ["lang"], lo=lo, hi=hi, n_buckets=n)
+    got = {
+        (r["lang"], r["q"]): r["est"]
+        for r in hist_quantiles(
+            b, (0.25, 0.5, 0.9), ["lang"], lo=lo, hi=hi, n_buckets=n
+        ).collect()
+    }
+    by_lang = {}
+    for r in docs.select("lang", "n_chars").collect():
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    for lang, vs in by_lang.items():
+        vs.sort()
+        for q in (0.25, 0.5, 0.9):
+            est = got[(lang, q)]
+            assert est == _py_hist_quantile(vs, q, lo, hi, n), (lang, q)
+            true = vs[int(q * (len(vs) - 1))]
+            if lo <= true < hi:  # bound holds for in-grid ranks only
+                assert abs(est - true) <= width + 1e-9, (lang, q, est, true)
+
+
+def test_hist_merge_equals_one_shot(spark, sf_dir):
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets,
+        hist_merge,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = hist_buckets(
+        docs.where("doc_id % 2 = 0"), "n_chars", ["lang"], 0.0, 512.0, 32
+    )
+    b = hist_buckets(
+        docs.where("doc_id % 2 = 1"), "n_chars", ["lang"], 0.0, 512.0, 32
+    )
+    merged = {
+        (r["lang"], r["bucket"]): r["cnt"]
+        for r in hist_merge(a, b, group_cols=["lang"]).collect()
+    }
+    whole = {
+        (r["lang"], r["bucket"]): r["cnt"]
+        for r in hist_buckets(
+            docs, "n_chars", ["lang"], 0.0, 512.0, 32
+        ).collect()
+    }
+    assert merged == whole and merged
+
+
+def test_stream_hist_state_equals_batch_sketch(
+    spark, sf_dir, tmp_path_factory
+):
+    from decision_tree_stuff_spark.operators.sketch import hist_buckets
+    from decision_tree_stuff_spark.streaming import (
+        read_capped_state,
+        stream_hist,
+    )
+
+    d = tmp_path_factory.mktemp("hist_stream_op")
+    state = str(tmp_path_factory.mktemp("hist_state"))
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    third = t.num_rows // 3
+    for i in range(3):
+        n = third if i < 2 else t.num_rows - 2 * third
+        pq.write_table(t.slice(i * third, n), f"{d}/part{i}.parquet")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .select("lang", F.col("n_chars").alias("v"))
+    )
+    stream_hist(stream, state, group_cols=["lang"], hi=512.0, n_buckets=32)
+
+    got = {
+        (r["lang"], r["bucket"]): r["cnt"]
+        for r in read_capped_state(spark, state).collect()
+    }
+    batch = {
+        (r["lang"], r["bucket"]): r["cnt"]
+        for r in hist_buckets(
+            docs.select("lang", F.col("n_chars").alias("v")),
+            "v", ["lang"], 0.0, 512.0, 32,
+        ).collect()
+    }
+    assert got == batch and got
