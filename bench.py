@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "e6_png_decode",         # stored-deflate PNG encode->decode round trip
     "e7f_label_prop",        # synchronous label-propagation communities
     "e4_hist_quantiles",     # fixed-grid histogram quantile sketch
+    "e9e_substring_decontam",  # ExactSubstr corpus-vs-bench span report
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

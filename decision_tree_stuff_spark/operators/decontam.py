@@ -738,3 +738,86 @@ def embedding_decontamination_ivf(
             ).alias("contaminated"),
         )
     )
+
+
+#: Side tag for exact_substring_decontam: bench ids are offset by this
+#: stride inside the shared anchor pipeline, so corpus id < bench id
+#: holds for every cross-side pair and the (id_a, id_b) orientation of
+#: exact_substring_matches IS (corpus, bench). Corpus/bench ids must
+#: be in [0, 2^40) — checked per row with raise_error, not assumed.
+_SUBSTR_SIDE_STRIDE = 1 << 40
+
+
+def exact_substring_decontam(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+    max_df="auto",
+    auto_quantile: float = 0.70,
+) -> DataFrame:
+    """ExactSubstr DECONTAMINATION (Lee et al. 2022, applied
+    corpus-vs-benchmark — the missing sibling of the dedup variant
+    ``dedup.exact_substring_matches``): every maximal verbatim run of
+    ≥ ``min_len`` normalized chars shared between a corpus document
+    and a benchmark document, with exact positions and length. This
+    is the DETERMINISTIC end of the decontam family: n-gram
+    contamination (``ngram_contamination``) scores fixed-size gram
+    overlap fractions, Bloom is its shuffle-free approximation,
+    semantic catches paraphrase — none of them returns the exact
+    span of a long verbatim leak shared by exactly one corpus doc
+    and one bench doc, which is precisely the "test-set membership"
+    case.
+
+    Implementation: tag bench ids by ``_SUBSTR_SIDE_STRIDE`` (per-row
+    ``raise_error`` guard on the id range — silent aliasing would
+    produce wrong pairs), run the shared sorted-anchor + diagonal
+    gaps-and-islands pipeline on the union (one pass over
+    corpus+bench; the ``max_df`` hot-gram cap sees BOTH sides, which
+    is correct — boilerplate is boilerplate wherever it occurs), and
+    keep only cross-side pairs. Returns
+    (``id_col``, bench_id, pos, bench_pos, match_len), one row per
+    maximal contaminated span."""
+    from decision_tree_stuff_spark.operators.dedup import (
+        exact_substring_matches,
+    )
+
+    def _guarded(df, offset: int):
+        i = F.col(id_col).cast("bigint")
+        checked = F.when(
+            (i < 0) | (i >= _SUBSTR_SIDE_STRIDE),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "exact_substring_decontam: id out of [0, 2^40): "
+                    ),
+                    i.cast("string"),
+                )
+            ).cast("bigint"),
+        ).otherwise(i + F.lit(offset))
+        return df.select(
+            checked.alias(id_col), F.col(text_col).alias(text_col)
+        )
+
+    tagged = _guarded(corpus, 0).unionByName(
+        _guarded(bench, _SUBSTR_SIDE_STRIDE)
+    )
+    m = exact_substring_matches(
+        tagged,
+        id_col=id_col,
+        text_col=text_col,
+        min_len=min_len,
+        max_df=max_df,
+        auto_quantile=auto_quantile,
+    )
+    return m.where(
+        (F.col("id_a") < _SUBSTR_SIDE_STRIDE)
+        & (F.col("id_b") >= _SUBSTR_SIDE_STRIDE)
+    ).select(
+        F.col("id_a").alias(id_col),
+        (F.col("id_b") - _SUBSTR_SIDE_STRIDE).alias("bench_id"),
+        F.col("pos_a").alias("pos"),
+        F.col("pos_b").alias("bench_pos"),
+        "match_len",
+    )

@@ -126,7 +126,66 @@ def q_e9_bloom_decontam(spark, sf_dir):
         threshold=BLOOM_T,
     )
 
+def q_e9e_substring_decontam(spark, sf_dir):
+    """ExactSubstr decontamination (r11, E-9e — the deterministic end
+    of the decontam family): every maximal verbatim run ≥ 25
+    normalized chars a train doc shares with a bench doc, exact
+    positions + length — the span-precise "test-set membership" case
+    n-gram fraction scoring, Bloom, and semantic decontam all blur.
+    Same corpus/bench split as the other e9 rows; max_df=50 matches
+    the e1f dedup row (engine-stable cap)."""
+    from decision_tree_stuff_spark.operators.decontam import (
+        exact_substring_decontam,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return exact_substring_decontam(
+        docs.where("doc_id % 7 <> 0"),
+        docs.where("doc_id % 7 = 0"),
+        min_len=25,
+        max_df=50,
+    )
+
+
 ORACLE_SQL: Dict[str, str] = {
+    # r11 ExactSubstr decontam twin: the e1f anchor/diagonal program
+    # with a side split — the max_df cap still sees BOTH sides (the
+    # union is all documents), matching the operator exactly.
+    "e9e_substring_decontam": """
+WITH nz AS (
+  SELECT doc_id, doc_id % 7 = 0 AS is_bench,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+posns AS (
+  SELECT doc_id, is_bench, t,
+         CAST(unnest(range(1, CAST(length(t) AS BIGINT) - 23)) AS INT) AS pos
+  FROM nz WHERE length(t) >= 25
+),
+anch AS (
+  SELECT doc_id, is_bench, pos, md5(substr(t, pos, 25)) AS g FROM posns
+),
+ok AS (SELECT g FROM anch GROUP BY g HAVING count(*) <= 50),
+kept AS (SELECT a.* FROM anch a JOIN ok USING (g)),
+p AS (
+  SELECT a.doc_id AS doc_id, a.pos AS pos_a,
+         b.doc_id AS bench_id, b.pos AS pos_b
+  FROM kept a JOIN kept b USING (g)
+  WHERE NOT a.is_bench AND b.is_bench
+),
+r AS (
+  SELECT doc_id, bench_id, pos_a - pos_b AS diag, pos_a,
+         pos_a - CAST(row_number() OVER (
+           PARTITION BY doc_id, bench_id, pos_a - pos_b ORDER BY pos_a
+         ) AS INT) AS isl
+  FROM p
+)
+SELECT doc_id, bench_id,
+       CAST(min(pos_a) AS INT) AS pos,
+       CAST(min(pos_a) - diag AS INT) AS bench_pos,
+       CAST(25 + count(*) - 1 AS INT) AS match_len
+FROM r GROUP BY doc_id, bench_id, diag, isl
+""",
     "e9_decontamination": f"""
 WITH grams AS (
   SELECT doc_id, gram FROM (

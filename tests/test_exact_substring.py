@@ -159,3 +159,55 @@ def test_min_len_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         exact_substring_matches(df, min_len=0)
+
+
+# --- corpus-vs-bench decontam wrapper (E-9e, r11) --------------------------
+
+
+def test_substring_decontam_planted_leak(spark):
+    from decision_tree_stuff_spark.operators.decontam import (
+        exact_substring_decontam,
+    )
+
+    # boundary chars around the quote differ between the two sides
+    # (no shared space), so the MAXIMAL match is exactly the quote
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"aaa{quote}bbb filler of corpus words"),
+            (2, "completely unrelated corpus document body here"),
+            # corpus-corpus duplicate: must NOT be reported
+            (3, f"aaa{quote}bbb filler of corpus words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(7, f"ccc {quote} ddd benchmark tail")],
+        "doc_id bigint, text string",
+    )
+    got = exact_substring_decontam(
+        corpus, bench, min_len=25, max_df=50
+    ).collect()
+    assert {r["doc_id"] for r in got} == {1, 3}
+    assert all(r["bench_id"] == 7 for r in got)
+    for r in got:
+        assert r["match_len"] == len(quote), r
+        assert r["pos"] == 4, r           # after 'aaa', 1-based
+        assert r["bench_pos"] == 5, r     # after 'ccc ', 1-based
+
+
+def test_substring_decontam_rejects_out_of_range_ids(spark):
+    import pytest as _pytest
+
+    from decision_tree_stuff_spark.operators.decontam import (
+        exact_substring_decontam,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1 << 41, "x" * 40)], "doc_id bigint, text string"
+    )
+    bench = spark.createDataFrame(
+        [(1, "y" * 40)], "doc_id bigint, text string"
+    )
+    with _pytest.raises(Exception, match="out of"):
+        exact_substring_decontam(corpus, bench, min_len=25).collect()
