@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "e7f_label_prop",        # synchronous label-propagation communities
     "e4_hist_quantiles",     # fixed-grid histogram quantile sketch
     "e9e_substring_decontam",  # ExactSubstr corpus-vs-bench span report
+    "e6_resize",             # nearest-neighbor resize over decoded pixels
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -1114,6 +1114,50 @@ def decode_video(payload: bytes):
     return w, h, frames
 
 
+def resize_nearest(
+    decoded: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Nearest-neighbor resize over REAL decoded pixels (r11): the
+    standard image-preprocessing step of a multimodal training
+    pipeline (fixed input resolution), as ONE shuffle-free projection
+    over ``decode_pixels`` output — output pixel (x, y) samples input
+    pixel ``(floor(x·w/out_w), floor(y·h/out_h))`` per channel, the
+    textbook integer mapping (exact BIGINT arithmetic, so the oracle
+    recomputes every byte from the closed form). Non-decodable rows
+    (null pixels) stay one null row, keeping the operator total.
+    Returns (media_id, img_format, width, height, out_w, out_h,
+    pixels) with ``pixels`` the resized top-down RGB array."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError("out_w and out_h must be >= 1")
+    w = F.col("width").cast("bigint")
+    h = F.col("height").cast("bigint")
+
+    def out_byte(k):
+        q = F.floor(k / 3).cast("bigint")
+        c = F.pmod(k, F.lit(3))
+        y = F.floor(q / out_w).cast("bigint")
+        x = F.pmod(q, F.lit(out_w))
+        src_x = F.floor((x * w) / F.lit(out_w)).cast("bigint")
+        src_y = F.floor((y * h) / F.lit(out_h)).cast("bigint")
+        return F.element_at(
+            F.col("pixels"),
+            ((src_y * w + src_x) * 3 + c + 1).cast("int"),
+        )
+
+    resized = F.transform(
+        F.sequence(F.lit(0), F.lit(out_w * out_h * 3 - 1)), out_byte
+    )
+    return decoded.select(
+        "media_id",
+        "img_format",
+        "width",
+        "height",
+        F.lit(out_w).alias("out_w"),
+        F.lit(out_h).alias("out_h"),
+        F.when(F.col("pixels").isNotNull(), resized).alias("pixels"),
+    )
+
+
 def decode_png(payload: bytes):
     """Python single-payload twin of the Spark ``_png_gray_decode``
     branch: returns ``(w, h, rgb_pixels)`` (gray expanded to R=G=B,

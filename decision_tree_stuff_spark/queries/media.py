@@ -180,6 +180,37 @@ def q_e6_png_decode(spark, sf_dir):
     )
 
 
+def q_e6_resize(spark, sf_dir):
+    """Nearest-neighbor resize to 4x3 over REAL decoded pixels (r11)
+    — the fixed-input-resolution preprocessing step, one shuffle-free
+    projection after the BMP/PPM decode. The oracle recomputes every
+    resized byte from the closed-form source formula through the
+    exact integer index mapping, so both the decode AND the resize
+    arithmetic must be right. Hex-packed scalar output."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_pixels,
+        resize_nearest,
+        synthesize_decodable_media,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    resized = resize_nearest(
+        decode_pixels(synthesize_decodable_media(docs)), 4, 3
+    )
+    return resized.select(
+        "media_id",
+        "img_format",
+        "width",
+        "height",
+        "out_w",
+        "out_h",
+        F.array_join(
+            F.transform("pixels", lambda v: F.lpad(F.hex(v), 2, "0")),
+            "",
+        ).alias("pixels_hex"),
+    )
+
+
 def q_e6_wav_decode(spark, sf_dir):
     """REAL audio decode (r10 — extends the real-codec treatment from
     images to the 'audio' kind): tiny spec-compliant 8-bit mono PCM
@@ -444,6 +475,22 @@ FROM (SELECT media_id, h, unnest(range(0, n_frames, 4)) AS frame_idx FROM v) fr
     # recomputes the decoded pixels from the shared closed form
     # (multimodal.pixel_value), so Spark's encode→BMP/PPM bytes→decode
     # round trip must undo the real file layout exactly to match.
+    "e6_resize": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS img_format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       4 AS out_w, 3 AS out_h,
+       array_to_string(list_transform(
+         range(0, 4 * 3 * 3),
+         k -> printf('%02X',
+           (doc_id * 7
+            + ((((k // 3) // 4) * (doc_id % 4 + 2) // 3) * (doc_id % 5 + 2)
+               + (((k // 3) % 4) * (doc_id % 5 + 2) // 4)) * 3 * 13
+            + (k % 3) * 13) % 256)
+       ), '') AS pixels_hex
+FROM documents WHERE doc_id % 7 = 0
+""",
     "e6_pixel_decode": """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS img_format,

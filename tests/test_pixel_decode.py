@@ -648,3 +648,35 @@ def test_png_invalid_variants_rejected_both_paths(spark):
             decode_png(payload)
     # and the good payload still decodes after all that
     assert decode_png(good)[0:2] == (2, 2)
+
+
+def test_resize_nearest_matches_pil_free_reference(spark):
+    """Resize vs a pure-Python nearest-neighbor reference over the
+    golden 2x2 BMP; upscale and downscale; null rows stay null."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    payload, rgb = _golden_bmp_2x2()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"junk"))],
+        "media_id bigint, payload binary",
+    )
+    decoded = decode_pixels(df)
+
+    def ref(rgb, w, h, ow, oh):
+        out = []
+        for y in range(oh):
+            for x in range(ow):
+                sx, sy = x * w // ow, y * h // oh
+                base = (sy * w + sx) * 3
+                out += rgb[base:base + 3]
+        return out
+
+    for ow, oh in ((4, 4), (1, 1), (3, 2)):
+        rows = {
+            r["media_id"]: r
+            for r in resize_nearest(decoded, ow, oh).collect()
+        }
+        assert list(rows[1]["pixels"]) == ref(rgb, 2, 2, ow, oh), (ow, oh)
+        assert rows[2]["pixels"] is None
