@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "e4_hist_quantiles",     # fixed-grid histogram quantile sketch
     "e9e_substring_decontam",  # ExactSubstr corpus-vs-bench span report
     "e6_resize",             # nearest-neighbor resize over decoded pixels
+    "e6_audio_frames",       # short-time framing over decoded PCM
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -1053,6 +1053,69 @@ def audio_features(decoded: DataFrame) -> DataFrame:
     )
 
 
+def audio_frames(
+    decoded: DataFrame, frame_len: int = 8, hop: int = 4
+) -> DataFrame:
+    """Windowed audio framing over REAL decoded PCM (r11): the
+    short-time analysis primitive under VAD / silence-trimming /
+    feature pipelines — ``audio_features`` is one global summary per
+    clip; this emits one row PER FRAME of ``frame_len`` samples at
+    ``hop`` stride with the frame's energy stats:
+    (media_id, frame_idx, frame_start, n_frame_samples, frame_rms,
+    frame_peak). The last frame may be short (>= 1 sample — standard
+    framing semantics); a clip shorter than one hop still yields its
+    single short frame. One explode + per-frame slice folds, no
+    shuffle — the per-clip work is O(n_samples · frame_len / hop) of
+    codegen'd integer arithmetic. rms is the 6dp-rounded sqrt of an
+    exact integer mean, so every value oracles. Undecodable rows pass
+    through as one null-frame row."""
+    if frame_len < 1 or hop < 1:
+        raise ValueError("frame_len and hop must be >= 1")
+    s = F.col("samples")
+    n = F.size(s)
+    # frames start at 0, hop, 2·hop, ... while start < n
+    n_frames = F.when(n >= 1, F.floor((n - 1) / hop).cast("int") + 1)
+    framed = decoded.select(
+        "media_id",
+        "n_samples",
+        s.alias("__s"),
+        F.explode_outer(
+            F.when(
+                n_frames.isNotNull(),
+                F.sequence(F.lit(0), n_frames - 1),
+            )
+        ).alias("frame_idx"),
+    )
+    start = F.col("frame_idx").cast("bigint") * hop
+    flen = F.least(
+        F.lit(frame_len).cast("bigint"),
+        F.size(F.col("__s")).cast("bigint") - start,
+    )
+    frame = F.slice(F.col("__s"), (start + 1).cast("int"), flen.cast("int"))
+    sumsq = F.aggregate(
+        frame,
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v.cast("bigint") * v.cast("bigint"),
+    )
+    return framed.select(
+        "media_id",
+        F.col("frame_idx"),
+        F.when(F.col("frame_idx").isNotNull(), start).cast("int").alias(
+            "frame_start"
+        ),
+        F.when(F.col("frame_idx").isNotNull(), flen).cast("int").alias(
+            "n_frame_samples"
+        ),
+        F.when(
+            F.col("frame_idx").isNotNull(),
+            F.round(F.sqrt(sumsq / flen.cast("double")), 6),
+        ).alias("frame_rms"),
+        F.when(
+            F.col("frame_idx").isNotNull(), F.array_max(frame)
+        ).alias("frame_peak"),
+    )
+
+
 def frame_motion(frames: DataFrame) -> DataFrame:
     """Per-frame motion intensity over REAL decoded video (r10):
     (media_id, frame_idx, motion) where motion is the 6dp-rounded

@@ -211,6 +211,27 @@ def q_e6_resize(spark, sf_dir):
     )
 
 
+def q_e6_audio_frames(spark, sf_dir):
+    """Windowed audio framing over REAL decoded PCM (r11): one row
+    per 8-sample frame at hop 4 with per-frame rms/peak — the
+    short-time primitive under VAD/trimming. The oracle recomputes
+    every frame's stats from the closed-form sample formula through
+    the same framing arithmetic (last frame short, floor-div frame
+    count), so decode AND framing must both be right."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        audio_frames,
+        decode_samples,
+        synthesize_decodable_audio,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    return audio_frames(
+        decode_samples(synthesize_decodable_audio(docs)),
+        frame_len=8,
+        hop=4,
+    )
+
+
 def q_e6_wav_decode(spark, sf_dir):
     """REAL audio decode (r10 — extends the real-codec treatment from
     images to the 'audio' kind): tiny spec-compliant 8-bit mono PCM
@@ -366,6 +387,39 @@ FROM (SELECT doc_id, unnest(range(0, doc_id % 5 + 1)) AS f
 """,
     # r10: WAV round trip — the oracle never touches binary, it
     # recomputes rate/length/samples from the closed forms.
+    # r11 framing twin: n = doc_id%25+4 samples, frames at 0,4,8,...
+    # while start < n, flen = min(8, n - start); rms = exact integer
+    # sum-of-squares / flen under one sqrt+round, matching Spark.
+    "e6_audio_frames": """
+WITH clips AS (
+  SELECT doc_id AS media_id, CAST(doc_id % 25 + 4 AS BIGINT) AS n
+  FROM documents WHERE doc_id % 7 = 0
+),
+frames AS (
+  SELECT media_id, n,
+         CAST(unnest(range(0, (n - 1) // 4 + 1)) AS INT) AS frame_idx
+  FROM clips
+),
+f AS (
+  SELECT media_id, n, frame_idx,
+         CAST(frame_idx AS BIGINT) * 4 AS start,
+         least(8, n - CAST(frame_idx AS BIGINT) * 4) AS flen
+  FROM frames
+)
+SELECT media_id, frame_idx,
+       CAST(start AS INT) AS frame_start,
+       CAST(flen AS INT) AS n_frame_samples,
+       round(sqrt(CAST((
+         SELECT sum(((media_id * 11 + (start + j) * 17) % 256)
+                    * ((media_id * 11 + (start + j) * 17) % 256))
+         FROM unnest(range(0, flen)) t(j)
+       ) AS DOUBLE) / CAST(flen AS DOUBLE)), 6) AS frame_rms,
+       CAST((
+         SELECT max((media_id * 11 + (start + j) * 17) % 256)
+         FROM unnest(range(0, flen)) t(j)
+       ) AS INT) AS frame_peak
+FROM f
+""",
     "e6_wav_decode": """
 SELECT doc_id AS media_id,
        'wav' AS audio_format,

@@ -680,3 +680,57 @@ def test_resize_nearest_matches_pil_free_reference(spark):
         }
         assert list(rows[1]["pixels"]) == ref(rgb, 2, 2, ow, oh), (ow, oh)
         assert rows[2]["pixels"] is None
+
+
+def test_audio_frames_matches_python_reference(spark):
+    """Framing semantics over a real decoded WAV: last frame short,
+    floor-div frame count, single short frame for tiny clips; rms
+    matches the exact integer math."""
+    import math
+
+    from decision_tree_stuff_spark.operators.multimodal import (
+        audio_frames,
+        decode_samples,
+        synthesize_decodable_audio,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 5, 12, 21)], "doc_id bigint"
+    )
+    decoded = decode_samples(synthesize_decodable_audio(docs))
+    got = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in audio_frames(decoded, frame_len=8, hop=4).collect()
+    }
+    for mid in (1, 5, 12, 21):
+        n = mid % 25 + 4
+        samples = [(mid * 11 + i * 17) % 256 for i in range(n)]
+        n_frames = (n - 1) // 4 + 1
+        assert {
+            fi for (m, fi) in got if m == mid
+        } == set(range(n_frames)), mid
+        for fi in range(n_frames):
+            fr = samples[fi * 4 : fi * 4 + 8]
+            r = got[(mid, fi)]
+            assert r["frame_start"] == fi * 4
+            assert r["n_frame_samples"] == len(fr)
+            assert r["frame_peak"] == max(fr)
+            want_rms = round(
+                math.sqrt(sum(v * v for v in fr) / len(fr)), 6
+            )
+            assert abs(r["frame_rms"] - want_rms) < 1e-9, (mid, fi)
+
+
+def test_audio_frames_null_rows_pass_through(spark):
+    from decision_tree_stuff_spark.operators.multimodal import (
+        audio_frames,
+        decode_samples,
+    )
+
+    media = spark.createDataFrame(
+        [(9, bytearray(b"not a wav"))], "media_id bigint, payload binary"
+    )
+    rows = audio_frames(decode_samples(media)).collect()
+    assert len(rows) == 1
+    assert rows[0]["frame_idx"] is None
+    assert rows[0]["frame_rms"] is None
