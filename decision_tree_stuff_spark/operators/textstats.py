@@ -1156,6 +1156,11 @@ def chi2_features(
     )
 
 
+#: approx-mode quartile grid (corpus_profile): doc lengths in chars,
+#: one 8-char cell of value error, 514 bucket rows per group max
+PROFILE_HIST_LO, PROFILE_HIST_HI, PROFILE_HIST_N = 0.0, 4096.0, 512
+
+
 def corpus_profile(
     docs: DataFrame,
     group_col: str = "lang",
@@ -1180,15 +1185,19 @@ def corpus_profile(
       HyperLogLog (``sketch.hll_registers`` + ``hll_estimate``, r11 —
       previously the engine-internal ``approx_count_distinct``) —
       register shuffle bounded at 2^b rows per group REGARDLESS of
-      corpus size, map-side max-merged, NO distinct shuffle — and
-      ``approx_percentile`` (GK sketch, bounded memory). ``rsd`` maps
-      to the register count via the standard 1.04/√m error model
-      (rsd=0.02 → b=12). The distinct estimate is now VALUE-
-      oracle-able (bit-reproducible integer-register arithmetic —
-      the ``e4_corpus_profile_approx`` EXTRA row checks it exactly
-      against DuckDB); the quartile columns stay engine-internal GK
-      sketches, bound-tested against the exact mode in
-      tests/test_textstats_profile.py.
+      corpus size, map-side max-merged, NO distinct shuffle — and,
+      since late r11, the engine's own fixed-grid histogram quantiles
+      (``sketch.hist_buckets`` + ``hist_quantiles``, grid [0, 4096)
+      at width 8 — previously the engine-internal GK
+      ``approx_percentile``): ≤ 514 bucket rows per group cross the
+      wire and the value error is bounded by one grid cell. ``rsd``
+      maps to the register count via the standard 1.04/√m error
+      model (rsd=0.02 → b=12). EVERY approx-mode column is now
+      VALUE-oracle-able (bit-reproducible integer/double arithmetic —
+      the ``e4_corpus_profile_approx`` EXTRA row checks the distinct
+      estimate AND the interpolated quartiles exactly against
+      DuckDB), with accuracy additionally bound-tested against the
+      exact mode in tests/test_textstats_profile.py.
 
     Output: (group_col, n_docs, n_tokens, n_distinct_tokens,
     len_p25/p50/p75) — bigints + doubles, deterministic in exact mode.
@@ -1245,19 +1254,47 @@ def corpus_profile(
         F.col(group_col), F.length(text_col).cast("double").alias("len")
     )
     if approximate:
-        q = lengths.groupBy(group_col).agg(
-            F.approx_percentile("len", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000).alias("q")
+        from decision_tree_stuff_spark.operators.sketch import (
+            hist_buckets,
+            hist_quantiles,
+        )
+
+        hq = hist_quantiles(
+            hist_buckets(
+                lengths,
+                "len",
+                [group_col],
+                lo=PROFILE_HIST_LO,
+                hi=PROFILE_HIST_HI,
+                n_buckets=PROFILE_HIST_N,
+            ),
+            (0.25, 0.5, 0.75),
+            [group_col],
+            lo=PROFILE_HIST_LO,
+            hi=PROFILE_HIST_HI,
+            n_buckets=PROFILE_HIST_N,
+        )
+        quart = hq.groupBy(group_col).agg(
+            F.max(F.when(F.col("q") == 0.25, F.col("est"))).alias(
+                "len_p25"
+            ),
+            F.max(F.when(F.col("q") == 0.5, F.col("est"))).alias(
+                "len_p50"
+            ),
+            F.max(F.when(F.col("q") == 0.75, F.col("est"))).alias(
+                "len_p75"
+            ),
         )
     else:
         q = lengths.groupBy(group_col).agg(
             F.percentile("len", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("q")
         )
-    quart = q.select(
-        group_col,
-        F.col("q").getItem(0).alias("len_p25"),
-        F.col("q").getItem(1).alias("len_p50"),
-        F.col("q").getItem(2).alias("len_p75"),
-    )
+        quart = q.select(
+            group_col,
+            F.col("q").getItem(0).alias("len_p25"),
+            F.col("q").getItem(1).alias("len_p50"),
+            F.col("q").getItem(2).alias("len_p75"),
+        )
     return per_group.join(quart, group_col).select(
         group_col,
         "n_docs",

@@ -646,20 +646,19 @@ def q_e4_corpus_profile(spark, sf_dir):
 
 
 def q_e4_corpus_profile_approx(spark, sf_dir):
-    """Per-lang corpus profile, APPROX mode's sketch-backed columns
-    (r11, r10 verdict task 7): the distinct-token estimate now rides
-    the engine's own oracle-exact HLL instead of the engine-internal
-    ``approx_count_distinct``, so approx mode is VALUE-checked
-    against DuckDB — including the estimate — not just bound-tested.
-    The GK-sketch quartiles stay engine-internal and are excluded
-    here (still tolerance-tested vs exact mode in
+    """Per-lang corpus profile, APPROX mode (r11, r10 verdict task 7
+    completed late-r11): the distinct-token estimate rides the
+    engine's own oracle-exact HLL, and the quartiles now ride the
+    engine's own fixed-grid histogram sketch instead of the
+    engine-internal GK ``approx_percentile`` — so EVERY approx-mode
+    column is VALUE-checked against DuckDB, not just bound-tested
+    (accuracy bounds still pinned vs exact mode in
     tests/test_textstats_profile.py)."""
     from decision_tree_stuff_spark.operators.textstats import corpus_profile
 
-    prof = corpus_profile(
+    return corpus_profile(
         _docs(spark, sf_dir), group_col="lang", approximate=True, rsd=0.02
     )
-    return prof.select("lang", "n_docs", "n_tokens", "n_distinct_tokens")
 
 
 def q_e4_chunks(spark, sf_dir):
@@ -1130,11 +1129,23 @@ WITH src AS (
 ),
 nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
 nt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens FROM src GROUP BY 1),
-h AS ({hll_sql('SELECT lang, key FROM src', ['lang'], b=12)})
+h AS ({hll_sql('SELECT lang, key FROM src', ['lang'], b=12)}),
+hq AS ({hist_sql(
+    "SELECT lang, CAST(length(text) AS DOUBLE) AS v FROM documents",
+    ['lang'], qs=(0.25, 0.5, 0.75), lo=0.0, hi=4096.0, n_buckets=512)}),
+qp AS (
+  SELECT lang,
+         max(CASE WHEN q = 0.25 THEN est END) AS len_p25,
+         max(CASE WHEN q = 0.5 THEN est END) AS len_p50,
+         max(CASE WHEN q = 0.75 THEN est END) AS len_p75
+  FROM hq GROUP BY 1
+)
 SELECT nd.lang, nd.n_docs,
        coalesce(nt.n_tokens, 0) AS n_tokens,
-       coalesce(CAST(round(h.est) AS BIGINT), 0) AS n_distinct_tokens
+       coalesce(CAST(round(h.est) AS BIGINT), 0) AS n_distinct_tokens,
+       qp.len_p25, qp.len_p50, qp.len_p75
 FROM nd LEFT JOIN nt USING (lang) LEFT JOIN h USING (lang)
+LEFT JOIN qp USING (lang)
 """,
     "e4_top_tokens": f"""
 WITH toks AS (
