@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "e9e_substring_decontam",  # ExactSubstr corpus-vs-bench span report
     "e6_resize",             # nearest-neighbor resize over decoded pixels
     "e6_audio_frames",       # short-time framing over decoded PCM
+    "e6_frame_resize",       # video frame resize over decoded luma
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -1053,6 +1053,44 @@ def audio_features(decoded: DataFrame) -> DataFrame:
     )
 
 
+def resize_frames_nearest(
+    frames: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Nearest-neighbor resize of decoded VIDEO frames (r11): the
+    single-channel sibling of ``resize_nearest``, over
+    ``decode_y4m_frames`` output — fixed-resolution frame
+    preprocessing, one shuffle-free projection, exact integer index
+    mapping, total over null rows. Returns (media_id, frame_idx,
+    width, height, out_w, out_h, luma) with ``luma`` the resized
+    top-down plane."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError("out_w and out_h must be >= 1")
+    w = F.col("width").cast("bigint")
+    h = F.col("height").cast("bigint")
+
+    def out_px(q):
+        y = F.floor(q / out_w).cast("bigint")
+        x = F.pmod(q, F.lit(out_w))
+        src_x = F.floor((x * w) / F.lit(out_w)).cast("bigint")
+        src_y = F.floor((y * h) / F.lit(out_h)).cast("bigint")
+        return F.element_at(
+            F.col("luma"), (src_y * w + src_x + 1).cast("int")
+        )
+
+    resized = F.transform(
+        F.sequence(F.lit(0), F.lit(out_w * out_h - 1)), out_px
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.lit(out_w).alias("out_w"),
+        F.lit(out_h).alias("out_h"),
+        F.when(F.col("luma").isNotNull(), resized).alias("luma"),
+    )
+
+
 def audio_frames(
     decoded: DataFrame, frame_len: int = 8, hop: int = 4
 ) -> DataFrame:

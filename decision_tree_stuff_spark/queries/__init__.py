@@ -213,6 +213,7 @@ from decision_tree_stuff_spark.queries.media import (  # noqa: F401,E501
     q_e6_png_decode,
     q_e6_resize,
     q_e6_audio_frames,
+    q_e6_frame_resize,
     q_e6_wav_decode,
     q_e6_y4m_decode,
     q_e6_wav_features,
@@ -465,6 +466,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e6_png_decode": q_e6_png_decode,              # r11: stored-deflate PNG
     "e6_resize": q_e6_resize,                      # r11: nearest-neighbor resize
     "e6_audio_frames": q_e6_audio_frames,          # r11: short-time framing
+    "e6_frame_resize": q_e6_frame_resize,          # r11: video frame resize
     "e6_header_meta": q_e6_header_meta,            # r11: JPEG/PNG/GIF SOF walk
     "e4_corpus_profile_approx": q_e4_corpus_profile_approx,  # r11: HLL profile
     "e4_kmv_overlap": q_e4_kmv_overlap,            # r11: theta-sketch overlap

@@ -211,6 +211,35 @@ def q_e6_resize(spark, sf_dir):
     )
 
 
+def q_e6_frame_resize(spark, sf_dir):
+    """Nearest-neighbor resize of REAL decoded video frames to 3x2
+    (r11) — the single-channel sibling of e6_resize over the Y4M
+    per-frame decode. The oracle recomputes every resized luma byte
+    from the closed-form frame formula through the exact index
+    mapping. Hex-packed scalar output."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_y4m_frames,
+        resize_frames_nearest,
+        synthesize_decodable_video,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    resized = resize_frames_nearest(
+        decode_y4m_frames(synthesize_decodable_video(docs)), 3, 2
+    )
+    return resized.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        "out_w",
+        "out_h",
+        F.array_join(
+            F.transform("luma", lambda v: F.lpad(F.hex(v), 2, "0")), ""
+        ).alias("luma_hex"),
+    )
+
+
 def q_e6_audio_frames(spark, sf_dir):
     """Windowed audio framing over REAL decoded PCM (r11): one row
     per 8-sample frame at hop 4 with per-frame rms/peak — the
@@ -390,6 +419,30 @@ FROM (SELECT doc_id, unnest(range(0, doc_id % 5 + 1)) AS f
     # r11 framing twin: n = doc_id%25+4 samples, frames at 0,4,8,...
     # while start < n, flen = min(8, n - start); rms = exact integer
     # sum-of-squares / flen under one sqrt+round, matching Spark.
+    "e6_frame_resize": """
+WITH v AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 4 + 2 AS BIGINT) AS w,
+         CAST(doc_id % 3 + 2 AS BIGINT) AS h,
+         CAST(doc_id % 5 + 1 AS INT) AS nf
+  FROM documents WHERE doc_id % 7 = 0
+),
+fr AS (
+  SELECT media_id, w, h,
+         CAST(unnest(range(0, nf)) AS INT) AS frame_idx
+  FROM v
+)
+SELECT media_id, frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       3 AS out_w, 2 AS out_h,
+       array_to_string(list_transform(
+         range(0, 3 * 2),
+         q -> printf('%02X',
+           (media_id * 7 + frame_idx * 31
+            + (((q // 3) * h // 2) * w + ((q % 3) * w // 3)) * 13) % 256)
+       ), '') AS luma_hex
+FROM fr
+""",
     "e6_audio_frames": """
 WITH clips AS (
   SELECT doc_id AS media_id, CAST(doc_id % 25 + 4 AS BIGINT) AS n

@@ -734,3 +734,28 @@ def test_audio_frames_null_rows_pass_through(spark):
     assert len(rows) == 1
     assert rows[0]["frame_idx"] is None
     assert rows[0]["frame_rms"] is None
+
+
+def test_resize_frames_matches_python_reference(spark):
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_y4m_frames,
+        resize_frames_nearest,
+        synthesize_decodable_video,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (1, 7, 14)], "doc_id bigint")
+    frames = decode_y4m_frames(synthesize_decodable_video(docs))
+    got = {
+        (r["media_id"], r["frame_idx"]): list(r["luma"])
+        for r in resize_frames_nearest(frames, 3, 2).collect()
+    }
+    for mid in (1, 7, 14):
+        w, h, nf = mid % 4 + 2, mid % 3 + 2, mid % 5 + 1
+        for f in range(nf):
+            src = [(mid * 7 + f * 31 + q * 13) % 256 for q in range(w * h)]
+            want = [
+                src[(y * h // 2) * w + (x * w // 3)]
+                for y in range(2)
+                for x in range(3)
+            ]
+            assert got[(mid, f)] == want, (mid, f)
