@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "e6_resize",             # nearest-neighbor resize over decoded pixels
     "e6_audio_frames",       # short-time framing over decoded PCM
     "e6_frame_resize",       # video frame resize over decoded luma
+    "e4_kmv_matrix",         # pairwise corpus-overlap matrix (theta sketch)
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

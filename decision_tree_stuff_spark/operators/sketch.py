@@ -440,6 +440,167 @@ def kmv_set_estimates(
     )
 
 
+def kmv_pairwise(
+    sketches: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Pairwise overlap MATRIX from one grouped KMV sketch table —
+    the dataset-card "corpus similarity" artifact: for every ordered
+    group pair (a < b), theta-sketch estimates of |A∩B|, |A∪B| and
+    Jaccard. The input is ``kmv_sketch(..., group_cols=[group_col])``
+    (≤ k rows per group), so with G groups the whole computation
+    joins G·k-row frames — pairwise overlap across every shard /
+    language / source of a 100 TB corpus costs ONE sketch pass plus
+    bounded-size joins, never a cross-corpus scan.
+
+    Per pair: theta = min(theta_a, theta_b) (a group's theta is its
+    k-th hash if full, else 2^60); n_a/n_b = each side's hashes below
+    theta; n_inter = shared hashes below theta (one equi-join on h);
+    n_union = n_a + n_b − n_inter. Estimates scale by 2^60/theta,
+    6dp-rounded — all deterministic integer/double arithmetic, so a
+    DuckDB twin running the same program matches exactly. Returns
+    (group_a, group_b, theta, n_inter, est_intersection, est_union,
+    jaccard)."""
+    g = F.col(group_col)
+    th = sketches.groupBy(g.alias("grp")).agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(KMV_SPACE).cast("bigint"))
+        .otherwise(F.max("h"))
+        .alias("theta")
+    )
+    pairs = (
+        th.select(F.col("grp").alias("group_a"), F.col("theta").alias("ta"))
+        .join(
+            th.select(
+                F.col("grp").alias("group_b"), F.col("theta").alias("tb")
+            ),
+            F.col("group_a") < F.col("group_b"),
+        )
+        .select(
+            "group_a", "group_b", F.least("ta", "tb").alias("theta")
+        )
+    )
+    a = sketches.select(g.alias("group_a"), F.col("h").alias("ha"))
+    b = sketches.select(g.alias("group_b"), F.col("h").alias("hb"))
+    na = (
+        pairs.join(a, "group_a")
+        .where(F.col("ha") < F.col("theta"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    nb = (
+        pairs.join(b, "group_b")
+        .where(F.col("hb") < F.col("theta"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    inter = (
+        a.join(b, F.col("ha") == F.col("hb"))
+        .where(F.col("group_a") < F.col("group_b"))
+        .join(pairs, ["group_a", "group_b"])
+        .where(F.col("ha") < F.col("theta"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+    )
+    out = (
+        pairs.join(na, ["group_a", "group_b"], "left")
+        .join(nb, ["group_a", "group_b"], "left")
+        .join(inter, ["group_a", "group_b"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            "theta",
+            F.coalesce("n_a", F.lit(0)).alias("__na"),
+            F.coalesce("n_b", F.lit(0)).alias("__nb"),
+            F.coalesce("n_i", F.lit(0)).cast("bigint").alias("n_inter"),
+        )
+    )
+    scale = F.lit(float(KMV_SPACE)) / F.col("theta").cast("double")
+    n_union = F.col("__na") + F.col("__nb") - F.col("n_inter")
+    return out.select(
+        "group_a",
+        "group_b",
+        "theta",
+        "n_inter",
+        F.round(F.col("n_inter").cast("double") * scale, 6).alias(
+            "est_intersection"
+        ),
+        F.round(n_union.cast("double") * scale, 6).alias("est_union"),
+        F.round(
+            F.when(
+                n_union > 0,
+                F.col("n_inter").cast("double") / n_union.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def kmv_sql_pairwise(source_sql: str, group_col: str, k: int = KMV_K) -> str:
+    """DuckDB twin of ``kmv_sketch(grouped)`` → ``kmv_pairwise`` over
+    ``source_sql`` (a relation with ``key`` + the group column) —
+    single-sourced next to the operator."""
+    space = KMV_SPACE
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {group_col},
+         ('0x' || substr(md5(key), 1, 15))::BIGINT AS h
+  FROM ({source_sql}) src
+),
+sk AS (
+  SELECT {group_col} AS grp, h FROM (
+    SELECT {group_col}, h,
+           row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
+    FROM hashed
+  ) r WHERE rn <= {k}
+),
+th AS (
+  SELECT grp,
+         CASE WHEN count(*) < {k} THEN {space} ELSE max(h) END AS theta
+  FROM sk GROUP BY 1
+),
+pairs AS (
+  SELECT a.grp AS group_a, b.grp AS group_b,
+         least(a.theta, b.theta) AS theta
+  FROM th a JOIN th b ON a.grp < b.grp
+),
+na AS (
+  SELECT p.group_a, p.group_b, count(*) AS n_a
+  FROM pairs p JOIN sk s ON s.grp = p.group_a AND s.h < p.theta
+  GROUP BY 1, 2
+),
+nb AS (
+  SELECT p.group_a, p.group_b, count(*) AS n_b
+  FROM pairs p JOIN sk s ON s.grp = p.group_b AND s.h < p.theta
+  GROUP BY 1, 2
+),
+ni AS (
+  SELECT p.group_a, p.group_b, count(*) AS n_i
+  FROM pairs p
+  JOIN sk sa ON sa.grp = p.group_a AND sa.h < p.theta
+  JOIN sk sb ON sb.grp = p.group_b AND sb.h = sa.h
+  GROUP BY 1, 2
+)
+SELECT p.group_a, p.group_b, p.theta,
+       CAST(coalesce(ni.n_i, 0) AS BIGINT) AS n_inter,
+       round(CAST(coalesce(ni.n_i, 0) AS DOUBLE)
+             * (CAST({space} AS DOUBLE) / CAST(p.theta AS DOUBLE)), 6)
+         AS est_intersection,
+       round(CAST(coalesce(na.n_a, 0) + coalesce(nb.n_b, 0)
+                  - coalesce(ni.n_i, 0) AS DOUBLE)
+             * (CAST({space} AS DOUBLE) / CAST(p.theta AS DOUBLE)), 6)
+         AS est_union,
+       round(CASE WHEN coalesce(na.n_a, 0) + coalesce(nb.n_b, 0)
+                       - coalesce(ni.n_i, 0) > 0
+                  THEN CAST(coalesce(ni.n_i, 0) AS DOUBLE)
+                       / CAST(coalesce(na.n_a, 0) + coalesce(nb.n_b, 0)
+                              - coalesce(ni.n_i, 0) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS jaccard
+FROM pairs p
+LEFT JOIN na USING (group_a, group_b)
+LEFT JOIN nb USING (group_a, group_b)
+LEFT JOIN ni USING (group_a, group_b)
+"""
+
+
 def kmv_sql_sketch(source_sql: str, k: int = KMV_K) -> str:
     """DuckDB twin of ``kmv_sketch`` (ungrouped) over ``source_sql``
     (a relation with a ``key`` column) — single-sourced next to the

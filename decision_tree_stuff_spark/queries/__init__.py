@@ -188,6 +188,7 @@ from decision_tree_stuff_spark.queries.text import (  # noqa: F401,E501
     q_e4_top_tokens,
     q_e4_corpus_profile,
     q_e4_corpus_profile_approx,
+    q_e4_kmv_matrix,
     q_e4_kmv_overlap,
     q_e4_hist_quantiles,
     q_e4_hll_distinct,
@@ -470,6 +471,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e6_header_meta": q_e6_header_meta,            # r11: JPEG/PNG/GIF SOF walk
     "e4_corpus_profile_approx": q_e4_corpus_profile_approx,  # r11: HLL profile
     "e4_kmv_overlap": q_e4_kmv_overlap,            # r11: theta-sketch overlap
+    "e4_kmv_matrix": q_e4_kmv_matrix,              # r11: pairwise overlap matrix
     "e4_hist_quantiles": q_e4_hist_quantiles,      # r11: grid-quantile sketch
     "e6_wav_features": q_e6_wav_features,          # r10: decoded-PCM features
     "e6_y4m_motion": q_e6_y4m_motion,              # r10: per-frame motion

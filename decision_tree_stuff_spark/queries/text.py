@@ -7,7 +7,7 @@ the registry.
 
 from __future__ import annotations
 
-from decision_tree_stuff_spark.operators.sketch import hist_sql, hll_sql, kmv_sql_set_estimates
+from decision_tree_stuff_spark.operators.sketch import hist_sql, hll_sql, kmv_sql_pairwise, kmv_sql_set_estimates
 from decision_tree_stuff_spark.queries._shared import (  # noqa: F401
     Dict,
     BM25_B,
@@ -625,6 +625,35 @@ def q_e4_hist_quantiles(spark, sf_dir):
     )
 
 
+def q_e4_kmv_matrix(spark, sf_dir):
+    """Pairwise corpus-overlap MATRIX (r11): per-lang KMV sketches of
+    the 3-gram shingle sets, then theta-sketch |∩|/|∪|/Jaccard for
+    every lang pair — the dataset-card "corpus similarity" artifact
+    at sketch cost (G·k-row joins after one sketch pass; a pairwise
+    EXACT comparison would rescan the corpus per pair). Deterministic
+    md5/double arithmetic end to end."""
+    from decision_tree_stuff_spark.functions.text import tokens
+    from decision_tree_stuff_spark.operators.sketch import (
+        kmv_pairwise,
+        kmv_sketch,
+    )
+
+    t = tokens(F.col("text"))
+    sh = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 3),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = _docs(spark, sf_dir).select(
+        "lang", F.explode(sh).alias("shingle")
+    )
+    return kmv_pairwise(
+        kmv_sketch(shingled, "shingle", group_cols=["lang"]), "lang"
+    )
+
+
 def q_e4_corpus_profile(spark, sf_dir):
     """Per-lang corpus profile, EXACT mode (the oracled gate; the
     approximate HLL/GK mode is the 100 TB path, tolerance-tested vs
@@ -1095,6 +1124,18 @@ SELECT h.lang, h.est, e.exact_distinct FROM h JOIN e USING (lang)
         lo=0.0,
         hi=1024.0,
         n_buckets=64,
+    ),
+    # Pairwise-matrix twin (r11): grouped sketches + per-pair theta
+    # program single-sourced in sketch.kmv_sql_pairwise.
+    "e4_kmv_matrix": kmv_sql_pairwise(
+        f"""SELECT lang, array_to_string(
+                     toks[(CAST(i AS INT)+1):(CAST(i AS INT)+3)], ' ')
+                   AS key
+            FROM (
+              SELECT lang, toks, unnest(range(0, len(toks) - 2)) AS i
+              FROM (SELECT lang, {TOKS_SQL} AS toks FROM documents) t0
+            ) u""",
+        "lang",
     ),
     # KMV twin (r11): sketches + theta-overlap arithmetic are
     # single-sourced in sketch.kmv_sql_set_estimates.

@@ -699,3 +699,48 @@ def test_stream_hist_state_equals_batch_sketch(
         ).collect()
     }
     assert got == batch and got
+
+
+def test_kmv_pairwise_matches_python_reference(spark):
+    """Pairwise matrix vs a Python theta-sketch reference over three
+    synthetic corpora with known overlap structure."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        KMV_SPACE,
+        kmv_pairwise,
+        kmv_sketch,
+    )
+
+    k = 32
+    corp = {
+        "a": [f"s{i}" for i in range(200)] + [f"a{i}" for i in range(100)],
+        "b": [f"s{i}" for i in range(200)] + [f"b{i}" for i in range(300)],
+        "c": [f"c{i}" for i in range(50)],  # disjoint, under-full
+    }
+    rows = [(g, t) for g, toks in corp.items() for t in toks]
+    df = spark.createDataFrame(rows, "lang string, token string")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in kmv_pairwise(
+            kmv_sketch(df, "token", group_cols=["lang"], k=k), "lang", k=k
+        ).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    sk = {g: _py_kmv(toks, k) for g, toks in corp.items()}
+    th = {g: (h[k - 1] if len(h) >= k else (1 << 60)) for g, h in sk.items()}
+    for ga, gb in got:
+        theta = min(th[ga], th[gb])
+        xa = {h for h in sk[ga] if h < theta}
+        xb = {h for h in sk[gb] if h < theta}
+        ni, nu = len(xa & xb), len(xa) + len(xb) - len(xa & xb)
+        r = got[(ga, gb)]
+        assert r["theta"] == theta
+        assert r["n_inter"] == ni
+        scale = float(KMV_SPACE) / float(theta)
+        assert r["est_intersection"] == round(ni * scale, 6)
+        assert r["est_union"] == round(nu * scale, 6)
+        assert r["jaccard"] == round(ni / nu if nu else 0.0, 6)
+    # structure sanity: a-b share 200 of {500, 300-ish}; c disjoint
+    assert got[("a", "b")]["jaccard"] > 0.15
+    assert got[("a", "c")]["n_inter"] == 0
+    assert got[("b", "c")]["n_inter"] == 0
