@@ -688,8 +688,20 @@ def encode_png(media_id, w, h) -> Column:
         _be_hex(F.crc32(F.unhex(idat_td)), 4),
     )
     iend = F.lit("00000000" + "49454E44" + "AE426082")
-    return F.unhex(
-        F.concat(F.lit("89504E470D0A1A0A"), ihdr, idat, iend)
+    # enforce the single-stored-block constraint the docstring states:
+    # LEN/NLEN are 16-bit fields, so h·(w+1) > 65535 would silently
+    # wrap into a corrupt file — fail the row loudly instead.
+    return F.when(
+        raw_n <= F.lit(65535),
+        F.unhex(F.concat(F.lit("89504E470D0A1A0A"), ihdr, idat, iend)),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("encode_png: raw scanline stream h*(w+1) = "),
+                raw_n.cast("string"),
+                F.lit(" bytes exceeds one stored deflate block (65535)"),
+            )
+        ).cast("binary")
     )
 
 

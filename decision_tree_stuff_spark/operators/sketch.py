@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 CMS_D, CMS_W = 4, 2048
 
@@ -308,7 +308,13 @@ def kmv_sketch(
     h = F.conv(F.substring(F.md5(F.col(key_col)), 1, 15), 16, 10).cast(
         "bigint"
     )
-    hashed = keyed.select(*gcols, h.alias("h"))
+    # md5(NULL) = NULL, and ascending windows sort nulls FIRST — an
+    # unfiltered null key would consume rank 1 and displace a real
+    # minimum hash (count includes it, max(h) ignores it), skewing
+    # the estimator and diverging from twins where nulls sort last.
+    hashed = keyed.select(*gcols, h.alias("h")).where(
+        F.col("h").isNotNull()
+    )
     # partition-local prune: dense_rank <= k keeps each map task's k
     # smallest distinct hashes (plus within-task duplicates of them,
     # which the next groupBy collapses) — WindowGroupLimit pushes the
@@ -419,6 +425,14 @@ def kmv_set_estimates(
             .otherwise(0)
         ).alias("n_inter"),
         F.count(F.lit(1)).alias("n_union"),
+    )
+    # counts has zero rows when both sketches are empty (nothing
+    # survives h < theta); left-join back onto the always-one-row
+    # theta frame so empty corpora yield ONE zeroed row, not none.
+    counts = theta.join(counts, "theta", "left").select(
+        "theta",
+        F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter"),
+        F.coalesce(F.col("n_union"), F.lit(0)).alias("n_union"),
     )
     scale = F.lit(float(KMV_SPACE)) / F.col("theta").cast("double")
     return counts.select(
@@ -915,4 +929,197 @@ SELECT {gsel}
                          + ({m} - n_present) * {1 << HLL_W} AS DOUBLE)
              END, 6) AS est
 FROM agg
+"""
+
+
+# --- auto-range histogram (r12) -----------------------------------------
+#
+# The fixed-grid sketch above needs a known [lo, hi) a priori; real
+# quality-score / length columns have unknown range, and guessing puts
+# mass in the overflow cell where quantiles silently clamp to hi. The
+# auto-range variant spends ONE exact global min/max pre-aggregate
+# (map-side combined — two doubles per partition cross the wire) to
+# set the grid, then proceeds exactly like the fixed grid. min/max are
+# exact, the grid arithmetic is the same deterministic double program,
+# so every estimate still value-checks against the DuckDB twin.
+#
+# Merge caveat (documented, by construction): two auto-range sketches
+# merge exactly ONLY if built from the same bounds pass — shards that
+# each derive their own min/max have different grids. For cross-shard
+# merging either share one bounds pre-pass or use the fixed grid.
+
+
+def _auto_span(lo: Column, hi: Column) -> Column:
+    """Grid span with the degenerate guard: all-equal (or singleton)
+    input has hi == lo; a zero span would divide by zero, so it
+    widens to 1.0 (every value lands in bucket 0 and quantiles come
+    back within one 1/n_buckets cell of the exact constant)."""
+    return F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+
+
+def hist_buckets_auto(
+    keyed: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    n_buckets: int = HIST_BUCKETS,
+) -> DataFrame:
+    """Range-free histogram sketch: ``hist_buckets`` whose [lo, hi]
+    grid comes from one exact GLOBAL min/max pre-aggregate instead of
+    caller-supplied literals (the r11 verdict's #1 missing piece —
+    unknown-range columns previously forced a guess, and out-of-range
+    mass clamps quantiles to the guessed hi).
+
+    Grid: ``span = hi > lo ? hi - lo : 1.0``, ``scale = n_buckets /
+    span``, ``bucket = least(floor((v - lo)·scale), n_buckets - 1)``
+    — the max value folds into the last bucket, so there are NO
+    underflow/overflow cells: every row is in range by construction
+    and the one-cell error bound holds for ALL data, not just
+    in-range data. The bounds ride along as constant ``lo`` / ``hi``
+    columns so ``hist_quantiles_auto`` (and the DuckDB twin) read the
+    grid from the sketch itself.
+
+    Cost at 100 TB: one extra exact min/max aggregate over the value
+    column (map-side combine, 2 doubles per partition) plus the same
+    ≤ n_buckets rows per group the fixed grid shuffles. Global (not
+    per-group) bounds keep every group on ONE shared grid, so
+    per-group sketches from this pass still merge additively.
+    """
+    gcols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    nn = keyed.where(v.isNotNull())
+    bounds = nn.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+    span = _auto_span(F.col("lo"), F.col("hi"))
+    scale = F.lit(float(n_buckets)) / span
+    bucket = F.least(
+        F.floor((v - F.col("lo")) * scale), F.lit(int(n_buckets - 1))
+    ).cast("int")
+    return (
+        nn.crossJoin(F.broadcast(bounds))
+        .select(*gcols, bucket.alias("bucket"), "lo", "hi")
+        .groupBy(*gcols, "bucket", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(*gcols, "bucket", "cnt", "lo", "hi")
+    )
+
+
+def hist_quantiles_auto(
+    buckets: DataFrame,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    n_buckets: int = HIST_BUCKETS,
+) -> DataFrame:
+    """``hist_quantiles`` over an auto-range sketch: identical rank
+    fold, but lo/width are the sketch's own ``lo``/``hi`` columns
+    (``width = span / n_buckets`` with the same degenerate guard as
+    the build side) instead of literals. No underflow/overflow
+    branches — the auto grid has none. Returns (group_cols..., q,
+    est), 6dp-rounded deterministic doubles like the fixed variant."""
+    gcols = list(group_cols)
+    agg = buckets.groupBy(*gcols).agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket", "cnt"))
+        ).alias("__h"),
+        F.sum("cnt").alias("__n"),
+        F.min("lo").alias("__lo"),
+        F.min("hi").alias("__hi"),
+    )
+    width = _auto_span(F.col("__lo"), F.col("__hi")) / F.lit(
+        float(n_buckets)
+    )
+
+    def est_for(q: float):
+        t = (
+            F.floor(F.lit(float(q)) * (F.col("__n") - 1).cast("double"))
+            .cast("bigint")
+            + 1
+        )
+
+        def step(acc, e):
+            hit = acc["est"].isNull() & ((acc["cum"] + e["cnt"]) >= t)
+            est = (
+                F.col("__lo") + width * e["bucket"].cast("double")
+            ) + width * (
+                (t - acc["cum"]).cast("double") / e["cnt"].cast("double")
+            )
+            return F.struct(
+                (acc["cum"] + e["cnt"]).alias("cum"),
+                F.when(hit, est).otherwise(acc["est"]).alias("est"),
+            )
+
+        folded = F.aggregate(
+            F.col("__h"),
+            F.struct(
+                F.lit(0).cast("bigint").alias("cum"),
+                F.lit(None).cast("double").alias("est"),
+            ),
+            step,
+        )
+        return F.struct(
+            F.lit(float(q)).alias("q"),
+            F.round(folded["est"], 6).alias("est"),
+        )
+
+    pairs = F.array(*[est_for(q) for q in qs])
+    out = agg.select(*gcols, F.explode(pairs).alias("__qe"))
+    return out.select(
+        *gcols, F.col("__qe.q").alias("q"), F.col("__qe.est").alias("est")
+    )
+
+
+def hist_auto_sql(
+    source_sql: str,
+    group_cols: Sequence[str] = (),
+    qs: Sequence[float] = (0.5,),
+    n_buckets: int = HIST_BUCKETS,
+) -> str:
+    """DuckDB twin of ``hist_buckets_auto`` + ``hist_quantiles_auto``
+    over ``source_sql`` (a relation with a ``v`` column and the group
+    columns) — single-sourced like ``hist_sql``, with the bounds CTE
+    playing the broadcast min/max row and IDENTICAL grid/interpolation
+    parenthesization (span guard, n/span scale, span/n width)."""
+    gsel = "".join(f"{c}, " for c in group_cols)
+    gpart = ", ".join(group_cols) if group_cols else "1"
+    qrows = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    return f"""
+WITH src AS (SELECT * FROM ({source_sql}) s WHERE v IS NOT NULL),
+bounds AS (
+  SELECT CAST(min(CAST(v AS DOUBLE)) AS DOUBLE) AS lo,
+         CAST(max(CAST(v AS DOUBLE)) AS DOUBLE) AS hi
+  FROM src
+),
+b AS (
+  SELECT {gsel}
+         LEAST(CAST(floor((CAST(v AS DOUBLE) - lo)
+                          * ({float(n_buckets)!r}
+                             / (CASE WHEN hi > lo THEN hi - lo
+                                     ELSE 1.0 END))) AS INT),
+               {int(n_buckets - 1)}) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM src, bounds GROUP BY ALL
+),
+c AS (
+  SELECT b.*, bounds.lo, bounds.hi,
+         (CASE WHEN bounds.hi > bounds.lo THEN bounds.hi - bounds.lo
+               ELSE 1.0 END) / {float(n_buckets)!r} AS width,
+         sum(cnt) OVER (PARTITION BY {gpart} ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) - cnt AS cum_before,
+         sum(cnt) OVER (PARTITION BY {gpart}) AS n
+  FROM b, bounds
+),
+qq AS (SELECT * FROM (VALUES {qrows}) q(q)),
+hits AS (
+  SELECT {gsel} q,
+         (lo + width * CAST(bucket AS DOUBLE))
+         + width
+           * (CAST((CAST(floor(q * CAST(n - 1 AS DOUBLE))
+                         AS BIGINT) + 1) - cum_before AS DOUBLE)
+              / CAST(cnt AS DOUBLE)) AS est,
+         row_number() OVER (
+           PARTITION BY {gpart}, q ORDER BY bucket
+         ) AS rn
+  FROM c, qq
+  WHERE cum_before + cnt
+        >= CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+)
+SELECT {gsel} q, round(est, 6) AS est FROM hits WHERE rn = 1
 """

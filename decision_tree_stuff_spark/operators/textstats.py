@@ -1168,6 +1168,10 @@ def corpus_profile(
     text_col: str = "text",
     approximate: bool = False,
     rsd: float = 0.02,
+    hist_lo: float = PROFILE_HIST_LO,
+    hist_hi: float = PROFILE_HIST_HI,
+    hist_n: int = PROFILE_HIST_N,
+    hist_auto: bool = False,
 ) -> DataFrame:
     """Per-group corpus profile: doc count, token volume, vocabulary
     size, and length quartiles — the dataset card a pipeline publishes
@@ -1187,12 +1191,22 @@ def corpus_profile(
       register shuffle bounded at 2^b rows per group REGARDLESS of
       corpus size, map-side max-merged, NO distinct shuffle — and,
       since late r11, the engine's own fixed-grid histogram quantiles
-      (``sketch.hist_buckets`` + ``hist_quantiles``, grid [0, 4096)
-      at width 8 — previously the engine-internal GK
-      ``approx_percentile``): ≤ 514 bucket rows per group cross the
-      wire and the value error is bounded by one grid cell. ``rsd``
+      (``sketch.hist_buckets`` + ``hist_quantiles``, grid
+      [hist_lo, hist_hi) with hist_n cells — defaults [0, 4096)/512,
+      width 8 — previously the engine-internal GK
+      ``approx_percentile``): ≤ hist_n + 2 bucket rows per group
+      cross the wire and the value error is bounded by one grid cell
+      FOR IN-RANGE LENGTHS ONLY. Lengths beyond the grid land in the
+      overflow bucket, whose quantile estimate CLAMPS to ``hist_hi``
+      (underflow clamps to ``hist_lo``) — a corpus whose docs exceed
+      ``hist_hi`` chars gets p25/p50/p75 pinned at the grid edge with
+      unbounded error, so either widen the grid via
+      ``hist_lo/hist_hi/hist_n`` or pass ``hist_auto=True`` (r12):
+      one exact global min/max pre-aggregate sets the grid
+      (``sketch.hist_buckets_auto``), restoring the one-cell bound
+      for ALL data at the cost of one extra cheap pass. ``rsd``
       maps to the register count via the standard 1.04/√m error
-      model (rsd=0.02 → b=12). EVERY approx-mode column is now
+      model (rsd=0.02 → b=12). EVERY approx-mode column is
       VALUE-oracle-able (bit-reproducible integer/double arithmetic —
       the ``e4_corpus_profile_approx`` EXTRA row checks the distinct
       estimate AND the interpolated quartiles exactly against
@@ -1256,24 +1270,36 @@ def corpus_profile(
     if approximate:
         from decision_tree_stuff_spark.operators.sketch import (
             hist_buckets,
+            hist_buckets_auto,
             hist_quantiles,
+            hist_quantiles_auto,
         )
 
-        hq = hist_quantiles(
-            hist_buckets(
-                lengths,
-                "len",
+        if hist_auto:
+            hq = hist_quantiles_auto(
+                hist_buckets_auto(
+                    lengths, "len", [group_col], n_buckets=hist_n
+                ),
+                (0.25, 0.5, 0.75),
                 [group_col],
-                lo=PROFILE_HIST_LO,
-                hi=PROFILE_HIST_HI,
-                n_buckets=PROFILE_HIST_N,
-            ),
-            (0.25, 0.5, 0.75),
-            [group_col],
-            lo=PROFILE_HIST_LO,
-            hi=PROFILE_HIST_HI,
-            n_buckets=PROFILE_HIST_N,
-        )
+                n_buckets=hist_n,
+            )
+        else:
+            hq = hist_quantiles(
+                hist_buckets(
+                    lengths,
+                    "len",
+                    [group_col],
+                    lo=hist_lo,
+                    hi=hist_hi,
+                    n_buckets=hist_n,
+                ),
+                (0.25, 0.5, 0.75),
+                [group_col],
+                lo=hist_lo,
+                hi=hist_hi,
+                n_buckets=hist_n,
+            )
         quart = hq.groupBy(group_col).agg(
             F.max(F.when(F.col("q") == 0.25, F.col("est"))).alias(
                 "len_p25"

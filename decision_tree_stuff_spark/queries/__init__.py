@@ -191,6 +191,7 @@ from decision_tree_stuff_spark.queries.text import (  # noqa: F401,E501
     q_e4_kmv_matrix,
     q_e4_kmv_overlap,
     q_e4_hist_quantiles,
+    q_e4_hist_quantiles_auto,
     q_e4_hll_distinct,
     q_e4_chunks,
 )
@@ -335,7 +336,6 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e3_ivf_topk": q_e3_ivf_topk,
     "e9_decontamination": q_e9_decontamination,
     "e8_sample": q_e8_sample,
-    "e8_stratified_sample": q_e8_stratified_sample,
     "e8_hash_split": q_e8_hash_split,
     # r10 rotation (GATE_ROTATION.md; r9 verdict task 6): the r9
     # flagship composed ingest + the repaired paletted pixel decode
@@ -352,7 +352,15 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e4_corpus_profile": q_e4_corpus_profile,
     "e4_quality_filter": q_e4_quality_filter,
     "e6_media_meta": q_e6_media_meta,
-    "e6_media_features": q_e6_media_features,
+    # r12 rotation (GATE_ROTATION.md; r11 verdict task 5): the r11
+    # ExactSubstr dedup row (richest new oracle — exact maximal
+    # verbatim spans) and the sketch family's quantile member
+    # promoted, both schema-contract-safe (scalar-only columns) and
+    # EXTRA-parity green since birth — in place of two long-green
+    # rows from over-represented families (E-6 keeps meta + 5 decode
+    # gate rows; sampling keeps e8_sample/hash_split).
+    "e1f_exact_substring": q_e1f_exact_substring,
+    "e4_hist_quantiles": q_e4_hist_quantiles,
     # r8 rotation (GATE_ROTATION.md; r7 verdict task 6): three new
     # operator FAMILIES promoted — data-quality validation, graph
     # PageRank, frequent-items — in place of three long-green rows
@@ -393,7 +401,6 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # (e1b incremental dedup / e7+e7b component dedup)
     "e1c_incremental_minhash": q_e1c_incremental_minhash,
     "e1e_corpus_diff": q_e1e_corpus_diff,  # r5: snapshot delta audit
-    "e1f_exact_substring": q_e1f_exact_substring,  # r11: ExactSubstr dedup
     "e4_quantile_filter": q_e4_quantile_filter,  # r5: quantile selection
     # r6: swapped out of the gate window for e1d/e2_semdedup — both
     # are parameter/hash-family variants of driver-gated siblings
@@ -472,7 +479,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_corpus_profile_approx": q_e4_corpus_profile_approx,  # r11: HLL profile
     "e4_kmv_overlap": q_e4_kmv_overlap,            # r11: theta-sketch overlap
     "e4_kmv_matrix": q_e4_kmv_matrix,              # r11: pairwise overlap matrix
-    "e4_hist_quantiles": q_e4_hist_quantiles,      # r11: grid-quantile sketch
+    "e4_hist_quantiles_auto": q_e4_hist_quantiles_auto,  # r12: range-free grid
     "e6_wav_features": q_e6_wav_features,          # r10: decoded-PCM features
     "e6_y4m_motion": q_e6_y4m_motion,              # r10: per-frame motion
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking
@@ -494,6 +501,10 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # e4_hll_distinct / e6_y4m_decode (GATE_ROTATION.md)
     "e2_winnow_pairs": q_e2_winnow_pairs,
     "e8_pack_materialize": q_e8_pack_materialize,
+    # r12 rotation: two long-green rows demoted to make room for
+    # e1f_exact_substring / e4_hist_quantiles (GATE_ROTATION.md)
+    "e6_media_features": q_e6_media_features,
+    "e8_stratified_sample": q_e8_stratified_sample,
 }
 
 EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {

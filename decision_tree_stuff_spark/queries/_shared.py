@@ -1097,12 +1097,15 @@ best AS MATERIALIZED (
   ) r WHERE rn = 1
 )
 SELECT d.doc_id,
-       CAST(coalesce(SUM(b.np), 0) AS INT) AS n_pieces,
-       coalesce(string_agg(b.enc, ' ' ORDER BY w.i), '') AS encoded
-FROM (SELECT doc_id FROM documents) d
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE CAST(coalesce(SUM(b.np), 0) AS INT) END AS n_pieces,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(string_agg(b.enc, ' ' ORDER BY w.i), '') END
+         AS encoded
+FROM (SELECT doc_id, text FROM documents) d
 LEFT JOIN dwords w USING (doc_id)
 LEFT JOIN best b USING (word)
-GROUP BY d.doc_id
+GROUP BY d.doc_id, d.text
 """
 
 

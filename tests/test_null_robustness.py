@@ -247,3 +247,42 @@ def test_r7_selection_ops_handle_null_and_empty(dirty, spark):
     # feasible, never over-allocates
     out = temperature_sample(dirty, "lang", 3, 0.5, ["doc_id"], seed="n")
     assert out.count() == 3
+
+
+def test_unigram_encode_oracle_parity_on_null_text(dirty):
+    """r12 advice regression: the DuckDB twin used to coalesce null
+    text to (0, '') while Spark returns (NULL, NULL) — latent only
+    because documents.parquet has no null texts. Pin full-row parity
+    on a table WITH one."""
+    import duckdb
+
+    from decision_tree_stuff_spark.operators.bpe import (
+        unigram_encode,
+        unigram_lm_train,
+    )
+    from decision_tree_stuff_spark.queries._shared import (
+        _unigram_encode_sql,
+    )
+
+    pieces = unigram_lm_train(
+        dirty,
+        vocab_size=40,
+        seed_size=60,
+        max_piece_len=3,
+        max_word_len=8,
+        em_iters=2,
+    )
+    got = {
+        r["doc_id"]: (r["n_pieces"], r["encoded"])
+        for r in unigram_encode(dirty, pieces).collect()
+    }
+
+    con = duckdb.connect()
+    pdf = dirty.toPandas()
+    con.register("documents", pdf)
+    want = {
+        int(d): (None if n is None else int(n), e)
+        for d, n, e in con.execute(_unigram_encode_sql()).fetchall()
+    }
+    assert got == want
+    assert got[1] == (None, None)          # the null-text row

@@ -759,3 +759,24 @@ def test_resize_frames_matches_python_reference(spark):
                 for x in range(3)
             ]
             assert got[(mid, f)] == want, (mid, f)
+
+
+def test_encode_png_oversize_raises_instead_of_corrupt(spark):
+    """r12 advice guard: h*(w+1) > 65535 overflows the 16-bit stored
+    block LEN/NLEN fields — the encoder must raise, not emit a
+    silently corrupt file; in-range dims keep working."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.operators.multimodal import encode_png
+
+    ok = spark.range(1).select(
+        encode_png(F.lit(3), F.lit(4), F.lit(4)).alias("p")
+    ).collect()
+    assert ok[0]["p"][:8] == b"\x89PNG\r\n\x1a\n"
+
+    with pytest.raises(SparkRuntimeException, match="encode_png"):
+        spark.range(1).select(
+            encode_png(F.lit(3), F.lit(300), F.lit(300)).alias("p")
+        ).collect()

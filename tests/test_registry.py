@@ -21,7 +21,7 @@ from decision_tree_stuff_spark.queries import (
     SPARK_QUERIES,
 )
 
-# The exact 50-key gate window, in driver order (r11 rotation —
+# The exact 50-key gate window, in driver order (r12 rotation —
 # GATE_ROTATION.md has the swap history).
 GATE_KEYS = [
     "o01_filter_split",
@@ -51,7 +51,6 @@ GATE_KEYS = [
     "e3_ivf_topk",
     "e9_decontamination",
     "e8_sample",
-    "e8_stratified_sample",
     "e8_hash_split",
     "e12_batch_ingest",
     "e6_pixel_decode_paletted",
@@ -61,7 +60,8 @@ GATE_KEYS = [
     "e4_corpus_profile",
     "e4_quality_filter",
     "e6_media_meta",
-    "e6_media_features",
+    "e1f_exact_substring",
+    "e4_hist_quantiles",
     "e13_validate",
     "e7d_pagerank",
     "e4_heavy_hitters",

@@ -744,3 +744,125 @@ def test_kmv_pairwise_matches_python_reference(spark):
     assert got[("a", "b")]["jaccard"] > 0.15
     assert got[("a", "c")]["n_inter"] == 0
     assert got[("b", "c")]["n_inter"] == 0
+
+
+# --- auto-range histogram (r12) -----------------------------------------
+
+
+def test_hist_auto_recovers_out_of_range_quantiles(spark):
+    """The mass-in-overflow regression the fixed grid cannot pass:
+    values far beyond a guessed hi clamp fixed-grid quantiles to the
+    guess (documented behavior), while the auto grid derives [lo, hi]
+    from an exact min/max pass and keeps the one-cell bound for ALL
+    data."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets,
+        hist_buckets_auto,
+        hist_quantiles,
+        hist_quantiles_auto,
+    )
+
+    vals = [float(100 + 137 * i) for i in range(400)]  # 100 .. 54763
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    n = 64
+
+    clamped = {
+        r["q"]: r["est"]
+        for r in hist_quantiles(
+            hist_buckets(df, "v", lo=0.0, hi=100.0, n_buckets=n),
+            (0.5, 0.75),
+            lo=0.0,
+            hi=100.0,
+            n_buckets=n,
+        ).collect()
+    }
+    # everything is >= hi -> overflow bucket -> estimates pin at hi
+    assert clamped == {0.5: 100.0, 0.75: 100.0}
+
+    auto = {
+        r["q"]: r["est"]
+        for r in hist_quantiles_auto(
+            hist_buckets_auto(df, "v", n_buckets=n), (0.25, 0.5, 0.75)
+            , n_buckets=n
+        ).collect()
+    }
+    vals.sort()
+    width = (vals[-1] - vals[0]) / n
+    for q in (0.25, 0.5, 0.75):
+        true = vals[int(q * (len(vals) - 1))]
+        assert abs(auto[q] - true) <= width + 1e-9, (q, auto[q], true)
+
+
+def test_hist_auto_degenerate_constant_column(spark):
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets_auto,
+        hist_quantiles_auto,
+    )
+
+    df = spark.createDataFrame([(42.0,)] * 10, "v double")
+    b = hist_buckets_auto(df, "v", n_buckets=16)
+    rows = b.collect()
+    # span guard: hi == lo widens to 1.0; all mass in bucket 0
+    assert [(r["bucket"], r["cnt"]) for r in rows] == [(0, 10)]
+    got = {
+        r["q"]: r["est"]
+        for r in hist_quantiles_auto(b, (0.5,), n_buckets=16).collect()
+    }
+    assert abs(got[0.5] - 42.0) <= 1.0 / 16 + 1e-9
+
+
+def test_hist_auto_grouped_shares_one_global_grid(spark, sf_dir):
+    """Bounds are GLOBAL (one shared grid), so per-group sketches
+    from one pass merge additively and the lo/hi columns are constant
+    across groups."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets_auto,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = hist_buckets_auto(
+        docs.select("lang", "n_chars"), "n_chars", ["lang"], n_buckets=32
+    )
+    rows = b.collect()
+    bounds = {(r["lo"], r["hi"]) for r in rows}
+    assert len(bounds) == 1
+    lo, hi = bounds.pop()
+    mm = docs.agg(
+        F.min(F.col("n_chars").cast("double")),
+        F.max(F.col("n_chars").cast("double")),
+    ).collect()[0]
+    assert (lo, hi) == (mm[0], mm[1])
+    assert all(0 <= r["bucket"] <= 31 for r in rows)
+
+
+# --- r12 advice regressions ---------------------------------------------
+
+
+def test_kmv_sketch_filters_null_keys(spark):
+    """md5(NULL) sorts first in an ascending window — an unfiltered
+    null key would displace a real minimum hash."""
+    from decision_tree_stuff_spark.operators.sketch import kmv_sketch
+
+    df = spark.createDataFrame(
+        [(None,), ("a",), ("b",), ("c",)], "token string"
+    )
+    rows = kmv_sketch(df, "token", k=2).collect()
+    assert len(rows) == 2 and all(r["h"] is not None for r in rows)
+    full = kmv_sketch(df.where("token is not null"), "token", k=2).collect()
+    assert sorted(r["h"] for r in rows) == sorted(r["h"] for r in full)
+
+
+def test_kmv_set_estimates_empty_inputs_yield_one_zero_row(spark):
+    from decision_tree_stuff_spark.operators.sketch import (
+        KMV_SPACE,
+        kmv_sketch,
+        kmv_set_estimates,
+    )
+
+    empty = spark.createDataFrame([], "token string")
+    s = kmv_sketch(empty, "token")
+    rows = kmv_set_estimates(s, s).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["theta"], r["n_inter"], r["est_intersection"],
+            r["est_union"], r["jaccard"]) == (KMV_SPACE, 0, 0.0, 0.0, 0.0)

@@ -762,3 +762,38 @@ def test_perplexity_buckets_invalid_mode_raises(spark):
     scored = spark.createDataFrame([(0, -1.0)], "doc_id bigint, mean_logprob double")
     with pytest.raises(ValueError, match="mode"):
         perplexity_buckets(scored, mode="bogus")
+
+
+def test_profile_long_docs_clamp_vs_auto_grid(spark):
+    """r12 advice regression: docs longer than the default hist grid
+    (4096 chars) used to clamp approx quartiles to 4096.0 silently.
+    The clamp is now DOCUMENTED behavior on the fixed grid; the
+    caller-tunable grid and the hist_auto mode both recover real
+    quantiles for long-doc corpora."""
+    rows = [(i, "x" * (9000 + 200 * i), "en") for i in range(9)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    )
+    exact = _by_group(corpus_profile(docs))["en"]
+    assert exact["len_p50"] == 9800.0
+
+    # default grid: every length is overflow -> quartiles pin at 4096
+    clamped = _by_group(corpus_profile(docs, approximate=True))["en"]
+    assert (clamped["len_p25"], clamped["len_p50"], clamped["len_p75"]) \
+        == (4096.0, 4096.0, 4096.0)
+
+    # widened caller grid: back within one cell
+    wide = _by_group(
+        corpus_profile(docs, approximate=True, hist_hi=16384.0)
+    )["en"]
+    cell = 16384.0 / 512
+    assert abs(wide["len_p50"] - exact["len_p50"]) <= cell + 1e-9
+
+    # auto grid: exact min/max pass, one-cell bound with no guessing
+    auto = _by_group(
+        corpus_profile(docs, approximate=True, hist_auto=True)
+    )["en"]
+    cell_auto = (10600.0 - 9000.0) / 512
+    for k in ("len_p25", "len_p50", "len_p75"):
+        assert abs(auto[k] - exact[k]) <= cell_auto + 1e-9, (
+            k, auto[k], exact[k])
