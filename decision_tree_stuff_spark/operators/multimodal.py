@@ -180,8 +180,15 @@ def _sig(payload, pos: int, ascii_tag: str):
 def _be32(payload, pos: int):
     """Big-endian uint32 at 1-based byte offset ``pos`` of a binary
     column — hex of the 4-byte slice parsed base-16. JVM-side string
-    ops on 8 hex chars; no UDF."""
-    return F.conv(F.hex(F.substring(payload, pos, 4)), 16, 10).cast("int")
+    ops on 8 hex chars; no UDF. try_cast, not cast: garbage bytes can
+    exceed int32 (e.g. reading a PNG width field out of a non-PNG
+    payload), and codegen subexpression elimination may evaluate the
+    reader EAGERLY, outside the ok-chain's short-circuit — under ANSI
+    a plain cast would fail the whole task where the row should just
+    null out (r12; same reasoning as zraw's try_element_at)."""
+    return F.conv(
+        F.hex(F.substring(payload, pos, 4)), 16, 10
+    ).try_cast("int")
 
 
 def _le16(payload, pos: int):
@@ -1435,10 +1442,27 @@ def _png_gray_decode(p, cw, bw):
     shape as every other format."""
     w = _be32(p, 17)
     h = _be32(p, 21)
-    wb = w.cast("bigint")
-    hb = h.cast("bigint")
-    raw_n = hb * (wb + 1)
+    # clamp header-derived sizes BEFORE they feed any sequence/fold:
+    # on a non-PNG or corrupt payload these fields are garbage, and
+    # codegen subexpression elimination can evaluate the folds
+    # EAGERLY (outside the ok-chain's short-circuit) — an unclamped
+    # sequence(1, garbage) fails the task instead of nulling the row.
+    # The clamp is semantics-preserving: a stored-deflate stream of
+    # <= _PNG_MAX_BLOCKS blocks carries at most MAX_BLOCKS*65535 raw
+    # bytes, so any raw_n beyond that could never verify anyway
+    # (blocks_ok requires cum == raw_n).
+    _cap = F.lit(_PNG_MAX_BLOCKS * 65535).cast("bigint")
+    _raw0 = h.cast("bigint") * (w.cast("bigint") + 1)
+    _sane = _raw0.isNotNull() & (_raw0 > 0) & (_raw0 <= _cap)
+    # degenerate fallbacks: dims 1 (never 0 — pmod by 0 throws under
+    # ANSI when hoisted), raw_n 0 (folds iterate nothing real)
+    one = F.lit(1).cast("bigint")
+    wb = F.when(_sane, w.cast("bigint")).otherwise(one)
+    hb = F.when(_sane, h.cast("bigint")).otherwise(one)
+    raw_n = F.when(_sane, _raw0).otherwise(F.lit(0).cast("bigint"))
     ihdr_ok = (
+        _sane
+        &
         (F.length(p) >= 46)  # sig 8 + IHDR 25 + shortest IDAT/IEND tail
         & (F.hex(F.substring(p, 1, 8)) == _PNG_SIG)
         & (_be32(p, 9) == 13)
@@ -1476,13 +1500,19 @@ def _png_gray_decode(p, cw, bw):
     )
 
     def zraw(i):
-        # byte i (1-based) of the decompressed stream, via its block
-        blk = F.element_at(
+        # byte i (1-based) of the decompressed stream, via its block.
+        # try_element_at, not element_at: on an INVALID png the block
+        # table can be empty while the folds below still run — codegen
+        # subexpression elimination hoists the shared Adler fold out
+        # of the ok-chain's short-circuit (r12, seen once the decode
+        # moved to its own PNG-only plan), and ANSI element_at would
+        # throw instead of letting the row null out.
+        blk = F.try_element_at(
             F.filter(
                 blocks,
                 lambda b: (i > b["cum"]) & (i <= b["cum"] + b["len"]),
             ),
-            1,
+            F.lit(1),
         )
         return _u8(p, blk["start"] + (i - blk["cum"]) - 1)
 
@@ -1657,7 +1687,15 @@ def _png_block_walk(p, cw):
     )
 
 
-def decode_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+#: formats decode_pixels can dispatch on
+_DECODE_FORMATS = ("bmp", "bmp8", "ppm", "pgm", "png")
+
+
+def decode_pixels(
+    media: DataFrame,
+    payload_col: str = "payload",
+    formats=None,
+) -> DataFrame:
     """REAL pixel decode of uncompressed formats, pure Spark: returns
     (media_id, img_format, width, height, pixels) where ``pixels`` is
     the flattened TOP-DOWN row-major RGB byte array.
@@ -1684,26 +1722,89 @@ def decode_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     JPEG/GIF (and compressed PNG) pixel decode still requires
     ``decode_media``'s codec libraries — header metadata for those is
-    available via ``with_image_header_meta``."""
+    available via ``with_image_header_meta``.
+
+    Plan shape (r12, the e6_pixel_decode attribution fix): formats
+    are DISPATCHED BEFORE the projection — a cheap signature filter
+    splits the input into a PNG branch and a non-PNG branch, each
+    with its own small projection, unioned back. r11 carried the PNG
+    chunk/block-walk expressions inside every caller's single
+    projection behind a per-row guard; the guard skips the folds at
+    runtime, but the expression tree itself cost non-PNG callers
+    ~1.5× (same-session interleaved A/B on BMP/PPM-only input,
+    SCALING_r12.md §1 — r10 body 1.95 s vs r11 body 2.88 s at
+    sf0.1). With the split, a BMP/PPM/PGM-only input's plan contains
+    no PNG expressions at all (byte-identical to the r10 plan modulo
+    one cheap signature Filter), and the PNG branch's walks run
+    unguarded on rows that are all PNGs. The price is that the
+    source is scanned once per branch — for a parquet media table
+    that is a second pruned pass over the payload column; the
+    per-row interpreted-expression overhead the fat single plan paid
+    on EVERY row at any scale measured larger.
+
+    ``formats`` (r12) is the caller's format-inventory CONTRACT: a
+    pipeline that knows its media table holds only certain formats
+    (usually recorded per-partition in the catalog) passes the
+    subset, and the plan contains ONLY those branches — no signature
+    filter, no union, no second source pass: ``formats`` without
+    'png' is exactly the r10 single-projection plan; ``('png',)`` is
+    the PNG plan alone. Rows whose actual format falls outside the
+    declared set null out (their magic-byte checks fail) — the
+    declaration prunes the plan, it never mis-decodes. Default
+    ``None`` keeps full auto-dispatch.
+    """
+    if formats is not None:
+        fs = set(formats)
+        unknown = fs - set(_DECODE_FORMATS)
+        if unknown:
+            raise ValueError(
+                f"decode_pixels: unknown formats {sorted(unknown)}; "
+                f"supported: {_DECODE_FORMATS}"
+            )
+        if "png" not in fs:
+            return _decode_pixels_nonpng(media, payload_col)
+        if fs == {"png"}:
+            return _decode_pixels_png(media, payload_col)
     p = F.col(payload_col)
-    # the two PNG walk folds are staged as columns: every decompressed
-    # byte read references the block table, so inlining the folds
-    # would re-execute them per byte (see _png_gray_decode). The
-    # signature guard keeps non-PNG rows (the common case in a mixed
-    # media table) from paying for the walks at all — staged columns
-    # evaluate unconditionally, unlike the lazy CaseWhen branches.
-    has_png_sig = F.hex(F.substring(p, 1, 8)) == _PNG_SIG
-    media = media.select(
-        "*", F.when(has_png_sig, _png_chunk_walk(p)).alias("__pcw")
+    # null payloads must route to the non-PNG branch (where they null
+    # out), not vanish: coalesce the signature test to false
+    has_png_sig = F.coalesce(
+        F.hex(F.substring(p, 1, 8)) == _PNG_SIG, F.lit(False)
+    )
+    non_png = _decode_pixels_nonpng(media.where(~has_png_sig), payload_col)
+    png = _decode_pixels_png(media.where(has_png_sig), payload_col)
+    return non_png.unionByName(png)
+
+
+def _decode_pixels_png(media: DataFrame, payload_col: str) -> DataFrame:
+    """The PNG-only decode plan: every input row carries the PNG
+    signature, so the two walk folds are staged as UNGUARDED columns
+    (each multiply-referenced downstream — CollapseProject keeps
+    them staged; see _png_gray_decode for why inlining would
+    re-execute the walks per decompressed byte)."""
+    p = F.col(payload_col)
+    staged = media.select(
+        "*", _png_chunk_walk(p).alias("__pcw")
     ).select(
-        "*",
-        F.when(
-            has_png_sig, _png_block_walk(p, F.col("__pcw"))
-        ).alias("__pbw"),
+        "*", _png_block_walk(p, F.col("__pcw")).alias("__pbw")
     )
     png_ok, png_w, png_h, png_pixels = _png_gray_decode(
         p, F.col("__pcw"), F.col("__pbw")
     )
+    return staged.select(
+        "media_id",
+        F.when(png_ok, "png").alias("img_format"),
+        F.when(png_ok, png_w).cast("int").alias("width"),
+        F.when(png_ok, png_h).cast("int").alias("height"),
+        F.when(png_ok, png_pixels).alias("pixels"),
+    )
+
+
+def _decode_pixels_nonpng(media: DataFrame, payload_col: str) -> DataFrame:
+    """The uncompressed-format decode plan (BMP-24 / BMP-8 paletted /
+    PPM / PGM) — the r10 projection body, verbatim: no PNG
+    expressions anywhere in this plan."""
+    p = F.col(payload_col)
     is_bmp = (F.length(p) >= 54) & (F.hex(F.substring(p, 1, 2)) == "424D")
     is_ppm = (F.length(p) >= 9) & (F.hex(F.substring(p, 1, 3)) == "50360A")
     is_pgm = (F.length(p) >= 9) & (F.hex(F.substring(p, 1, 3)) == "50350A")
@@ -1820,26 +1921,22 @@ def decode_pixels(media: DataFrame, payload_col: str = "payload") -> DataFrame:
         .when(b8_ok, "bmp8")
         .when(p_ok, "ppm")
         .when(g_ok, "pgm")
-        .when(png_ok, "png")
     )
     width = (
         F.when(b_ok | b8_ok, b_w)
         .when(p_ok, p_w)
         .when(g_ok, g_w)
-        .when(png_ok, png_w)
     )
     height = (
         F.when(b_ok | b8_ok, b_h)
         .when(p_ok, p_h)
         .when(g_ok, g_h)
-        .when(png_ok, png_h)
     )
     pixels = (
         F.when(b_ok, bmp_pixels)
         .when(b8_ok, bmp8_pixels)
         .when(p_ok, ppm_pixels)
         .when(g_ok, pgm_pixels)
-        .when(png_ok, png_pixels)
     )
     return media.select(
         "media_id",

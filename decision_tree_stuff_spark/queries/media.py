@@ -133,7 +133,11 @@ def q_e6_pixel_decode(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
-    return _hex_packed_pixels(decode_pixels(synthesize_decodable_media(docs)))
+    return _hex_packed_pixels(
+        decode_pixels(
+            synthesize_decodable_media(docs), formats=("bmp", "ppm")
+        )
+    )
 
 def q_e6_pixel_decode_paletted(spark, sf_dir):
     """Pixel decode for the r9 uncompressed additions: 8-bit PALETTED
@@ -152,7 +156,8 @@ def q_e6_pixel_decode_paletted(spark, sf_dir):
     docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
     return _hex_packed_pixels(
         decode_pixels(
-            synthesize_decodable_media(docs, formats=("bmp8", "pgm"))
+            synthesize_decodable_media(docs, formats=("bmp8", "pgm")),
+            formats=("bmp8", "pgm"),
         )
     )
 
@@ -175,7 +180,8 @@ def q_e6_png_decode(spark, sf_dir):
     docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
     return _hex_packed_pixels(
         decode_pixels(
-            synthesize_decodable_media(docs, formats=("png", "png"))
+            synthesize_decodable_media(docs, formats=("png", "png")),
+            formats=("png",),
         )
     )
 
@@ -195,7 +201,11 @@ def q_e6_resize(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
     resized = resize_nearest(
-        decode_pixels(synthesize_decodable_media(docs)), 4, 3
+        decode_pixels(
+            synthesize_decodable_media(docs), formats=("bmp", "ppm")
+        ),
+        4,
+        3,
     )
     return resized.select(
         "media_id",

@@ -780,3 +780,50 @@ def test_encode_png_oversize_raises_instead_of_corrupt(spark):
         spark.range(1).select(
             encode_png(F.lit(3), F.lit(300), F.lit(300)).alias("p")
         ).collect()
+
+
+def test_decode_formats_contract(spark):
+    """r12: the ``formats`` inventory contract — a declared subset
+    prunes the plan (no union / no PNG expressions when png is
+    excluded) while matching auto-dispatch output exactly; rows
+    outside the declared set null out rather than mis-decode; unknown
+    names raise."""
+    import pytest
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id bigint")
+    media = synthesize_decodable_media(docs)  # bmp even / ppm odd
+
+    auto = {r["media_id"]: r for r in decode_pixels(media).collect()}
+    hinted = {
+        r["media_id"]: r
+        for r in decode_pixels(media, formats=("bmp", "ppm")).collect()
+    }
+    assert {m: (r["img_format"], r["width"], list(r["pixels"]))
+            for m, r in auto.items()} == \
+           {m: (r["img_format"], r["width"], list(r["pixels"]))
+            for m, r in hinted.items()}
+
+    # the hinted plan is the single projection — no Union, no Filter
+    plan = decode_pixels(
+        media, formats=("bmp", "ppm")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan and "png" not in plan.lower()
+
+    # png-only media under a png-only hint: single plan, decodes
+    png_media = synthesize_decodable_media(docs, formats=("png", "png"))
+    got = {
+        r["media_id"]: r["img_format"]
+        for r in decode_pixels(png_media, formats=("png",)).collect()
+    }
+    assert set(got.values()) == {"png"}
+
+    # a declared-out format nulls instead of decoding: bmp rows under
+    # a png-only contract
+    out = {
+        r["media_id"]: r["img_format"]
+        for r in decode_pixels(media, formats=("png",)).collect()
+    }
+    assert set(out.values()) == {None}
+
+    with pytest.raises(ValueError, match="unknown formats"):
+        decode_pixels(media, formats=("bmp", "jpeg2000"))
