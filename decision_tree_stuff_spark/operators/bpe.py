@@ -179,11 +179,81 @@ def bpe_merge_table(
     )
 
 
+def _encode_by_type(
+    docs: DataFrame,
+    words_arr,
+    id_col: str,
+    text_col: str,
+    encode_types,
+    n_col: str,
+) -> DataFrame:
+    """Shared distinct-word-types encode plan (r12, the 100 TB mode
+    for the tokenizer APPLY ops): the expensive per-word program (the
+    Viterbi DP / the BPE replace chain) runs once per distinct word
+    TYPE, not once per occurrence — types are 2–3 orders fewer than
+    occurrences at corpus scale (Heaps' law), so the hot expression
+    does proportionally less work.
+
+    Plan: posexplode occurrences (shuffle-free) → ``distinct`` over
+    the type column (a shuffle bounded by partition-locally-deduped
+    TYPES, never occurrences) → ``encode_types`` projects the
+    per-type piece array over that small table → broadcast hash join
+    back onto occurrences (no occurrence shuffle for the join) → one
+    per-doc regroup (the only occurrence-sized exchange) reassembles
+    ``(pos, pieces)`` in word order. Identical output to the
+    per-occurrence projection, pinned by differential tests.
+
+    ``encode_types``: fn(types_df with column ``__word``) →
+    df(``__word``, ``__toks`` array<string>).
+    """
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        F.when(F.col(text_col).isNotNull(), words_arr).alias("__words"),
+    )
+    occ = (
+        base.select(F.col(id_col), F.posexplode(F.col("__words")))
+        .withColumnRenamed("pos", "__pos")
+        .withColumnRenamed("col", "__w")
+    )
+    types = occ.select(F.col("__w").alias("__word")).distinct()
+    enc_t = encode_types(types).select("__word", "__toks")
+    joined = occ.join(
+        F.broadcast(enc_t), occ["__w"] == enc_t["__word"]
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum(F.size("__toks")).cast("int").alias("__np"),
+        F.array_sort(
+            F.collect_list(F.struct("__pos", "__toks"))
+        ).alias("__ord"),
+    )
+    enc_str = F.array_join(
+        F.transform(
+            F.col("__ord"), lambda x: F.array_join(x["__toks"], " ")
+        ),
+        " ",
+    )
+    return (
+        base.select(id_col, "__text")
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__text").isNull(), F.lit(None).cast("int"))
+            .otherwise(F.coalesce(F.col("__np"), F.lit(0)))
+            .alias(n_col),
+            F.when(F.col("__text").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(enc_str, F.lit("")))
+            .alias("encoded"),
+        )
+    )
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: List[Tuple[int, str, str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    distinct_types: bool = False,
 ) -> DataFrame:
     """Encode every document with a learned merge list — ONE
     shuffle-free projection.
@@ -196,8 +266,37 @@ def bpe_encode(
     Returns (id, n_tokens_bpe, encoded) where ``encoded`` is the
     space-joined token sequence. Null text propagates nulls; empty
     text encodes to 0 tokens and an empty string.
+
+    ``distinct_types`` (r12): run the replace chain once per DISTINCT
+    word type and broadcast-join back (see ``_encode_by_type``) —
+    sound because merges never cross the ``'|'`` word guard, so the
+    per-word segmentation equals the per-document one (pinned by
+    tests). Identical output in both modes.
     """
     toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    if distinct_types:
+        def _encode_word_types(types):
+            wseg = F.concat(F.lit(SEP), _spaced(F.col("__word")))
+            for _, left, right, merged in merges:
+                wseg = F.replace(
+                    wseg,
+                    F.lit(_pattern(left, right)),
+                    F.lit(_replacement(merged)),
+                )
+            wtoks = F.filter(
+                F.split(F.trim(wseg), SEP),
+                lambda t: (t != "") & (t != "|"),
+            )
+            return types.select("__word", wtoks.alias("__toks"))
+
+        return _encode_by_type(
+            docs,
+            toks,
+            id_col,
+            text_col,
+            _encode_word_types,
+            n_col="n_tokens_bpe",
+        )
     seg = F.concat(
         F.lit(SEP),
         F.array_join(F.transform(toks, lambda w: _spaced(w)), "|" + SEP),
@@ -491,6 +590,7 @@ def unigram_encode(
     text_col: str = "text",
     max_piece_len: int = 3,
     max_word_len: int = 8,
+    distinct_types: bool = False,
 ) -> DataFrame:
     """Viterbi segmentation under a trained unigram LM (Kudo 2018 §3 —
     the SentencePiece ENCODE step; r11, the apply path the trainer
@@ -515,6 +615,19 @@ def unigram_encode(
 
     Returns (id, n_pieces, encoded) like ``bpe_encode``. Null text
     propagates nulls; empty text encodes to 0 pieces.
+
+    ``distinct_types`` (r12, the 100 TB mode): run the DP once per
+    DISTINCT word TYPE instead of once per word OCCURRENCE, then
+    broadcast-join the (type → pieces) map back onto occurrences and
+    reassemble per document. Word types are 2–3 orders of magnitude
+    fewer than occurrences at corpus scale (Heaps' law), so the DP —
+    the expensive part — does proportionally less work; the price is
+    two bounded shuffles (the distinct over partition-locally-deduped
+    types, and the per-doc regroup of (pos, pieces) rows) where the
+    default is one shuffle-free projection. Output is IDENTICAL in
+    both modes (pinned by tests and the exhaustive-enumeration
+    oracle); pick per-occurrence for small/streaming inputs where
+    plan simplicity wins, distinct_types when occurrences ≫ types.
     """
     total = float(sum(c for _, _, c in pieces))
     probs = (
@@ -589,6 +702,25 @@ def unigram_encode(
     capped = F.transform(
         toks, lambda t: F.substring(t, 1, max_word_len)
     )
+    if distinct_types:
+        seg_of = lambda w: F.element_at(  # noqa: E731
+            F.zip_with(
+                F.array(w), F.transform(F.array(w), dp_array), backtrack
+            ),
+            1,
+        )
+        return _encode_by_type(
+            docs,
+            capped,
+            id_col,
+            text_col,
+            lambda types: types.select(
+                "__word", _unigram_prob_map(probs).alias("__pm")
+            ).select(
+                "__word", seg_of(F.col("__word")).alias("__toks")
+            ),
+            n_col="n_pieces",
+        )
     # stage the word array as a COLUMN (referenced twice below —
     # CollapseProject keeps multiply-referenced non-cheap aliases
     # staged), then compute each word's DP array ONCE and hand it to

@@ -376,6 +376,11 @@ def q_e4_bpe_encode(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     merges = bpe_train(docs, n_merges=BPE_MERGES)
+    # per-occurrence stays the registry mode for BPE: the replace
+    # chain is cheap enough that the distinct-types join/regroup
+    # overhead outweighs the saved work at every measured scale
+    # (SCALING_r12.md §3); distinct_types remains the knob for
+    # heavier merge lists
     return bpe_encode(docs, merges)
 
 

@@ -195,3 +195,28 @@ def test_bpe_encode_is_shuffle_free(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(bpe_encode(docs, [(1, "a", "b", "ab")]))
     assert "Exchange" not in plan, "encode must be a pure projection"
+
+
+def test_bpe_encode_distinct_types_mode_identical(spark, sf_dir):
+    """r12: the distinct-word-types replace-chain (per TYPE +
+    broadcast join back) must equal the per-document projection —
+    sound because merges never cross the '|' word guard."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    extra = docs.sparkSession.createDataFrame(
+        [(90001, None), (90002, ""), (90003, "ab ab a b")],
+        "doc_id bigint, text string",
+    )
+    docs = docs.unionByName(extra)
+    merges = bpe_train(docs, n_merges=8)
+    a = {
+        r["doc_id"]: (r["n_tokens_bpe"], r["encoded"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_tokens_bpe"], r["encoded"])
+        for r in bpe_encode(docs, merges, distinct_types=True).collect()
+    }
+    assert a == b and len(a) > 100
+    assert b[90001] == (None, None) and b[90002] == (0, "")

@@ -338,3 +338,35 @@ def test_encode_null_and_empty_text(spark):
     assert got[1] == (None, None)
     assert got[2] == (0, "")
     assert got[3][0] >= 1
+
+
+def test_encode_distinct_types_mode_identical(spark, sf_dir):
+    """r12: the distinct-word-types encode (DP per TYPE + broadcast
+    join back) must produce byte-identical output to the shuffle-free
+    per-occurrence projection, including null/empty text."""
+    from decision_tree_stuff_spark.operators.bpe import (
+        unigram_encode,
+        unigram_lm_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [(90001, None), (90002, ""), (90003, "ab ab xyzzy")],
+        "doc_id bigint, text string",
+    )
+    docs = docs.unionByName(extra)
+    pieces = unigram_lm_train(docs, vocab_size=40, seed_size=60)
+    a = {
+        r["doc_id"]: (r["n_pieces"], r["encoded"])
+        for r in unigram_encode(docs, pieces).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_pieces"], r["encoded"])
+        for r in unigram_encode(
+            docs, pieces, distinct_types=True
+        ).collect()
+    }
+    assert a == b and len(a) > 100
+    assert b[90001] == (None, None) and b[90002] == (0, "")
