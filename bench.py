@@ -297,6 +297,22 @@ def main() -> None:
         outliers.append(inliers.pop())
     spark_in = round(sum(timings[n] for n in inliers), 3)
     duck_in = round(sum(duck[n] for n in inliers), 3)
+    # r12 (r11 verdict task 4 — bench honesty): the dominance rule
+    # above only drops a twin while it exceeds all others COMBINED,
+    # so a twin can sit just under that bar yet still carry ~half the
+    # denominator (r11: winnow at 47% made the headline 0.92 while
+    # the apples-to-apples number was 1.70). Report the share
+    # explicitly, and a conservative ratio excluding EVERY twin whose
+    # individual share of the DuckDB denominator exceeds 25% — the
+    # round notes quote this one first when it differs.
+    dominant = sorted(
+        n for n in common
+        if duck_common and duck[n] / duck_common > 0.25
+    )
+    nd = [n for n in common if n not in dominant]
+    spark_nd = round(sum(timings[n] for n in nd), 3)
+    duck_nd = round(sum(duck[n] for n in nd), 3)
+    largest = max(common, key=lambda n: duck[n]) if common else None
     # per-row view, robust to both tails: median ratio + win counts
     ratios = sorted(timings[n] / duck[n] for n in common if duck[n] > 0)
     common_subset = {
@@ -312,6 +328,16 @@ def main() -> None:
             round(ratios[len(ratios) // 2], 3) if ratios else None
         ),
         "spark_wins": sum(1 for n in common if timings[n] < duck[n]),
+        "largest_twin": largest,
+        "largest_twin_share": (
+            round(duck[largest] / duck_common, 3)
+            if largest and duck_common
+            else None
+        ),
+        "dominant_twins_gt25pct": dominant,
+        "ratio_ex_dominant": (
+            round(spark_nd / duck_nd, 3) if duck_nd else None
+        ),
     }
     # Full-precision detail (incl. the duckdb_excluded prose) goes to a
     # committed file; the driver's BENCH artifact keeps only a

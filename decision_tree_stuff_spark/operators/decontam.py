@@ -778,7 +778,19 @@ def exact_substring_decontam(
     is correct — boilerplate is boilerplate wherever it occurs), and
     keep only cross-side pairs. Returns
     (``id_col``, bench_id, pos, bench_pos, match_len), one row per
-    maximal contaminated span."""
+    maximal contaminated span.
+
+    SCALE RECIPE (r12): identical to
+    ``dedup.exact_substring_matches`` — a fixed integer ``max_df``
+    bounds the pair stage at ``max_df × n_anchors`` (linear with a
+    cap-sized constant; SCALING_r12.md §4 has the measured slopes);
+    on heavily duplicated corpora raise ``min_len`` toward Lee et
+    al.'s ~250 chars first, and run
+    ``dedup.exact_substring_cap_report`` on the side-tagged union to
+    see what a candidate cap drops before committing the pass.
+    Decontam-specific note: the benchmark side is tiny, so dropped
+    grams are almost always CORPUS boilerplate — a cap rarely costs
+    bench-leak recall, but the report makes that check concrete."""
     from decision_tree_stuff_spark.operators.dedup import (
         exact_substring_matches,
     )

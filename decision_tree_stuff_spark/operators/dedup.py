@@ -834,6 +834,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """E-2c: near-dup pairs with hamming(simhash) ≤ max_hamming.
 
@@ -842,8 +843,14 @@ def simhash_near_dups(
     (pigeonhole for max_hamming ≤ 3 per-chunk guarantee holds when
     max_hamming < 4; for larger radii this is an approximate blocker,
     which is the standard trade). Verification = popcount(xor).
+
+    ``hash_fn`` passes through to ``simhash`` (r12): ``'md5'`` makes
+    the whole pair pipeline value-oracle-able in DuckDB (the
+    ``e2_simhash_md5_dups`` row — blocking condition and hamming
+    verify reproduced exactly); ``'xxhash64'`` stays the prod
+    default (engine-internal hash, property-tested).
     """
-    sh = simhash(docs, id_col, text_col)
+    sh = simhash(docs, id_col, text_col, hash_fn=hash_fn)
     chunks = sh.select(
         F.col(id_col),
         "simhash_lo",
@@ -1496,6 +1503,22 @@ def exact_substring_matches(
     Raising ``min_len`` (Lee et al. use 50 tokens ≈ 250 chars) makes
     grams rarer and every stage cheaper — the natural scale knob.
 
+    SCALE RECIPE (r12, measured — SCALING_r12.md §4): with a FIXED
+    integer ``max_df`` the pair stage is hard-bounded at
+    ``max_df × n_anchors`` rows, i.e. LINEAR in corpus size with a
+    cap-sized constant; what looks superlinear on high-duplication
+    fixtures is replicated grams CLIMBING TOWARD the cap (the
+    constant growing to its bound), not asymptotic growth. On a
+    heavily duplicated corpus, tune in this order: (1) raise
+    ``min_len`` toward the Lee et al. 250-char setting — rarer
+    anchors shrink EVERY stage and the e1f slope collapses ~10×;
+    (2) lower ``max_df`` — linear cost relief, at the price of
+    splitting/suppressing runs made of over-cap boilerplate grams;
+    (3) run ``exact_substring_cap_report`` FIRST to see exactly how
+    many grams/anchors a candidate cap drops and what the hottest
+    dropped gram looks like, so the recall trade is explicit before
+    committing a full pass.
+
     Returns (id_a, id_b, pos_a, pos_b, match_len) with id_a < id_b;
     positions are 1-based offsets into the NORMALIZED text.
     """
@@ -1575,4 +1598,98 @@ def exact_substring_matches(
         F.col("pos_a").cast("int").alias("pos_a"),
         (F.col("pos_a") - F.col("__diag")).cast("int").alias("pos_b"),
         (F.lit(L) + F.col("__n") - 1).cast("int").alias("match_len"),
+    )
+
+
+def exact_substring_cap_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+    max_df="auto",
+    auto_quantile: float = 0.70,
+) -> DataFrame:
+    """Accounting for what ``exact_substring_matches``' hot-gram cap
+    DROPS (r12 — the r11 verdict asked for the cap trade to be
+    explicit, not implied): one row
+
+      (max_df_used, n_grams, n_dropped_grams, n_anchors,
+       n_dropped_anchors, example_gram)
+
+    where ``example_gram`` is the text of the highest-df dropped
+    L-gram (ties by hash; null when nothing is dropped). Run this
+    next to the dedup/decontam pass when choosing ``max_df`` /
+    ``min_len`` for a corpus: dropped grams are exactly the
+    boilerplate whose interior can SPLIT a reported run in two and
+    whose exclusive runs are suppressed — if ``n_dropped_anchors``
+    is a large share of ``n_anchors``, raise ``min_len`` (rarer
+    grams) before raising ``max_df`` (quadratic pair cost per gram).
+
+    Cost: the same anchor projection + one df aggregate the operator
+    itself runs, plus one broadcast semi-join to recover the example
+    gram's text — safe to run at full scale.
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    from decision_tree_stuff_spark.functions.text import normalize_text
+    from decision_tree_stuff_spark.operators import spread_small
+
+    L = int(min_len)
+    prep = (
+        spread_small(docs)
+        .select(id_col, normalize_text(F.col(text_col)).alias("__norm"))
+        .where(F.length("__norm") >= L)
+    )
+    anchors = prep.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__norm") - L + 1),
+                lambda i: F.struct(
+                    F.md5(F.substring(F.col("__norm"), i, L)).alias("__g"),
+                    F.substring(F.col("__norm"), i, L).alias("__t"),
+                ),
+            )
+        ).alias("__pos0", "__gt"),
+    ).select(F.col("__gt.__g").alias("__g"), F.col("__gt.__t").alias("__t"))
+    df_tbl = anchors.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("df"), F.min("__t").alias("__t")
+    )
+    if max_df == "auto":
+        q = df_tbl.agg(
+            F.percentile_approx("df", F.lit(auto_quantile), F.lit(10000))
+        ).first()[0]
+        max_df = max(int(q), 10) if q is not None else None
+    cap = F.lit(max_df).cast("bigint") if max_df is not None else None
+    dropped = (
+        df_tbl.where(F.col("df") > cap)
+        if cap is not None
+        else df_tbl.where(F.lit(False))
+    )
+    example = dropped.orderBy(
+        F.col("df").desc(), F.col("__g").asc()
+    ).limit(1).select(F.col("__t").alias("example_gram"))
+    totals = df_tbl.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("df").alias("n_anchors"),
+    )
+    drops = dropped.agg(
+        F.count(F.lit(1)).alias("n_dropped_grams"),
+        F.coalesce(F.sum("df"), F.lit(0)).alias("n_dropped_anchors"),
+    )
+    example_k = example.select(
+        F.lit(1).alias("__k"), "example_gram"
+    )
+    return (
+        totals.crossJoin(F.broadcast(drops))
+        .select(F.lit(1).alias("__k"), "*")
+        .join(F.broadcast(example_k), "__k", "left")
+        .select(
+            F.lit(max_df).cast("int").alias("max_df_used"),
+            "n_grams",
+            "n_dropped_grams",
+            "n_anchors",
+            "n_dropped_anchors",
+            "example_gram",
+        )
     )

@@ -1278,7 +1278,7 @@ def resize_nearest(
     )
 
 
-def decode_png(payload: bytes):
+def decode_png(payload: bytes, fixed_huffman: bool = False):
     """Python single-payload twin of the Spark ``_png_gray_decode``
     branch: returns ``(w, h, rgb_pixels)`` (gray expanded to R=G=B,
     flattened top-down) for a grayscale-8 stored-deflate PNG, raises
@@ -1289,7 +1289,12 @@ def decode_png(payload: bytes):
     BTYPE=00 only) so the two paths accept and reject identically —
     a Huffman-compressed PNG that zlib could inflate raises here just
     like it nulls out in Spark (the r10 twin-parity rule).
-    ``zlib.crc32`` / ``zlib.adler32`` verify the checksums."""
+    ``zlib.crc32`` / ``zlib.adler32`` verify the checksums.
+
+    ``fixed_huffman`` (r12) mirrors the Spark opt-in: a single FINAL
+    fixed-Huffman block (BTYPE=01, ``_inflate_fixed_py``) decodes;
+    dynamic-Huffman and multi/non-final FH blocks still raise, just
+    as they null out in Spark."""
     import struct as _struct
     import zlib as _zlib
 
@@ -1332,23 +1337,32 @@ def decode_png(payload: bytes):
     cmf, flg = idat[0], idat[1]
     if cmf % 16 != 8 or (cmf * 256 + flg) % 31 != 0 or flg & 0x20:
         raise ValueError("bad zlib header")
-    raw, bpos, final = b"", 2, False
-    for _ in range(_PNG_MAX_BLOCKS):
-        hb = idat[bpos]
-        if (hb >> 1) & 3 != 0:
-            raise ValueError("non-stored deflate block (codec-bound)")
-        blen, nlen = _struct.unpack("<HH", idat[bpos + 1:bpos + 5])
-        if nlen != 65535 - blen or bpos + 5 + blen > len(idat) - 4:
-            raise ValueError("stored block length mismatch")
-        raw += idat[bpos + 5:bpos + 5 + blen]
-        final = bool(hb & 1)
-        bpos += 5 + blen
-        if final:
-            break
-    if not final:
-        raise ValueError(f"no final block within {_PNG_MAX_BLOCKS} blocks")
-    if bpos != len(idat) - 4:
-        raise ValueError("trailing bytes between blocks and Adler-32")
+    if fixed_huffman and (idat[2] & 7) == 3:
+        if h * (w + 1) > _PNG_FH_MAX_RAW:
+            raise ValueError("fixed-Huffman raw size beyond bound")
+        raw, endbit = _inflate_fixed_py(idat[2:-4])
+        if (endbit + 7) // 8 > len(idat) - 6:
+            raise ValueError("fixed-Huffman stream overruns data bytes")
+    else:
+        raw, bpos, final = b"", 2, False
+        for _ in range(_PNG_MAX_BLOCKS):
+            hb = idat[bpos]
+            if (hb >> 1) & 3 != 0:
+                raise ValueError("non-stored deflate block (codec-bound)")
+            blen, nlen = _struct.unpack("<HH", idat[bpos + 1:bpos + 5])
+            if nlen != 65535 - blen or bpos + 5 + blen > len(idat) - 4:
+                raise ValueError("stored block length mismatch")
+            raw += idat[bpos + 5:bpos + 5 + blen]
+            final = bool(hb & 1)
+            bpos += 5 + blen
+            if final:
+                break
+        if not final:
+            raise ValueError(
+                f"no final block within {_PNG_MAX_BLOCKS} blocks"
+            )
+        if bpos != len(idat) - 4:
+            raise ValueError("trailing bytes between blocks and Adler-32")
     if _zlib.adler32(raw) != _struct.unpack(">I", idat[-4:])[0]:
         raise ValueError("Adler-32 mismatch")
     if len(raw) != h * (w + 1):
@@ -1379,6 +1393,7 @@ def synthesize_decodable_media(
         "bmp8": encode_bmp8,
         "pgm": encode_pgm,
         "png": encode_png,
+        "pngf": encode_png_fixed,  # r12: fixed-Huffman zlib stream
     }
     even_fmt, odd_fmt = formats
     mid = F.col(id_col)
@@ -1695,6 +1710,7 @@ def decode_pixels(
     media: DataFrame,
     payload_col: str = "payload",
     formats=None,
+    png_fixed_huffman: bool = False,
 ) -> DataFrame:
     """REAL pixel decode of uncompressed formats, pure Spark: returns
     (media_id, img_format, width, height, pixels) where ``pixels`` is
@@ -1752,6 +1768,13 @@ def decode_pixels(
     declared set null out (their magic-byte checks fail) — the
     declaration prunes the plan, it never mis-decodes. Default
     ``None`` keeps full auto-dispatch.
+
+    ``png_fixed_huffman`` (r12) additionally decodes PNGs whose zlib
+    stream is one final FIXED-Huffman deflate block (RFC 1951
+    §3.2.6) — real LZ77 with back-references, the first class of
+    real-world PNGs beyond stored blocks. Opt-in (the walk fold
+    would otherwise sit in every PNG caller's plan — the
+    e6_pixel_decode lesson); dynamic-Huffman stays codec-bound.
     """
     if formats is not None:
         fs = set(formats)
@@ -1764,7 +1787,9 @@ def decode_pixels(
         if "png" not in fs:
             return _decode_pixels_nonpng(media, payload_col)
         if fs == {"png"}:
-            return _decode_pixels_png(media, payload_col)
+            return _decode_pixels_png(
+                media, payload_col, fixed_huffman=png_fixed_huffman
+            )
     p = F.col(payload_col)
     # null payloads must route to the non-PNG branch (where they null
     # out), not vanish: coalesce the signature test to false
@@ -1772,31 +1797,74 @@ def decode_pixels(
         F.hex(F.substring(p, 1, 8)) == _PNG_SIG, F.lit(False)
     )
     non_png = _decode_pixels_nonpng(media.where(~has_png_sig), payload_col)
-    png = _decode_pixels_png(media.where(has_png_sig), payload_col)
+    png = _decode_pixels_png(
+        media.where(has_png_sig),
+        payload_col,
+        fixed_huffman=png_fixed_huffman,
+    )
     return non_png.unionByName(png)
 
 
-def _decode_pixels_png(media: DataFrame, payload_col: str) -> DataFrame:
+def _decode_pixels_png(
+    media: DataFrame, payload_col: str, fixed_huffman: bool = False
+) -> DataFrame:
     """The PNG-only decode plan: every input row carries the PNG
-    signature, so the two walk folds are staged as UNGUARDED columns
-    (each multiply-referenced downstream — CollapseProject keeps
-    them staged; see _png_gray_decode for why inlining would
-    re-execute the walks per decompressed byte)."""
+    signature, so the walk folds are staged as columns (each
+    multiply-referenced downstream — CollapseProject keeps them
+    staged; see _png_gray_decode for why inlining would re-execute
+    the walks per decompressed byte). With ``fixed_huffman`` the
+    fixed-Huffman symbol walk (``_png_fixed_walk``) is additionally
+    staged, guarded by the cheap 3-bit block-header check so
+    stored-block rows never run it — opt-in precisely because of the
+    r12 e6_pixel_decode lesson (expressions in a plan cost even the
+    rows that skip them at runtime)."""
     p = F.col(payload_col)
     staged = media.select(
         "*", _png_chunk_walk(p).alias("__pcw")
     ).select(
         "*", _png_block_walk(p, F.col("__pcw")).alias("__pbw")
     )
+    if fixed_huffman:
+        w = _be32(p, 17)
+        h = _be32(p, 21)
+        _raw0 = h.cast("bigint") * (w.cast("bigint") + 1)
+        _sane = (
+            _raw0.isNotNull()
+            & (_raw0 > 0)
+            & (_raw0 <= F.lit(_PNG_FH_MAX_RAW).cast("bigint"))
+        )
+        raw_n = F.when(_sane, _raw0).otherwise(F.lit(0).cast("bigint"))
+        fh_sig = _sane & (
+            F.pmod(_u8(p, F.col("__pcw")["zs"] + 2), F.lit(8)) == 3
+        )
+        staged = staged.select(
+            "*",
+            F.when(
+                fh_sig, _png_fixed_walk(p, F.col("__pcw"), raw_n)
+            ).alias("__pfw"),
+        )
     png_ok, png_w, png_h, png_pixels = _png_gray_decode(
         p, F.col("__pcw"), F.col("__pbw")
     )
+    if fixed_huffman:
+        fh_ok, fh_w, fh_h, fh_pixels = _png_gray_decode_fh(
+            p, F.col("__pcw"), F.col("__pfw")
+        )
+        fmt = F.when(png_ok, "png").when(fh_ok, "png")
+        width = F.when(png_ok, png_w).when(fh_ok, fh_w)
+        height = F.when(png_ok, png_h).when(fh_ok, fh_h)
+        pixels = F.when(png_ok, png_pixels).when(fh_ok, fh_pixels)
+    else:
+        fmt = F.when(png_ok, "png")
+        width = F.when(png_ok, png_w)
+        height = F.when(png_ok, png_h)
+        pixels = F.when(png_ok, png_pixels)
     return staged.select(
         "media_id",
-        F.when(png_ok, "png").alias("img_format"),
-        F.when(png_ok, png_w).cast("int").alias("width"),
-        F.when(png_ok, png_h).cast("int").alias("height"),
-        F.when(png_ok, png_pixels).alias("pixels"),
+        fmt.alias("img_format"),
+        width.cast("int").alias("width"),
+        height.cast("int").alias("height"),
+        pixels.alias("pixels"),
     )
 
 
@@ -2037,3 +2105,538 @@ def synthesize_header_media(
         F.lit("image").alias("kind"),
         payload.alias("payload"),
     )
+
+
+# --- fixed-Huffman deflate PNG (r12) ------------------------------------
+#
+# RFC 1951 §3.2.6: deflate block type 01 uses a SPEC-FIXED Huffman
+# alphabet (no dynamic code-length tree), so a bounded bit-walk fold
+# can decode it without any codec library — the first class of
+# real-world PNGs beyond stored blocks. Dynamic-Huffman (BTYPE=10)
+# remains legitimately env-blocked (`decode_media`).
+#
+# Fixed literal/length codes (MSB-first):
+#   0..143   -> 8 bits, code = lit + 0x30      (00110000..10111111)
+#   144..255 -> 9 bits, code = lit + 0x100     (110010000..111111111)
+#   256..279 -> 7 bits, code = sym - 256       (0000000..0010111)
+#   280..287 -> 8 bits, code = sym - 280 + 0xC0 (11000000..11000111)
+# Distance codes: 5 bits MSB-first, 0..29. Extra bits (both tables)
+# are read LSB-first per RFC 1951 §3.1.1.
+
+_FH_LEN_BASE = [3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27,
+                31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195,
+                227, 258]
+_FH_LEN_EXTRA = [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3,
+                 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0]
+_FH_DIST_BASE = [1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97,
+                 129, 193, 257, 385, 513, 769, 1025, 1537, 2049,
+                 3073, 4097, 6145, 8193, 12289, 16385, 24577]
+_FH_DIST_EXTRA = [0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7,
+                  7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13]
+#: FH decode is scoped to streams whose raw size fits one stored
+#: block's worth of bytes — same bound the stored path enforces per
+#: block; keeps the symbol fold bounded on garbage headers.
+_PNG_FH_MAX_RAW = 65535
+
+
+def _pow2(k):
+    """2^k for a dynamic small k (Spark's shiftleft/right need literal
+    shift amounts) — element_at over a 14-entry literal table (max
+    distance extra bits = 13)."""
+    return F.element_at(
+        F.array(*[F.lit(1 << i) for i in range(14)]), k.cast("int") + 1
+    )
+
+
+def _fh_bit(p, zs, i):
+    """Bit ``i`` (0-based) of the deflate data that starts at 1-based
+    byte offset ``zs + 2`` — LSB-first within each byte (RFC 1951)."""
+    byte = _u8(p, zs + 2 + F.floor(i / 8).cast("bigint"))
+    return F.pmod(
+        F.floor(byte / _pow2(F.pmod(i, F.lit(8)))).cast("int"), F.lit(2)
+    )
+
+
+def _fh_val(p, zs, i, n):
+    """``n`` extra bits at bit pos ``i`` as an LSB-first integer
+    (n dynamic, 0..13; n = 0 reads nothing)."""
+    return F.when(
+        n > 0,
+        F.aggregate(
+            F.sequence(F.lit(0).cast("bigint"), n.cast("bigint") - 1),
+            F.lit(0).cast("bigint"),
+            lambda a, j: a
+            + _fh_bit(p, zs, i + j).cast("bigint") * _pow2(j),
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+
+
+def _fh_code(p, zs, i, n: int):
+    """``n`` bits at bit pos ``i`` read MSB-first (Huffman code
+    order); n is a Python literal."""
+    e = F.lit(0)
+    for j in range(n):
+        e = e * 2 + _fh_bit(p, zs, i + j)
+    return e
+
+
+def _let(value, body):
+    """Bind ``value`` as a LAMBDA VARIABLE for ``body`` — the
+    one-element ``transform`` trick. Beyond the usual evaluate-once
+    property, this keeps the expression TREE small: every plain
+    Column reference copies its whole subtree, and the FH symbol
+    step references its intermediates (sym, bit positions, lengths)
+    so many times that naive inlining blew the ANALYZER's heap
+    (tree-size explosion, not a runtime cost). A lambda-var
+    reference is one node."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _png_fixed_walk(p, cw, raw_n):
+    """Fixed-Huffman symbol walk (stage 2-FH): one struct column
+    ``(bp, out, done, ok)`` — ``bp`` the bit position after the walk,
+    ``out`` the decompressed byte array. One fold step per SYMBOL
+    (≤ raw_n literals/copies + EOB); LZ77 copies, including
+    OVERLAPPING ones, are expressed as cyclic repetition of the last
+    ``D`` bytes (``out[len − D + (j mod D)]`` — byte-by-byte copy
+    semantics in closed form). Any malformed code, over-long output
+    or out-of-window distance flips ``ok`` and stops. Null-safe under
+    eager subexpression hoisting (try_element_at reads, clamped table
+    indices, caller-clamped ``raw_n``); intermediates are chained
+    through ``_let`` lambda bindings to keep the step's tree
+    analyzable."""
+    zs = cw["zs"]
+    lenb = F.array(*[F.lit(v) for v in _FH_LEN_BASE])
+    lene = F.array(*[F.lit(v) for v in _FH_LEN_EXTRA])
+    distb = F.array(*[F.lit(v) for v in _FH_DIST_BASE])
+    diste = F.array(*[F.lit(v) for v in _FH_DIST_EXTRA])
+    init = F.struct(
+        F.lit(3).cast("bigint").alias("bp"),
+        F.array().cast("array<int>").alias("out"),
+        F.lit(False).alias("done"),
+        F.lit(True).alias("ok"),
+    )
+
+    def step(acc, _):
+        bp = acc["bp"]
+        out = acc["out"]
+
+        def with_sym(hdr):
+            # hdr: (sym, nb, sok) — decoded symbol, its bit cost,
+            # code validity
+            sym, nb, sok = hdr["sym"], hdr["nb"], hdr["sok"]
+            osz = F.size(out).cast("bigint")
+            fail = F.struct(
+                bp.alias("bp"), out.alias("out"),
+                F.lit(True).alias("done"), F.lit(False).alias("ok"),
+            )
+
+            def with_len(lp):
+                L, bp2 = lp["L"], lp["bp2"]
+
+                def with_dist(dp):
+                    D, bp3 = dp["D"], dp["bp3"]
+                    dist_ok = (
+                        (dp["dc"] <= 29) & (D >= 1) & (D <= osz)
+                        & (L >= 3) & (L <= 258)
+                    )
+                    copied = F.transform(
+                        F.sequence(F.lit(0).cast("bigint"), L - 1),
+                        lambda j: F.try_element_at(
+                            out, (osz - D + F.pmod(j, D) + 1).cast("int")
+                        ),
+                    )
+                    return F.when(
+                        dist_ok,
+                        F.struct(
+                            bp3.alias("bp"),
+                            F.concat(out, copied).alias("out"),
+                            F.lit(False).alias("done"),
+                            acc["ok"].alias("ok"),
+                        ),
+                    ).otherwise(fail)
+
+                dc = _fh_code(p, zs, bp2, 5)
+                dci = F.least(dc, F.lit(29)).cast("int")
+                dext = F.element_at(diste, dci + 1)
+                return _let(
+                    F.struct(
+                        dc.alias("dc"),
+                        (
+                            F.element_at(distb, dci + 1).cast("bigint")
+                            + _fh_val(p, zs, bp2 + 5, dext)
+                        ).alias("D"),
+                        (bp2 + 5 + dext.cast("bigint")).alias("bp3"),
+                    ),
+                    with_dist,
+                )
+
+            li = F.greatest(
+                F.least(sym - 257, F.lit(28)), F.lit(0)
+            ).cast("int")
+            lext = F.element_at(lene, li + 1)
+            len_branch = _let(
+                F.struct(
+                    (
+                        F.element_at(lenb, li + 1).cast("bigint")
+                        + _fh_val(p, zs, bp + nb, lext)
+                    ).alias("L"),
+                    (bp + nb + lext.cast("bigint")).alias("bp2"),
+                ),
+                with_len,
+            )
+            return (
+                F.when(sym.isNull() | ~sok | (osz > raw_n), fail)
+                .when(
+                    sym == 256,
+                    F.struct(
+                        (bp + 7).alias("bp"), out.alias("out"),
+                        F.lit(True).alias("done"), acc["ok"].alias("ok"),
+                    ),
+                )
+                .when(
+                    sym < 256,
+                    F.struct(
+                        (bp + nb).alias("bp"),
+                        F.concat(
+                            out, F.array(sym.cast("int"))
+                        ).alias("out"),
+                        F.lit(False).alias("done"),
+                        acc["ok"].alias("ok"),
+                    ),
+                )
+                .when((sym >= 257) & (sym <= 285), len_branch)
+                .otherwise(fail)
+            )
+
+        def decode_sym(codes):
+            v7, v8, v9 = codes["v7"], codes["v8"], codes["v9"]
+            is7 = v7 <= 23
+            is8lit = (v8 >= 48) & (v8 <= 191)
+            is8hi = (v8 >= 192) & (v8 <= 199)
+            is9 = (v9 >= 400) & (v9 <= 511)
+            return F.struct(
+                (
+                    F.when(is7, v7 + 256)
+                    .when(is8lit, v8 - 48)
+                    .when(is8hi, v8 + 88)
+                    .otherwise(v9 - 256)
+                ).alias("sym"),
+                F.when(is7, F.lit(7))
+                .when(is8lit | is8hi, F.lit(8))
+                .otherwise(F.lit(9))
+                .cast("bigint")
+                .alias("nb"),
+                (is7 | is8lit | is8hi | is9).alias("sok"),
+            )
+
+        def with_codes(v7c):
+            v7 = v7c["v7"]
+            return _let(
+                _let(
+                    F.struct(
+                        v7.alias("v7"),
+                        (v7 * 2 + _fh_bit(p, zs, bp + 7)).alias("v8"),
+                    ),
+                    lambda c8: F.struct(
+                        c8["v7"].alias("v7"),
+                        c8["v8"].alias("v8"),
+                        (
+                            c8["v8"] * 2 + _fh_bit(p, zs, bp + 8)
+                        ).alias("v9"),
+                    ),
+                ),
+                lambda codes: _let(decode_sym(codes), with_sym),
+            )
+
+        new = _let(
+            F.struct(_fh_code(p, zs, bp, 7).alias("v7")), with_codes
+        )
+        return F.when(acc["done"], acc).otherwise(new)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(raw_n + 1, F.lit(1))), init, step
+    )
+
+
+def _png_gray_decode_fh(p, cw, fw):
+    """(ok, w, h, pixels) for a grayscale-8 PNG whose zlib stream is
+    ONE final fixed-Huffman deflate block (BTYPE=01) — the FH sibling
+    of ``_png_gray_decode``, consuming the staged symbol walk ``fw``
+    (``_png_fixed_walk``) instead of the stored-block table. Envelope
+    checks mirror the stored path (IHDR + CRC, single IDAT, zlib
+    header); integrity is REAL: Adler-32 recomputed over the
+    DECOMPRESSED bytes, per-scanline filter-0 check, exact output
+    length, and the walk must end on EOB within the stream's bit
+    budget. Scope: raw size ≤ ``_PNG_FH_MAX_RAW`` (the fold bound);
+    dynamic-Huffman blocks fail the 3-bit header check and null out
+    (codec-bound, documented)."""
+    w = _be32(p, 17)
+    h = _be32(p, 21)
+    _cap = F.lit(_PNG_FH_MAX_RAW).cast("bigint")
+    _raw0 = h.cast("bigint") * (w.cast("bigint") + 1)
+    _sane = _raw0.isNotNull() & (_raw0 > 0) & (_raw0 <= _cap)
+    one = F.lit(1).cast("bigint")
+    wb = F.when(_sane, w.cast("bigint")).otherwise(one)
+    hb = F.when(_sane, h.cast("bigint")).otherwise(one)
+    raw_n = F.when(_sane, _raw0).otherwise(F.lit(0).cast("bigint"))
+    ihdr_ok = (
+        _sane
+        & (F.length(p) >= 46)
+        & (F.hex(F.substring(p, 1, 8)) == _PNG_SIG)
+        & (_be32(p, 9) == 13)
+        & _sig(p, 13, "IHDR")
+        & (_u8(p, 25) == 8)
+        & (_u8(p, 26) == 0)
+        & (_u8(p, 27) == 0)
+        & (_u8(p, 28) == 0)
+        & (_u8(p, 29) == 0)
+        & (F.crc32(F.substring(p, 13, 17)) == _be32u(p, 30))
+        & (w > 0)
+        & (h > 0)
+    )
+    zs, zl = cw["zs"], cw["zl"]
+    chunks_ok = cw["done"] & cw["ok"] & (cw["n_idat"] == 1) & (zl >= 11)
+    cmf = _u8(p, zs)
+    flg = _u8(p, zs + 1)
+    zhdr_ok = (
+        (F.pmod(cmf, F.lit(16)) == 8)
+        & (F.pmod(cmf * 256 + flg, F.lit(31)) == 0)
+        & (F.pmod(F.floor(flg / 32).cast("int"), F.lit(2)) == 0)
+    )
+    # BFINAL=1 + BTYPE=01: low three bits of the first deflate byte
+    btype_fh = F.pmod(_u8(p, zs + 2), F.lit(8)) == 3
+    out = fw["out"]
+    walk_ok = (
+        fw["done"]
+        & fw["ok"]
+        & (F.size(out).cast("bigint") == raw_n)
+        & (fw["bp"] <= (zl - 6) * 8)  # data bytes = zl - 2 hdr - 4 adler
+    )
+
+    def oraw(j):  # byte j (1-based) of the decompressed stream
+        return F.try_element_at(out, j.cast("int"))
+
+    s1 = F.aggregate(
+        F.sequence(F.lit(1), raw_n),
+        F.lit(0).cast("bigint"),
+        lambda a, j: a + oraw(j),
+    )
+    sw = F.aggregate(
+        F.sequence(F.lit(1), raw_n),
+        F.lit(0).cast("bigint"),
+        lambda a, j: a + j.cast("bigint") * oraw(j),
+    )
+    adler_ok = (
+        F.pmod(raw_n + (raw_n + 1) * s1 - sw, F.lit(65521)) * 65536
+        + F.pmod(F.lit(1) + s1, F.lit(65521))
+    ) == _be32u(p, zs + zl - 4)
+    filters_ok = F.forall(
+        F.sequence(F.lit(0), hb - 1),
+        lambda r: oraw(r * (wb + 1) + 1) == 0,
+    )
+
+    def png_byte(k):
+        q = F.floor(k / 3).cast("bigint")
+        r = F.floor(q / wb).cast("bigint")
+        px = F.pmod(q, wb)
+        return oraw(r * (wb + 1) + 2 + px)
+
+    pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
+    ok = (
+        ihdr_ok & chunks_ok & zhdr_ok & btype_fh & walk_ok & adler_ok
+        & filters_ok
+    )
+    return ok, w, h, pixels
+
+
+def encode_png_fixed(media_id, w, h) -> Column:
+    """A spec-compliant grayscale-8 PNG whose zlib stream is ONE
+    final FIXED-HUFFMAN deflate block (RFC 1951 §3.2.6) carrying the
+    scanline bytes as literals + EOB — the encode twin of the r12
+    fixed-Huffman decode path, sharing ``encode_png``'s pixel formula
+    and real CRC-32/Adler-32. Literal codes: byte b ≤ 143 → 8 bits of
+    ``b + 0x30``; b ≥ 144 → 9 bits of ``b + 0x100`` (both MSB-first);
+    EOB = seven 0-bits; bits packed LSB-first into bytes (RFC 1951
+    §3.1.1). The bit array is handed through a one-element
+    ``transform`` so the byte packer sees it as a LAMBDA VARIABLE —
+    inlining it would rebuild the whole array once per output byte
+    (the expression-staging lesson). stdlib ``zlib.decompress``
+    accepts the stream byte-for-byte (pinned in tests — external
+    validation, not just our own round trip)."""
+    wb = w.cast("bigint")
+    hb = h.cast("bigint")
+    raw_n = hb * (wb + 1)
+
+    def raw_byte(j):
+        r = F.floor((j - 1) / (wb + 1)).cast("bigint")
+        pos = F.pmod(j - 1, wb + 1)
+        return F.when(pos == 0, F.lit(0)).otherwise(
+            pixel_value(media_id, r * wb + pos - 1)
+        )
+
+    def lit_bits(b):
+        # MSB-first code bits: 8 bits of b+48, or 9 bits of b+256
+        return F.when(
+            b <= 143,
+            F.transform(
+                F.sequence(F.lit(7), F.lit(0), F.lit(-1)),
+                lambda s: F.pmod(
+                    F.floor((b + 48) / _pow2(s)).cast("int"), F.lit(2)
+                ),
+            ),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(8), F.lit(0), F.lit(-1)),
+                lambda s: F.pmod(
+                    F.floor((b + 256) / _pow2(s)).cast("int"), F.lit(2)
+                ),
+            )
+        )
+
+    bits = F.concat(
+        F.array(F.lit(1), F.lit(1), F.lit(0)),  # BFINAL=1, BTYPE=01
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), raw_n), lambda j: lit_bits(raw_byte(j))
+            )
+        ),
+        F.array(*[F.lit(0)] * 7),  # EOB (fixed code 0000000)
+    )
+
+    def pack(bs):
+        nbytes = F.floor((F.size(bs) + 7) / 8).cast("bigint")
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), nbytes - 1),
+                lambda k: _byte_hex(
+                    F.aggregate(
+                        F.sequence(F.lit(0), F.lit(7)),
+                        F.lit(0),
+                        lambda a, i: a
+                        + F.coalesce(
+                            F.try_element_at(
+                                bs, (k * 8 + i + 1).cast("int")
+                            ),
+                            F.lit(0),
+                        )
+                        * _pow2(i),
+                    )
+                ),
+            ),
+            "",
+        )
+
+    zdata_hex = F.element_at(
+        F.transform(F.array(bits), lambda bs: pack(bs)), 1
+    )
+
+    s1 = F.aggregate(
+        F.sequence(F.lit(1), raw_n),
+        F.lit(0).cast("bigint"),
+        lambda a, j: a + raw_byte(j),
+    )
+    sw = F.aggregate(
+        F.sequence(F.lit(1), raw_n),
+        F.lit(0).cast("bigint"),
+        lambda a, j: a + j.cast("bigint") * raw_byte(j),
+    )
+    adler_a = F.pmod(F.lit(1) + s1, F.lit(65521))
+    adler_b = F.pmod(raw_n + (raw_n + 1) * s1 - sw, F.lit(65521))
+
+    ihdr_td = F.concat(
+        F.lit("49484452"),
+        _be_hex(w, 4),
+        _be_hex(h, 4),
+        F.lit("08" + "00" + "00" + "00" + "00"),
+    )
+    ihdr = F.concat(
+        F.lit("0000000D"),
+        ihdr_td,
+        _be_hex(F.crc32(F.unhex(ihdr_td)), 4),
+    )
+    zstream = F.concat(
+        F.lit("7801"),
+        zdata_hex,
+        _be_hex(adler_b * 65536 + adler_a, 4),
+    )
+    idat_td = F.concat(F.lit("49444154"), zstream)
+    idat = F.concat(
+        # chunk length = zlib bytes: hex length / 2
+        _be_hex((F.length(zstream) / 2).cast("bigint"), 4),
+        idat_td,
+        _be_hex(F.crc32(F.unhex(idat_td)), 4),
+    )
+    iend = F.lit("00000000" + "49454E44" + "AE426082")
+    return F.unhex(
+        F.concat(F.lit("89504E470D0A1A0A"), ihdr, idat, iend)
+    )
+
+
+def _inflate_fixed_py(data: bytes):
+    """Hand-rolled fixed-Huffman inflate for ONE final block (the
+    Python side of the r12 FH path — deliberately NOT
+    ``zlib.decompress``, so both paths enforce the identical
+    envelope). ``data`` is the deflate byte stream (zlib header and
+    Adler both stripped). Returns ``(raw_bytes, end_bit_pos)``;
+    raises on any malformed code, length, or distance."""
+    bitpos = 3  # past BFINAL + BTYPE (caller checked them)
+
+    def bit(i):
+        if i // 8 >= len(data):
+            raise ValueError("bit read past deflate stream")
+        return (data[i // 8] >> (i % 8)) & 1
+
+    def code(n):
+        nonlocal bitpos
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | bit(bitpos)
+            bitpos += 1
+        return v
+
+    def val(n):
+        nonlocal bitpos
+        v = 0
+        for j in range(n):
+            v |= bit(bitpos) << j
+            bitpos += 1
+        return v
+
+    out = bytearray()
+    while True:
+        v = code(7)
+        if v <= 0x17:
+            sym = 256 + v
+        else:
+            v = (v << 1) | bit(bitpos)
+            bitpos += 1
+            if 0x30 <= v <= 0xBF:
+                sym = v - 0x30
+            elif 0xC0 <= v <= 0xC7:
+                sym = 280 + v - 0xC0
+            else:
+                v = (v << 1) | bit(bitpos)
+                bitpos += 1
+                if 0x190 <= v <= 0x1FF:
+                    sym = 144 + v - 0x190
+                else:
+                    raise ValueError("invalid fixed-Huffman code")
+        if sym == 256:
+            return bytes(out), bitpos
+        if sym < 256:
+            out.append(sym)
+            continue
+        if sym > 285:
+            raise ValueError("invalid length symbol")
+        length = _FH_LEN_BASE[sym - 257] + val(_FH_LEN_EXTRA[sym - 257])
+        dc = code(5)
+        if dc > 29:
+            raise ValueError("invalid distance code")
+        dist = _FH_DIST_BASE[dc] + val(_FH_DIST_EXTRA[dc])
+        if dist > len(out):
+            raise ValueError("distance beyond decoded window")
+        for _ in range(length):  # overlap-safe byte-by-byte copy
+            out.append(out[len(out) - dist])
+        if len(out) > _PNG_FH_MAX_RAW:
+            raise ValueError("decompressed output beyond FH bound")

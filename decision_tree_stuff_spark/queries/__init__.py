@@ -138,6 +138,7 @@ from decision_tree_stuff_spark.queries.dedup import (  # noqa: F401,E501
     q_e2_minhash_km_pairs,
     q_e2_simhash_dups,
     q_e2_simhash_md5,
+    q_e2_simhash_md5_dups,
     q_e2_embedding_near_dups,
     q_e2_semdedup,
     q_e2_snm_pairs,
@@ -213,6 +214,7 @@ from decision_tree_stuff_spark.queries.media import (  # noqa: F401,E501
     q_e6_pixel_decode,
     q_e6_pixel_decode_paletted,
     q_e6_png_decode,
+    q_e6_png_fixed_decode,
     q_e6_resize,
     q_e6_audio_frames,
     q_e6_frame_resize,
@@ -419,6 +421,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e2_minhash_pairs": q_e2_minhash_pairs,       # no oracle (xxhash64)
     "e2_minhash_md5_pairs": q_e2_minhash_md5_pairs,
     "e2_simhash_dups": q_e2_simhash_dups,         # no oracle (xxhash64)
+    "e2_simhash_md5_dups": q_e2_simhash_md5_dups,  # r12: value-oracled pairs
     "e3_sign_lsh_topk": q_e3_sign_lsh_topk,
     "e3_ivf_topk_nprobe2": q_e3_ivf_topk_nprobe2,
     "e8_pack_sequences": q_e8_pack_sequences,
@@ -472,6 +475,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_lr_langid_joined": q_e4_lr_langid_joined,  # r10: joined path, own oracle
     "e6_wav_decode": q_e6_wav_decode,              # r10: real PCM audio decode
     "e6_png_decode": q_e6_png_decode,              # r11: stored-deflate PNG
+    "e6_png_fixed_decode": q_e6_png_fixed_decode,  # r12: fixed-Huffman PNG
     "e6_resize": q_e6_resize,                      # r11: nearest-neighbor resize
     "e6_audio_frames": q_e6_audio_frames,          # r11: short-time framing
     "e6_frame_resize": q_e6_frame_resize,          # r11: video frame resize

@@ -260,6 +260,17 @@ def q_e2_simhash_dups(spark, sf_dir):
     return simhash_near_dups(_docs(spark, sf_dir), max_hamming=8)
 
 
+def q_e2_simhash_md5_dups(spark, sf_dir):
+    """SimHash near-dup PAIRS with the md5 bit family (r12 — the r11
+    verdict's last rows-only retirement): the full pipeline —
+    fingerprints, 16-bit-chunk blocking, popcount(xor) verify — is
+    value-checked end to end in DuckDB. xxhash64 stays the prod
+    default (``e2_simhash_dups``, property-tested)."""
+    return simhash_near_dups(
+        _docs(spark, sf_dir), max_hamming=8, hash_fn="md5"
+    )
+
+
 def q_e2_simhash_md5(spark, sf_dir):
     """SimHash fingerprints with the md5 bit family — byte-identical
     in DuckDB (nibble extraction), so the sketch math (weighted bit
@@ -678,6 +689,40 @@ SELECT doc_id,
        CAST({_SH_LO} AS BIGINT) AS simhash_lo,
        CAST({_SH_HI} AS BIGINT) AS simhash_hi
 FROM votes
+""",
+    # r12: the near-dup PAIR pipeline on the md5 bit family — same
+    # fingerprint CTEs as e2_simhash_md5, then the EXACT blocking
+    # condition the Spark op uses (any shared 16-bit chunk) and the
+    # popcount(xor) hamming verify. The blocking must be reproduced,
+    # not approximated away: at max_hamming=8 it is an approximate
+    # blocker, so a full O(n²) oracle would FIND pairs the op
+    # correctly misses.
+    "e2_simhash_md5_dups": f"""
+WITH occ AS (
+  SELECT doc_id, tok AS token FROM (
+    SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+  ) u WHERE tok <> ''
+),
+votes AS (
+  SELECT doc_id,
+{_SH_VOTES}
+  FROM occ GROUP BY 1
+),
+fp AS (
+  SELECT doc_id,
+         CAST({_SH_LO} AS BIGINT) AS lo,
+         CAST({_SH_HI} AS BIGINT) AS hi
+  FROM votes
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.lo, b.lo))
+            + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+ AND ( ((a.lo >>  0) & 65535) = ((b.lo >>  0) & 65535)
+    OR ((a.lo >> 16) & 65535) = ((b.lo >> 16) & 65535)
+    OR ((a.hi >>  0) & 65535) = ((b.hi >>  0) & 65535)
+    OR ((a.hi >> 16) & 65535) = ((b.hi >> 16) & 65535) )
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 8
 """,
     "e2_minhash_md5_pairs": f"""
 WITH toks AS (

@@ -186,6 +186,33 @@ def q_e6_png_decode(spark, sf_dir):
     )
 
 
+def q_e6_png_fixed_decode(spark, sf_dir):
+    """REAL fixed-Huffman PNG decode (r12 — the r11 verdict's stretch
+    goal): every clip a grayscale-8 PNG whose zlib stream is one
+    final BTYPE=01 deflate block; the decode is the bounded
+    symbol-walk fold (literal codes + EOB here; back-references
+    covered by the handcrafted-stream tests), with chunk CRC-32s,
+    zlib header, Adler-32 over the DECOMPRESSED bytes and scanline
+    filters verified in pure byte expressions. Same closed-form trap
+    as e6_png_decode: the oracle recomputes pixels from the formula,
+    so a mistake in either the FH encoder's bit packing or the
+    decoder's bit walk mismatches. Opt-in flag, per the r12 plan-cost
+    lesson. Hex-packed scalar output."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_pixels,
+        synthesize_decodable_media,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    return _hex_packed_pixels(
+        decode_pixels(
+            synthesize_decodable_media(docs, formats=("pngf", "pngf")),
+            formats=("png",),
+            png_fixed_huffman=True,
+        )
+    )
+
+
 def q_e6_resize(spark, sf_dir):
     """Nearest-neighbor resize to 4x3 over REAL decoded pixels (r11)
     — the fixed-input-resolution preprocessing step, one shuffle-free
@@ -498,6 +525,20 @@ FROM documents WHERE doc_id % 7 = 0
     # canonicalizer cannot sort array cells) — printf('%02X') per byte
     # matches Spark's lpad(hex(v), 2, '0'), both uppercase.
     "e6_png_decode": """
+SELECT doc_id AS media_id,
+       'png' AS img_format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       array_to_string(list_transform(
+         range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
+         k -> printf('%02X', (doc_id * 7 + (k // 3) * 13) % 256)
+       ), '') AS pixels_hex
+FROM documents WHERE doc_id % 7 = 0
+""",
+    # r12: fixed-Huffman twin — identical closed-form pixel oracle to
+    # e6_png_decode (the payload bytes differ, the decoded grays must
+    # not).
+    "e6_png_fixed_decode": """
 SELECT doc_id AS media_id,
        'png' AS img_format,
        CAST(doc_id % 5 + 2 AS INT) AS width,

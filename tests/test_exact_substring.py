@@ -211,3 +211,32 @@ def test_substring_decontam_rejects_out_of_range_ids(spark):
     )
     with _pytest.raises(Exception, match="out of"):
         exact_substring_decontam(corpus, bench, min_len=25).collect()
+
+
+def test_cap_report_accounts_dropped_grams(spark):
+    """r12: the cap report must name exactly what a max_df drops —
+    counts AND the hottest dropped gram's text — and report zero
+    drops when the cap is above every df."""
+    from decision_tree_stuff_spark.operators.dedup import (
+        exact_substring_cap_report,
+    )
+
+    boiler = "x" * 30  # one 30-char run shared by ALL docs
+    rows = [(i, boiler + f" unique tail {i} " + "q" * i) for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    r = exact_substring_cap_report(
+        docs, min_len=25, max_df=4
+    ).first()
+    assert r["max_df_used"] == 4
+    # the boilerplate 25-grams inside the shared 30-char run have
+    # df = 8 > 4 -> dropped; they are the all-'x' grams
+    assert r["n_dropped_grams"] >= 1
+    assert r["n_dropped_anchors"] >= 8
+    assert set(r["example_gram"]) == {"x"}
+    assert r["n_grams"] > r["n_dropped_grams"]
+    assert r["n_anchors"] > r["n_dropped_anchors"]
+
+    r2 = exact_substring_cap_report(docs, min_len=25, max_df=1000).first()
+    assert r2["n_dropped_grams"] == 0 and r2["n_dropped_anchors"] == 0
+    assert r2["example_gram"] is None

@@ -239,3 +239,46 @@ def test_label_prop_isolated_node_keeps_own_label(graph_dfs):
         for r in label_propagation(nodes, pairs, iterations=3).collect()
     }
     assert got[11] == 11
+
+
+def test_label_prop_convergence_counts_and_early_stop(spark):
+    """r12: track_convergence rides the round's one existing action
+    (observe on the eager checkpoint) and reports per-round label
+    changes; early_stop ends at the fixed point with IDENTICAL labels
+    to the full run (a zero-change round reproduces itself)."""
+    from decision_tree_stuff_spark.operators.graph import label_propagation
+
+    clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = clique1 + clique2 + [(3, 10)]
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(4)) + list(range(10, 14))], "doc_id long"
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    out, changes = label_propagation(
+        nodes, pairs, iterations=6, track_convergence=True
+    )
+    got = {r["doc_id"]: r["label"] for r in out.collect()}
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[i] for i in range(10, 14)} == {10}
+    # round 1 flips every non-minimum node; later rounds settle to 0
+    assert len(changes) == 6
+    assert changes[0] > 0
+    assert changes[-1] == 0
+    # monotone tail: once a round changes nothing, so do all later ones
+    first_zero = changes.index(0)
+    assert all(c == 0 for c in changes[first_zero:])
+
+    stopped, changes_es = label_propagation(
+        nodes, pairs, iterations=6, track_convergence=True,
+        early_stop=True,
+    )
+    got_es = {r["doc_id"]: r["label"] for r in stopped.collect()}
+    assert got_es == got
+    assert len(changes_es) == first_zero + 1  # stopped AT the fixed point
+    assert changes_es == changes[: first_zero + 1]
+
+    # default return shape unchanged (the oracle row's contract)
+    plain = label_propagation(nodes, pairs, iterations=3)
+    assert hasattr(plain, "collect")

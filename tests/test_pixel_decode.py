@@ -827,3 +827,241 @@ def test_decode_formats_contract(spark):
 
     with pytest.raises(ValueError, match="unknown formats"):
         decode_pixels(media, formats=("bmp", "jpeg2000"))
+
+
+# --- fixed-Huffman deflate PNG (r12) ------------------------------------
+
+
+def _fh_compress(data: bytes, refs=None) -> bytes:
+    """Tiny fixed-Huffman deflate COMPRESSOR for test fixtures: one
+    final BTYPE=01 block. ``refs`` optionally replaces byte ranges
+    with (length, distance) back-references: a list of (pos, length,
+    dist) meaning "at output position pos, copy length bytes from
+    dist back" — the bytes at data[pos:pos+length] must equal that
+    copy, which the caller guarantees by construction. Validated
+    externally in the tests via zlib.decompress."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        _FH_DIST_BASE,
+        _FH_DIST_EXTRA,
+        _FH_LEN_BASE,
+        _FH_LEN_EXTRA,
+    )
+
+    bits = []
+
+    def put_code(v, n):  # MSB-first
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    def put_val(v, n):  # LSB-first extra bits
+        for i in range(n):
+            bits.append((v >> i) & 1)
+
+    def put_lit(b):
+        if b <= 143:
+            put_code(b + 0x30, 8)
+        else:
+            put_code(b + 0x100, 9)
+
+    bits.extend([1, 1, 0])  # BFINAL=1, BTYPE=01
+    refs = sorted(refs or [])
+    pos = 0
+    for rpos, rlen, rdist in refs:
+        while pos < rpos:
+            put_lit(data[pos])
+            pos += 1
+        li = max(i for i, b in enumerate(_FH_LEN_BASE) if b <= rlen)
+        assert _FH_LEN_BASE[li] + (
+            (1 << _FH_LEN_EXTRA[li]) - 1
+        ) >= rlen, "length not encodable at this base"
+        put_code((257 + li) - 256, 7) if 257 + li <= 279 else put_code(
+            (257 + li) - 280 + 0xC0, 8
+        )
+        put_val(rlen - _FH_LEN_BASE[li], _FH_LEN_EXTRA[li])
+        di = max(i for i, b in enumerate(_FH_DIST_BASE) if b <= rdist)
+        put_code(di, 5)
+        put_val(rdist - _FH_DIST_BASE[di], _FH_DIST_EXTRA[di])
+        pos += rlen
+    while pos < len(data):
+        put_lit(data[pos])
+        pos += 1
+    put_code(0, 7)  # EOB
+    out = bytearray()
+    for k in range(0, len(bits), 8):
+        byte = 0
+        for i, b in enumerate(bits[k:k + 8]):
+            byte |= b << i
+        out.append(byte)
+    return bytes(out)
+
+
+def _fh_zlib(raw: bytes, refs=None) -> bytes:
+    import zlib as _z
+
+    body = _fh_compress(raw, refs)
+    return b"\x78\x01" + body + _z.adler32(raw).to_bytes(4, "big")
+
+
+def test_fixed_huffman_literals_both_paths(spark):
+    """Handcrafted FH stream (literals only): stdlib zlib must accept
+    it (external validation), then Spark and the Python twin must
+    decode the wrapped PNG identically."""
+    import zlib as _z
+
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    raw = b"\x00" + bytes([10, 200]) + b"\x00" + bytes([30, 255])
+    z = _fh_zlib(raw)
+    assert _z.decompress(z) == raw  # external validation
+    payload = _png_from(raw, 2, 2, idat_data=z)
+    df = spark.createDataFrame(
+        [("fh", bytearray(payload))], "media_id string, payload binary"
+    )
+    r = decode_pixels(df, png_fixed_huffman=True).collect()[0]
+    assert (r["img_format"], r["width"], r["height"]) == ("png", 2, 2)
+    expect = [10, 10, 10, 200, 200, 200, 30, 30, 30, 255, 255, 255]
+    assert list(r["pixels"]) == expect
+    assert decode_png(payload, fixed_huffman=True) == (2, 2, expect)
+
+    # opt-in contract: without the flag the same payload nulls out /
+    # raises (FH is not silently on)
+    r0 = decode_pixels(df).collect()[0]
+    assert r0["img_format"] is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_png(payload)
+
+
+def test_fixed_huffman_backrefs_and_overlap_both_paths(spark):
+    """FH stream with a plain back-reference AND an overlapping one
+    (dist < len — the cyclic-copy case). zlib validates the fixture;
+    Spark and Python twins must agree."""
+    import zlib as _z
+
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    w, h = 6, 3
+    # rows crafted so row 2 repeats row 1 (a dist=w+1=7 backref over
+    # 7 bytes) and row 3 is a repeating 2-byte pattern (overlap:
+    # dist=2, len=4 after seeding 2 literals)
+    row1 = bytes([7, 9, 7, 9, 7, 9])
+    row3 = bytes([5, 6, 5, 6, 5, 6])
+    raw = (b"\x00" + row1) * 2 + b"\x00" + row3
+    assert len(raw) == h * (w + 1)
+    refs = [
+        (7, 7, 7),    # row 2 (incl. filter byte) copies row 1
+        (17, 4, 2),   # overlapping copy inside row 3
+    ]
+    z = _fh_zlib(raw, refs)
+    assert _z.decompress(z) == raw
+    payload = _png_from(raw, w, h, idat_data=z)
+    df = spark.createDataFrame(
+        [("fh2", bytearray(payload))], "media_id string, payload binary"
+    )
+    r = decode_pixels(df, png_fixed_huffman=True).collect()[0]
+    assert (r["img_format"], r["width"], r["height"]) == ("png", w, h)
+    grays = [b for row in (row1, row1, row3) for b in row]
+    expect = [g for g in grays for _ in range(3)]
+    assert list(r["pixels"]) == expect
+    assert decode_png(payload, fixed_huffman=True) == (w, h, expect)
+
+
+def test_fixed_huffman_rejections_both_paths(spark):
+    """Dynamic-Huffman (BTYPE=10) and out-of-window distances must
+    null in Spark and raise in Python, flag on or off."""
+    import pytest
+
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    import zlib as _z
+
+    # dynamic-huffman stream via zlib level 9 on a big varied image
+    # (tiny inputs get fixed/stored blocks; this one reliably BTYPE=10)
+    dw, dh = 10, 9
+    draw = bytes((i * i % 13) + (i % 3) for i in range(dh * (dw + 1)))
+    zdyn = _z.compress(draw, 9)
+    assert (zdyn[2] >> 1) & 3 == 2, "fixture no longer dynamic-Huffman"
+    p_dyn = _png_from(draw, dw, dh, idat_data=zdyn)
+
+    raw = b"\x00" + bytes([10, 200]) + b"\x00" + bytes([30, 255])
+
+    # FH stream with a distance pointing beyond the decoded window
+    bits = [1, 1, 0]
+    v = 0x30 + raw[0]
+    bits += [(v >> i) & 1 for i in range(7, -1, -1)]   # one literal
+    bits += [0, 0, 0, 0, 1, 1, 1]                      # len code 260 (len 6)
+    bits += [0, 0, 1, 0, 0]                            # dist code 4 -> base 5
+    bits += [0]                                        # 1 extra bit
+    bits += [0] * 7                                    # EOB
+    body = bytearray()
+    for k in range(0, len(bits), 8):
+        byte = 0
+        for i, b in enumerate(bits[k:k + 8]):
+            byte |= b << i
+        body.append(byte)
+    zbad = b"\x78\x01" + bytes(body) + _z.adler32(raw).to_bytes(4, "big")
+    p_bad = _png_from(raw, 2, 2, idat_data=zbad)
+
+    df = spark.createDataFrame(
+        [("dyn", bytearray(p_dyn)), ("baddist", bytearray(p_bad))],
+        "media_id string, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_pixels(df, png_fixed_huffman=True).collect()
+    }
+    assert rows["dyn"]["img_format"] is None
+    assert rows["baddist"]["img_format"] is None
+    for p in (p_dyn, p_bad):
+        with pytest.raises(ValueError):
+            decode_png(p, fixed_huffman=True)
+        with pytest.raises(ValueError):
+            decode_png(p)
+
+
+def test_encode_png_fixed_round_trip_and_external_zlib(spark):
+    """Spark encode_png_fixed → (a) stdlib zlib must inflate its
+    stream byte-for-byte (external validation), (b) Spark FH decode
+    and the Python twin must reproduce the closed-form grays."""
+    import struct as _struct
+    import zlib as _z
+
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_png,
+        synthesize_decodable_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "doc_id bigint"
+    )
+    media = synthesize_decodable_media(docs, formats=("pngf", "pngf"))
+    rows = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.select("media_id", "payload").collect()
+    }
+    assert len(rows) == 10
+    for mid, payload in rows.items():
+        w, h = mid % 5 + 2, mid % 4 + 2
+        # external: IDAT's zlib stream inflates to the scanlines
+        clen = _struct.unpack(">I", payload[33:37])[0]
+        assert payload[37:41] == b"IDAT"
+        z = payload[41:41 + clen]
+        raw = _z.decompress(z)
+        assert len(raw) == h * (w + 1)
+        expect = [
+            (mid * 7 + (k // 3) * 13) % 256 for k in range(w * h * 3)
+        ]
+        assert decode_png(payload, fixed_huffman=True) == (w, h, expect)
+    decoded = {
+        r["media_id"]: r
+        for r in decode_pixels(media, png_fixed_huffman=True).collect()
+    }
+    for mid, r in decoded.items():
+        w, h = mid % 5 + 2, mid % 4 + 2
+        expect = [
+            (mid * 7 + (k // 3) * 13) % 256 for k in range(w * h * 3)
+        ]
+        assert r["img_format"] == "png", mid
+        assert (r["width"], r["height"]) == (w, h), mid
+        assert list(r["pixels"]) == expect, mid
