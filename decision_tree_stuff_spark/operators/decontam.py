@@ -833,3 +833,60 @@ def exact_substring_decontam(
         F.col("pos_b").alias("bench_pos"),
         "match_len",
     )
+
+
+def bloom_stats(
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom-filter saturation accounting (r12 — the honest-accounting
+    sibling of ``dedup.exact_substring_cap_report``): one row
+
+      (m_bits, k, n_grams, n_set, fill_ratio, expected_fpr)
+
+    for the filter ``bloom_bitset`` would build over this benchmark —
+    ``n_set`` the EXACT count of distinct bit positions set,
+    ``fill_ratio = n_set/m`` and ``expected_fpr = fill_ratio^k`` (the
+    probability a never-inserted gram probes k set bits, using the
+    filter's ACTUAL fill rather than the textbook e^-kn/m
+    approximation). Run it before sizing ``m``/``k`` for a benchmark
+    suite: a saturated filter silently converts the zero-shuffle
+    decontam pass into a delete-everything pass, and this row is the
+    number that says so.
+
+    Fully distributed (no driver bitset, no collect): distinct grams
+    → k Kirsch-Mitzenmacher positions → distinct count. The power is
+    expanded to a fixed-order multiplication chain so the double
+    arithmetic is exactly reproducible in the DuckDB twin (libm
+    ``pow`` is not bit-specified; products are).
+    """
+    grams = token_ngrams(bench, id_col, text_col, n)
+    dg = grams.select("gram").distinct()
+    ng = dg.agg(F.count(F.lit(1)).alias("n_grams"))
+    ns = (
+        dg.select(
+            F.explode(
+                F.array(*_bloom_pos_cols(F.col("gram"), k, m))
+            ).alias("pos")
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    fill = F.col("n_set").cast("double") / F.lit(float(m))
+    fpr = fill
+    for _ in range(k - 1):
+        fpr = fpr * fill
+    return (
+        ng.crossJoin(F.broadcast(ns)).select(
+            F.lit(m).cast("bigint").alias("m_bits"),
+            F.lit(k).cast("int").alias("k"),
+            "n_grams",
+            "n_set",
+            F.round(fill, 6).alias("fill_ratio"),
+            F.round(fpr, 6).alias("expected_fpr"),
+        )
+    )

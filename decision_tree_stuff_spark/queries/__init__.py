@@ -247,6 +247,7 @@ from decision_tree_stuff_spark.queries.decontam import (  # noqa: F401,E501
     q_e9d_contamination_spans,
     q_e9c_ivf_decontam,
     q_e9_bloom_decontam,
+    q_e9b_bloom_stats,
     q_e9e_substring_decontam,
 )
 from decision_tree_stuff_spark.queries.layout_quality import (  # noqa: F401,E501
@@ -458,6 +459,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e5b_session_assignment": q_e5b_session_assignment,  # r5: E-5 × E-10 composition
     "e5_funnel": q_e5_funnel,                      # r7: ordered funnel
     "e9_bloom_decontam": q_e9_bloom_decontam,      # r7: Bloom-bitset decontam
+    "e9b_bloom_stats": q_e9b_bloom_stats,          # r12: saturation/FPR card
     "e9e_substring_decontam": q_e9e_substring_decontam,  # r11: ExactSubstr spans
     "e4_cms_profile": q_e4_cms_profile,            # r7: count-min cells
     "e3_rp_topk": q_e3_rp_topk,                    # r7: JL projection topk

@@ -126,6 +126,20 @@ def q_e9_bloom_decontam(spark, sf_dir):
         threshold=BLOOM_T,
     )
 
+def q_e9b_bloom_stats(spark, sf_dir):
+    """Bloom saturation accounting (r12): the one-row
+    (m_bits, k, n_grams, n_set, fill_ratio, expected_fpr) card for
+    the filter the e9_bloom_decontam row probes — the number that
+    says whether m/k are sized for THIS benchmark before the
+    zero-shuffle pass runs (a saturated filter deletes everything).
+    Exact distinct-position count, fixed-order multiplication chain
+    for the FPR (libm pow is not bit-specified; products are)."""
+    from decision_tree_stuff_spark.operators.decontam import bloom_stats
+
+    docs = _docs(spark, sf_dir)
+    return bloom_stats(docs.where("doc_id % 7 = 0"), n=DECON_N)
+
+
 def q_e9e_substring_decontam(spark, sf_dir):
     """ExactSubstr decontamination (r11, E-9e — the deterministic end
     of the decontam family): every maximal verbatim run ≥ 25
@@ -359,6 +373,42 @@ FROM corpus c LEFT JOIN best b USING (vec_id)
     # benchmark position set, so the bitset probe == position-set
     # semi-join — false positives (position collisions) reproduce
     # exactly. Hashing = the md5km scheme already parity-proven above.
+    # r12: saturation card twin — same gram/position program as the
+    # decontam twin below, aggregated; FPR written as the identical
+    # (f*f)*f chain.
+    "e9b_bloom_stats": f"""
+WITH grams AS (
+  SELECT DISTINCT gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(toks) - {DECON_N} + 2, 1)),
+             i -> array_to_string(toks[i:i + {DECON_N} - 1], ' '))) AS gram
+    FROM (SELECT doc_id, list_filter({TOKS_SQL}, t -> t <> '') AS toks
+          FROM documents WHERE doc_id % 7 = 0) d
+  ) g WHERE gram <> ''
+),
+ii AS (SELECT unnest(range(0, {_BLOOM_K})) AS i),
+pos AS (
+  SELECT DISTINCT
+    (('0x' || substr(md5(gram), 1, 15))::BIGINT
+     + ii.i * ('0x' || substr(md5(gram), 17, 15))::BIGINT) % {_BLOOM_M} AS pos
+  FROM grams, ii
+),
+agg AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM grams) AS n_grams,
+         (SELECT CAST(count(*) AS BIGINT) FROM pos) AS n_set
+)
+SELECT CAST({_BLOOM_M} AS BIGINT) AS m_bits,
+       CAST({_BLOOM_K} AS INT) AS k,
+       n_grams,
+       n_set,
+       round(CAST(n_set AS DOUBLE) / {float(_BLOOM_M)!r}, 6) AS fill_ratio,
+       round(((CAST(n_set AS DOUBLE) / {float(_BLOOM_M)!r})
+              * (CAST(n_set AS DOUBLE) / {float(_BLOOM_M)!r}))
+             * (CAST(n_set AS DOUBLE) / {float(_BLOOM_M)!r}), 6)
+         AS expected_fpr
+FROM agg
+""",
     "e9_bloom_decontam": f"""
 WITH grams AS (
   SELECT doc_id, gram FROM (

@@ -365,3 +365,38 @@ def test_ivf_decontam_catches_identical_and_bounds_recall(spark):
         bench, threshold=0.99, n_centroids=16, nprobe=1,
     ).where(F.col("vec_id") == 999_999).first()
     assert got["contaminated"] and got["bench_id"] == brow["vec_id"]
+
+
+def test_bloom_stats_matches_python_reference(spark):
+    """r12 saturation card: exact distinct-position count and the
+    (f*f)*f FPR chain vs a hashlib reference on a tiny benchmark with
+    forced position collisions (small m)."""
+    import hashlib
+
+    from decision_tree_stuff_spark.operators.decontam import bloom_stats
+
+    bench = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e"), (3, "a b c d")],
+        "doc_id bigint, text string",
+    )
+    m, k, n = 64, 3, 3
+    r = bloom_stats(bench, n=n, m=m, k=k).first()
+
+    grams = set()
+    for _, text in [(1, "a b c d"), (2, "b c d e"), (3, "a b c d")]:
+        toks = text.split()
+        for i in range(len(toks) - n + 1):
+            grams.add(" ".join(toks[i:i + n]))
+    pos = set()
+    for g in grams:
+        d = hashlib.md5(g.encode()).hexdigest()
+        h1, h2 = int(d[:15], 16), int(d[16:31], 16)
+        for i in range(k):
+            pos.add((h1 + i * h2) % m)
+    fill = len(pos) / m
+    assert (r["m_bits"], r["k"]) == (m, k)
+    assert r["n_grams"] == len(grams) == 3
+    assert r["n_set"] == len(pos)
+    assert r["fill_ratio"] == round(fill, 6)
+    assert r["expected_fpr"] == round((fill * fill) * fill, 6)
+    assert r["n_set"] <= min(k * r["n_grams"], m)
