@@ -1123,3 +1123,111 @@ hits AS (
 )
 SELECT {gsel} q, round(est, 6) AS est FROM hits WHERE rn = 1
 """
+
+
+def hist_buckets_auto_grouped(
+    keyed: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    n_buckets: int = HIST_BUCKETS,
+) -> DataFrame:
+    """Per-GROUP auto-range histogram sketch (r12): like
+    ``hist_buckets_auto`` but each group derives its OWN [lo, hi]
+    from an exact per-group min/max aggregate — the right variant
+    when groups live on wildly different scales (doc length by
+    language, score by source), where one shared global grid wastes
+    most of its cells on the widest group. The trade, documented: a
+    group's sketch only merges with sketches built from the SAME
+    bounds pass (use the global variant — or the fixed grid — for
+    cross-shard merging). Cost: the bounds aggregate is map-side
+    combined (2 doubles per group per partition) and joins back
+    broadcast; the sketch still shuffles ≤ n_buckets rows per group.
+    Output: (*group_cols, bucket, cnt, lo, hi) — lo/hi now vary per
+    group; feed straight into ``hist_quantiles_auto`` (its fold reads
+    the grid from the sketch columns, so it handles both variants
+    unchanged)."""
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError(
+            "hist_buckets_auto_grouped needs group_cols; use "
+            "hist_buckets_auto for the global grid"
+        )
+    v = F.col(value_col).cast("double")
+    nn = keyed.where(v.isNotNull())
+    bounds = nn.groupBy(*gcols).agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi")
+    )
+    span = _auto_span(F.col("lo"), F.col("hi"))
+    scale = F.lit(float(n_buckets)) / span
+    bucket = F.least(
+        F.floor((v - F.col("lo")) * scale), F.lit(int(n_buckets - 1))
+    ).cast("int")
+    # no broadcast HINT: the bounds table is group-cardinality-sized
+    # (could be millions of domains at 100 TB) — AQE picks broadcast
+    # when it is actually small, and a forced hint would pin a
+    # driver-OOM risk into every caller's plan
+    return (
+        nn.join(bounds, gcols)
+        .select(*gcols, bucket.alias("bucket"), "lo", "hi")
+        .groupBy(*gcols, "bucket", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(*gcols, "bucket", "cnt", "lo", "hi")
+    )
+
+
+def hist_auto_grouped_sql(
+    source_sql: str,
+    group_cols: Sequence[str],
+    qs: Sequence[float] = (0.5,),
+    n_buckets: int = HIST_BUCKETS,
+) -> str:
+    """DuckDB twin of ``hist_buckets_auto_grouped`` +
+    ``hist_quantiles_auto`` — per-group bounds CTE, identical grid /
+    interpolation parenthesization as ``hist_auto_sql``."""
+    gsel = "".join(f"{c}, " for c in group_cols)
+    gpart = ", ".join(group_cols)
+    qrows = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    return f"""
+WITH src AS (SELECT * FROM ({source_sql}) s WHERE v IS NOT NULL),
+bounds AS (
+  SELECT {gsel}
+         CAST(min(CAST(v AS DOUBLE)) AS DOUBLE) AS lo,
+         CAST(max(CAST(v AS DOUBLE)) AS DOUBLE) AS hi
+  FROM src GROUP BY {gpart}
+),
+b AS (
+  SELECT {gsel}
+         LEAST(CAST(floor((CAST(v AS DOUBLE) - lo)
+                          * ({float(n_buckets)!r}
+                             / (CASE WHEN hi > lo THEN hi - lo
+                                     ELSE 1.0 END))) AS INT),
+               {int(n_buckets - 1)}) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM src JOIN bounds USING ({gpart}) GROUP BY ALL
+),
+c AS (
+  SELECT b.*, bounds.lo, bounds.hi,
+         (CASE WHEN bounds.hi > bounds.lo THEN bounds.hi - bounds.lo
+               ELSE 1.0 END) / {float(n_buckets)!r} AS width,
+         sum(cnt) OVER (PARTITION BY {gpart} ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) - cnt AS cum_before,
+         sum(cnt) OVER (PARTITION BY {gpart}) AS n
+  FROM b JOIN bounds USING ({gpart})
+),
+qq AS (SELECT * FROM (VALUES {qrows}) q(q)),
+hits AS (
+  SELECT {gsel} q,
+         (lo + width * CAST(bucket AS DOUBLE))
+         + width
+           * (CAST((CAST(floor(q * CAST(n - 1 AS DOUBLE))
+                         AS BIGINT) + 1) - cum_before AS DOUBLE)
+              / CAST(cnt AS DOUBLE)) AS est,
+         row_number() OVER (
+           PARTITION BY {gpart}, q ORDER BY bucket
+         ) AS rn
+  FROM c, qq
+  WHERE cum_before + cnt
+        >= CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+)
+SELECT {gsel} q, round(est, 6) AS est FROM hits WHERE rn = 1
+"""

@@ -7,7 +7,7 @@ the registry.
 
 from __future__ import annotations
 
-from decision_tree_stuff_spark.operators.sketch import hist_auto_sql, hist_sql, hll_sql, kmv_sql_pairwise, kmv_sql_set_estimates
+from decision_tree_stuff_spark.operators.sketch import hist_auto_grouped_sql, hist_auto_sql, hist_sql, hll_sql, kmv_sql_pairwise, kmv_sql_set_estimates
 from decision_tree_stuff_spark.queries._shared import (  # noqa: F401
     Dict,
     BM25_B,
@@ -651,6 +651,24 @@ def q_e4_hist_quantiles_auto(spark, sf_dir):
     )
 
 
+def q_e4_hist_quantiles_auto_grouped(spark, sf_dir):
+    """Per-GROUP auto-range histogram quantiles (r12): each lang
+    derives its own [lo, hi] from an exact per-group min/max — the
+    variant for groups on different scales, where one global grid
+    wastes cells on the widest group. Same deterministic program,
+    every estimate value-checks."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets_auto_grouped,
+        hist_quantiles_auto,
+    )
+
+    docs = _docs(spark, sf_dir).select("lang", "n_chars")
+    b = hist_buckets_auto_grouped(docs, "n_chars", ["lang"], n_buckets=64)
+    return hist_quantiles_auto(
+        b, (0.25, 0.5, 0.75, 0.95), ["lang"], n_buckets=64
+    )
+
+
 def q_e4_kmv_matrix(spark, sf_dir):
     """Pairwise corpus-overlap MATRIX (r11): per-lang KMV sketches of
     the 3-gram shingle sets, then theta-sketch |∩|/|∪|/Jaccard for
@@ -1149,6 +1167,14 @@ SELECT h.lang, h.est, e.exact_distinct FROM h JOIN e USING (lang)
         qs=(0.25, 0.5, 0.75, 0.95),
         lo=0.0,
         hi=1024.0,
+        n_buckets=64,
+    ),
+    # Per-group auto-range twin (r12): per-group bounds CTE, program
+    # single-sourced in sketch.hist_auto_grouped_sql.
+    "e4_hist_quantiles_auto_grouped": hist_auto_grouped_sql(
+        "SELECT lang, n_chars AS v FROM documents",
+        ["lang"],
+        qs=(0.25, 0.5, 0.75, 0.95),
         n_buckets=64,
     ),
     # Auto-range twin (r12): bounds CTE = the broadcast min/max row,

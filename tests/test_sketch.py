@@ -866,3 +866,53 @@ def test_kmv_set_estimates_empty_inputs_yield_one_zero_row(spark):
     r = rows[0]
     assert (r["theta"], r["n_inter"], r["est_intersection"],
             r["est_union"], r["jaccard"]) == (KMV_SPACE, 0, 0.0, 0.0, 0.0)
+
+
+def test_hist_auto_grouped_per_group_bounds(spark):
+    """r12 per-group variant: each group's grid comes from its OWN
+    exact min/max, so a narrow group keeps full resolution next to a
+    wide one; quantiles within one per-group cell of exact."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets_auto_grouped,
+        hist_quantiles_auto,
+    )
+
+    rows = [("narrow", float(100 + i)) for i in range(50)] + [
+        ("wide", float(1000 * i)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    n = 16
+    b = hist_buckets_auto_grouped(df, "v", ["g"], n_buckets=n)
+    bounds = {
+        r["g"]: (r["lo"], r["hi"])
+        for r in b.select("g", "lo", "hi").distinct().collect()
+    }
+    assert bounds == {
+        "narrow": (100.0, 149.0),
+        "wide": (0.0, 49000.0),
+    }
+    got = {
+        (r["g"], r["q"]): r["est"]
+        for r in hist_quantiles_auto(
+            b, (0.5,), ["g"], n_buckets=n
+        ).collect()
+    }
+    # exact medians: index floor(0.5*49)=24 -> narrow 124, wide 24000
+    assert abs(got[("narrow", 0.5)] - 124.0) <= 49.0 / n + 1e-9
+    assert abs(got[("wide", 0.5)] - 24000.0) <= 49000.0 / n + 1e-9
+    # a GLOBAL grid at the same n would have one cell of width
+    # 49000/16 ≈ 3060 — the narrow group's whole range fits in ONE
+    # global cell; the per-group grid resolves it to ~3 chars
+    assert 49.0 / n < 4
+
+
+def test_hist_auto_grouped_requires_groups(spark):
+    import pytest
+
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets_auto_grouped,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="group_cols"):
+        hist_buckets_auto_grouped(df, "v", [])
