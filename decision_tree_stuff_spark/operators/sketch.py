@@ -696,6 +696,7 @@ def hist_buckets(
     lo: float = 0.0,
     hi: float = 1024.0,
     n_buckets: int = HIST_BUCKETS,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-grid histogram sketch: per group, ``(bucket, cnt)`` over
     a linear [lo, hi) grid with underflow (−1) / overflow
@@ -721,11 +722,25 @@ def hist_buckets(
         )
     )
     gcols = list(group_cols)
+    # integer weights (r12, the cms_cells convention) keep every cell
+    # and every interpolated quantile exact: cnt = Σ weight instead of
+    # row count, so ranks walk WEIGHTED mass — e.g. value=n_chars,
+    # weight=n_chars answers "where does the median stored BYTE
+    # live", the storage-weighted dataset-card cut. Null weights
+    # contribute nothing (rows dropped like null values).
+    wcol = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    filt = v.isNotNull()
+    if weight_col:
+        filt = filt & F.col(weight_col).isNotNull()
     return (
-        keyed.where(v.isNotNull())
-        .select(*gcols, bucket.alias("bucket"))
+        keyed.where(filt)
+        .select(*gcols, bucket.alias("bucket"), wcol.alias("_w"))
         .groupBy(*gcols, "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
     )
 
 
@@ -825,20 +840,27 @@ def hist_sql(
     lo: float = 0.0,
     hi: float = 1024.0,
     n_buckets: int = HIST_BUCKETS,
+    weighted: bool = False,
 ) -> str:
     """DuckDB twin of ``hist_buckets`` + ``hist_quantiles`` over
-    ``source_sql`` (a relation with a ``v`` column and the group
-    columns) — single-sourced like ``hll_sql``. The interpolation is
-    written with the IDENTICAL parenthesization as the Spark fold."""
+    ``source_sql`` (a relation with a ``v`` column, the group columns
+    and — when ``weighted`` — an integer ``w`` column) —
+    single-sourced like ``hll_sql``. The interpolation is written
+    with the IDENTICAL parenthesization as the Spark fold."""
     scale = float(n_buckets) / (float(hi) - float(lo))
     width = (float(hi) - float(lo)) / float(n_buckets)
     gsel = "".join(f"{c}, " for c in group_cols)
     gpart = ", ".join(group_cols) if group_cols else "1"
+    cnt_sql = (
+        "CAST(SUM(w) AS BIGINT)" if weighted else "CAST(count(*) AS BIGINT)"
+    )
+    null_guard = " AND w IS NOT NULL" if weighted else ""
     # CAST: a bare 0.25 literal parses as DECIMAL and the driver's
     # schema compare would flag q against Spark's DOUBLE column
     qrows = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
     return f"""
-WITH src AS (SELECT * FROM ({source_sql}) s WHERE v IS NOT NULL),
+WITH src AS (SELECT * FROM ({source_sql}) s
+             WHERE v IS NOT NULL{null_guard}),
 b AS (
   SELECT {gsel}
          CASE WHEN CAST(v AS DOUBLE) < {float(lo)!r} THEN -1
@@ -846,7 +868,7 @@ b AS (
               ELSE CAST(floor((CAST(v AS DOUBLE) - {float(lo)!r})
                               * {scale!r}) AS INT)
          END AS bucket,
-         CAST(count(*) AS BIGINT) AS cnt
+         {cnt_sql} AS cnt
   FROM src GROUP BY ALL
 ),
 c AS (

@@ -669,6 +669,28 @@ def q_e4_hist_quantiles_auto_grouped(spark, sf_dir):
     )
 
 
+def q_e4_hist_quantiles_weighted(spark, sf_dir):
+    """WEIGHTED histogram quantiles (r12): per-lang n_chars quartiles
+    with each doc weighted by its own n_chars — the storage-weighted
+    dataset-card cut ("the median stored character lives in docs of
+    length X", vs the doc-weighted median which short docs dominate).
+    Integer weights keep every cell and every interpolated estimate
+    exact; same bounded shuffle as the unweighted grid."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets,
+        hist_quantiles,
+    )
+
+    docs = _docs(spark, sf_dir).select("lang", "n_chars")
+    b = hist_buckets(
+        docs, "n_chars", ["lang"], lo=0.0, hi=1024.0, n_buckets=64,
+        weight_col="n_chars",
+    )
+    return hist_quantiles(
+        b, (0.25, 0.5, 0.75), ["lang"], lo=0.0, hi=1024.0, n_buckets=64
+    )
+
+
 def q_e4_kmv_matrix(spark, sf_dir):
     """Pairwise corpus-overlap MATRIX (r11): per-lang KMV sketches of
     the 3-gram shingle sets, then theta-sketch |∩|/|∪|/Jaccard for
@@ -1168,6 +1190,16 @@ SELECT h.lang, h.est, e.exact_distinct FROM h JOIN e USING (lang)
         lo=0.0,
         hi=1024.0,
         n_buckets=64,
+    ),
+    # Weighted twin (r12): same grid program, cnt = SUM(w).
+    "e4_hist_quantiles_weighted": hist_sql(
+        "SELECT lang, n_chars AS v, n_chars AS w FROM documents",
+        ["lang"],
+        qs=(0.25, 0.5, 0.75),
+        lo=0.0,
+        hi=1024.0,
+        n_buckets=64,
+        weighted=True,
     ),
     # Per-group auto-range twin (r12): per-group bounds CTE, program
     # single-sourced in sketch.hist_auto_grouped_sql.

@@ -916,3 +916,57 @@ def test_hist_auto_grouped_requires_groups(spark):
     df = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(ValueError, match="group_cols"):
         hist_buckets_auto_grouped(df, "v", [])
+
+
+def test_hist_weighted_equals_exploded_repeats(spark):
+    """r12 weighted grid: integer weights must equal physically
+    repeating each row weight times (cells AND quantiles)."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets,
+        hist_quantiles,
+    )
+
+    rows = [("g", 10.0, 3), ("g", 200.0, 1), ("g", 90.0, 2),
+            ("h", 50.0, 5)]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    exploded = spark.createDataFrame(
+        [(g, v) for g, v, w in rows for _ in range(w)],
+        "g string, v double",
+    )
+    kw = dict(lo=0.0, hi=256.0, n_buckets=16)
+    wc = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in hist_buckets(df, "v", ["g"], weight_col="w", **kw).collect()
+    }
+    ec = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in hist_buckets(exploded, "v", ["g"], **kw).collect()
+    }
+    assert wc == ec and wc
+    wq = {
+        (r["g"], r["q"]): r["est"]
+        for r in hist_quantiles(
+            hist_buckets(df, "v", ["g"], weight_col="w", **kw),
+            (0.25, 0.5), ["g"], **kw
+        ).collect()
+    }
+    eq = {
+        (r["g"], r["q"]): r["est"]
+        for r in hist_quantiles(
+            hist_buckets(exploded, "v", ["g"], **kw),
+            (0.25, 0.5), ["g"], **kw
+        ).collect()
+    }
+    assert wq == eq
+
+    # null weights contribute nothing (row dropped, like null values)
+    withnull = spark.createDataFrame(
+        rows + [("g", 10.0, None)], "g string, v double, w int"
+    )
+    nc = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in hist_buckets(
+            withnull, "v", ["g"], weight_col="w", **kw
+        ).collect()
+    }
+    assert nc == wc
