@@ -141,6 +141,13 @@ BENCH_QUERIES = [
     "e6_audio_frames",       # short-time framing over decoded PCM
     "e6_frame_resize",       # video frame resize over decoded luma
     "e4_kmv_matrix",         # pairwise corpus-overlap matrix (theta sketch)
+    # round-12 additions
+    "e4_hist_quantiles_auto",          # range-free grid (global bounds)
+    "e4_hist_quantiles_auto_grouped",  # per-group bounds variant
+    "e4_hist_quantiles_weighted",      # integer-weighted cells
+    "e9b_bloom_stats",       # Bloom saturation/FPR card
+    "e2_simhash_md5_dups",   # value-oracled simhash near-dup pairs
+    "e6_png_fixed_decode",   # fixed-Huffman PNG encode->decode round trip
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so
