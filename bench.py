@@ -129,10 +129,17 @@ BENCH_QUERIES = [
     "e6_y4m_motion",         # per-frame motion over decoded luma
     # round-11 additions
     "e1f_exact_substring",   # ExactSubstr dedup (anchor + diagonal merge)
-    "e4_unigram_lm",         # SentencePiece unigram-LM EM trainer
+    "e4_unigram_lm",         # SentencePiece unigram-LM EM trainer —
+    #   the TRAIN row of the r13 train/encode split (identical params
+    #   to the encode row's trainer; honest on its own line)
     "e6_header_meta",        # JPEG/PNG/GIF header walk roundtrip
     "e4_kmv_overlap",        # KMV/theta-sketch corpus overlap estimates
-    "e4_unigram_encode",     # unigram-LM Viterbi encode (apply path)
+    "e4_unigram_encode",     # unigram-LM Viterbi ENCODE ONLY (r13,
+    #   r12 verdict task 1: the model is trained untimed via
+    #   BENCH_PREPARED and handed to BOTH sides — Spark as the pieces
+    #   list, DuckDB as a literal VALUES model — so this row times the
+    #   apply path alone; the registry row + sf0.01 oracle stay the
+    #   composed trainer+encode plan)
     "e6_png_decode",         # stored-deflate PNG encode->decode round trip
     "e7f_label_prop",        # synchronous label-propagation communities
     "e4_hist_quantiles",     # fixed-grid histogram quantile sketch
@@ -187,6 +194,56 @@ DUCKDB_TWIN_EXCLUDED = {
 
 def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _prepare_unigram_encode(spark, sf_dir):
+    """r13 (r12 verdict task 1 — the train/encode bench split): the
+    registry row composes trainer + encode, so its bench ratio blamed
+    the encode for trainer wall. Train the 40-piece model ONCE,
+    untimed, then hand the SAME model to both sides: Spark times
+    ``unigram_encode(docs, pieces)`` alone; the DuckDB twin gets the
+    pieces inlined as a literal VALUES model table in place of the
+    trainer CTE. The composed registry row/oracle still value-verify
+    at sf0.01 every round; ``e4_unigram_lm`` is the trainer's own
+    bench line (identical params)."""
+    from decision_tree_stuff_spark.operators.bpe import (
+        unigram_encode,
+        unigram_lm_train,
+    )
+    from decision_tree_stuff_spark.queries._shared import (
+        _docs,
+        _unigram_encode_sql,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pieces = unigram_lm_train(
+        docs,
+        vocab_size=40,
+        seed_size=60,
+        max_piece_len=3,
+        max_word_len=8,
+        em_iters=2,
+    )
+    rows = ", ".join(
+        f"({r}, '{g.replace(chr(39), chr(39) * 2)}', {c})"
+        for r, g, c in pieces
+    )
+    twin_sql = _unigram_encode_sql(
+        model_sql=(
+            f"SELECT * FROM (VALUES {rows}) "
+            "AS m(rank, piece, count_micro)"
+        )
+    )
+    return (lambda: unigram_encode(docs, pieces)), twin_sql
+
+
+# name -> prepare(spark, sf_dir) -> (timed_thunk, twin_sql_override).
+# Prepare runs once per bench, UNTIMED, before the row's drain+pair;
+# the override replaces the registry oracle in the twin loop so both
+# engines time the same phase.
+BENCH_PREPARED = {
+    "e4_unigram_encode": _prepare_unigram_encode,
+}
 
 
 def _round_tag() -> str:
@@ -261,6 +318,7 @@ def main() -> None:
             spark._jvm.System.gc()
         time.sleep(0.5)
 
+    twin_overrides: dict[str, str] = {}
     for name in BENCH_QUERIES:
         # Drain ONCE per query (backlog from prior queries), then time
         # two back-to-back runs and keep the min: run 1 absorbs the
@@ -269,16 +327,21 @@ def main() -> None:
         # state. Draining BETWEEN the pair was measured to re-inflate
         # run 2 (5.2→9.5 s on minhash): System.gc() can unload the
         # generated classes run 2 would reuse.
+        if name in BENCH_PREPARED:
+            thunk, twin_sql = BENCH_PREPARED[name](spark, SF_DIR)
+            twin_overrides[name] = twin_sql
+        else:
+            thunk = lambda n=name: ALL_QUERIES[n](spark, SF_DIR)
         _drain_session_garbage()
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            _noop_write(ALL_QUERIES[name](spark, SF_DIR))
+            _noop_write(thunk())
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
         _progress(f"spark {name}: {timings[name]}s")
 
-    duck = _duckdb_twins()
+    duck = _duckdb_twins(twin_overrides)
     common = [n for n in BENCH_QUERIES if n in duck]
     spark_common = round(sum(timings[n] for n in common), 3)
     duck_common = round(sum(duck[n] for n in common), 3)
@@ -433,11 +496,13 @@ def main() -> None:
     spark.stop()
 
 
-def _duckdb_twins() -> dict:
+def _duckdb_twins(twin_overrides: dict | None = None) -> dict:
     """min-of-2 warm fetchall timings for every bench query's oracle
     SQL (same protocol as BASELINE.md: same parquet, 32 threads);
     queries past DUCKDB_SLOW_CUTOFF_SEC get one run — a 25 s recursive
-    CTE doesn't need a second sample to dominate its Spark twin."""
+    CTE doesn't need a second sample to dominate its Spark twin.
+    ``twin_overrides`` (r13) carries BENCH_PREPARED rows' phase-
+    matched SQL (e.g. the encode-only twin with a literal model)."""
     import duckdb
 
     from decision_tree_stuff_spark.queries import ALL_ORACLE_SQL
@@ -451,8 +516,9 @@ def _duckdb_twins() -> dict:
             f"read_parquet('{SF_DIR}/{t}.parquet')"
         )
     out = {}
+    overrides = twin_overrides or {}
     for name in BENCH_QUERIES:
-        sql = ALL_ORACLE_SQL.get(name)
+        sql = overrides.get(name) or ALL_ORACLE_SQL.get(name)
         if sql is None or name in DUCKDB_TWIN_EXCLUDED:
             continue
         t0 = time.time()

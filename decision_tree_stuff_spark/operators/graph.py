@@ -55,6 +55,8 @@ def pagerank(
     pair_cols: tuple = ("id_a", "id_b"),
     iterations: int = 3,
     damping: float = 0.85,
+    track_convergence: bool = False,
+    early_stop: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank on the undirected pair graph.
 
@@ -64,9 +66,25 @@ def pagerank(
     its double rendering. Deterministic under any partitioning; a
     DuckDB twin unrolling the same ``iterations`` reproduces
     ``rank_micro`` exactly.
+
+    Convergence signal (r13 — the LPA pattern from r12,
+    ``label_propagation`` below): with ``track_convergence=True`` the
+    per-round TOTAL ABSOLUTE RANK DELTA in micro-units
+    (``sum(abs(new − old))``) rides the round's one existing action
+    (the eager checkpoint) via ``DataFrame.observe`` — zero extra
+    passes — and the return becomes ``(ranks_df, [delta_round_1,
+    ...])``. ``early_stop=True`` ends the loop once a round moves
+    nothing: the update is a deterministic integer function of
+    ``rank_micro`` (truncating div, one quantized multiply), so a
+    zero-delta round is an exact fixed point and every further round
+    reproduces the same integers — results are IDENTICAL to running
+    the full ``iterations`` (the fixed-iteration oracle contract is
+    untouched when ``early_stop=False``), and converged graphs skip
+    the dead rounds' join+shuffle.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    from pyspark.sql import Observation
     a, b = pair_cols
     src, dst = F.col(a).alias("src"), F.col(b).alias("dst")
     edges = pairs.select(src, dst).union(
@@ -85,8 +103,10 @@ def pagerank(
         F.col(id_col).alias("src"), F.lit(MICRO).cast("bigint").alias("rank_micro")
     )
     base = float(round((1.0 - damping) * MICRO))
+    track = track_convergence or early_stop
+    deltas = []
     prev = None
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = ew.join(ranks, "src").select(
             F.col("dst").alias("src"),
             F.expr("rank_micro div deg").alias("c"),
@@ -96,11 +116,12 @@ def pagerank(
         # node ids by construction, and localCheckpointed after
         # iteration 1) instead of re-scanning the caller's nodes
         # source once per iteration
-        new_ranks = (
-            ranks.select("src")
+        stepped = (
+            ranks.select("src", F.col("rank_micro").alias("__old"))
             .join(sums, "src", "left")
             .select(
                 "src",
+                F.col("__old"),
                 (
                     F.lit(base)
                     + F.round(
@@ -111,22 +132,38 @@ def pagerank(
                 .alias("rank_micro"),
             )
         )
+        obs = None
+        if track:
+            obs = Observation(f"pagerank_round_{it + 1}")
+            stepped = stepped.observe(
+                obs,
+                F.sum(
+                    F.abs(F.col("rank_micro") - F.col("__old"))
+                ).alias("delta_micro"),
+            )
+        new_ranks = stepped.drop("__old")
         new_ranks = new_ranks.localCheckpoint(eager=True)
         if prev is not None:
             release_local_checkpoint(prev)
         prev, ranks = new_ranks, new_ranks
+        if track:
+            delta = int(obs.get["delta_micro"] or 0)
+            deltas.append(delta)
+            if early_stop and delta == 0:
+                break
     ew.unpersist()
     # ew (persisted) was materialized by iteration 1, so the edge
     # checkpoint blocks can go now; the final ranks checkpoint is
     # lineage-independent of both
     release_local_checkpoint(edges)
-    return ranks.select(
+    out = ranks.select(
         F.col("src").alias(id_col),
         "rank_micro",
         (F.col("rank_micro").cast("double") / F.lit(float(MICRO))).alias(
             "rank"
         ),
     )
+    return (out, deltas) if track_convergence else out
 
 
 def label_propagation(

@@ -1030,6 +1030,7 @@ def _unigram_encode_sql(
     P: int = 3,
     W: int = 8,
     em_iters: int = 2,
+    model_sql: str | None = None,
 ) -> str:
     """Twin of ``bpe.unigram_encode`` that verifies the Viterbi DP by
     EXHAUSTIVE ENUMERATION: the trainer CTE chain (``_unigram_lm_sql``
@@ -1044,7 +1045,15 @@ def _unigram_encode_sql(
     lengths is precisely the DP's greedy-from-the-end longer-piece
     tie rule. Spark computes the argmax in O(n·P) per word; the twin
     checks it against all O(3^n) candidates — agreement proves the
-    DP, not just reproduces it."""
+    DP, not just reproduces it.
+
+    ``model_sql`` (r13, the bench train/encode split): a SELECT
+    yielding ``(rank, piece, count_micro)`` that REPLACES the trainer
+    CTE chain — the bench inlines the already-trained pieces as a
+    VALUES literal so the encode twin times encoding alone, exactly
+    like the Spark side (which gets the same driver-side pieces
+    list). Default ``None`` keeps the composed trainer+encode twin
+    used by the correctness registry."""
     unk = repr(2.0 ** -40)
 
     def pl(s: str, k: int) -> str:
@@ -1069,8 +1078,11 @@ def _unigram_encode_sql(
 FROM uwords WHERE length(word) = {n}"""
             )
     segs = "\nUNION ALL\n".join(branches)
+    model_src = model_sql or _unigram_lm_sql(
+        vocab_size, seed_size, P, W, em_iters
+    )
     return f"""
-WITH model AS MATERIALIZED ({_unigram_lm_sql(vocab_size, seed_size, P, W, em_iters)}),
+WITH model AS MATERIALIZED ({model_src}),
 probs AS MATERIALIZED (
   SELECT piece,
          CAST(count_micro AS DOUBLE)

@@ -282,3 +282,82 @@ def test_label_prop_convergence_counts_and_early_stop(spark):
     # default return shape unchanged (the oracle row's contract)
     plain = label_propagation(nodes, pairs, iterations=3)
     assert hasattr(plain, "collect")
+
+
+def _ref_pagerank_deltas(node_ids, edge_pairs, iters, d=0.85):
+    """Per-round total |delta| in micro-units from the pure-Python
+    mirror — the expected ``track_convergence`` trace."""
+    adj = defaultdict(list)
+    for a, b in edge_pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    rank = {v: MICRO for v in node_ids}
+    base = float(round((1.0 - d) * MICRO))
+    deltas = []
+    for _ in range(iters):
+        sums = {v: 0 for v in node_ids}
+        for u, ns in adj.items():
+            c = rank[u] // deg[u]
+            for v in ns:
+                sums[v] += c
+        new = {
+            v: int(base + math.floor(d * sums[v] + 0.5))
+            for v in node_ids
+        }
+        deltas.append(sum(abs(new[v] - rank[v]) for v in node_ids))
+        rank = new
+    return deltas
+
+
+def test_pagerank_convergence_deltas_match_reference(graph_dfs):
+    """r13: track_convergence reports each round's total absolute
+    rank movement (micro-units) via observe on the round's existing
+    checkpoint action; the trace matches the pure-Python mirror and
+    tracking does not perturb the ranks."""
+    nodes, pairs = graph_dfs
+    out, deltas = pagerank(
+        nodes, pairs, iterations=4, track_convergence=True
+    )
+    got = {r["doc_id"]: r["rank_micro"] for r in out.collect()}
+    assert got == _ref_pagerank(NODES, EDGES, 4)
+    assert deltas == _ref_pagerank_deltas(NODES, EDGES, 4)
+    assert len(deltas) == 4 and deltas[0] > 0
+
+
+def test_pagerank_early_stop_identity_on_converged_graph(spark):
+    """r13: two disjoint 4-cliques are 3-regular — every node's rank
+    stays exactly at MICRO (sum of MICRO div 3 over 3 edges = MICRO
+    - 2, damped back to within rounding of MICRO... pinned below by
+    the delta trace itself), so the integer fixed point is reached
+    immediately and early_stop skips the dead rounds with IDENTICAL
+    output to the full run."""
+    clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    node_ids = list(range(4)) + list(range(10, 14))
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id long")
+    pairs = spark.createDataFrame(
+        clique1 + clique2, "id_a long, id_b long"
+    )
+
+    full, deltas_full = pagerank(
+        nodes, pairs, iterations=6, track_convergence=True
+    )
+    got_full = sorted(tuple(r) for r in full.collect())
+    ref_deltas = _ref_pagerank_deltas(node_ids, clique1 + clique2, 6)
+    assert deltas_full == ref_deltas
+    first_zero = deltas_full.index(0)
+    assert all(d == 0 for d in deltas_full[first_zero:])
+
+    stopped, deltas_es = pagerank(
+        nodes, pairs, iterations=6, track_convergence=True,
+        early_stop=True,
+    )
+    got_es = sorted(tuple(r) for r in stopped.collect())
+    assert got_es == got_full
+    assert len(deltas_es) == first_zero + 1  # stopped AT the fixed point
+    assert deltas_es == deltas_full[: first_zero + 1]
+
+    # fixed-iteration contract preserved: default call shape unchanged
+    plain = pagerank(nodes, pairs, iterations=2)
+    assert hasattr(plain, "collect")
