@@ -984,6 +984,7 @@ def hist_buckets_auto(
     value_col: str,
     group_cols: Sequence[str] = (),
     n_buckets: int = HIST_BUCKETS,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Range-free histogram sketch: ``hist_buckets`` whose [lo, hi]
     grid comes from one exact GLOBAL min/max pre-aggregate instead of
@@ -1005,21 +1006,50 @@ def hist_buckets_auto(
     ≤ n_buckets rows per group the fixed grid shuffles. Global (not
     per-group) bounds keep every group on ONE shared grid, so
     per-group sketches from this pass still merge additively.
+
+    ``weight_col`` (r13, the fixed grid's r12 convention composed
+    with the auto range — the "token-weighted length quantiles over
+    an unknown range" dataset-card cut): integer weights make
+    ``cnt = Σ weight``, so ``hist_quantiles_auto``'s ranks walk
+    WEIGHTED mass. Rows with null weight are dropped like null
+    values; zero-weight rows still pin the bounds (they carry a
+    value observation) but add no mass, so the weighted ≡
+    exploded-repeats identity holds for weights ≥ 1.
+
+    Bucket ids are clamped symmetrically (``greatest(0, least(...,
+    n−1))``): exact for any input that is deterministic across the
+    bounds pass and the bucket scan (a no-op — min/max bound every
+    value by definition), and bounded-one-cell error instead of a
+    silently negative bucket id if a caller feeds a nondeterministic
+    source (e.g. a rand-sampled frame recomputed between the two
+    passes).
     """
     gcols = list(group_cols)
     v = F.col(value_col).cast("double")
-    nn = keyed.where(v.isNotNull())
+    filt = v.isNotNull()
+    if weight_col:
+        filt = filt & F.col(weight_col).isNotNull()
+    wcol = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    nn = keyed.where(filt)
     bounds = nn.agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
     span = _auto_span(F.col("lo"), F.col("hi"))
     scale = F.lit(float(n_buckets)) / span
-    bucket = F.least(
-        F.floor((v - F.col("lo")) * scale), F.lit(int(n_buckets - 1))
+    bucket = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.floor((v - F.col("lo")) * scale),
+            F.lit(int(n_buckets - 1)).cast("bigint"),
+        ),
     ).cast("int")
     return (
         nn.crossJoin(F.broadcast(bounds))
-        .select(*gcols, bucket.alias("bucket"), "lo", "hi")
+        .select(*gcols, bucket.alias("bucket"), wcol.alias("_w"), "lo", "hi")
         .groupBy(*gcols, "bucket", "lo", "hi")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
         .select(*gcols, "bucket", "cnt", "lo", "hi")
     )
 
@@ -1093,17 +1123,25 @@ def hist_auto_sql(
     group_cols: Sequence[str] = (),
     qs: Sequence[float] = (0.5,),
     n_buckets: int = HIST_BUCKETS,
+    weighted: bool = False,
 ) -> str:
     """DuckDB twin of ``hist_buckets_auto`` + ``hist_quantiles_auto``
-    over ``source_sql`` (a relation with a ``v`` column and the group
-    columns) — single-sourced like ``hist_sql``, with the bounds CTE
-    playing the broadcast min/max row and IDENTICAL grid/interpolation
-    parenthesization (span guard, n/span scale, span/n width)."""
+    over ``source_sql`` (a relation with a ``v`` column, the group
+    columns and — when ``weighted`` — an integer ``w`` column) —
+    single-sourced like ``hist_sql``, with the bounds CTE playing the
+    broadcast min/max row and IDENTICAL grid/interpolation
+    parenthesization (span guard, n/span scale, span/n width,
+    symmetric GREATEST/LEAST clamp)."""
     gsel = "".join(f"{c}, " for c in group_cols)
     gpart = ", ".join(group_cols) if group_cols else "1"
     qrows = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    cnt_sql = (
+        "CAST(SUM(w) AS BIGINT)" if weighted else "CAST(count(*) AS BIGINT)"
+    )
+    null_guard = " AND w IS NOT NULL" if weighted else ""
     return f"""
-WITH src AS (SELECT * FROM ({source_sql}) s WHERE v IS NOT NULL),
+WITH src AS (SELECT * FROM ({source_sql}) s
+             WHERE v IS NOT NULL{null_guard}),
 bounds AS (
   SELECT CAST(min(CAST(v AS DOUBLE)) AS DOUBLE) AS lo,
          CAST(max(CAST(v AS DOUBLE)) AS DOUBLE) AS hi
@@ -1111,12 +1149,13 @@ bounds AS (
 ),
 b AS (
   SELECT {gsel}
-         LEAST(CAST(floor((CAST(v AS DOUBLE) - lo)
-                          * ({float(n_buckets)!r}
-                             / (CASE WHEN hi > lo THEN hi - lo
-                                     ELSE 1.0 END))) AS INT),
-               {int(n_buckets - 1)}) AS bucket,
-         CAST(count(*) AS BIGINT) AS cnt
+         GREATEST(0,
+           LEAST(CAST(floor((CAST(v AS DOUBLE) - lo)
+                            * ({float(n_buckets)!r}
+                               / (CASE WHEN hi > lo THEN hi - lo
+                                       ELSE 1.0 END))) AS INT),
+                 {int(n_buckets - 1)})) AS bucket,
+         {cnt_sql} AS cnt
   FROM src, bounds GROUP BY ALL
 ),
 c AS (
@@ -1152,6 +1191,7 @@ def hist_buckets_auto_grouped(
     value_col: str,
     group_cols: Sequence[str],
     n_buckets: int = HIST_BUCKETS,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-GROUP auto-range histogram sketch (r12): like
     ``hist_buckets_auto`` but each group derives its OWN [lo, hi]
@@ -1167,7 +1207,13 @@ def hist_buckets_auto_grouped(
     Output: (*group_cols, bucket, cnt, lo, hi) — lo/hi now vary per
     group; feed straight into ``hist_quantiles_auto`` (its fold reads
     the grid from the sketch columns, so it handles both variants
-    unchanged)."""
+    unchanged).
+
+    ``weight_col`` and the symmetric bucket clamp follow
+    ``hist_buckets_auto`` (r13): ``cnt = Σ weight``, null weights
+    drop the row, zero weights pin bounds but add no mass, and
+    ``greatest(0, least(..., n−1))`` bounds the error if a caller
+    feeds a source that is nondeterministic across the two passes."""
     gcols = list(group_cols)
     if not gcols:
         raise ValueError(
@@ -1175,14 +1221,26 @@ def hist_buckets_auto_grouped(
             "hist_buckets_auto for the global grid"
         )
     v = F.col(value_col).cast("double")
-    nn = keyed.where(v.isNotNull())
+    filt = v.isNotNull()
+    if weight_col:
+        filt = filt & F.col(weight_col).isNotNull()
+    wcol = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    nn = keyed.where(filt)
     bounds = nn.groupBy(*gcols).agg(
         F.min(v).alias("lo"), F.max(v).alias("hi")
     )
     span = _auto_span(F.col("lo"), F.col("hi"))
     scale = F.lit(float(n_buckets)) / span
-    bucket = F.least(
-        F.floor((v - F.col("lo")) * scale), F.lit(int(n_buckets - 1))
+    bucket = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.floor((v - F.col("lo")) * scale),
+            F.lit(int(n_buckets - 1)).cast("bigint"),
+        ),
     ).cast("int")
     # no broadcast HINT: the bounds table is group-cardinality-sized
     # (could be millions of domains at 100 TB) — AQE picks broadcast
@@ -1190,9 +1248,9 @@ def hist_buckets_auto_grouped(
     # driver-OOM risk into every caller's plan
     return (
         nn.join(bounds, gcols)
-        .select(*gcols, bucket.alias("bucket"), "lo", "hi")
+        .select(*gcols, bucket.alias("bucket"), wcol.alias("_w"), "lo", "hi")
         .groupBy(*gcols, "bucket", "lo", "hi")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
         .select(*gcols, "bucket", "cnt", "lo", "hi")
     )
 
@@ -1202,15 +1260,22 @@ def hist_auto_grouped_sql(
     group_cols: Sequence[str],
     qs: Sequence[float] = (0.5,),
     n_buckets: int = HIST_BUCKETS,
+    weighted: bool = False,
 ) -> str:
     """DuckDB twin of ``hist_buckets_auto_grouped`` +
     ``hist_quantiles_auto`` — per-group bounds CTE, identical grid /
-    interpolation parenthesization as ``hist_auto_sql``."""
+    interpolation parenthesization as ``hist_auto_sql`` (incl. the
+    ``weighted`` ``w`` column and the symmetric clamp)."""
     gsel = "".join(f"{c}, " for c in group_cols)
     gpart = ", ".join(group_cols)
     qrows = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    cnt_sql = (
+        "CAST(SUM(w) AS BIGINT)" if weighted else "CAST(count(*) AS BIGINT)"
+    )
+    null_guard = " AND w IS NOT NULL" if weighted else ""
     return f"""
-WITH src AS (SELECT * FROM ({source_sql}) s WHERE v IS NOT NULL),
+WITH src AS (SELECT * FROM ({source_sql}) s
+             WHERE v IS NOT NULL{null_guard}),
 bounds AS (
   SELECT {gsel}
          CAST(min(CAST(v AS DOUBLE)) AS DOUBLE) AS lo,
@@ -1219,12 +1284,13 @@ bounds AS (
 ),
 b AS (
   SELECT {gsel}
-         LEAST(CAST(floor((CAST(v AS DOUBLE) - lo)
-                          * ({float(n_buckets)!r}
-                             / (CASE WHEN hi > lo THEN hi - lo
-                                     ELSE 1.0 END))) AS INT),
-               {int(n_buckets - 1)}) AS bucket,
-         CAST(count(*) AS BIGINT) AS cnt
+         GREATEST(0,
+           LEAST(CAST(floor((CAST(v AS DOUBLE) - lo)
+                            * ({float(n_buckets)!r}
+                               / (CASE WHEN hi > lo THEN hi - lo
+                                       ELSE 1.0 END))) AS INT),
+                 {int(n_buckets - 1)})) AS bucket,
+         {cnt_sql} AS cnt
   FROM src JOIN bounds USING ({gpart}) GROUP BY ALL
 ),
 c AS (
@@ -1244,6 +1310,175 @@ hits AS (
            * (CAST((CAST(floor(q * CAST(n - 1 AS DOUBLE))
                          AS BIGINT) + 1) - cum_before AS DOUBLE)
               / CAST(cnt AS DOUBLE)) AS est,
+         row_number() OVER (
+           PARTITION BY {gpart}, q ORDER BY bucket
+         ) AS rn
+  FROM c, qq
+  WHERE cum_before + cnt
+        >= CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+)
+SELECT {gsel} q, round(est, 6) AS est FROM hits WHERE rn = 1
+"""
+
+
+# --- cross-grid histogram merge (r13) -------------------------------------
+#
+# Auto-range sketches built from DIFFERENT bounds passes (per-shard,
+# per-round, per-group) live on different grids and could not merge —
+# the one way the quantile sketch family was less mergeable than
+# CMS/HLL/KMV (r12 verdict, missing gap #3). hist_rebucket maps any
+# auto sketch onto a caller-chosen FIXED target grid by assigning each
+# source cell's whole count to the target bucket containing the source
+# cell's MIDPOINT; rebucketed sketches share a grid, so hist_merge /
+# hist_quantiles apply unchanged.
+#
+# Error bound (documented, by construction): a value in a source cell
+# is within src_width/2 of that cell's midpoint, so its mass lands at
+# most ceil((src_width/2) / target_width) + 1 ... simplified: when
+# target_width >= src_width (rebucket to a grid no finer than the
+# widest source grid), every value's mass is placed within ONE target
+# cell of its true cell, and an interpolated quantile is within TWO
+# target cell widths of the exact data quantile (one cell of histogram
+# quantization + one cell of midpoint misplacement). Rebucketing to a
+# FINER grid than the source cannot recover resolution: the error is
+# then bounded by the source width instead.
+
+
+def hist_rebucket(
+    sketch: DataFrame,
+    lo: float,
+    hi: float,
+    n_buckets: int = HIST_BUCKETS,
+    group_cols: Sequence[str] = (),
+    src_n_buckets: int = HIST_BUCKETS,
+) -> DataFrame:
+    """Map an auto-range sketch (``(*group_cols, bucket, cnt, lo,
+    hi)`` from ``hist_buckets_auto`` / ``_auto_grouped``) onto the
+    fixed [lo, hi) target grid, producing the same shape
+    ``hist_buckets`` emits (underflow −1 / overflow ``n_buckets``
+    cells included) — so the result merges with fixed-grid sketches
+    via ``hist_merge`` and feeds ``hist_quantiles`` unchanged.
+
+    Each source cell's count lands in the target bucket of the
+    cell's midpoint ``src_lo + src_width · (bucket + 0.5)`` (the
+    source grid is read from the sketch's own lo/hi columns, so
+    per-group grids rebucket correctly row by row). See the section
+    note for the ≤ 2-target-cell quantile error bound when
+    ``target_width ≥ src_width``. Deterministic double arithmetic in
+    a fixed parenthesization — the DuckDB twin
+    (``hist_rebucket_sql``) matches bit-for-bit. Cost: one projection
+    over ≤ (groups · src_n_buckets) sketch rows + the bounded
+    re-sum; never touches data rows."""
+    gcols = list(group_cols)
+    src_width = _auto_span(F.col("lo"), F.col("hi")) / F.lit(
+        float(src_n_buckets)
+    )
+    mid = F.col("lo") + src_width * (
+        F.col("bucket").cast("double") + F.lit(0.5)
+    )
+    scale = float(n_buckets) / (float(hi) - float(lo))
+    tb = (
+        F.when(mid < float(lo), F.lit(-1))
+        .when(mid >= float(hi), F.lit(int(n_buckets)))
+        .otherwise(
+            F.floor((mid - F.lit(float(lo))) * F.lit(scale)).cast("int")
+        )
+    )
+    return (
+        sketch.select(*gcols, tb.alias("bucket"), "cnt")
+        .groupBy(*gcols, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hist_rebucket_sql(
+    shard_a_sql: str,
+    shard_b_sql: str,
+    group_cols: Sequence[str] = (),
+    qs: Sequence[float] = (0.5,),
+    lo: float = 0.0,
+    hi: float = 1024.0,
+    n_buckets: int = HIST_BUCKETS,
+    src_n_buckets: int = HIST_BUCKETS,
+) -> str:
+    """DuckDB twin of the full cross-shard program:
+    ``hist_buckets_auto(shard A)`` and ``(shard B)`` each on their OWN
+    bounds pass, ``hist_rebucket`` both onto the fixed [lo, hi) grid,
+    ``hist_merge``, ``hist_quantiles`` — single-sourced next to the
+    operator like ``hist_auto_sql``, with identical grid / midpoint /
+    interpolation parenthesization on every step."""
+    gsel = "".join(f"{c}, " for c in group_cols)
+    gpart = ", ".join(group_cols) if group_cols else "1"
+    qrows = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
+    width = (float(hi) - float(lo)) / float(n_buckets)
+    tscale = float(n_buckets) / (float(hi) - float(lo))
+
+    def auto_sketch(src_sql: str, tag: str) -> str:
+        return f"""
+src_{tag} AS (SELECT * FROM ({src_sql}) s WHERE v IS NOT NULL),
+bounds_{tag} AS (
+  SELECT CAST(min(CAST(v AS DOUBLE)) AS DOUBLE) AS lo,
+         CAST(max(CAST(v AS DOUBLE)) AS DOUBLE) AS hi
+  FROM src_{tag}
+),
+sk_{tag} AS (
+  SELECT {gsel}
+         GREATEST(0,
+           LEAST(CAST(floor((CAST(v AS DOUBLE) - lo)
+                            * ({float(src_n_buckets)!r}
+                               / (CASE WHEN hi > lo THEN hi - lo
+                                       ELSE 1.0 END))) AS INT),
+                 {int(src_n_buckets - 1)})) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt,
+         min(lo) AS lo, min(hi) AS hi
+  FROM src_{tag}, bounds_{tag} GROUP BY ALL
+),
+rb_{tag} AS (
+  SELECT {gsel}
+         CASE WHEN (lo + ((CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END)
+                          / {float(src_n_buckets)!r})
+                         * (CAST(bucket AS DOUBLE) + 0.5)) < {float(lo)!r}
+              THEN -1
+              WHEN (lo + ((CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END)
+                          / {float(src_n_buckets)!r})
+                         * (CAST(bucket AS DOUBLE) + 0.5)) >= {float(hi)!r}
+              THEN {int(n_buckets)}
+              ELSE CAST(floor(((lo + ((CASE WHEN hi > lo THEN hi - lo
+                                            ELSE 1.0 END)
+                                      / {float(src_n_buckets)!r})
+                                     * (CAST(bucket AS DOUBLE) + 0.5))
+                               - {float(lo)!r}) * {tscale!r}) AS INT)
+         END AS bucket,
+         cnt
+  FROM sk_{tag}
+)"""
+
+    return f"""
+WITH {auto_sketch(shard_a_sql, 'a')},
+{auto_sketch(shard_b_sql, 'b')},
+merged AS (
+  SELECT {gsel} bucket, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+    SELECT * FROM rb_a UNION ALL SELECT * FROM rb_b
+  ) u GROUP BY ALL
+),
+c AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY {gpart} ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) - cnt AS cum_before,
+         sum(cnt) OVER (PARTITION BY {gpart}) AS n
+  FROM merged
+),
+qq AS (SELECT * FROM (VALUES {qrows}) q(q)),
+hits AS (
+  SELECT {gsel} q,
+         CASE WHEN bucket = -1 THEN {float(lo)!r}
+              WHEN bucket = {int(n_buckets)} THEN {float(hi)!r}
+              ELSE ({float(lo)!r} + {width!r} * CAST(bucket AS DOUBLE))
+                   + {width!r}
+                     * (CAST((CAST(floor(q * CAST(n - 1 AS DOUBLE))
+                                   AS BIGINT) + 1) - cum_before AS DOUBLE)
+                        / CAST(cnt AS DOUBLE))
+         END AS est,
          row_number() OVER (
            PARTITION BY {gpart}, q ORDER BY bucket
          ) AS rn

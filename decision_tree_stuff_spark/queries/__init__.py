@@ -194,6 +194,9 @@ from decision_tree_stuff_spark.queries.text import (  # noqa: F401,E501
     q_e4_hist_quantiles,
     q_e4_hist_quantiles_auto,
     q_e4_hist_quantiles_auto_grouped,
+    q_e4_hist_quantiles_auto_grouped_weighted,
+    q_e4_hist_rebucket_merge,
+    q_e4_hist_quantiles_auto_weighted,
     q_e4_hist_quantiles_weighted,
     q_e4_hll_distinct,
     q_e4_chunks,
@@ -490,6 +493,11 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_hist_quantiles_auto": q_e4_hist_quantiles_auto,  # r12: range-free grid
     "e4_hist_quantiles_auto_grouped": q_e4_hist_quantiles_auto_grouped,  # r12
     "e4_hist_quantiles_weighted": q_e4_hist_quantiles_weighted,  # r12
+    "e4_hist_quantiles_auto_weighted": q_e4_hist_quantiles_auto_weighted,  # r13
+    "e4_hist_quantiles_auto_grouped_weighted": (
+        q_e4_hist_quantiles_auto_grouped_weighted
+    ),  # r13: weighted x per-group auto
+    "e4_hist_rebucket_merge": q_e4_hist_rebucket_merge,  # r13: cross-grid merge
     "e6_wav_features": q_e6_wav_features,          # r10: decoded-PCM features
     "e6_y4m_motion": q_e6_y4m_motion,              # r10: per-frame motion
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking

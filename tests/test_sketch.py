@@ -970,3 +970,226 @@ def test_hist_weighted_equals_exploded_repeats(spark):
         ).collect()
     }
     assert nc == wc
+
+
+def test_hist_auto_weighted_equals_exploded_repeats(spark):
+    """r13 weighted × auto-range (both global and per-group grids):
+    integer weights ≥ 1 must equal physically repeating each row
+    weight times — cells, bounds AND quantiles — because the bounds
+    pre-pass sees the same value set either way."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets_auto,
+        hist_buckets_auto_grouped,
+        hist_quantiles_auto,
+    )
+
+    rows = [("g", 10.0, 3), ("g", 200.0, 1), ("g", 90.0, 2),
+            ("h", 50.0, 5), ("h", 51000.0, 2)]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    exploded = spark.createDataFrame(
+        [(g, v) for g, v, w in rows for _ in range(w)],
+        "g string, v double",
+    )
+    for build in (hist_buckets_auto, hist_buckets_auto_grouped):
+        wb = build(df, "v", ["g"], n_buckets=16, weight_col="w")
+        eb = build(exploded, "v", ["g"], n_buckets=16)
+        wc = {(r["g"], r["bucket"]): (r["cnt"], r["lo"], r["hi"])
+              for r in wb.collect()}
+        ec = {(r["g"], r["bucket"]): (r["cnt"], r["lo"], r["hi"])
+              for r in eb.collect()}
+        assert wc == ec and wc, build.__name__
+        wq = {(r["g"], r["q"]): r["est"]
+              for r in hist_quantiles_auto(
+                  wb, (0.25, 0.5, 0.75), ["g"], n_buckets=16
+              ).collect()}
+        eq = {(r["g"], r["q"]): r["est"]
+              for r in hist_quantiles_auto(
+                  eb, (0.25, 0.5, 0.75), ["g"], n_buckets=16
+              ).collect()}
+        assert wq == eq, build.__name__
+
+    # null weights drop the row entirely (value excluded from bounds
+    # too); zero weights pin the bounds but add no mass — documented
+    withnull = spark.createDataFrame(
+        [("g", 10.0, 2), ("g", 99999.0, None)], "g string, v double, w int"
+    )
+    b = hist_buckets_auto(withnull, "v", ["g"], n_buckets=16,
+                          weight_col="w").collect()
+    assert all(r["hi"] == 10.0 for r in b)  # null-w row out of bounds
+    withzero = spark.createDataFrame(
+        [("g", 10.0, 2), ("g", 100.0, 0)], "g string, v double, w int"
+    )
+    bz = hist_buckets_auto(withzero, "v", ["g"], n_buckets=16,
+                           weight_col="w").collect()
+    assert all(r["hi"] == 100.0 for r in bz)  # zero-w pins the grid
+    assert sum(r["cnt"] for r in bz) == 2     # ...but adds no mass
+
+
+# --- hist_rebucket: cross-grid merge (r13) --------------------------------
+
+
+def test_hist_rebucket_hand_math(spark):
+    """Source auto grid [0,64)x64 (width 1), target [0,100)x10
+    (width 10): cell b's midpoint b+0.5 lands in target bucket
+    floor((b+0.5)/10) — checked cell by cell, mass conserved."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets_auto,
+        hist_rebucket,
+    )
+
+    # values 0..63 once each -> auto bounds [0,63], span 63
+    df = spark.createDataFrame([(float(i),) for i in range(64)], "v double")
+    sk = hist_buckets_auto(df, "v", [], n_buckets=64)
+    out = {
+        r["bucket"]: r["cnt"]
+        for r in hist_rebucket(
+            sk, 0.0, 100.0, 10, [], src_n_buckets=64
+        ).collect()
+    }
+    # midpoint of src cell b = (63/64)*(b+0.5); expected target bucket
+    import math as _m
+
+    exp = {}
+    for b in range(64):
+        mid = 0.0 + (63.0 / 64.0) * (b + 0.5)
+        tb = _m.floor((mid - 0.0) * (10.0 / 100.0))
+        exp[tb] = exp.get(tb, 0) + 1
+    assert out == exp
+    assert sum(out.values()) == 64  # mass conserved
+
+
+def test_hist_rebucket_under_overflow_cells(spark):
+    """Mass outside the target range lands in the -1 / n_buckets
+    sentinel cells, matching hist_buckets' fixed-grid shape."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets_auto,
+        hist_rebucket,
+    )
+
+    df = spark.createDataFrame(
+        [(-500.0,), (-499.0,), (50.0,), (900.0,), (901.0,)], "v double"
+    )
+    sk = hist_buckets_auto(df, "v", [], n_buckets=64)
+    out = {
+        r["bucket"]: r["cnt"]
+        for r in hist_rebucket(
+            sk, 0.0, 100.0, 10, [], src_n_buckets=64
+        ).collect()
+    }
+    assert out.get(-1) == 2 and out.get(10) == 2
+    assert sum(out.values()) == 5
+
+
+def test_hist_rebucket_merges_with_fixed_grid_and_grouped(spark):
+    """Rebucketed auto sketches (incl. per-group grids) are
+    shape-compatible with fixed-grid sketches: hist_merge re-sums and
+    total mass is conserved."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets,
+        hist_buckets_auto_grouped,
+        hist_merge,
+        hist_rebucket,
+    )
+
+    rows = [("g", float(i)) for i in range(20)] + [
+        ("h", float(i * 100)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    auto = hist_buckets_auto_grouped(df, "v", ["g"], n_buckets=32)
+    reb = hist_rebucket(auto, 0.0, 1000.0, 10, ["g"], src_n_buckets=32)
+    fixed = hist_buckets(df, "v", ["g"], lo=0.0, hi=1000.0, n_buckets=10)
+    merged = hist_merge(reb, fixed, group_cols=["g"])
+    total = sum(r["cnt"] for r in merged.collect())
+    assert total == 2 * len(rows)
+
+
+def test_hist_rebucket_merge_quantiles_within_bound(spark):
+    """The r12 verdict's 'Done =' bound: merge(rebucket(A),
+    rebucket(B)) quantiles are within 2 target cell widths of the
+    exact rank value when target_width >= every source width, and
+    within 3 widths of the one-shot fixed-grid estimate."""
+    import random as _r
+
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets,
+        hist_buckets_auto,
+        hist_merge,
+        hist_quantiles,
+        hist_rebucket,
+    )
+
+    rng = _r.Random(13)
+    vals_a = [round(rng.uniform(0, 99.9), 3) for _ in range(137)]
+    vals_b = [round(rng.uniform(20, 80), 3) for _ in range(61)]
+    da = spark.createDataFrame([(v,) for v in vals_a], "v double")
+    db = spark.createDataFrame([(v,) for v in vals_b], "v double")
+    kw = dict(lo=0.0, hi=100.0, n_buckets=10)
+    width = 10.0
+    reb = hist_merge(
+        hist_rebucket(hist_buckets_auto(da, "v", [], n_buckets=64),
+                      group_cols=[], src_n_buckets=64, **kw),
+        hist_rebucket(hist_buckets_auto(db, "v", [], n_buckets=64),
+                      group_cols=[], src_n_buckets=64, **kw),
+    )
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9)
+    got = {r["q"]: r["est"]
+           for r in hist_quantiles(reb, qs, [], **kw).collect()}
+    allv = sorted(vals_a + vals_b)
+    one = hist_buckets(
+        spark.createDataFrame([(v,) for v in allv], "v double"),
+        "v", [], **kw,
+    )
+    oneshot = {r["q"]: r["est"]
+               for r in hist_quantiles(one, qs, [], **kw).collect()}
+    n = len(allv)
+    for q in qs:
+        t = int((q * (n - 1)) // 1) + 1
+        exact = allv[t - 1]
+        assert abs(got[q] - exact) <= 2 * width + 1e-6, (q, got[q], exact)
+        assert abs(got[q] - oneshot[q]) <= 3 * width + 1e-6
+
+
+def test_hist_rebucket_property(spark):
+    """Hypothesis property: for ANY two shards in [0, 100), every
+    merged-rebucketed quantile is within 2 target widths of the exact
+    rank value (src grid 64 cells of span <= 100 -> src_width <=
+    1.5625 <= target width 10, so the documented bound applies)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets_auto,
+        hist_merge,
+        hist_quantiles,
+        hist_rebucket,
+    )
+
+    vals = st.lists(
+        st.floats(0, 99.5).map(lambda x: round(x, 2)),
+        min_size=1,
+        max_size=25,
+    )
+
+    @given(a=vals, b=vals)
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def check(a, b):
+        da = spark.createDataFrame([(float(v),) for v in a], "v double")
+        db = spark.createDataFrame([(float(v),) for v in b], "v double")
+        kw = dict(lo=0.0, hi=100.0, n_buckets=10)
+        reb = hist_merge(
+            hist_rebucket(hist_buckets_auto(da, "v", [], n_buckets=64),
+                          group_cols=[], src_n_buckets=64, **kw),
+            hist_rebucket(hist_buckets_auto(db, "v", [], n_buckets=64),
+                          group_cols=[], src_n_buckets=64, **kw),
+        )
+        got = {r["q"]: r["est"]
+               for r in hist_quantiles(reb, (0.5,), [], **kw).collect()}
+        allv = sorted(a + b)
+        t = int((0.5 * (len(allv) - 1)) // 1) + 1
+        assert abs(got[0.5] - allv[t - 1]) <= 20.0 + 1e-6
+
+    check()
