@@ -197,11 +197,21 @@ def _encode_by_type(
     Plan: posexplode occurrences (shuffle-free) → ``distinct`` over
     the type column (a shuffle bounded by partition-locally-deduped
     TYPES, never occurrences) → ``encode_types`` projects the
-    per-type piece array over that small table → broadcast hash join
-    back onto occurrences (no occurrence shuffle for the join) → one
-    per-doc regroup (the only occurrence-sized exchange) reassembles
-    ``(pos, pieces)`` in word order. Identical output to the
-    per-occurrence projection, pinned by differential tests.
+    per-type piece array over that table → join back onto
+    occurrences → one per-doc regroup (the only guaranteed
+    occurrence-sized exchange) reassembles ``(pos, pieces)`` in word
+    order. Identical output to the per-occurrence projection, pinned
+    by differential tests.
+
+    No broadcast HINT on the join (r13, advice fix): the type table
+    is vocabulary-sized and unbounded — Heaps' law says *sublinear*,
+    not *small* (hundreds of millions of types at 100 TB), so a
+    forced broadcast would pin a driver/executor-OOM risk into every
+    caller's plan at exactly the scale this mode targets. AQE picks
+    broadcast at runtime when the encoded type table is actually
+    under the threshold (it is, in every test/bench corpus here) and
+    falls back to a shuffle join when it is not — the same reasoning
+    as ``hist_buckets_auto_grouped``'s bounds join.
 
     ``encode_types``: fn(types_df with column ``__word``) →
     df(``__word``, ``__toks`` array<string>).
@@ -218,9 +228,7 @@ def _encode_by_type(
     )
     types = occ.select(F.col("__w").alias("__word")).distinct()
     enc_t = encode_types(types).select("__word", "__toks")
-    joined = occ.join(
-        F.broadcast(enc_t), occ["__w"] == enc_t["__word"]
-    )
+    joined = occ.join(enc_t, occ["__w"] == enc_t["__word"])
     per_doc = joined.groupBy(id_col).agg(
         F.sum(F.size("__toks")).cast("int").alias("__np"),
         F.array_sort(
@@ -268,7 +276,8 @@ def bpe_encode(
     text encodes to 0 tokens and an empty string.
 
     ``distinct_types`` (r12): run the replace chain once per DISTINCT
-    word type and broadcast-join back (see ``_encode_by_type``) —
+    word type and join back (AQE-chosen strategy; see
+    ``_encode_by_type``) —
     sound because merges never cross the ``'|'`` word guard, so the
     per-word segmentation equals the per-document one (pinned by
     tests). Identical output in both modes.
@@ -618,7 +627,8 @@ def unigram_encode(
 
     ``distinct_types`` (r12, the 100 TB mode): run the DP once per
     DISTINCT word TYPE instead of once per word OCCURRENCE, then
-    broadcast-join the (type → pieces) map back onto occurrences and
+    join the (type → pieces) map back onto occurrences (AQE picks
+    broadcast when the vocab is actually small) and
     reassemble per document. Word types are 2–3 orders of magnitude
     fewer than occurrences at corpus scale (Heaps' law), so the DP —
     the expensive part — does proportionally less work; the price is

@@ -697,7 +697,12 @@ def encode_png(media_id, w, h) -> Column:
     iend = F.lit("00000000" + "49454E44" + "AE426082")
     # enforce the single-stored-block constraint the docstring states:
     # LEN/NLEN are 16-bit fields, so h·(w+1) > 65535 would silently
-    # wrap into a corrupt file — fail the row loudly instead.
+    # wrap into a corrupt file. raise_error fails the WHOLE JOB, not
+    # just the row — intentional (r13): this is a fixture/synthesis
+    # encoder, so oversize dims are a caller programming error, and
+    # one corrupt payload hiding in a synthesis pass is worse than the
+    # pass aborting (the decode side's null-out convention is for
+    # UNTRUSTED inputs; encoder inputs are the caller's own literals).
     return F.when(
         raw_n <= F.lit(65535),
         F.unhex(F.concat(F.lit("89504E470D0A1A0A"), ihdr, idat, iend)),
@@ -1763,11 +1768,15 @@ def decode_pixels(
     (usually recorded per-partition in the catalog) passes the
     subset, and the plan contains ONLY those branches — no signature
     filter, no union, no second source pass: ``formats`` without
-    'png' is exactly the r10 single-projection plan; ``('png',)`` is
-    the PNG plan alone. Rows whose actual format falls outside the
-    declared set null out (their magic-byte checks fail) — the
-    declaration prunes the plan, it never mis-decodes. Default
-    ``None`` keeps full auto-dispatch.
+    'png' is the r10 single-projection shape pruned further to the
+    declared formats; ``('png',)`` is the PNG plan alone. Pruning is
+    PER-FORMAT (r13 — r12 dispatched png vs non-png only, so e.g.
+    ``('bmp',)`` still decoded ppm rows, contradicting this
+    contract): rows whose actual format falls outside the declared
+    set null out because their branch is absent from the dispatch
+    chain, and the undeclared formats' decode expressions are absent
+    from the plan. The declaration prunes the plan, it never
+    mis-decodes. Default ``None`` keeps full auto-dispatch.
 
     ``png_fixed_huffman`` (r12) additionally decodes PNGs whose zlib
     stream is one final FIXED-Huffman deflate block (RFC 1951
@@ -1785,7 +1794,7 @@ def decode_pixels(
                 f"supported: {_DECODE_FORMATS}"
             )
         if "png" not in fs:
-            return _decode_pixels_nonpng(media, payload_col)
+            return _decode_pixels_nonpng(media, payload_col, formats=fs)
         if fs == {"png"}:
             return _decode_pixels_png(
                 media, payload_col, fixed_huffman=png_fixed_huffman
@@ -1796,7 +1805,11 @@ def decode_pixels(
     has_png_sig = F.coalesce(
         F.hex(F.substring(p, 1, 8)) == _PNG_SIG, F.lit(False)
     )
-    non_png = _decode_pixels_nonpng(media.where(~has_png_sig), payload_col)
+    non_png = _decode_pixels_nonpng(
+        media.where(~has_png_sig),
+        payload_col,
+        formats=(set(formats) - {"png"}) if formats is not None else None,
+    )
     png = _decode_pixels_png(
         media.where(has_png_sig),
         payload_col,
@@ -1868,10 +1881,20 @@ def _decode_pixels_png(
     )
 
 
-def _decode_pixels_nonpng(media: DataFrame, payload_col: str) -> DataFrame:
+def _decode_pixels_nonpng(
+    media: DataFrame, payload_col: str, formats=None
+) -> DataFrame:
     """The uncompressed-format decode plan (BMP-24 / BMP-8 paletted /
-    PPM / PGM) — the r10 projection body, verbatim: no PNG
-    expressions anywhere in this plan."""
+    PPM / PGM) — the r10 projection body: no PNG expressions anywhere
+    in this plan.
+
+    ``formats`` (r13, advice fix — the contract was previously
+    png/non-png granular only): when a proper subset of the
+    uncompressed formats is declared, the dispatch chain is built
+    from ONLY those formats' branches — undeclared formats null out
+    (their ``ok`` predicate never enters the chain) and their decode
+    expressions are absent from the plan entirely, per-format, not
+    just per-branch."""
     p = F.col(payload_col)
     is_bmp = (F.length(p) >= 54) & (F.hex(F.substring(p, 1, 2)) == "424D")
     is_ppm = (F.length(p) >= 9) & (F.hex(F.substring(p, 1, 3)) == "50360A")
@@ -1984,31 +2007,34 @@ def _decode_pixels_nonpng(media: DataFrame, payload_col: str) -> DataFrame:
         lambda k: _u8(p, g_off + F.floor(k / F.lit(3)).cast("bigint") + 1),
     )
 
-    fmt = (
-        F.when(b_ok, "bmp")
-        .when(b8_ok, "bmp8")
-        .when(p_ok, "ppm")
-        .when(g_ok, "pgm")
-    )
-    width = (
-        F.when(b_ok | b8_ok, b_w)
-        .when(p_ok, p_w)
-        .when(g_ok, g_w)
-    )
-    height = (
-        F.when(b_ok | b8_ok, b_h)
-        .when(p_ok, p_h)
-        .when(g_ok, g_h)
-    )
-    pixels = (
-        F.when(b_ok, bmp_pixels)
-        .when(b8_ok, bmp8_pixels)
-        .when(p_ok, ppm_pixels)
-        .when(g_ok, pgm_pixels)
-    )
+    branches = [
+        ("bmp", b_ok, b_w, b_h, bmp_pixels),
+        ("bmp8", b8_ok, b_w, b_h, bmp8_pixels),
+        ("ppm", p_ok, p_w, p_h, ppm_pixels),
+        ("pgm", g_ok, g_w, g_h, pgm_pixels),
+    ]
+    if formats is not None:
+        fs = set(formats)
+        branches = [b for b in branches if b[0] in fs]
+
+    def chain(val_of):
+        out = None
+        for name, ok, w, h, px in branches:
+            v = val_of(name, w, h, px)
+            out = F.when(ok, v) if out is None else out.when(ok, v)
+        # empty declared set (e.g. formats=('png',) routed here by a
+        # caller bug) degenerates to all-null columns, never a decode
+        return out if out is not None else F.lit(None)
+
+    fmt = chain(lambda name, w, h, px: F.lit(name))
+    width = chain(lambda name, w, h, px: w)
+    height = chain(lambda name, w, h, px: h)
+    pixels = chain(lambda name, w, h, px: px)
+    if not branches:
+        pixels = F.lit(None).cast("array<int>")
     return media.select(
         "media_id",
-        fmt.alias("img_format"),
+        fmt.cast("string").alias("img_format"),
         width.cast("int").alias("width"),
         height.cast("int").alias("height"),
         pixels.alias("pixels"),

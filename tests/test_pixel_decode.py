@@ -828,6 +828,54 @@ def test_decode_formats_contract(spark):
     with pytest.raises(ValueError, match="unknown formats"):
         decode_pixels(media, formats=("bmp", "jpeg2000"))
 
+    # r13 (advice fix): pruning is PER-FORMAT, not just png/non-png —
+    # a ('bmp',) contract on a bmp/ppm mix nulls the ppm rows (their
+    # branch is absent) and the plan carries no ppm machinery (the P6
+    # header regex) at all
+    only_bmp = {
+        r["media_id"]: r["img_format"]
+        for r in decode_pixels(media, formats=("bmp",)).collect()
+    }
+    assert {m: f for m, f in only_bmp.items() if f is not None} == {
+        m: "bmp" for m, r in auto.items() if r["img_format"] == "bmp"
+    }
+    assert {f for m, f in only_bmp.items()
+            if auto[m]["img_format"] == "ppm"} == {None}
+    # the ppm/pgm machinery is the header regexp walk; with only bmp
+    # declared no regexp_extract survives in the plan (the P6/P5
+    # strings visible in the plan text belong to the synthesize-side
+    # payload construction, not the decoder)
+    bplan = decode_pixels(
+        media, formats=("bmp",)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "regexp_extract" not in bplan
+    # and the declared rows decode identically to auto-dispatch
+    got_b = {
+        m: list(r["pixels"])
+        for m, r in (
+            (rr["media_id"], rr)
+            for rr in decode_pixels(media, formats=("bmp",)).collect()
+        )
+        if r["pixels"] is not None
+    }
+    want_b = {
+        m: list(r["pixels"])
+        for m, r in auto.items()
+        if r["img_format"] == "bmp"
+    }
+    assert got_b == want_b
+
+    # mixed contract including png still prunes the non-png branch
+    # per-format: ('png', 'ppm') on bmp/ppm media decodes ppm only
+    mixed = {
+        r["media_id"]: r["img_format"]
+        for r in decode_pixels(media, formats=("png", "ppm")).collect()
+    }
+    assert {f for m, f in mixed.items()
+            if auto[m]["img_format"] == "bmp"} == {None}
+    assert {f for m, f in mixed.items()
+            if auto[m]["img_format"] == "ppm"} == {"ppm"}
+
 
 # --- fixed-Huffman deflate PNG (r12) ------------------------------------
 
