@@ -340,7 +340,15 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e6_y4m_decode": q_e6_y4m_decode,
     "e4_lm_quality": q_e4_lm_quality,
     "e3_cosine_topk": q_e3_cosine_topk,
-    "e3_rh_lsh_topk": q_e3_rh_lsh_topk,
+    # r13 rotation (GATE_ROTATION.md; r12 verdict task 6): the newly
+    # value-oracled simhash pair pipeline and the range-free histogram
+    # grid promoted — both schema-contract-safe (scalar columns) and
+    # EXTRA-parity/hash green since birth — in place of two long-green
+    # rows from over-represented families (ANN keeps e3_cosine_topk +
+    # e3_ivf_topk; the LM ladder keeps e4_lm_quality). Directed by the
+    # verdict: e6_png_fixed_decode held OUT of the gate until its plan
+    # floor is addressed (task 7).
+    "e2_simhash_md5_dups": q_e2_simhash_md5_dups,
     "e3_ivf_topk": q_e3_ivf_topk,
     "e9_decontamination": q_e9_decontamination,
     "e8_sample": q_e8_sample,
@@ -356,7 +364,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e6_pixel_decode_paletted": q_e6_pixel_decode_paletted,
     "e5_sessions": q_e5_sessions,
     "e4_document_stats": q_e4_document_stats,
-    "e4_lm_bigram": q_e4_lm_bigram,
+    "e4_hist_quantiles_auto": q_e4_hist_quantiles_auto,
     "e4_corpus_profile": q_e4_corpus_profile,
     "e4_quality_filter": q_e4_quality_filter,
     "e6_media_meta": q_e6_media_meta,
@@ -427,7 +435,6 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e2_minhash_pairs": q_e2_minhash_pairs,       # no oracle (xxhash64)
     "e2_minhash_md5_pairs": q_e2_minhash_md5_pairs,
     "e2_simhash_dups": q_e2_simhash_dups,         # no oracle (xxhash64)
-    "e2_simhash_md5_dups": q_e2_simhash_md5_dups,  # r12: value-oracled pairs
     "e3_sign_lsh_topk": q_e3_sign_lsh_topk,
     "e3_ivf_topk_nprobe2": q_e3_ivf_topk_nprobe2,
     "e8_pack_sequences": q_e8_pack_sequences,
@@ -490,7 +497,6 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_corpus_profile_approx": q_e4_corpus_profile_approx,  # r11: HLL profile
     "e4_kmv_overlap": q_e4_kmv_overlap,            # r11: theta-sketch overlap
     "e4_kmv_matrix": q_e4_kmv_matrix,              # r11: pairwise overlap matrix
-    "e4_hist_quantiles_auto": q_e4_hist_quantiles_auto,  # r12: range-free grid
     "e4_hist_quantiles_auto_grouped": q_e4_hist_quantiles_auto_grouped,  # r12
     "e4_hist_quantiles_weighted": q_e4_hist_quantiles_weighted,  # r12
     "e4_hist_quantiles_auto_weighted": q_e4_hist_quantiles_auto_weighted,  # r13
@@ -523,6 +529,10 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # e1f_exact_substring / e4_hist_quantiles (GATE_ROTATION.md)
     "e6_media_features": q_e6_media_features,
     "e8_stratified_sample": q_e8_stratified_sample,
+    # r13 rotation: two long-green rows demoted to make room for
+    # e2_simhash_md5_dups / e4_hist_quantiles_auto (GATE_ROTATION.md)
+    "e3_rh_lsh_topk": q_e3_rh_lsh_topk,
+    "e4_lm_bigram": q_e4_lm_bigram,
 }
 
 EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {

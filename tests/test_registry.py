@@ -47,7 +47,7 @@ GATE_KEYS = [
     "e6_y4m_decode",
     "e4_lm_quality",
     "e3_cosine_topk",
-    "e3_rh_lsh_topk",
+    "e2_simhash_md5_dups",
     "e3_ivf_topk",
     "e9_decontamination",
     "e8_sample",
@@ -56,7 +56,7 @@ GATE_KEYS = [
     "e6_pixel_decode_paletted",
     "e5_sessions",
     "e4_document_stats",
-    "e4_lm_bigram",
+    "e4_hist_quantiles_auto",
     "e4_corpus_profile",
     "e4_quality_filter",
     "e6_media_meta",
