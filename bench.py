@@ -6,6 +6,15 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
 Timings execute the full plan into Spark's noop sink (no driver
 collect — we measure compute, not py4j serialization); `tree_fit`
 times the training recursion itself (driver-coordinated multi-job).
+
+Noise protocol (r13, r12 verdict task 8): the box has a documented
+±30-50% cross-session noise band (BASELINE.md). Round notes quote
+`ratio_ex_dominant` FIRST; any row whose round-over-round delta
+exceeds the ±50% band must be re-timed same-session min-of-3 (the
+scripts/drift_ab_r11.py template) BEFORE it enters the round notes as
+a regression or an improvement — cross-session deltas on untouched
+plans are presumed noise until a same-session A/B says otherwise.
+The parsed-line fields themselves are unchanged.
 """
 
 from __future__ import annotations
