@@ -164,6 +164,13 @@ BENCH_QUERIES = [
     "e9b_bloom_stats",       # Bloom saturation/FPR card
     "e2_simhash_md5_dups",   # value-oracled simhash near-dup pairs
     "e6_png_fixed_decode",   # fixed-Huffman PNG encode->decode round trip
+    # round-13 additions
+    "e6_png_dyn_decode",     # dynamic-Huffman (BTYPE=10) PNG round trip —
+    #   near-zero DuckDB denominator (closed-form twin) + a large
+    #   one-time plan/codegen floor like the FH row; documented in
+    #   SCALING_r13.md, pinned by tests/test_plan_budget.py
+    "e4_hist_rebucket_merge",  # cross-grid histogram merge program
+    "e4_hist_quantiles_auto_weighted",  # weighted x auto-range grid
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -220,6 +220,7 @@ from decision_tree_stuff_spark.queries.media import (  # noqa: F401,E501
     q_e6_pixel_decode_paletted,
     q_e6_png_decode,
     q_e6_png_fixed_decode,
+    q_e6_png_dyn_decode,
     q_e6_resize,
     q_e6_audio_frames,
     q_e6_frame_resize,
@@ -533,6 +534,9 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # e2_simhash_md5_dups / e4_hist_quantiles_auto (GATE_ROTATION.md)
     "e3_rh_lsh_topk": q_e3_rh_lsh_topk,
     "e4_lm_bigram": q_e4_lm_bigram,
+    # r13: dynamic-Huffman PNG decode (gate candidate for r14 with
+    # e6_png_fixed_decode, pending the analyzer-budget watch)
+    "e6_png_dyn_decode": q_e6_png_dyn_decode,
 }
 
 EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {

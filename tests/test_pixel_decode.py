@@ -1113,3 +1113,297 @@ def test_encode_png_fixed_round_trip_and_external_zlib(spark):
         assert r["img_format"] == "png", mid
         assert (r["width"], r["height"]) == (w, h), mid
         assert list(r["pixels"]) == expect, mid
+
+
+# --- dynamic-Huffman deflate PNG (r13) ------------------------------------
+
+
+def _dh_bits_to_bytes(bits):
+    out = bytearray()
+    for k in range(0, len(bits), 8):
+        byte = 0
+        for i, b in enumerate(bits[k:k + 8]):
+            byte |= b << i
+        out.append(byte)
+    return bytes(out)
+
+
+def _dh_compress_rich(data: bytes, refs=None) -> bytes:
+    """Dynamic-Huffman fixture compressor with NON-TRIVIAL tables
+    (a different structure from both zlib's and encode_png_dyn's —
+    length codes present, 2-bit distance codes, a 2-level CL code):
+    lit/len lengths = 9 for bytes 0..255, 3 for EOB(256)/257(len 3)/
+    258(len 4)/259(unused filler completing Kraft: 0.5 + 4/8 = 1 —
+    zlib REJECTS incomplete lit/len sets); dist lengths = 2 for syms
+    0..3 (dists 1..4, complete). Canonical: EOB=000, 257=001,
+    258=010, 259=011, literal b = 9 bits of 256+b, dist d-1 = 2
+    bits. CL code: {9:len1->0, 2:len2->10, 3:len2->11}; HLIT=3,
+    HDIST=3, HCLEN=12. ``refs`` = (pos, length in {3,4}, dist in
+    1..4). Validated externally via zlib.decompress."""
+    bits = [1, 0, 1]                 # BFINAL=1, BTYPE=10
+    bits += [(3 >> s) & 1 for s in range(5)]    # HLIT = 3 (260 codes)
+    bits += [(3 >> s) & 1 for s in range(5)]    # HDIST = 3 (4 codes)
+    bits += [(12 >> s) & 1 for s in range(4)]   # HCLEN = 12 (16 entries)
+    from decision_tree_stuff_spark.operators.multimodal import _DH_CL_ORDER
+
+    cl_len = {9: 1, 3: 2, 2: 2}
+    for i in range(16):
+        v = cl_len.get(_DH_CL_ORDER[i], 0)
+        bits += [(v >> s) & 1 for s in range(3)]
+    # CL symbols: 256x"9" + 4x"3" (256..259) + 4x"2" (dists)
+    cl_code = {9: [0], 2: [1, 0], 3: [1, 1]}
+    for _ in range(256):
+        bits += cl_code[9]
+    bits += cl_code[3] * 4
+    bits += cl_code[2] * 4
+
+    def put_lit(b):
+        v = 256 + b
+        bits.extend((v >> s) & 1 for s in range(8, -1, -1))
+
+    refs = sorted(refs or [])
+    pos = 0
+    for rpos, rlen, rdist in refs:
+        assert rlen in (3, 4) and 1 <= rdist <= 4
+        while pos < rpos:
+            put_lit(data[pos])
+            pos += 1
+        bits += [0, 0, 1] if rlen == 3 else [0, 1, 0]  # 257 / 258
+        bits += [((rdist - 1) >> s) & 1 for s in (1, 0)]  # 2-bit dist
+        pos += rlen
+    while pos < len(data):
+        put_lit(data[pos])
+        pos += 1
+    bits += [0, 0, 0]  # EOB
+    return _dh_bits_to_bytes(bits)
+
+
+def _dh_zlib_wrap(raw: bytes, body: bytes) -> bytes:
+    import zlib as _z
+
+    return b"\x78\x01" + body + _z.adler32(raw).to_bytes(4, "big")
+
+
+def test_dynamic_huffman_zlib_streams_both_paths(spark):
+    """REAL zlib-emitted BTYPE=10 streams (level 9 on varied images —
+    zlib's own tables, its own back-references): Spark and the Python
+    twin must decode the wrapped PNGs to the closed-form grays; the
+    flag-off paths must reject."""
+    import pytest
+    import zlib as _z
+
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    cases = []
+    for (w, h, fn) in [
+        (24, 12, lambda i: (i * 7 + (i // 24) * 13) % 97 + 10),
+        (10, 9, lambda i: (i * i % 13) + (i % 3)),
+        (16, 9, lambda i: (i * i % 17) + (i % 5)),
+    ]:
+        grays = [fn(k) for k in range(w * h)]
+        raw = b"".join(
+            b"\x00" + bytes(grays[r * w:(r + 1) * w]) for r in range(h)
+        )
+        z = _z.compress(raw, 9)
+        assert (z[2] >> 1) & 3 == 2, "fixture no longer dynamic"
+        cases.append((w, h, grays, _png_from(raw, w, h, idat_data=z)))
+
+    df = spark.createDataFrame(
+        [(str(i), bytearray(p)) for i, (_, _, _, p) in enumerate(cases)],
+        "media_id string, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_pixels(df, png_dynamic_huffman=True).collect()
+    }
+    for i, (w, h, grays, payload) in enumerate(cases):
+        r = rows[str(i)]
+        expect = [g for g in grays for _ in range(3)]
+        assert (r["img_format"], r["width"], r["height"]) == ("png", w, h)
+        assert list(r["pixels"]) == expect
+        assert decode_png(payload, dynamic_huffman=True) == (w, h, expect)
+        with pytest.raises(ValueError):
+            decode_png(payload)  # flag-off twin rejects
+    off = decode_pixels(df).collect()
+    assert all(r["img_format"] is None for r in off)
+
+
+def test_dynamic_huffman_custom_tables_backrefs_overlap(spark):
+    """Handcrafted BTYPE=10 stream with tables unlike zlib's or the
+    repo encoder's (incomplete lit/len code, 2-bit dist code), a
+    plain back-reference and an OVERLAPPING one (dist 2 < len 4 —
+    the cyclic-copy case). zlib validates the fixture; Spark and the
+    Python twin must agree."""
+    import zlib as _z
+
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    w, h = 9, 2
+    row1 = bytes([3, 4, 5, 6, 3, 4, 5, 6, 3])   # 4-periodic
+    row2 = bytes([8, 9, 8, 9, 8, 9, 8, 9, 8])   # 2-periodic
+    raw = b"\x00" + row1 + b"\x00" + row2
+    assert len(raw) == h * (w + 1)
+    # a ref (pos, len, dist) is valid iff raw[pos+j] == raw[pos+j-dist]
+    # cyclically for j < len (byte-by-byte copy semantics)
+    def ref_ok(pos, ln, dist):
+        return pos + ln <= len(raw) and dist <= pos and all(
+            raw[pos + j] == raw[pos + j - dist] for j in range(ln)
+        )
+
+    # (5,4,4): plain dist-4 copy inside row1; (13,4,2): OVERLAP
+    # (dist 2 < len 4, the cyclic case) inside row2
+    refs = [r for r in [(5, 4, 4), (13, 4, 2)] if ref_ok(*r)]
+    assert len(refs) == 2, refs
+    assert refs, "no valid refs in fixture"
+    body = _dh_compress_rich(raw, refs)
+    z = _dh_zlib_wrap(raw, body)
+    assert _z.decompress(z) == raw  # external validation
+    payload = _png_from(raw, w, h, idat_data=z)
+    df = spark.createDataFrame(
+        [("dh", bytearray(payload))], "media_id string, payload binary"
+    )
+    r = decode_pixels(df, png_dynamic_huffman=True).collect()[0]
+    grays = [b for row in (row1, row2) for b in row]
+    expect = [g for g in grays for _ in range(3)]
+    assert (r["img_format"], r["width"], r["height"]) == ("png", w, h)
+    assert list(r["pixels"]) == expect
+    assert decode_png(payload, dynamic_huffman=True) == (w, h, expect)
+
+
+def test_dynamic_huffman_rejections_both_paths(spark):
+    """Malformed BTYPE=10 headers/streams must null in Spark and
+    raise in the Python twin: over-subscribed code-length code,
+    repeat-16 with no previous length, repeat overshooting the
+    length count, a lit/len code with no EOB, and a distance beyond
+    the decoded window."""
+    import pytest
+    import zlib as _z  # noqa: F401
+
+    from decision_tree_stuff_spark.operators.multimodal import (
+        _DH_CL_ORDER,
+        decode_png,
+    )
+
+    raw = b"\x00" + bytes([10, 200]) + b"\x00" + bytes([30, 255])
+
+    def hdr_bits(hlit, hdist, cl_len_map, n_entries=15):
+        bits = [1, 0, 1]
+        bits += [(hlit >> s) & 1 for s in range(5)]
+        bits += [(hdist >> s) & 1 for s in range(5)]
+        hclen = n_entries - 4
+        bits += [(hclen >> s) & 1 for s in range(4)]
+        for i in range(n_entries):
+            v = cl_len_map.get(_DH_CL_ORDER[i], 0)
+            bits += [(v >> s) & 1 for s in range(3)]
+        return bits
+
+    variants = {}
+
+    # (a) over-subscribed CL code: three syms of length 1 (Kraft 1.5)
+    variants["oversub_cl"] = hdr_bits(0, 0, {9: 1, 3: 1, 2: 1}, 16)
+
+    # (b) repeat-16 as the FIRST code-length symbol: CL code {16:1,
+    # 9:1} - canonical: 9->0, 16->1; first symbol = 16 (bit 1) + its
+    # 2 extra bits
+    variants["rep_no_prev"] = hdr_bits(0, 0, {16: 1, 9: 1}) + [1, 0, 0]
+
+    # (c) overshoot: HLIT=0/HDIST=0 -> target 258; CL {18:1, 9:1}
+    # canonical: 9->0, 18->1; emit "9" x257 then 18 with rep 11 -> 268
+    variants["overshoot"] = (
+        hdr_bits(0, 0, {18: 1, 9: 1})
+        + [0] * 257
+        + [1] + [0] * 7  # sym 18, 7 extra bits = 0 -> 11 zeros
+    )
+
+    # (d) no EOB: CL {8:1, 18:1} canonical 8->0, 18->1; HLIT=0
+    # HDIST=31 -> target 289: 256 x "8" then 18 with rep 11+22=33
+    # zeros (EOB length 0, all dist lengths 0)
+    variants["no_eob"] = (
+        hdr_bits(0, 31, {8: 1, 18: 1})
+        + [0] * 256
+        + [1] + [(22 >> s) & 1 for s in range(7)]
+    )
+
+    # (e) distance beyond the decoded window, rich fixture tables:
+    # one literal (192+10, 9 bits MSB-first), then len-257 (code 001,
+    # length 3) with dist sym 3 (code 11 -> dist 4) against a 1-byte
+    # window, then EOB (000)
+    rich_hdr = hdr_bits(2, 3, {9: 1, 3: 2, 2: 2}, 16)
+    cl_code = {9: [0], 2: [1, 0], 3: [1, 1]}
+    rich_hdr += cl_code[9] * 256 + cl_code[3] * 3 + cl_code[2] * 4
+    lit10 = [((192 + 10) >> s) & 1 for s in range(8, -1, -1)]
+    variants["bad_dist"] = rich_hdr + lit10 + [0, 0, 1] + [1, 1] + [0, 0, 0]
+
+    payloads = {}
+    for name, bits in variants.items():
+        body = _dh_bits_to_bytes(bits + [0] * 64)  # pad garbage tail
+        payloads[name] = _png_from(
+            raw, 2, 2, idat_data=_dh_zlib_wrap(raw, body)
+        )
+
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id string, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_pixels(df, png_dynamic_huffman=True).collect()
+    }
+    for name in payloads:
+        assert rows[name]["img_format"] is None, name
+        with pytest.raises(ValueError):
+            decode_png(payloads[name], dynamic_huffman=True)
+
+
+def test_encode_png_dyn_round_trip_and_external_zlib(spark):
+    """Spark encode_png_dyn -> (a) stdlib zlib must inflate its
+    stream byte-for-byte (external validation), (b) Spark DH decode
+    and the Python twin must reproduce the closed-form grays, (c) the
+    default decode (flag off) must null out (opt-in contract)."""
+    import struct as _struct
+    import zlib as _z
+
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_png,
+        synthesize_decodable_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "doc_id bigint"
+    )
+    media = synthesize_decodable_media(docs, formats=("pngd", "pngd"))
+    rows = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.select("media_id", "payload").collect()
+    }
+    assert len(rows) == 10
+    for mid, payload in rows.items():
+        w, h = mid % 5 + 2, mid % 4 + 2
+        clen = _struct.unpack(">I", payload[33:37])[0]
+        assert payload[37:41] == b"IDAT"
+        z = payload[41:41 + clen]
+        assert (z[2] >> 1) & 3 == 2  # really BTYPE=10
+        raw = _z.decompress(z)      # external validation
+        assert len(raw) == h * (w + 1)
+        expect = [
+            (mid * 7 + (k // 3) * 13) % 256 for k in range(w * h * 3)
+        ]
+        assert decode_png(payload, dynamic_huffman=True) == (w, h, expect)
+        with pytest.raises(ValueError):
+            decode_png(payload)
+    decoded = {
+        r["media_id"]: r
+        for r in decode_pixels(
+            media, formats=("png",), png_dynamic_huffman=True
+        ).collect()
+    }
+    for mid in rows:
+        w, h = mid % 5 + 2, mid % 4 + 2
+        r = decoded[mid]
+        expect = [
+            (mid * 7 + (k // 3) * 13) % 256 for k in range(w * h * 3)
+        ]
+        assert (r["img_format"], r["width"], r["height"]) == ("png", w, h)
+        assert list(r["pixels"]) == expect
+    off = decode_pixels(media, formats=("png",)).collect()
+    assert all(r["img_format"] is None for r in off)

@@ -29,7 +29,12 @@ BUILD_PLUS_PLAN_BUDGET_SEC = 45.0
 def test_png_plan_build_within_budget(spark, sf_dir):
     from decision_tree_stuff_spark.queries import ALL_QUERIES
 
-    for name in ("e6_png_decode", "e6_png_fixed_decode"):
+    for name in (
+        "e6_png_decode",
+        "e6_png_fixed_decode",
+        "e6_png_dyn_decode",  # r13: four staged DH columns — the row
+        #   this budget most exists for
+    ):
         t0 = time.time()
         df = ALL_QUERIES[name](spark, sf_dir)
         df._jdf.queryExecution().executedPlan()
