@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     #   SCALING_r13.md, pinned by tests/test_plan_budget.py
     "e4_hist_rebucket_merge",  # cross-grid histogram merge program
     "e4_hist_quantiles_auto_weighted",  # weighted x auto-range grid
+    "e4_pii_scrub",          # PII redaction + audit counts (planted)
+    "e4_url_dedup",          # URL canonicalization + exact URL dedup
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -1406,3 +1406,94 @@ def scrub_documents(
         scrub_pii(F.col(text_col), pats).alias(text_col),
         *[c.alias(f"n_{name}") for name, c in counts.items()],
     )
+
+
+#: query parameters stripped by ``normalize_urls`` — the standard
+#: tracking/click-id set every web-corpus URL deduper drops (CCNet /
+#: RefinedWeb-style canonicalization; params carry no content
+#: identity). Prefix match for utm_*.
+URL_TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid")
+
+
+def normalize_urls(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_www: bool = True,
+    tracking_params=URL_TRACKING_PARAMS,
+) -> DataFrame:
+    """URL canonicalization for web-corpus dedup (r13): the
+    normalize-before-group step of URL-level dedup (RefinedWeb §3.1 /
+    CCNet run exactly this shape before exact URL dedup — raw crawl
+    URLs differ in case, default ports, tracking params and fragment
+    while naming the same resource).
+
+    Canonical form, all in ONE shuffle-free projection of portable
+    primitives (regexp_extract / split / filter / array_sort — the
+    DuckDB twin mirrors each step 1:1):
+
+    * scheme and host lowercased (path/query case is significant and
+      kept);
+    * ``www.`` host prefix dropped when ``strip_www``;
+    * default ports removed (``:80`` for http, ``:443`` for https);
+    * fragment dropped (never sent to the server);
+    * tracking query params dropped (``utm_*`` prefix + the click-id
+      set), remaining params SORTED so param order can't split a
+      group, and ``?`` dropped when nothing survives.
+
+    Non-URL strings (no ``scheme://``) canonicalize to NULL — the
+    caller's signal to fall back to exact-text dedup. Returns
+    ``(id_col, url_col, url_canonical)``.
+    """
+    u = F.trim(F.col(url_col))
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    if strip_www:
+        hostport = F.regexp_replace(hostport, r"^www\.", "")
+    hostport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    # path + query with the fragment dropped (everything from '#' on)
+    tail = F.substring_index(
+        F.regexp_replace(rest, r"^[^/?#]*", ""), "#", 1
+    )
+    path = F.substring_index(tail, "?", 1)
+    query = F.when(
+        tail.contains("?"),
+        tail.substr(F.length(path) + 2, F.length(tail)),
+    )
+
+    def keep_param(x):
+        dropped = F.lit(False)
+        for tp in tracking_params:
+            if tp.endswith("_"):
+                dropped = dropped | x.startswith(tp)
+            else:
+                dropped = dropped | x.startswith(tp + "=") | (x == tp)
+        return ~dropped
+
+    params = F.array_sort(
+        F.filter(
+            F.when(
+                query.isNotNull() & (query != ""), F.split(query, "&")
+            ).otherwise(F.array().cast("array<string>")),
+            keep_param,
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    canonical = F.when(
+        scheme != "",
+        F.concat(scheme, F.lit("://"), hostport, path, qpart),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col(url_col),
+        canonical.alias("url_canonical"),
+    )

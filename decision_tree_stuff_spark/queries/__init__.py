@@ -196,6 +196,8 @@ from decision_tree_stuff_spark.queries.text import (  # noqa: F401,E501
     q_e4_hist_quantiles_auto_grouped,
     q_e4_hist_quantiles_auto_grouped_weighted,
     q_e4_hist_rebucket_merge,
+    q_e4_pii_scrub,
+    q_e4_url_dedup,
     q_e4_hist_quantiles_auto_weighted,
     q_e4_hist_quantiles_weighted,
     q_e4_hll_distinct,
@@ -505,6 +507,8 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
         q_e4_hist_quantiles_auto_grouped_weighted
     ),  # r13: weighted x per-group auto
     "e4_hist_rebucket_merge": q_e4_hist_rebucket_merge,  # r13: cross-grid merge
+    "e4_pii_scrub": q_e4_pii_scrub,  # r13: PII redaction + audit counts
+    "e4_url_dedup": q_e4_url_dedup,  # r13: URL canonicalization + dedup
     "e6_wav_features": q_e6_wav_features,          # r10: decoded-PCM features
     "e6_y4m_motion": q_e6_y4m_motion,              # r10: per-frame motion
     "e4_chunks": q_e4_chunks,                      # r5: context-window chunking

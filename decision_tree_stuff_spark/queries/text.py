@@ -734,6 +734,113 @@ def q_e4_hist_quantiles_auto_grouped_weighted(spark, sf_dir):
     )
 
 
+def q_e4_pii_scrub(spark, sf_dir):
+    """PII scrubbing + release audit (r13 — the BigScience/ROOTS
+    pre-release redaction stage; the operator existed since r5 but
+    had no oracle row): deterministic PII spans (an email, an IPv4,
+    or an SSN shape, dispatched on doc_id % 3) are PLANTED in-plan —
+    the e6 synthesis pattern, so the corpus actually contains what
+    the scrubber must find — then ``scrub_documents`` redacts with
+    typed placeholders and counts matches per category in ONE
+    shuffle-free projection. The DuckDB twin plants identically and
+    runs the same regex chain (counts over the original text, chain
+    over progressively scrubbed text), so both the redacted strings
+    and every audit count value-check."""
+    from decision_tree_stuff_spark.operators.textstats import (
+        scrub_documents,
+    )
+
+    mid = F.col("doc_id")
+    extra = (
+        F.when(
+            mid % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                mid.cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        )
+        .when(
+            mid % 3 == 1,
+            F.concat(
+                F.lit(" from 10."),
+                (mid % 200).cast("string"),
+                F.lit(".0.1 logged"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" ssn "),
+                (mid % 900 + 100).cast("string"),
+                F.lit("-"),
+                (mid % 90 + 10).cast("string"),
+                F.lit("-"),
+                (mid % 9000 + 1000).cast("string"),
+                F.lit(" filed"),
+            )
+        )
+    )
+    planted = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), extra).alias("text")
+    )
+    return scrub_documents(planted)
+
+
+def q_e4_url_dedup(spark, sf_dir):
+    """URL canonicalization + exact URL dedup (r13 — the
+    RefinedWeb/CCNet web-pipeline step the repo was missing: crawl
+    URLs naming the same resource differ in case, www, default
+    ports, tracking params, param order and fragments): messy URLs
+    are PLANTED in-plan from doc_id (scheme/host case, www, :80/:443
+    vs :8080, utm_*/click-id params in varying order, fragments),
+    ``normalize_urls`` canonicalizes in one shuffle-free projection,
+    then exact dedup keeps the min doc_id per canonical URL — the
+    e1 keep rule. The DuckDB twin mirrors every normalization step
+    1:1 (anchored regexes, list_filter/list_sort, split_part), so
+    the canonical strings AND the keep flags value-check."""
+    from decision_tree_stuff_spark.operators.textstats import (
+        normalize_urls,
+    )
+
+    mid = F.col("doc_id")
+    scheme = F.when(mid % 2 == 0, "HTTP").otherwise("https")
+    www = F.when(mid % 3 == 0, "WWW.").otherwise("")
+    host = F.concat(F.lit("ExAmple"), (mid % 7).cast("string"), F.lit(".CoM"))
+    port = (
+        F.when((mid % 4 == 0) & (mid % 2 == 0), ":80")
+        .when((mid % 4 == 0), ":443")
+        .when(mid % 4 == 1, ":8080")
+        .otherwise("")
+    )
+    path = F.concat(F.lit("/Doc/"), (mid % 20).cast("string"))
+    query = (
+        F.when(mid % 5 == 0, "?utm_source=feed&b=2&a=1")
+        .when(mid % 5 == 1, "?a=1&utm_campaign=x&b=2")
+        .when(mid % 5 == 2, "?b=2&a=1")
+        .when(mid % 5 == 3, "?utm_medium=z")
+        .otherwise("")
+    )
+    frag = F.when(mid % 6 == 0, "#SeCtion").otherwise("")
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            scheme, F.lit("://"), www, host, port, path, query, frag
+        ).alias("url"),
+    )
+    normed = normalize_urls(planted)
+    keep = normed.groupBy("url_canonical").agg(
+        F.min("doc_id").alias("__keep_id")
+    )
+    return (
+        normed.join(keep, "url_canonical")
+        .select(
+            "doc_id",
+            "url_canonical",
+            (F.col("doc_id") == F.col("__keep_id")).alias("keep"),
+        )
+    )
+
+
 def q_e4_hist_rebucket_merge(spark, sf_dir):
     """CROSS-GRID histogram merge (r13 — the r12 verdict's missing
     gap #3: per-shard auto sketches lived on different grids and
@@ -1314,6 +1421,117 @@ SELECT h.lang, h.est, e.exact_distinct FROM h JOIN e USING (lang)
         n_buckets=64,
         weighted=True,
     ),
+    # URL canonicalization + dedup twin (r13): identical planting and
+    # a 1:1 mirror of every normalize_urls step.
+    "e4_url_dedup": r"""
+WITH planted AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+         || 'ExAmple' || CAST(doc_id % 7 AS VARCHAR) || '.CoM'
+         || (CASE WHEN doc_id % 4 = 0 AND doc_id % 2 = 0 THEN ':80'
+                  WHEN doc_id % 4 = 0 THEN ':443'
+                  WHEN doc_id % 4 = 1 THEN ':8080'
+                  ELSE '' END)
+         || '/Doc/' || CAST(doc_id % 20 AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&b=2&a=1'
+                  WHEN doc_id % 5 = 1 THEN '?a=1&utm_campaign=x&b=2'
+                  WHEN doc_id % 5 = 2 THEN '?b=2&a=1'
+                  WHEN doc_id % 5 = 3 THEN '?utm_medium=z'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0 THEN '#SeCtion' ELSE '' END)
+           AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM planted
+),
+hp AS (
+  SELECT doc_id, scheme, rest,
+         regexp_replace(
+           lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+           '^www\.', '') AS hostport0,
+         split_part(regexp_replace(rest, '^[^/?#]*', ''), '#', 1) AS tail
+  FROM parts
+),
+norm AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(hostport0, ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(hostport0, ':443$', '')
+              ELSE hostport0 END AS hostport,
+         split_part(tail, '?', 1) AS path,
+         CASE WHEN contains(tail, '?')
+              THEN substring(tail, length(split_part(tail, '?', 1)) + 2)
+         END AS query
+  FROM hp
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || hostport || path ||
+         CASE WHEN len(p) > 0 THEN '?' || array_to_string(p, '&')
+              ELSE '' END AS url_canonical
+  FROM (
+    SELECT doc_id, scheme, hostport, path,
+           list_sort(list_filter(
+             CASE WHEN query IS NOT NULL AND query <> ''
+                  THEN string_split(query, '&')
+                  ELSE [] END,
+             x -> NOT (starts_with(x, 'utm_')
+                       OR starts_with(x, 'fbclid=') OR x = 'fbclid'
+                       OR starts_with(x, 'gclid=') OR x = 'gclid'
+                       OR starts_with(x, 'msclkid=') OR x = 'msclkid')
+           )) AS p
+    FROM norm
+  ) q
+)
+SELECT c.doc_id, c.url_canonical,
+       c.doc_id = k.keep_id AS keep
+FROM canon c
+JOIN (SELECT url_canonical, min(doc_id) AS keep_id
+      FROM canon GROUP BY 1) k USING (url_canonical)
+""",
+    # PII scrub twin (r13): identical planting, counts over the
+    # original text, the same sequential regexp chain ('g' flag —
+    # DuckDB replaces first-match-only without it; Spark always all).
+    "e4_pii_scrub": r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com now'
+           WHEN doc_id % 3 = 1 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                || '.0.1 logged'
+           ELSE ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+                || CAST(doc_id % 90 + 10 AS VARCHAR) || '-'
+                || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' filed'
+         END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'),
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+         '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g') AS text,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text,
+         '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn
+FROM planted
+""",
     # Cross-grid merge twin (r13): per-shard bounds + midpoint
     # rebucket + merge + fixed-grid quantiles, single-sourced in
     # sketch.hist_rebucket_sql.
