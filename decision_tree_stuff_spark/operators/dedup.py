@@ -70,6 +70,7 @@ def ngram_jaccard_pairs(
     max_df: Optional[int] = None,
     prefix_filter: bool = True,
     key: str = "text",
+    cache_docsets: bool = False,
 ) -> DataFrame:
     """E-2a: exact token-set Jaccard near-dup pairs within blocks.
 
@@ -128,6 +129,21 @@ def ngram_jaccard_pairs(
     order preserves prefix-filter exactness. Differentially tested
     against ``key='text'``.
 
+    ``cache_docsets`` (r13, the 100 TB scan knob): the per-doc sorted
+    token-set table feeds FOUR consumers (both prefix-join sides and
+    both verify sides), and Spark's exchange reuse does not fire
+    across their differing projections — the executed plan rescans
+    the corpus and replays tokenize→df-join→collect_list once per
+    consumer (8 parquet scans at sf0.001, measured). At bench scale
+    this is a WASH (4.5 s either way at sf0.1 — the replayed chain is
+    ~1 s and parallelizes; SCALING_r13.md §3), so the default stays
+    False/lazy; at corpus scale the 4× text-column rescan dominates,
+    and ``True`` persists ``docsets`` (MEMORY_AND_DISK, lineage kept
+    for executor-loss recovery — the ``bpe_train`` pattern) so the
+    corpus is scanned ONCE. The persisted frame's lifecycle follows
+    the returned DataFrame (unpersist via ``spark.catalog.clearCache``
+    or executor eviction); output is bit-identical (tested).
+
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
     jaccard rounded to 6dp for float-stable comparison.
     """
@@ -161,7 +177,10 @@ def ngram_jaccard_pairs(
         if max_df is not None:
             tdf = tdf.where(F.col("tdf") <= max_df)
         ranked = exploded.join(tdf, "token")
-        return _jaccard_prefix_join(ranked, id_col, block_cols, threshold)
+        return _jaccard_prefix_join(
+            ranked, id_col, block_cols, threshold,
+            cache_docsets=cache_docsets,
+        )
     toks = _doc_tokens(docs, id_col, text_col)
     if key == "xxhash64":
         toks = toks.withColumn("token", F.xxhash64(F.col("token")))
@@ -209,7 +228,8 @@ def _jaccard_verify(cand: DataFrame, docsets: DataFrame, id_col: str,
 
 
 def _jaccard_prefix_join(ranked: DataFrame, id_col: str,
-                         block_cols: List[str], threshold: float) -> DataFrame:
+                         block_cols: List[str], threshold: float,
+                         cache_docsets: bool = False) -> DataFrame:
     """Prefix-filtered exact Jaccard join (see ngram_jaccard_pairs).
     ``ranked`` = one row per (id, token [+ blocks]) already decorated
     with the global document frequency ``tdf`` (the caller computes it
@@ -226,6 +246,10 @@ def _jaccard_prefix_join(ranked: DataFrame, id_col: str,
             F.size("st").alias("n"),
         )
     )
+    if cache_docsets:
+        from pyspark import StorageLevel
+
+        docsets = docsets.persist(StorageLevel.MEMORY_AND_DISK)
     # prefix length n − ⌈t·n⌉ + 1; the 1e-9 slack keeps a float t·n
     # that lands ON an integer from ceil-ing one too high (a too-long
     # prefix is safe, a too-short one drops true pairs)

@@ -601,3 +601,31 @@ def test_winnow_auto_cap_matches_manual(spark, sf_dir):
         )
     )
     assert auto == manual and len(auto) > 0
+
+
+def test_jaccard_cache_docsets_identical_output(spark, sf_dir):
+    """r13 scan knob: cache_docsets=True persists the four-consumer
+    docsets table (the corpus is otherwise rescanned per consumer —
+    the 100 TB defect SCALING_r13.md §3 documents) and must be
+    bit-identical to the lazy default."""
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("bigint")
+    )
+    kw = dict(block_cols=["lang", "len_bucket"], threshold=0.8)
+    a = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(docs, **kw).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, cache_docsets=True, **kw
+        ).collect()
+    )
+    assert a == b and a
+    spark.catalog.clearCache()
