@@ -1193,3 +1193,43 @@ def test_hist_rebucket_property(spark):
         assert abs(got[0.5] - allv[t - 1]) <= 20.0 + 1e-6
 
     check()
+
+
+def test_hist_rebucket_weighted_sketches_compose(spark):
+    """r13 composition: rebucketing WEIGHTED auto sketches conserves
+    weighted mass and equals rebucketing the exploded-repeats
+    unweighted sketches (cnt is just summed — rebucket is
+    weight-agnostic by construction)."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets_auto,
+        hist_merge,
+        hist_rebucket,
+    )
+
+    rows = [("g", 10.0, 3), ("g", 200.0, 1), ("g", 90.0, 2),
+            ("h", 50.0, 5), ("h", 510.0, 2)]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    exploded = spark.createDataFrame(
+        [(g, v) for g, v, w in rows for _ in range(w)],
+        "g string, v double",
+    )
+    kw = dict(lo=0.0, hi=1024.0, n_buckets=16)
+    wr = hist_rebucket(
+        hist_buckets_auto(df, "v", ["g"], n_buckets=32, weight_col="w"),
+        group_cols=["g"], src_n_buckets=32, **kw,
+    )
+    er = hist_rebucket(
+        hist_buckets_auto(exploded, "v", ["g"], n_buckets=32),
+        group_cols=["g"], src_n_buckets=32, **kw,
+    )
+    wc = {(r["g"], r["bucket"]): r["cnt"] for r in wr.collect()}
+    ec = {(r["g"], r["bucket"]): r["cnt"] for r in er.collect()}
+    assert wc == ec and wc
+    assert sum(c for (_, _), c in wc.items()) == sum(
+        w for _, _, w in rows
+    )
+    # and merged rebucketed weighted sketches stay additive
+    m = hist_merge(wr, er, group_cols=["g"])
+    assert sum(r["cnt"] for r in m.collect()) == 2 * sum(
+        w for _, _, w in rows
+    )
