@@ -103,7 +103,12 @@ BENCH_QUERIES = [
     "e4_gopher_rules",
     "e3_kmeans_assign",
     "e4_lm_buckets",
-    "e4_bpe_encode",  # includes its own training (12 merge iterations)
+    "e4_bpe_encode",  # BPE ENCODE ONLY as of r13 (same split as
+    #   e4_unigram_encode: the 12 merges train untimed via
+    #   BENCH_PREPARED; Spark gets the merges list, DuckDB literal
+    #   1-row p{r} CTEs; registry row + sf0.01 oracle stay composed;
+    #   e4_bpe_merges below is the trainer's own line)
+    "e4_bpe_merges",  # BPE trainer (12 merge iterations), own line
     "e4_lr_langid",   # includes its own training (4 GD iterations)
     "e4_lm_kn",       # interpolated Kneser–Ney (trains + scores)
     "rtree_fit_transform",  # CART regression tree (fit + transform)
@@ -255,12 +260,38 @@ def _prepare_unigram_encode(spark, sf_dir):
     return (lambda: unigram_encode(docs, pieces)), twin_sql
 
 
+def _prepare_bpe_encode(spark, sf_dir):
+    """r13: the same train/encode split for BPE — the 12-merge model
+    trains untimed; Spark times the replace-chain encode alone and
+    the twin gets the merges as literal 1-row CTEs
+    (``_bpe_encode_sql(merges=...)``, verified row-identical to the
+    composed oracle at sf0.01). Component A/B (SCALING_r13.md §4):
+    encode alone is 1.84 s at sf0.1 vs the 3.67 s composed row —
+    the r12 'weak' ratio was trainer wall, the unigram story again.
+    ``e4_bpe_merges`` is the trainer's own bench line."""
+    from decision_tree_stuff_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+    from decision_tree_stuff_spark.queries._shared import (
+        BPE_MERGES,
+        _bpe_encode_sql,
+        _docs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, n_merges=BPE_MERGES)
+    twin_sql = _bpe_encode_sql(0, merges=merges)
+    return (lambda: bpe_encode(docs, merges)), twin_sql
+
+
 # name -> prepare(spark, sf_dir) -> (timed_thunk, twin_sql_override).
 # Prepare runs once per bench, UNTIMED, before the row's drain+pair;
 # the override replaces the registry oracle in the twin loop so both
 # engines time the same phase.
 BENCH_PREPARED = {
     "e4_unigram_encode": _prepare_unigram_encode,
+    "e4_bpe_encode": _prepare_bpe_encode,
 }
 
 

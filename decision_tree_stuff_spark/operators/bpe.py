@@ -277,7 +277,12 @@ def bpe_encode(
 
     ``distinct_types`` (r12): run the replace chain once per DISTINCT
     word type and join back (AQE-chosen strategy; see
-    ``_encode_by_type``) —
+    ``_encode_by_type``). Crossover measured at sf0.1 (r13,
+    SCALING_r13.md §4): per-occurrence wins at 12 merges (1.84 vs
+    2.63 s — the chain is cheaper than the regroup), distinct_types
+    wins by 48 merges (2.03 vs 2.97 s) and the gap grows with the
+    merge-list length — real vocabularies (thousands of merges)
+    want distinct_types —
     sound because merges never cross the ``'|'`` word guard, so the
     per-word segmentation equals the per-document one (pinned by
     tests). Identical output in both modes.

@@ -550,7 +550,16 @@ def _bpe_merges_sql(n_merges: int, score: str = "count") -> str:
     return f"WITH {_bpe_ctes_sql(n_merges, score)}\n{union}"
 
 
-def _bpe_encode_sql(n_merges: int) -> str:
+def _bpe_encode_sql(n_merges: int, merges=None) -> str:
+    """``merges`` (r13, the bench train/encode split — the
+    ``_unigram_encode_sql(model_sql=...)`` pattern): an already-
+    trained ``[(rank, left, right, merged), ...]`` list inlined as
+    literal 1-row ``p{r}`` CTEs in place of the trainer chain, so the
+    twin times encoding alone (``n_merges`` is ignored — the chain
+    length follows the list). Default ``None`` keeps the composed
+    trainer+encode twin the correctness registry uses."""
+    if merges is not None:
+        n_merges = len(merges)
     parts = [
         f"""e0 AS MATERIALIZED (
   SELECT doc_id, text,
@@ -572,8 +581,19 @@ def _bpe_encode_sql(n_merges: int) -> str:
         "list_filter(string_split(trim(seg), '  '), "
         "t -> t <> '' AND t <> '|')"
     )
+    if merges is not None:
+        def q(v):
+            return v.replace("'", "''")
+
+        head = ",\n".join(
+            f"p{r} AS (SELECT '{q(left)}  {q(right)}' AS pair, "
+            f"'{q(merged)}' AS m)"
+            for r, left, right, merged in merges
+        )
+    else:
+        head = _bpe_ctes_sql(n_merges)
     return (
-        f"WITH {_bpe_ctes_sql(n_merges)},\n"
+        f"WITH {head},\n"
         + ",\n".join(parts)
         + f"""
 SELECT doc_id,
