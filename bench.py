@@ -257,7 +257,9 @@ def _prepare_unigram_encode(spark, sf_dir):
             "AS m(rank, piece, count_micro)"
         )
     )
-    return (lambda: unigram_encode(docs, pieces)), twin_sql
+    return (
+        lambda: unigram_encode(docs, pieces, distinct_types=True)
+    ), twin_sql
 
 
 def _prepare_bpe_encode(spark, sf_dir):

@@ -227,13 +227,18 @@ def q_e6_png_dyn_decode(spark, sf_dir):
     encoder's bit packing, the table transmission, or the decoder's
     two-level Huffman walk mismatches. zlib-validated fixtures and
     zlib's OWN dynamic streams are pinned in tests. Opt-in flag,
-    per the r12 plan-cost lesson. Hex-packed scalar output."""
+    per the r12 plan-cost lesson. Probe density: doc_id % 31 (~2k
+    images at sf0.1) — the two-level count walk costs ~4 ms/image
+    (measured, SCALING_r13.md §5), so the %7 density the cheaper
+    decode rows use would make this one row ~16% of the whole bench
+    wall; the oracle covers the same subset. Hex-packed scalar
+    output."""
     from decision_tree_stuff_spark.operators.multimodal import (
         decode_pixels,
         synthesize_decodable_media,
     )
 
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 31 == 0)
     return _hex_packed_pixels(
         decode_pixels(
             synthesize_decodable_media(docs, formats=("pngd", "pngd")),
@@ -577,7 +582,7 @@ SELECT doc_id AS media_id,
          range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
          k -> printf('%02X', (doc_id * 7 + (k // 3) * 13) % 256)
        ), '') AS pixels_hex
-FROM documents WHERE doc_id % 7 = 0
+FROM documents WHERE doc_id % 31 = 0
 """,
     "e6_png_fixed_decode": """
 SELECT doc_id AS media_id,

@@ -364,7 +364,13 @@ def q_e4_unigram_encode(spark, sf_dir):
         max_word_len=8,
         em_iters=2,
     )
-    return unigram_encode(docs, pieces)
+    # distinct_types: the r12 A/B's winning mode (3.9x at sf0.1, 2x at
+    # sf10p — SCALING_r12.md §3). r13 discovered the r12 commit that
+    # claimed this switch only landed the BPE comment: the row had
+    # silently stayed per-occurrence (caught by the bench split's
+    # encode-only timing). Output identical in both modes
+    # (differential tests + the exhaustive-enumeration oracle).
+    return unigram_encode(docs, pieces, distinct_types=True)
 
 
 def q_e4_bpe_encode(spark, sf_dir):
