@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "e4_hist_rebucket_merge",  # cross-grid histogram merge program
     "e4_hist_quantiles_auto_weighted",  # weighted x auto-range grid
     "e4_pii_scrub",          # PII redaction + audit counts (planted)
+    "e6_png_rgb_decode",     # truecolor RGB PNG, stored + dynamic paths
     "e4_url_dedup",          # URL canonicalization + exact URL dedup
 ]
 

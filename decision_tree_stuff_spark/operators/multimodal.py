@@ -625,7 +625,7 @@ def encode_pgm(media_id, w, h) -> Column:
     return F.concat(header, data)
 
 
-def encode_png(media_id, w, h) -> Column:
+def encode_png(media_id, w, h, rgb: bool = False) -> Column:
     """A spec-compliant grayscale 8-bit PNG (r11) whose top-down gray
     pixel q is ``pixel_value(media_id, q)`` — REAL PNG, not just the
     IHDR stub: signature, IHDR (bit depth 8, color type 0), one IDAT
@@ -637,24 +637,30 @@ def encode_png(media_id, w, h) -> Column:
     its true Adler-32, computed in closed form from prefix sums
     (``b = n + (n+1)·S1 − Σ j·d_j  (mod 65521)``), so a real PNG
     reader accepts the file byte-for-byte. Scanlines use filter 0
-    (None). Raw stream must fit one stored block (≤ 65535 bytes)."""
+    (None). Raw stream must fit one stored block (≤ 65535 bytes).
+
+    ``rgb=True`` (r13): color type 2, stride 3w+1; flat RGB byte k of
+    the image is ``pixel_value(media_id, k)`` — one closed form over
+    3wh bytes, channel-varying by construction."""
     wb = w.cast("bigint")
     hb = h.cast("bigint")
-    raw_n = hb * (wb + 1)  # h scanlines of (filter byte + w gray bytes)
+    bpp = 3 if rgb else 1
+    # h scanlines of (filter byte + w*bpp data bytes)
+    raw_n = hb * (wb * bpp + 1)
 
     def raw_byte(j):
         # byte j (1-based) of the decompressed scanline stream
-        r = F.floor((j - 1) / (wb + 1)).cast("bigint")
-        pos = F.pmod(j - 1, wb + 1)
+        r = F.floor((j - 1) / (wb * bpp + 1)).cast("bigint")
+        pos = F.pmod(j - 1, wb * bpp + 1)
         return F.when(pos == 0, F.lit(0)).otherwise(
-            pixel_value(media_id, r * wb + pos - 1)
+            pixel_value(media_id, r * wb * bpp + pos - 1)
         )
 
     ihdr_td = F.concat(
         F.lit("49484452"),  # 'IHDR'
         _be_hex(w, 4),
         _be_hex(h, 4),
-        F.lit("08" + "00" + "00" + "00" + "00"),
+        F.lit(("08" + ("02" if rgb else "00")) + "00" + "00" + "00"),
     )
     ihdr = F.concat(
         F.lit("0000000D"),
@@ -1317,8 +1323,17 @@ def decode_png(
         raise ValueError("IHDR CRC mismatch")
     w, h = _struct.unpack(">II", payload[16:24])
     depth, ctype, comp, filt, interlace = payload[24:29]
-    if (depth, ctype, comp, filt, interlace) != (8, 0, 0, 0, 0) or w <= 0 or h <= 0:
-        raise ValueError("unsupported IHDR (need grayscale-8, no interlace)")
+    if (
+        depth != 8
+        or ctype not in (0, 2)
+        or (comp, filt, interlace) != (0, 0, 0)
+        or w <= 0
+        or h <= 0
+    ):
+        raise ValueError(
+            "unsupported IHDR (need gray-8 or RGB-8, no interlace)"
+        )
+    bpp = 3 if ctype == 2 else 1
 
     pos, idat, n_idat, done = 33, b"", 0, False
     for _ in range(_PNG_MAX_CHUNKS):
@@ -1349,13 +1364,13 @@ def decode_png(
     if cmf % 16 != 8 or (cmf * 256 + flg) % 31 != 0 or flg & 0x20:
         raise ValueError("bad zlib header")
     if fixed_huffman and (idat[2] & 7) == 3:
-        if h * (w + 1) > _PNG_FH_MAX_RAW:
+        if h * (w * bpp + 1) > _PNG_FH_MAX_RAW:
             raise ValueError("fixed-Huffman raw size beyond bound")
         raw, endbit = _inflate_fixed_py(idat[2:-4])
         if (endbit + 7) // 8 > len(idat) - 6:
             raise ValueError("fixed-Huffman stream overruns data bytes")
     elif dynamic_huffman and (idat[2] & 7) == 5:
-        if h * (w + 1) > _PNG_FH_MAX_RAW:
+        if h * (w * bpp + 1) > _PNG_FH_MAX_RAW:
             raise ValueError("dynamic-Huffman raw size beyond bound")
         raw, endbit = _inflate_dyn_py(idat[2:-4])
         if (endbit + 7) // 8 > len(idat) - 6:
@@ -1382,15 +1397,19 @@ def decode_png(
             raise ValueError("trailing bytes between blocks and Adler-32")
     if _zlib.adler32(raw) != _struct.unpack(">I", idat[-4:])[0]:
         raise ValueError("Adler-32 mismatch")
-    if len(raw) != h * (w + 1):
+    stride = w * bpp + 1
+    if len(raw) != h * stride:
         raise ValueError("scanline stream length mismatch")
     pixels = []
     for r in range(h):
-        row = raw[r * (w + 1):(r + 1) * (w + 1)]
+        row = raw[r * stride:(r + 1) * stride]
         if row[0] != 0:
             raise ValueError(f"scanline {r} uses filter {row[0]} (only 0)")
-        for g in row[1:]:
-            pixels += [g, g, g]
+        if ctype == 2:
+            pixels += list(row[1:])
+        else:
+            for g in row[1:]:
+                pixels += [g, g, g]
     return w, h, pixels
 
 
@@ -1404,7 +1423,8 @@ def synthesize_decodable_media(
     the decoded pixel arrays oracle-comparable. Formats: 'bmp'
     (24-bit), 'ppm' (P6), 'bmp8' (8-bit paletted, r9), 'pgm' (P5,
     r9), 'png' (grayscale-8 stored-deflate, r11), 'pngf'
-    (fixed-Huffman, r12), 'pngd' (dynamic-Huffman, r13)."""
+    (fixed-Huffman, r12), 'pngd' (dynamic-Huffman, r13), 'pngc' /
+    'pngdc' (RGB color-type-2, stored / dynamic, r13)."""
     encoders = {
         "bmp": encode_bmp,
         "ppm": encode_ppm,
@@ -1413,6 +1433,9 @@ def synthesize_decodable_media(
         "png": encode_png,
         "pngf": encode_png_fixed,  # r12: fixed-Huffman zlib stream
         "pngd": encode_png_dyn,    # r13: dynamic-Huffman zlib stream
+        # r13: RGB (color type 2) variants — stored and dynamic
+        "pngc": lambda m, w, h: encode_png(m, w, h, rgb=True),
+        "pngdc": lambda m, w, h: encode_png_dyn(m, w, h, rgb=True),
     }
     even_fmt, odd_fmt = formats
     mid = F.col(id_col)
@@ -1476,6 +1499,11 @@ def _png_gray_decode(p, cw, bw):
     shape as every other format."""
     w = _be32(p, 17)
     h = _be32(p, 21)
+    # r13: color type 0 (gray, 1 byte/px, expanded to R=G=B) OR 2
+    # (truecolor RGB, 3 bytes/px, copied through) — bpp is total and
+    # garbage-safe (always 1 or 3)
+    ctype = _u8(p, 26)
+    bpp = F.when(ctype == 2, F.lit(3)).otherwise(F.lit(1)).cast("bigint")
     # clamp header-derived sizes BEFORE they feed any sequence/fold:
     # on a non-PNG or corrupt payload these fields are garbage, and
     # codegen subexpression elimination can evaluate the folds
@@ -1486,7 +1514,7 @@ def _png_gray_decode(p, cw, bw):
     # bytes, so any raw_n beyond that could never verify anyway
     # (blocks_ok requires cum == raw_n).
     _cap = F.lit(_PNG_MAX_BLOCKS * 65535).cast("bigint")
-    _raw0 = h.cast("bigint") * (w.cast("bigint") + 1)
+    _raw0 = h.cast("bigint") * (w.cast("bigint") * bpp + 1)
     _sane = _raw0.isNotNull() & (_raw0 > 0) & (_raw0 <= _cap)
     # degenerate fallbacks: dims 1 (never 0 — pmod by 0 throws under
     # ANSI when hoisted), raw_n 0 (folds iterate nothing real)
@@ -1502,7 +1530,7 @@ def _png_gray_decode(p, cw, bw):
         & (_be32(p, 9) == 13)
         & _sig(p, 13, "IHDR")
         & (_u8(p, 25) == 8)   # bit depth
-        & (_u8(p, 26) == 0)   # color type: grayscale
+        & ((ctype == 0) | (ctype == 2))  # grayscale or RGB (r13)
         & (_u8(p, 27) == 0)   # compression: deflate
         & (_u8(p, 28) == 0)   # filter method 0
         & (_u8(p, 29) == 0)   # no interlace
@@ -1568,14 +1596,20 @@ def _png_gray_decode(p, cw, bw):
 
     filters_ok = F.forall(
         F.sequence(F.lit(0), hb - 1),
-        lambda r: zraw(r * (wb + 1) + 1) == 0,
+        lambda r: zraw(r * (wb * bpp + 1) + 1) == 0,
     )
 
     def png_byte(k):
+        # gray: pixel q's single source byte expands to R=G=B;
+        # rgb: output byte k maps straight through the stride
         q = F.floor(k / 3).cast("bigint")
-        r = F.floor(q / wb).cast("bigint")
+        r_g = F.floor(q / wb).cast("bigint")
         px = F.pmod(q, wb)
-        return zraw(r * (wb + 1) + 2 + px)
+        r_c = F.floor(k / (wb * 3)).cast("bigint")
+        m = F.pmod(k, wb * 3)
+        return F.when(
+            ctype == 2, zraw(r_c * (wb * 3 + 1) + 2 + m)
+        ).otherwise(zraw(r_g * (wb + 1) + 2 + px))
 
     pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
     ok = (
@@ -1877,7 +1911,12 @@ def _decode_pixels_png(
     if fixed_huffman or dynamic_huffman:
         w = _be32(p, 17)
         h = _be32(p, 21)
-        _raw0 = h.cast("bigint") * (w.cast("bigint") + 1)
+        _bpp = (
+            F.when(_u8(p, 26) == 2, F.lit(3))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+        )
+        _raw0 = h.cast("bigint") * (w.cast("bigint") * _bpp + 1)
         _sane = (
             _raw0.isNotNull()
             & (_raw0 > 0)
@@ -2481,8 +2520,10 @@ def _png_gray_decode_fh(p, cw, fw):
     (codec-bound, documented)."""
     w = _be32(p, 17)
     h = _be32(p, 21)
+    ctype = _u8(p, 26)
+    bpp = F.when(ctype == 2, F.lit(3)).otherwise(F.lit(1)).cast("bigint")
     _cap = F.lit(_PNG_FH_MAX_RAW).cast("bigint")
-    _raw0 = h.cast("bigint") * (w.cast("bigint") + 1)
+    _raw0 = h.cast("bigint") * (w.cast("bigint") * bpp + 1)
     _sane = _raw0.isNotNull() & (_raw0 > 0) & (_raw0 <= _cap)
     one = F.lit(1).cast("bigint")
     wb = F.when(_sane, w.cast("bigint")).otherwise(one)
@@ -2495,7 +2536,7 @@ def _png_gray_decode_fh(p, cw, fw):
         & (_be32(p, 9) == 13)
         & _sig(p, 13, "IHDR")
         & (_u8(p, 25) == 8)
-        & (_u8(p, 26) == 0)
+        & ((ctype == 0) | (ctype == 2))  # gray or RGB (r13)
         & (_u8(p, 27) == 0)
         & (_u8(p, 28) == 0)
         & (_u8(p, 29) == 0)
@@ -2541,14 +2582,18 @@ def _png_gray_decode_fh(p, cw, fw):
     ) == _be32u(p, zs + zl - 4)
     filters_ok = F.forall(
         F.sequence(F.lit(0), hb - 1),
-        lambda r: oraw(r * (wb + 1) + 1) == 0,
+        lambda r: oraw(r * (wb * bpp + 1) + 1) == 0,
     )
 
     def png_byte(k):
         q = F.floor(k / 3).cast("bigint")
-        r = F.floor(q / wb).cast("bigint")
+        r_g = F.floor(q / wb).cast("bigint")
         px = F.pmod(q, wb)
-        return oraw(r * (wb + 1) + 2 + px)
+        r_c = F.floor(k / (wb * 3)).cast("bigint")
+        m = F.pmod(k, wb * 3)
+        return F.when(
+            ctype == 2, oraw(r_c * (wb * 3 + 1) + 2 + m)
+        ).otherwise(oraw(r_g * (wb + 1) + 2 + px))
 
     pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
     ok = (
@@ -3249,8 +3294,10 @@ def _png_gray_decode_dh(p, cw, dw):
     non-final dynamic streams null out (documented)."""
     w = _be32(p, 17)
     h = _be32(p, 21)
+    ctype = _u8(p, 26)
+    bpp = F.when(ctype == 2, F.lit(3)).otherwise(F.lit(1)).cast("bigint")
     _cap = F.lit(_PNG_FH_MAX_RAW).cast("bigint")
-    _raw0 = h.cast("bigint") * (w.cast("bigint") + 1)
+    _raw0 = h.cast("bigint") * (w.cast("bigint") * bpp + 1)
     _sane = _raw0.isNotNull() & (_raw0 > 0) & (_raw0 <= _cap)
     one = F.lit(1).cast("bigint")
     wb = F.when(_sane, w.cast("bigint")).otherwise(one)
@@ -3263,7 +3310,7 @@ def _png_gray_decode_dh(p, cw, dw):
         & (_be32(p, 9) == 13)
         & _sig(p, 13, "IHDR")
         & (_u8(p, 25) == 8)
-        & (_u8(p, 26) == 0)
+        & ((ctype == 0) | (ctype == 2))  # gray or RGB (r13)
         & (_u8(p, 27) == 0)
         & (_u8(p, 28) == 0)
         & (_u8(p, 29) == 0)
@@ -3310,14 +3357,18 @@ def _png_gray_decode_dh(p, cw, dw):
     ) == _be32u(p, zs + zl - 4)
     filters_ok = F.forall(
         F.sequence(F.lit(0), hb - 1),
-        lambda r: oraw(r * (wb + 1) + 1) == 0,
+        lambda r: oraw(r * (wb * bpp + 1) + 1) == 0,
     )
 
     def png_byte(k):
         q = F.floor(k / 3).cast("bigint")
-        r = F.floor(q / wb).cast("bigint")
+        r_g = F.floor(q / wb).cast("bigint")
         px = F.pmod(q, wb)
-        return oraw(r * (wb + 1) + 2 + px)
+        r_c = F.floor(k / (wb * 3)).cast("bigint")
+        m = F.pmod(k, wb * 3)
+        return F.when(
+            ctype == 2, oraw(r_c * (wb * 3 + 1) + 2 + m)
+        ).otherwise(oraw(r_g * (wb + 1) + 2 + px))
 
     pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
     ok = (
@@ -3350,7 +3401,7 @@ def _dh_header_bits() -> list:
     return bits
 
 
-def encode_png_dyn(media_id, w, h) -> Column:
+def encode_png_dyn(media_id, w, h, rgb: bool = False) -> Column:
     """A spec-compliant grayscale-8 PNG whose zlib stream is ONE
     final DYNAMIC-HUFFMAN deflate block (RFC 1951 §3.2.7) — the
     encode twin of the r13 BTYPE=10 decode path, sharing
@@ -3361,16 +3412,21 @@ def encode_png_dyn(media_id, w, h) -> Column:
     table-build → count-walk pipeline on the decode side); literal
     byte b = 9 bits of ``b + 0x100`` MSB-first, EOB = one 0-bit, bits
     packed LSB-first into bytes. stdlib ``zlib.decompress`` accepts
-    the stream byte-for-byte (pinned in tests)."""
+    the stream byte-for-byte (pinned in tests).
+
+    ``rgb=True`` (r13): color type 2, stride 3w+1, flat RGB byte k =
+    ``pixel_value(media_id, k)`` — DH + RGB is the real-world PNG
+    shape (what zlib-backed encoders emit for truecolor images)."""
     wb = w.cast("bigint")
     hb = h.cast("bigint")
-    raw_n = hb * (wb + 1)
+    bpp = 3 if rgb else 1
+    raw_n = hb * (wb * bpp + 1)
 
     def raw_byte(j):
-        r = F.floor((j - 1) / (wb + 1)).cast("bigint")
-        pos = F.pmod(j - 1, wb + 1)
+        r = F.floor((j - 1) / (wb * bpp + 1)).cast("bigint")
+        pos = F.pmod(j - 1, wb * bpp + 1)
         return F.when(pos == 0, F.lit(0)).otherwise(
-            pixel_value(media_id, r * wb + pos - 1)
+            pixel_value(media_id, r * wb * bpp + pos - 1)
         )
 
     def lit_bits(b):
@@ -3436,7 +3492,7 @@ def encode_png_dyn(media_id, w, h) -> Column:
         F.lit("49484452"),
         _be_hex(w, 4),
         _be_hex(h, 4),
-        F.lit("08" + "00" + "00" + "00" + "00"),
+        F.lit(("08" + ("02" if rgb else "00")) + "00" + "00" + "00"),
     )
     ihdr = F.concat(
         F.lit("0000000D"),

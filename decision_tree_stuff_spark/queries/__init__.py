@@ -223,6 +223,7 @@ from decision_tree_stuff_spark.queries.media import (  # noqa: F401,E501
     q_e6_png_decode,
     q_e6_png_fixed_decode,
     q_e6_png_dyn_decode,
+    q_e6_png_rgb_decode,
     q_e6_resize,
     q_e6_audio_frames,
     q_e6_frame_resize,
@@ -541,6 +542,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # r13: dynamic-Huffman PNG decode (gate candidate for r14 with
     # e6_png_fixed_decode, pending the analyzer-budget watch)
     "e6_png_dyn_decode": q_e6_png_dyn_decode,
+    "e6_png_rgb_decode": q_e6_png_rgb_decode,  # r13: truecolor, stored+DH
 }
 
 EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {

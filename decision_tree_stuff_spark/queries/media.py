@@ -248,6 +248,32 @@ def q_e6_png_dyn_decode(spark, sf_dir):
     )
 
 
+def q_e6_png_rgb_decode(spark, sf_dir):
+    """REAL RGB (color-type-2) PNG decode (r13 — with BTYPE=10 this
+    is the real-world PNG shape: truecolor + dynamic Huffman): even
+    ids a STORED-deflate RGB PNG, odd ids a DYNAMIC-HUFFMAN RGB PNG,
+    both decoded in the same plan (the stored walk and the DH stages
+    dispatch on the 3-bit block header). Flat RGB byte k is the one
+    closed form (doc_id·7 + k·13) mod 256, so the oracle needs no
+    channel math — and the decode must get the 3w+1 stride, the
+    per-row filter bytes AND the deflate layer right for the hash to
+    match. Density %31 (the DH rows cost ~4 ms/image). Hex-packed
+    scalar output."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_pixels,
+        synthesize_decodable_media,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 31 == 0)
+    return _hex_packed_pixels(
+        decode_pixels(
+            synthesize_decodable_media(docs, formats=("pngc", "pngdc")),
+            formats=("png",),
+            png_dynamic_huffman=True,
+        )
+    )
+
+
 def q_e6_resize(spark, sf_dir):
     """Nearest-neighbor resize to 4x3 over REAL decoded pixels (r11)
     — the fixed-input-resolution preprocessing step, one shuffle-free
@@ -573,6 +599,17 @@ FROM documents WHERE doc_id % 7 = 0
     # r12: fixed-Huffman twin — identical closed-form pixel oracle to
     # e6_png_decode (the payload bytes differ, the decoded grays must
     # not).
+    "e6_png_rgb_decode": """
+SELECT doc_id AS media_id,
+       'png' AS img_format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       array_to_string(list_transform(
+         range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
+         k -> printf('%02X', (doc_id * 7 + k * 13) % 256)
+       ), '') AS pixels_hex
+FROM documents WHERE doc_id % 31 = 0
+""",
     "e6_png_dyn_decode": """
 SELECT doc_id AS media_id,
        'png' AS img_format,

@@ -1407,3 +1407,101 @@ def test_encode_png_dyn_round_trip_and_external_zlib(spark):
         assert list(r["pixels"]) == expect
     off = decode_pixels(media, formats=("png",)).collect()
     assert all(r["img_format"] is None for r in off)
+
+
+# --- RGB (color-type-2) PNG (r13) -----------------------------------------
+
+
+def test_png_rgb_round_trip_all_paths(spark):
+    """RGB PNGs through BOTH deflate paths in one plan (stored on
+    even ids, dynamic-Huffman on odd): flat RGB byte k is
+    (mid*7 + k*13) % 256 — the 3w+1 stride, per-row filter bytes and
+    the deflate layer must all be right; the Python twin agrees; the
+    IDAT streams are stdlib-zlib-valid (external validation)."""
+    import struct as _struct
+    import zlib as _z
+
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_png,
+        synthesize_decodable_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id bigint")
+    media = synthesize_decodable_media(docs, formats=("pngc", "pngdc"))
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.select("media_id", "payload").collect()
+    }
+    for mid, pay in payloads.items():
+        w, h = mid % 5 + 2, mid % 4 + 2
+        clen = _struct.unpack(">I", pay[33:37])[0]
+        z = pay[41:41 + clen]
+        raw = _z.decompress(z)  # external validation
+        assert len(raw) == h * (w * 3 + 1), mid
+        assert pay[25] == 2  # color type 2 in IHDR
+        expect = [(mid * 7 + k * 13) % 256 for k in range(w * h * 3)]
+        assert decode_png(pay, dynamic_huffman=True) == (w, h, expect), mid
+
+    decoded = {
+        r["media_id"]: r
+        for r in decode_pixels(
+            media, formats=("png",), png_dynamic_huffman=True
+        ).collect()
+    }
+    for mid in payloads:
+        w, h = mid % 5 + 2, mid % 4 + 2
+        expect = [(mid * 7 + k * 13) % 256 for k in range(w * h * 3)]
+        r = decoded[mid]
+        assert (r["img_format"], r["width"], r["height"]) == ("png", w, h)
+        assert list(r["pixels"]) == expect, mid
+
+    # stored-RGB rows decode even WITHOUT the DH flag (the stored
+    # walk is always on); dynamic-RGB rows then null out
+    off = {r["media_id"]: r["img_format"]
+           for r in decode_pixels(media, formats=("png",)).collect()}
+    assert {f for m, f in off.items() if m % 2 == 0} == {"png"}
+    assert {f for m, f in off.items() if m % 2 == 1} == {None}
+
+
+def test_png_rgba_and_16bit_reject_both_paths(spark):
+    """Color types/depths outside {gray-8, RGB-8} null in Spark and
+    raise in Python — RGBA (6) and 16-bit RGB pinned."""
+    import struct as _struct
+    import zlib as _z
+
+    import pytest
+
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    def chunk(tag, data):
+        td = tag + data
+        return (_struct.pack(">I", len(data)) + td
+                + _struct.pack(">I", _z.crc32(td)))
+
+    def png(w, h, depth, ctype, raw):
+        comp = (b"\x78\x01" + b"\x01"
+                + _struct.pack("<HH", len(raw), 65535 - len(raw)) + raw
+                + _z.adler32(raw).to_bytes(4, "big"))
+        ihdr = chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, depth,
+                                           ctype, 0, 0, 0))
+        return (b"\x89PNG\r\n\x1a\n" + ihdr + chunk(b"IDAT", comp)
+                + chunk(b"IEND", b""))
+
+    w, h = 2, 2
+    rgba_raw = b"".join(b"\x00" + bytes(range(w * 4)) for _ in range(h))
+    p_rgba = png(w, h, 8, 6, rgba_raw)
+    rgb16_raw = b"".join(b"\x00" + bytes(range(w * 6)) for _ in range(h))
+    p_16 = png(w, h, 16, 2, rgb16_raw)
+
+    df = spark.createDataFrame(
+        [("rgba", bytearray(p_rgba)), ("d16", bytearray(p_16))],
+        "media_id string, payload binary",
+    )
+    rows = decode_pixels(df, formats=("png",),
+                         png_dynamic_huffman=True).collect()
+    assert all(r["img_format"] is None for r in rows)
+    for p in (p_rgba, p_16):
+        with pytest.raises(ValueError):
+            decode_png(p, dynamic_huffman=True)
