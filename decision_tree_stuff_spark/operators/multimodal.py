@@ -625,7 +625,72 @@ def encode_pgm(media_id, w, h) -> Column:
     return F.concat(header, data)
 
 
-def encode_png(media_id, w, h, rgb: bool = False) -> Column:
+def _png_raw_byte_fn(media_id, wb, bpp, filtered: bool):
+    """Byte j (1-based) of a synthetic PNG's decompressed scanline
+    stream, shared by the stored / fixed-Huffman / dynamic-Huffman
+    encoders. Unfiltered (default): filter byte 0, data byte =
+    ``pixel_value``. ``filtered`` (r14): scanline r carries filter
+    type ``(r + media_id) mod 5`` and the data bytes are the
+    closed-form FILTERED values ``(recon - pred) mod 256`` — the
+    reconstructed image stays ``pixel_value``, so the decode-side
+    oracle is unchanged while the payload exercises all five RFC
+    2083 filters."""
+
+    def raw_byte(j):
+        r = F.floor((j - 1) / (wb * bpp + 1)).cast("bigint")
+        pos = F.pmod(j - 1, wb * bpp + 1)
+        if not filtered:
+            return F.when(pos == 0, F.lit(0)).otherwise(
+                pixel_value(media_id, r * wb * bpp + pos - 1)
+            )
+        ft = F.pmod(r + media_id, F.lit(5))
+        x = pos - 1                      # 0-based offset in the line
+        i = r * wb * bpp + x             # 0-based recon index
+        a = F.when(
+            x >= bpp, pixel_value(media_id, i - bpp)
+        ).otherwise(F.lit(0)).cast("bigint")
+        b = F.when(
+            r > 0, pixel_value(media_id, i - wb * bpp)
+        ).otherwise(F.lit(0)).cast("bigint")
+        c = F.when(
+            (r > 0) & (x >= bpp),
+            pixel_value(media_id, i - wb * bpp - bpp),
+        ).otherwise(F.lit(0)).cast("bigint")
+
+        def filt(av):
+            def filt_b(bv):
+                def filt_c(cv):
+                    pa = F.abs(bv - cv)
+                    pb = F.abs(av - cv)
+                    pc = F.abs(av + bv - 2 * cv)
+                    paeth = (
+                        F.when((pa <= pb) & (pa <= pc), av)
+                        .when(pb <= pc, bv)
+                        .otherwise(cv)
+                    )
+                    pred = (
+                        F.when(ft == 0, F.lit(0).cast("bigint"))
+                        .when(ft == 1, av)
+                        .when(ft == 2, bv)
+                        .when(ft == 3, F.floor((av + bv) / 2))
+                        .otherwise(paeth)
+                    )
+                    return F.pmod(
+                        pixel_value(media_id, i) - pred, F.lit(256)
+                    ).cast("int")
+
+                return _let(c, filt_c)
+
+            return _let(b, filt_b)
+
+        return F.when(pos == 0, ft.cast("int")).otherwise(_let(a, filt))
+
+    return raw_byte
+
+
+def encode_png(
+    media_id, w, h, rgb: bool = False, filtered: bool = False
+) -> Column:
     """A spec-compliant grayscale 8-bit PNG (r11) whose top-down gray
     pixel q is ``pixel_value(media_id, q)`` — REAL PNG, not just the
     IHDR stub: signature, IHDR (bit depth 8, color type 0), one IDAT
@@ -641,20 +706,23 @@ def encode_png(media_id, w, h, rgb: bool = False) -> Column:
 
     ``rgb=True`` (r13): color type 2, stride 3w+1; flat RGB byte k of
     the image is ``pixel_value(media_id, k)`` — one closed form over
-    3wh bytes, channel-varying by construction."""
+    3wh bytes, channel-varying by construction.
+
+    ``filtered=True`` (r14): scanline r uses filter type
+    ``(r + media_id) mod 5`` — every image of h >= 5 exercises all
+    five RFC 2083 filters (None / Sub / Up / Average / Paeth) — and
+    the data bytes carry FILTERED values computed in closed form
+    (``filt = recon - pred mod 256`` with the reconstructed
+    neighbors straight from ``pixel_value``), so the decoded pixels
+    are the SAME closed form as the unfiltered file: the oracle is
+    unchanged and a filter-reconstruction mistake on either side
+    mismatches the hash."""
     wb = w.cast("bigint")
     hb = h.cast("bigint")
     bpp = 3 if rgb else 1
     # h scanlines of (filter byte + w*bpp data bytes)
     raw_n = hb * (wb * bpp + 1)
-
-    def raw_byte(j):
-        # byte j (1-based) of the decompressed scanline stream
-        r = F.floor((j - 1) / (wb * bpp + 1)).cast("bigint")
-        pos = F.pmod(j - 1, wb * bpp + 1)
-        return F.when(pos == 0, F.lit(0)).otherwise(
-            pixel_value(media_id, r * wb * bpp + pos - 1)
-        )
+    raw_byte = _png_raw_byte_fn(media_id, wb, bpp, filtered)
 
     ihdr_td = F.concat(
         F.lit("49484452"),  # 'IHDR'
@@ -1293,6 +1361,7 @@ def decode_png(
     payload: bytes,
     fixed_huffman: bool = False,
     dynamic_huffman: bool = False,
+    filters: bool = False,
 ):
     """Python single-payload twin of the Spark ``_png_gray_decode``
     branch: returns ``(w, h, rgb_pixels)`` (gray expanded to R=G=B,
@@ -1311,7 +1380,13 @@ def decode_png(
     ``dynamic_huffman`` (r13) likewise: a single FINAL BTYPE=10 block
     (``_inflate_dyn_py``). Anything outside the enabled set — and
     multi/non-final compressed blocks — still raises, just as it
-    nulls out in Spark."""
+    nulls out in Spark.
+
+    ``filters`` (r14) mirrors the Spark ``png_filters`` opt-in:
+    scanline filters 1-4 (Sub/Up/Average/Paeth) are reconstructed;
+    the flag also narrows the stored-envelope raw cap to
+    ``_PNG_FH_MAX_RAW`` (the Spark shared-fold bound) so the two
+    paths accept and reject identically in filtered mode too."""
     import struct as _struct
     import zlib as _zlib
 
@@ -1400,16 +1475,50 @@ def decode_png(
     stride = w * bpp + 1
     if len(raw) != h * stride:
         raise ValueError("scanline stream length mismatch")
-    pixels = []
+    if filters and len(raw) > _PNG_FH_MAX_RAW:
+        raise ValueError("filtered-mode raw size beyond shared bound")
+    dstride = w * bpp  # data bytes per line (filter byte stripped)
+    recon = []
     for r in range(h):
         row = raw[r * stride:(r + 1) * stride]
-        if row[0] != 0:
-            raise ValueError(f"scanline {r} uses filter {row[0]} (only 0)")
-        if ctype == 2:
-            pixels += list(row[1:])
-        else:
-            for g in row[1:]:
-                pixels += [g, g, g]
+        ft = row[0]
+        if not filters:
+            if ft != 0:
+                raise ValueError(
+                    f"scanline {r} uses filter {ft} (only 0)"
+                )
+            recon += list(row[1:])
+            continue
+        if ft > 4:
+            raise ValueError(f"scanline {r} uses unknown filter {ft}")
+        for x, fx in enumerate(row[1:]):
+            a = recon[r * dstride + x - bpp] if x >= bpp else 0
+            b = recon[(r - 1) * dstride + x] if r > 0 else 0
+            c = (
+                recon[(r - 1) * dstride + x - bpp]
+                if (r > 0 and x >= bpp)
+                else 0
+            )
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+            recon.append((fx + pred) % 256)
+    pixels = []
+    if ctype == 2:
+        pixels = recon
+    else:
+        for g in recon:
+            pixels += [g, g, g]
     return w, h, pixels
 
 
@@ -1424,7 +1533,9 @@ def synthesize_decodable_media(
     (24-bit), 'ppm' (P6), 'bmp8' (8-bit paletted, r9), 'pgm' (P5,
     r9), 'png' (grayscale-8 stored-deflate, r11), 'pngf'
     (fixed-Huffman, r12), 'pngd' (dynamic-Huffman, r13), 'pngc' /
-    'pngdc' (RGB color-type-2, stored / dynamic, r13)."""
+    'pngdc' (RGB color-type-2, stored / dynamic, r13), 'pngflt' /
+    'pngfltc' / 'pngdflt' / 'pngdfltc' (scanline-FILTERED gray/RGB ×
+    stored/dynamic, filters (r+id) mod 5, r14)."""
     encoders = {
         "bmp": encode_bmp,
         "ppm": encode_ppm,
@@ -1436,6 +1547,19 @@ def synthesize_decodable_media(
         # r13: RGB (color type 2) variants — stored and dynamic
         "pngc": lambda m, w, h: encode_png(m, w, h, rgb=True),
         "pngdc": lambda m, w, h: encode_png_dyn(m, w, h, rgb=True),
+        # r14: scanline-FILTERED variants (filters (r+id) mod 5 —
+        # Sub/Up/Average/Paeth exercised) — stored gray / stored RGB /
+        # dynamic gray / dynamic RGB
+        "pngflt": lambda m, w, h: encode_png(m, w, h, filtered=True),
+        "pngfltc": lambda m, w, h: encode_png(
+            m, w, h, rgb=True, filtered=True
+        ),
+        "pngdflt": lambda m, w, h: encode_png_dyn(
+            m, w, h, filtered=True
+        ),
+        "pngdfltc": lambda m, w, h: encode_png_dyn(
+            m, w, h, rgb=True, filtered=True
+        ),
     }
     even_fmt, odd_fmt = formats
     mid = F.col(id_col)
@@ -1477,7 +1601,7 @@ def _be32u(payload, pos):
     )
 
 
-def _png_gray_decode(p, cw, bw):
+def _png_gray_decode(p, cw, bw, recon=None):
     """(ok, w, h, pixels) for a grayscale-8 stored-deflate PNG — the
     pure-expression inverse of ``encode_png``, with REAL integrity
     verification: IHDR + IDAT CRC-32s (``F.crc32``), zlib header
@@ -1594,28 +1718,68 @@ def _png_gray_decode(p, cw, bw):
         + F.pmod(F.lit(1) + s1, F.lit(65521))
     ) == _be32u(p, zs + zl - 4)
 
-    filters_ok = F.forall(
-        F.sequence(F.lit(0), hb - 1),
-        lambda r: zraw(r * (wb * bpp + 1) + 1) == 0,
+    filters_ok, png_byte = _png_pixel_reader(
+        zraw, recon, wb, hb, bpp, ctype
     )
-
-    def png_byte(k):
-        # gray: pixel q's single source byte expands to R=G=B;
-        # rgb: output byte k maps straight through the stride
-        q = F.floor(k / 3).cast("bigint")
-        r_g = F.floor(q / wb).cast("bigint")
-        px = F.pmod(q, wb)
-        r_c = F.floor(k / (wb * 3)).cast("bigint")
-        m = F.pmod(k, wb * 3)
-        return F.when(
-            ctype == 2, zraw(r_c * (wb * 3 + 1) + 2 + m)
-        ).otherwise(zraw(r_g * (wb + 1) + 2 + px))
-
     pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
     ok = (
         ihdr_ok & chunks_ok & zhdr_ok & blocks_ok & adler_ok & filters_ok
     )
     return ok, w, h, pixels
+
+
+def _png_pixel_reader(oraw, recon, wb, hb, bpp, ctype):
+    """(filters_ok, png_byte) shared by the three deflate-envelope
+    decoders. Default (``recon is None``, the pre-r14 plan shape):
+    scanlines must use filter 0 and output byte k reads straight out
+    of the decompressed stream ``oraw``. With the r14 staged
+    reconstruction column ``recon`` (``_png_unfilter`` output):
+    filter types 0-4 are accepted, the recon array must be complete
+    (exact size, no null entries — a null marks an unknown filter
+    type or a short stream), and pixels read from ``recon`` —
+    cheaper than the stream reads (one try_element_at on a staged
+    array vs the stored path's per-byte block-table probe)."""
+    if recon is None:
+        filters_ok = F.forall(
+            F.sequence(F.lit(0), hb - 1),
+            lambda r: oraw(r * (wb * bpp + 1) + 1) == 0,
+        )
+
+        def png_byte(k):
+            # gray: pixel q's single source byte expands to R=G=B;
+            # rgb: output byte k maps straight through the stride
+            q = F.floor(k / 3).cast("bigint")
+            r_g = F.floor(q / wb).cast("bigint")
+            px = F.pmod(q, wb)
+            r_c = F.floor(k / (wb * 3)).cast("bigint")
+            m = F.pmod(k, wb * 3)
+            return F.when(
+                ctype == 2, oraw(r_c * (wb * 3 + 1) + 2 + m)
+            ).otherwise(oraw(r_g * (wb + 1) + 2 + px))
+
+        return filters_ok, png_byte
+
+    filters_ok = (
+        F.coalesce(
+            F.forall(
+                F.sequence(F.lit(0), hb - 1),
+                lambda r: oraw(r * (wb * bpp + 1) + 1).between(0, 4),
+            ),
+            F.lit(False),
+        )
+        & (F.size(recon).cast("bigint") == hb * wb * bpp)
+        & F.coalesce(
+            F.forall(recon, lambda v: v.isNotNull()), F.lit(False)
+        )
+    )
+
+    def png_byte(k):
+        q = F.floor(k / 3).cast("bigint")
+        return F.when(
+            ctype == 2, F.try_element_at(recon, (k + 1).cast("int"))
+        ).otherwise(F.try_element_at(recon, (q + 1).cast("int")))
+
+    return filters_ok, png_byte
 
 
 def _png_chunk_walk(p):
@@ -1755,6 +1919,108 @@ def _png_block_walk(p, cw):
     )
 
 
+def _png_stored_raw(p, cw, bw, raw_n):
+    """The stored-deflate decompressed stream as ONE array<int>
+    column (bytes 1..raw_n, 1-based stream order) — the
+    materialized form of ``_png_gray_decode``'s per-byte ``zraw``
+    reader, used by the r14 filter-reconstruction stage so all three
+    deflate envelopes hand the unfilter fold the same shape (the
+    FH/DH walks already materialize their ``out`` arrays).
+    ``raw_n`` must be caller-clamped (see ``_decode_pixels_png``)."""
+    blocks = bw["blocks"]
+
+    def zraw(i):
+        blk = F.try_element_at(
+            F.filter(
+                blocks,
+                lambda b: (i > b["cum"]) & (i <= b["cum"] + b["len"]),
+            ),
+            F.lit(1),
+        )
+        return _u8(p, blk["start"] + (i - blk["cum"]) - 1)
+
+    return F.transform(F.sequence(F.lit(1), raw_n), zraw)
+
+
+def _png_unfilter(raw, wb, hb, bpp):
+    """PNG scanline-filter RECONSTRUCTION (r14 — filters 0..4: None /
+    Sub / Up / Average / Paeth, the full RFC 2083 §6 set real libpng
+    output uses) as one bounded fold: ``raw`` is the staged
+    decompressed stream (array<int>, ``hb`` scanlines of 1 filter
+    byte + ``wb*bpp`` data bytes), the result is the array of
+    ``hb*wb*bpp`` reconstructed bytes in top-down row-major order
+    (filter bytes stripped). Sequential by construction — Recon(x)
+    depends on the already-reconstructed left/up/up-left neighbors —
+    so the fold accumulates the recon array and each step reads its
+    neighbors back out of the accumulator (lambda-var reads, O(1));
+    intermediates chain through ``_let`` so the step's expression
+    tree stays analyzable (the FH-walk lesson). An unknown filter
+    type or a too-short stream yields NULL entries, which the
+    caller's recon-validity check turns into a row null-out; the
+    Paeth predictor uses the standard |b−c| / |a−c| / |a+b−2c|
+    simplification of |p−x| with p = a+b−c."""
+    stride = wb * bpp
+    zero = F.lit(0).cast("bigint")
+
+    def step(acc, i):
+        r = F.floor(i / stride).cast("bigint")
+        x = F.pmod(i, stride)
+        ft = F.try_element_at(raw, (r * (stride + 1) + 1).cast("int"))
+        fx = F.try_element_at(
+            raw, (r * (stride + 1) + 2 + x).cast("int")
+        )
+        av = F.when(
+            x >= bpp,
+            F.try_element_at(acc, (i - bpp + 1).cast("int")).cast(
+                "bigint"
+            ),
+        ).otherwise(zero)
+        bv = F.when(
+            r > 0,
+            F.try_element_at(acc, (i - stride + 1).cast("int")).cast(
+                "bigint"
+            ),
+        ).otherwise(zero)
+        cv = F.when(
+            (r > 0) & (x >= bpp),
+            F.try_element_at(
+                acc, (i - stride - bpp + 1).cast("int")
+            ).cast("bigint"),
+        ).otherwise(zero)
+
+        def recon(a):
+            def recon_b(b):
+                def recon_c(c):
+                    pa = F.abs(b - c)
+                    pb = F.abs(a - c)
+                    pc = F.abs(a + b - 2 * c)
+                    paeth = (
+                        F.when((pa <= pb) & (pa <= pc), a)
+                        .when(pb <= pc, b)
+                        .otherwise(c)
+                    )
+                    pred = (
+                        F.when(ft == 0, zero)
+                        .when(ft == 1, a)
+                        .when(ft == 2, b)
+                        .when(ft == 3, F.floor((a + b) / 2))
+                        .when(ft == 4, paeth)
+                    )  # ft outside 0..4 (or null) -> null entry
+                    return F.pmod(fx + pred, F.lit(256)).cast("int")
+
+                return _let(cv, recon_c)
+
+            return _let(bv, recon_b)
+
+        return F.concat(acc, F.array(_let(av, recon)))
+
+    return F.aggregate(
+        F.sequence(F.lit(0), hb * stride - 1),
+        F.array().cast("array<int>"),
+        step,
+    )
+
+
 #: formats decode_pixels can dispatch on
 _DECODE_FORMATS = ("bmp", "bmp8", "ppm", "pgm", "png")
 
@@ -1765,6 +2031,7 @@ def decode_pixels(
     formats=None,
     png_fixed_huffman: bool = False,
     png_dynamic_huffman: bool = False,
+    png_filters: bool = False,
 ) -> DataFrame:
     """REAL pixel decode of uncompressed formats, pure Spark: returns
     (media_id, img_format, width, height, pixels) where ``pixels`` is
@@ -1844,6 +2111,20 @@ def decode_pixels(
     ``_dh_decode_sym``). Validated against zlib's own compressor
     output in tests. Same opt-in reasoning; scope: one final block,
     raw ≤ 64 KiB (``_PNG_FH_MAX_RAW``).
+
+    ``png_filters`` (r14 — the r13 verdict's #1 remaining gap)
+    additionally reconstructs PNGs whose scanlines use filters 1–4
+    (Sub / Up / Average / Paeth, RFC 2083 §6 — what real libpng
+    output uses per-line adaptively), across ALL enabled deflate
+    envelopes: the decompressed stream is staged once
+    (stored-block table / FH walk / DH walk, dispatched on the 3-bit
+    block header) and one bounded reconstruction fold
+    (``_png_unfilter``) undoes the filters; gray and RGB both.
+    Opt-in for the same plan-cost reason; default keeps the
+    filter-0-only plans byte-identical to r13. Scope under the flag:
+    raw ≤ ``_PNG_FH_MAX_RAW`` for every envelope (the shared
+    unfilter stage's fold bound; unfiltered stored-block decode
+    keeps its larger multi-block cap).
     """
     if formats is not None:
         fs = set(formats)
@@ -1861,6 +2142,7 @@ def decode_pixels(
                 payload_col,
                 fixed_huffman=png_fixed_huffman,
                 dynamic_huffman=png_dynamic_huffman,
+                filters=png_filters,
             )
     p = F.col(payload_col)
     # null payloads must route to the non-PNG branch (where they null
@@ -1878,6 +2160,7 @@ def decode_pixels(
         payload_col,
         fixed_huffman=png_fixed_huffman,
         dynamic_huffman=png_dynamic_huffman,
+        filters=png_filters,
     )
     return non_png.unionByName(png)
 
@@ -1887,6 +2170,7 @@ def _decode_pixels_png(
     payload_col: str,
     fixed_huffman: bool = False,
     dynamic_huffman: bool = False,
+    filters: bool = False,
 ) -> DataFrame:
     """The PNG-only decode plan: every input row carries the PNG
     signature, so the walk folds are staged as columns (each
@@ -1901,14 +2185,23 @@ def _decode_pixels_png(
     the four BTYPE=10 columns (header / code-lengths walk / tables /
     symbol walk, see the section note above ``_dh_decode_sym``) under
     the same guard pattern — the low-3-bits check routes stored and
-    FH rows around every dynamic fold."""
+    FH rows around every dynamic fold.
+
+    ``filters`` (r14) stages two more columns shared by EVERY
+    enabled envelope: ``__praw``, the decompressed stream as one
+    array (stored-block reader materialized / FH walk out / DH walk
+    out, dispatched on the 3-bit block header), and ``__prc``, the
+    ``_png_unfilter`` reconstruction fold over it. The decoders then
+    read pixels from ``__prc`` and accept filter types 0-4 instead
+    of requiring 0; scope under the flag is raw <= _PNG_FH_MAX_RAW
+    for every envelope (the shared fold bound)."""
     p = F.col(payload_col)
     staged = media.select(
         "*", _png_chunk_walk(p).alias("__pcw")
     ).select(
         "*", _png_block_walk(p, F.col("__pcw")).alias("__pbw")
     )
-    if fixed_huffman or dynamic_huffman:
+    if fixed_huffman or dynamic_huffman or filters:
         w = _be32(p, 17)
         h = _be32(p, 21)
         _bpp = (
@@ -1970,8 +2263,35 @@ def _decode_pixels_png(
                 ).alias("__pdw"),
             )
         )
+    recon = None
+    if filters:
+        # the decompressed stream, one staged array column for every
+        # enabled envelope: the 3-bit block header routes each row to
+        # its envelope's reader (stored blocks may be non-final ->
+        # low3 in {0,1}; one final FH block -> 3; one final DH -> 5).
+        low3 = F.pmod(_u8(p, F.col("__pcw")["zs"] + 2), F.lit(8))
+        praw = F.when(
+            _sane & (low3 <= 1),
+            _png_stored_raw(
+                p, F.col("__pcw"), F.col("__pbw"), raw_n
+            ),
+        )
+        if fixed_huffman:
+            praw = praw.when(low3 == 3, F.col("__pfw")["out"])
+        if dynamic_huffman:
+            praw = praw.when(low3 == 5, F.col("__pdw")["out"])
+        one = F.lit(1).cast("bigint")
+        wbf = F.when(_sane, w.cast("bigint")).otherwise(one)
+        hbf = F.when(_sane, h.cast("bigint")).otherwise(one)
+        staged = staged.select("*", praw.alias("__praw")).select(
+            "*",
+            _png_unfilter(
+                F.col("__praw"), wbf, hbf, _bpp
+            ).alias("__prc"),
+        )
+        recon = F.col("__prc")
     png_ok, png_w, png_h, png_pixels = _png_gray_decode(
-        p, F.col("__pcw"), F.col("__pbw")
+        p, F.col("__pcw"), F.col("__pbw"), recon=recon
     )
     fmt = F.when(png_ok, "png")
     width = F.when(png_ok, png_w)
@@ -1979,7 +2299,7 @@ def _decode_pixels_png(
     pixels = F.when(png_ok, png_pixels)
     if fixed_huffman:
         fh_ok, fh_w, fh_h, fh_pixels = _png_gray_decode_fh(
-            p, F.col("__pcw"), F.col("__pfw")
+            p, F.col("__pcw"), F.col("__pfw"), recon=recon
         )
         fmt = fmt.when(fh_ok, "png")
         width = width.when(fh_ok, fh_w)
@@ -1987,7 +2307,7 @@ def _decode_pixels_png(
         pixels = pixels.when(fh_ok, fh_pixels)
     if dynamic_huffman:
         dh_ok, dh_w, dh_h, dh_pixels = _png_gray_decode_dh(
-            p, F.col("__pcw"), F.col("__pdw")
+            p, F.col("__pcw"), F.col("__pdw"), recon=recon
         )
         fmt = fmt.when(dh_ok, "png")
         width = width.when(dh_ok, dh_w)
@@ -2506,7 +2826,7 @@ def _png_fixed_walk(p, cw, raw_n):
     )
 
 
-def _png_gray_decode_fh(p, cw, fw):
+def _png_gray_decode_fh(p, cw, fw, recon=None):
     """(ok, w, h, pixels) for a grayscale-8 PNG whose zlib stream is
     ONE final fixed-Huffman deflate block (BTYPE=01) — the FH sibling
     of ``_png_gray_decode``, consuming the staged symbol walk ``fw``
@@ -2580,21 +2900,9 @@ def _png_gray_decode_fh(p, cw, fw):
         F.pmod(raw_n + (raw_n + 1) * s1 - sw, F.lit(65521)) * 65536
         + F.pmod(F.lit(1) + s1, F.lit(65521))
     ) == _be32u(p, zs + zl - 4)
-    filters_ok = F.forall(
-        F.sequence(F.lit(0), hb - 1),
-        lambda r: oraw(r * (wb * bpp + 1) + 1) == 0,
+    filters_ok, png_byte = _png_pixel_reader(
+        oraw, recon, wb, hb, bpp, ctype
     )
-
-    def png_byte(k):
-        q = F.floor(k / 3).cast("bigint")
-        r_g = F.floor(q / wb).cast("bigint")
-        px = F.pmod(q, wb)
-        r_c = F.floor(k / (wb * 3)).cast("bigint")
-        m = F.pmod(k, wb * 3)
-        return F.when(
-            ctype == 2, oraw(r_c * (wb * 3 + 1) + 2 + m)
-        ).otherwise(oraw(r_g * (wb + 1) + 2 + px))
-
     pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
     ok = (
         ihdr_ok & chunks_ok & zhdr_ok & btype_fh & walk_ok & adler_ok
@@ -3281,7 +3589,7 @@ def _png_dyn_walk(p, cw, raw_n, tabs):
     )
 
 
-def _png_gray_decode_dh(p, cw, dw):
+def _png_gray_decode_dh(p, cw, dw, recon=None):
     """(ok, w, h, pixels) for a grayscale-8 PNG whose zlib stream is
     ONE final DYNAMIC-HUFFMAN deflate block (BTYPE=10) — the DH
     sibling of ``_png_gray_decode_fh``, consuming the staged symbol
@@ -3355,21 +3663,9 @@ def _png_gray_decode_dh(p, cw, dw):
         F.pmod(raw_n + (raw_n + 1) * s1 - sw, F.lit(65521)) * 65536
         + F.pmod(F.lit(1) + s1, F.lit(65521))
     ) == _be32u(p, zs + zl - 4)
-    filters_ok = F.forall(
-        F.sequence(F.lit(0), hb - 1),
-        lambda r: oraw(r * (wb * bpp + 1) + 1) == 0,
+    filters_ok, png_byte = _png_pixel_reader(
+        oraw, recon, wb, hb, bpp, ctype
     )
-
-    def png_byte(k):
-        q = F.floor(k / 3).cast("bigint")
-        r_g = F.floor(q / wb).cast("bigint")
-        px = F.pmod(q, wb)
-        r_c = F.floor(k / (wb * 3)).cast("bigint")
-        m = F.pmod(k, wb * 3)
-        return F.when(
-            ctype == 2, oraw(r_c * (wb * 3 + 1) + 2 + m)
-        ).otherwise(oraw(r_g * (wb + 1) + 2 + px))
-
     pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
     ok = (
         ihdr_ok & chunks_ok & zhdr_ok & btype_dh & walk_ok & adler_ok
@@ -3401,7 +3697,9 @@ def _dh_header_bits() -> list:
     return bits
 
 
-def encode_png_dyn(media_id, w, h, rgb: bool = False) -> Column:
+def encode_png_dyn(
+    media_id, w, h, rgb: bool = False, filtered: bool = False
+) -> Column:
     """A spec-compliant grayscale-8 PNG whose zlib stream is ONE
     final DYNAMIC-HUFFMAN deflate block (RFC 1951 §3.2.7) — the
     encode twin of the r13 BTYPE=10 decode path, sharing
@@ -3416,18 +3714,17 @@ def encode_png_dyn(media_id, w, h, rgb: bool = False) -> Column:
 
     ``rgb=True`` (r13): color type 2, stride 3w+1, flat RGB byte k =
     ``pixel_value(media_id, k)`` — DH + RGB is the real-world PNG
-    shape (what zlib-backed encoders emit for truecolor images)."""
+    shape (what zlib-backed encoders emit for truecolor images).
+
+    ``filtered=True`` (r14): scanlines carry filters
+    ``(r + media_id) mod 5`` with closed-form filtered data bytes
+    (``_png_raw_byte_fn``) — DH + adaptive filters is exactly what
+    libpng emits; the decoded pixels stay the one closed form."""
     wb = w.cast("bigint")
     hb = h.cast("bigint")
     bpp = 3 if rgb else 1
     raw_n = hb * (wb * bpp + 1)
-
-    def raw_byte(j):
-        r = F.floor((j - 1) / (wb * bpp + 1)).cast("bigint")
-        pos = F.pmod(j - 1, wb * bpp + 1)
-        return F.when(pos == 0, F.lit(0)).otherwise(
-            pixel_value(media_id, r * wb * bpp + pos - 1)
-        )
+    raw_byte = _png_raw_byte_fn(media_id, wb, bpp, filtered)
 
     def lit_bits(b):
         # 9 bits of b+256, MSB-first
@@ -3512,8 +3809,26 @@ def encode_png_dyn(media_id, w, h, rgb: bool = False) -> Column:
         _be_hex(F.crc32(F.unhex(idat_td)), 4),
     )
     iend = F.lit("00000000" + "49454E44" + "AE426082")
-    return F.unhex(
-        F.concat(F.lit("89504E470D0A1A0A"), ihdr, idat, iend)
+    # r14 advice: the decode paths cap raw at _PNG_FH_MAX_RAW, so an
+    # oversize fixture would silently emit a PNG every decoder nulls
+    # out — fail the job loudly instead, matching encode_png's
+    # caller-error convention (fixture encoders take caller literals).
+    return F.when(
+        raw_n <= F.lit(_PNG_FH_MAX_RAW),
+        F.unhex(
+            F.concat(F.lit("89504E470D0A1A0A"), ihdr, idat, iend)
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("encode_png_dyn: raw scanline stream h*(w*bpp+1) = "),
+                raw_n.cast("string"),
+                F.lit(
+                    " bytes exceeds the decode-side bound "
+                    f"({_PNG_FH_MAX_RAW})"
+                ),
+            )
+        ).cast("binary")
     )
 
 

@@ -224,6 +224,7 @@ from decision_tree_stuff_spark.queries.media import (  # noqa: F401,E501
     q_e6_png_fixed_decode,
     q_e6_png_dyn_decode,
     q_e6_png_rgb_decode,
+    q_e6_png_filtered_decode,
     q_e6_resize,
     q_e6_audio_frames,
     q_e6_frame_resize,
@@ -543,6 +544,9 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # e6_png_fixed_decode, pending the analyzer-budget watch)
     "e6_png_dyn_decode": q_e6_png_dyn_decode,
     "e6_png_rgb_decode": q_e6_png_rgb_decode,  # r13: truecolor, stored+DH
+    # r14: scanline filters 1-4 (Sub/Up/Average/Paeth) — stored gray +
+    # DH RGB in one plan, all five filters per image
+    "e6_png_filtered_decode": q_e6_png_filtered_decode,
 }
 
 EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {

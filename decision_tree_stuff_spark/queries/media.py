@@ -274,6 +274,41 @@ def q_e6_png_rgb_decode(spark, sf_dir):
     )
 
 
+def q_e6_png_filtered_decode(spark, sf_dir):
+    """REAL scanline-FILTERED PNG decode (r14 — the r13 verdict's #1
+    remaining gap: filters 1-4, Sub/Up/Average/Paeth, are what real
+    libpng output uses per-line adaptively): even ids a STORED-
+    deflate grayscale PNG, odd ids a DYNAMIC-HUFFMAN truecolor PNG,
+    every scanline carrying filter type (r + media_id) mod 5, so all
+    five RFC 2083 filters and both deflate envelopes and both color
+    types run in the one plan. The decode stages the decompressed
+    stream once per row and reconstructs with one bounded fold
+    (``_png_unfilter``); the encoder emits closed-form FILTERED
+    bytes whose reconstruction is the same pixel formula as every
+    other PNG row — so the oracle recomputes pixels straight from
+    the formula and a mistake in either the encoder's filter
+    arithmetic or the decoder's reconstruction (left/up/up-left
+    neighbor indexing, the Paeth tie-breaks, the mod-256 wrap)
+    mismatches the hash. Density %31 (the DH half costs ~4 ms/image,
+    the e6_png_dyn_decode reasoning). Hex-packed scalar output."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_pixels,
+        synthesize_decodable_media,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 31 == 0)
+    return _hex_packed_pixels(
+        decode_pixels(
+            synthesize_decodable_media(
+                docs, formats=("pngflt", "pngdfltc")
+            ),
+            formats=("png",),
+            png_dynamic_huffman=True,
+            png_filters=True,
+        )
+    )
+
+
 def q_e6_resize(spark, sf_dir):
     """Nearest-neighbor resize to 4x3 over REAL decoded pixels (r11)
     — the fixed-input-resolution preprocessing step, one shuffle-free
@@ -607,6 +642,22 @@ SELECT doc_id AS media_id,
        array_to_string(list_transform(
          range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
          k -> printf('%02X', (doc_id * 7 + k * 13) % 256)
+       ), '') AS pixels_hex
+FROM documents WHERE doc_id % 31 = 0
+""",
+    # r14: filtered twin — even ids gray (pixel formula on k//3), odd
+    # ids RGB (formula straight on k); the payload bytes differ per
+    # scanline filter, the reconstructed pixels must not.
+    "e6_png_filtered_decode": """
+SELECT doc_id AS media_id,
+       'png' AS img_format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       array_to_string(list_transform(
+         range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
+         k -> printf('%02X', CASE WHEN doc_id % 2 = 0
+                THEN (doc_id * 7 + (k // 3) * 13) % 256
+                ELSE (doc_id * 7 + k * 13) % 256 END)
        ), '') AS pixels_hex
 FROM documents WHERE doc_id % 31 = 0
 """,

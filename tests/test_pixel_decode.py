@@ -1505,3 +1505,292 @@ def test_png_rgba_and_16bit_reject_both_paths(spark):
     for p in (p_rgba, p_16):
         with pytest.raises(ValueError):
             decode_png(p, dynamic_huffman=True)
+
+
+# ------------------------------------------------------------- r14 —
+# scanline filters 1-4 (Sub / Up / Average / Paeth reconstruction)
+
+
+def _filter_scanlines(pixels, w, h, bpp, ftypes):
+    """Independent reference FILTERING (RFC 2083 §6, written forward
+    from the spec — not from the Spark encoder or the Python twin):
+    ``pixels`` is the flat reconstructed byte list (h*w*bpp, top-down
+    row-major), ``ftypes[r]`` the per-row filter type. Returns the
+    raw scanline stream (filter byte + filtered data per row) whose
+    reconstruction is ``pixels``."""
+    stride = w * bpp
+    out = bytearray()
+    for r in range(h):
+        ft = ftypes[r]
+        out.append(ft)
+        for x in range(stride):
+            i = r * stride + x
+            a = pixels[i - bpp] if x >= bpp else 0
+            b = pixels[i - stride] if r > 0 else 0
+            c = (
+                pixels[i - stride - bpp]
+                if (r > 0 and x >= bpp)
+                else 0
+            )
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = (
+                    a
+                    if (pa <= pb and pa <= pc)
+                    else (b if pb <= pc else c)
+                )
+            out.append((pixels[i] - pred) % 256)
+    return bytes(out)
+
+
+def test_png_filters_each_type_both_paths(spark):
+    """One stored-envelope PNG per filter type 1-4 (every scanline
+    the same type — isolates each reconstruction rule), gray AND
+    RGB: Spark with ``png_filters`` and the Python twin must
+    reconstruct the reference pixels; with the flag OFF both paths
+    must reject (non-zero filter bytes)."""
+    import zlib as _z
+
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    cases = []
+    for ft in (1, 2, 3, 4):
+        w, h = 4, 3
+        grays = [(ft * 37 + i * 29) % 256 for i in range(w * h)]
+        raw = _filter_scanlines(grays, w, h, 1, [ft] * h)
+        cases.append(
+            (w, h, [g for g in grays for _ in range(3)],
+             _png_from(raw, w, h, idat_data=_z.compress(raw, 0)))
+        )
+        rgb = [(ft * 53 + i * 31) % 256 for i in range(w * h * 3)]
+        raw_c = _filter_scanlines(rgb, w, h, 3, [ft] * h)
+        cases.append(
+            (w, h, rgb,
+             _png_from(raw_c, w, h, idat_data=_z.compress(raw_c, 0),
+                       ctype=2))
+        )
+    df = spark.createDataFrame(
+        [(str(i), bytearray(p)) for i, (_, _, _, p) in enumerate(cases)],
+        "media_id string, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_pixels(df, png_filters=True).collect()
+    }
+    for i, (w, h, expect, payload) in enumerate(cases):
+        r = rows[str(i)]
+        assert (r["img_format"], r["width"], r["height"]) == (
+            "png", w, h,
+        ), i
+        assert list(r["pixels"]) == expect, i
+        assert decode_png(payload, filters=True) == (w, h, expect), i
+        with pytest.raises(ValueError, match="filter"):
+            decode_png(payload)  # flag-off twin rejects
+    off = decode_pixels(df).collect()
+    assert all(r["img_format"] is None for r in off)
+
+
+def test_png_filters_zlib_dynamic_streams_both_paths(spark):
+    """REAL zlib level-9 BTYPE=10 streams over FILTERED scanlines
+    with per-row adaptive filter types — the exact shape libpng
+    emits (adaptive filtering + dynamic Huffman). Gray and RGB."""
+    import zlib as _z
+
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    cases = []
+    # fixture note: filtered output is higher-entropy than the raw
+    # scanlines, so zlib only reaches for dynamic tables on larger /
+    # more skewed inputs than the r13 unfiltered fixtures needed —
+    # the btype asserts pin that the fixtures stay BTYPE=10.
+    w, h = 96, 40
+    grays = [(i * 7 + (i // w) * 13) % 37 + 10 for i in range(w * h)]
+    raw = _filter_scanlines(grays, w, h, 1, [r % 5 for r in range(h)])
+    z = _z.compress(raw, 9)
+    assert (z[2] >> 1) & 3 == 2, "fixture no longer dynamic"
+    cases.append(
+        (w, h, [g for g in grays for _ in range(3)],
+         _png_from(raw, w, h, idat_data=z))
+    )
+    w2, h2 = 32, 20
+    rgb = [(i * 7 + (i // 96) * 13) % 37 + 10 for i in range(w2 * h2 * 3)]
+    raw_c = _filter_scanlines(
+        rgb, w2, h2, 3, [(r * 2 + 1) % 5 for r in range(h2)]
+    )
+    z2 = _z.compress(raw_c, 9)
+    assert (z2[2] >> 1) & 3 == 2, "fixture no longer dynamic"
+    cases.append(
+        (w2, h2, rgb, _png_from(raw_c, w2, h2, idat_data=z2, ctype=2))
+    )
+    df = spark.createDataFrame(
+        [(str(i), bytearray(p)) for i, (_, _, _, p) in enumerate(cases)],
+        "media_id string, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_pixels(
+            df, png_dynamic_huffman=True, png_filters=True
+        ).collect()
+    }
+    for i, (wi, hi, expect, payload) in enumerate(cases):
+        r = rows[str(i)]
+        assert (r["img_format"], r["width"], r["height"]) == (
+            "png", wi, hi,
+        ), i
+        assert list(r["pixels"]) == expect, i
+        assert decode_png(
+            payload, dynamic_huffman=True, filters=True
+        ) == (wi, hi, expect), i
+        # filters alone (no DH flag) must still reject the DH stream
+        with pytest.raises(ValueError):
+            decode_png(payload, filters=True)
+    no_dh = decode_pixels(df, png_filters=True).collect()
+    assert all(r["img_format"] is None for r in no_dh)
+
+
+def test_png_filters_fixed_huffman_envelope_both_paths(spark):
+    """Filtered scanlines under the FIXED-Huffman envelope — the
+    third deflate envelope sharing the one staged reconstruction
+    fold. Fixture via the test FH compressor, zlib-validated."""
+    import zlib as _z
+
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    w, h = 6, 5
+    grays = [(i * 19 + 3) % 256 for i in range(w * h)]
+    raw = _filter_scanlines(grays, w, h, 1, [r % 5 for r in range(h)])
+    z = _fh_zlib(raw)
+    assert _z.decompress(z) == raw, "FH fixture invalid"
+    payload = _png_from(raw, w, h, idat_data=z)
+    expect = [g for g in grays for _ in range(3)]
+    df = spark.createDataFrame(
+        [("1", bytearray(payload))], "media_id string, payload binary"
+    )
+    r = decode_pixels(
+        df, png_fixed_huffman=True, png_filters=True
+    ).collect()[0]
+    assert (r["img_format"], r["width"], r["height"]) == ("png", w, h)
+    assert list(r["pixels"]) == expect
+    assert decode_png(payload, fixed_huffman=True, filters=True) == (
+        w, h, expect,
+    )
+
+
+def test_png_filters_unknown_type_rejected_both_paths(spark):
+    """Filter type 5 (outside RFC 2083) must null out in Spark and
+    raise in the twin, even with the flag on."""
+    import zlib as _z
+
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    w, h = 3, 2
+    raw = bytes([5, 1, 2, 3, 0, 4, 5, 6])
+    payload = _png_from(raw, w, h, idat_data=_z.compress(raw, 0))
+    df = spark.createDataFrame(
+        [("1", bytearray(payload))], "media_id string, payload binary"
+    )
+    r = decode_pixels(df, png_filters=True).collect()[0]
+    assert r["img_format"] is None and r["pixels"] is None
+    with pytest.raises(ValueError, match="filter"):
+        decode_png(payload, filters=True)
+
+
+def test_png_filter0_identity_under_flag(spark):
+    """A plain filter-0 PNG must decode IDENTICALLY with the flag on
+    (reconstruction with all-None filters is the identity) — pinned
+    against the golden external-bytes fixture and the r11 encoder."""
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    payload, expect = _golden_png_2x2()
+    df = spark.createDataFrame(
+        [("1", bytearray(payload))], "media_id string, payload binary"
+    )
+    r = decode_pixels(df, png_filters=True).collect()[0]
+    assert (r["img_format"], r["width"], r["height"]) == ("png", 2, 2)
+    assert list(r["pixels"]) == expect
+    assert decode_png(payload, filters=True) == (2, 2, expect)
+
+
+def test_png_filtered_round_trip_matches_formula_and_python(spark):
+    """Spark filtered encoders (stored gray / stored RGB / dynamic
+    gray / dynamic RGB — filters cycling (r+id) mod 5) → real PNG
+    bytes → Spark filtered decode must reproduce the closed-form
+    pixels; the Python twin must agree on the same payloads; stdlib
+    zlib must accept every stream (external validation)."""
+    import struct as _struct
+    import zlib as _z
+
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 13)], "doc_id bigint"
+    )
+    for fmts, rgb_even, rgb_odd in [
+        (("pngflt", "pngfltc"), False, True),
+        (("pngdflt", "pngdfltc"), False, True),
+    ]:
+        media = synthesize_decodable_media(docs, formats=fmts)
+        rows = {
+            r["media_id"]: r
+            for r in decode_pixels(
+                media,
+                formats=("png",),
+                png_dynamic_huffman=True,
+                png_filters=True,
+            )
+            .join(media.select("media_id", "payload"), "media_id")
+            .collect()
+        }
+        assert len(rows) == 12
+        for mid, r in rows.items():
+            w, h = mid % 5 + 2, mid % 4 + 2
+            rgb = rgb_odd if mid % 2 else rgb_even
+            expect = [
+                (mid * 7 + (k if rgb else k // 3) * 13) % 256
+                for k in range(w * h * 3)
+            ]
+            assert (r["img_format"], r["width"], r["height"]) == (
+                "png", w, h,
+            ), (fmts, mid)
+            assert list(r["pixels"]) == expect, (fmts, mid)
+            payload = bytes(r["payload"])
+            assert decode_png(
+                payload, dynamic_huffman=True, filters=True
+            ) == (w, h, expect), (fmts, mid)
+            # external validation: stdlib zlib inflates the stream
+            ilen = _struct.unpack(">I", payload[33:37])[0]
+            zs = payload[41:41 + ilen]
+            bpp = 3 if rgb else 1
+            assert len(_z.decompress(zs)) == h * (w * bpp + 1), (
+                fmts, mid,
+            )
+
+
+def test_encode_png_dyn_oversize_raises_instead_of_corrupt(spark):
+    """r13 advice guard (mirrors encode_png's): dims whose raw
+    stream exceeds the decode-side bound must fail the job loudly,
+    not emit a PNG every decoder nulls out; in-range dims keep
+    working."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from decision_tree_stuff_spark.operators.multimodal import (
+        encode_png_dyn,
+    )
+
+    ok = spark.range(1).select(
+        encode_png_dyn(F.lit(3), F.lit(4), F.lit(4)).alias("p")
+    ).collect()
+    assert ok[0]["p"][:8] == b"\x89PNG\r\n\x1a\n"
+
+    with pytest.raises(SparkRuntimeException, match="encode_png_dyn"):
+        spark.range(1).select(
+            encode_png_dyn(F.lit(3), F.lit(300), F.lit(300)).alias("p")
+        ).collect()
