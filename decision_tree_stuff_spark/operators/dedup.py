@@ -141,8 +141,10 @@ def ngram_jaccard_pairs(
     and ``True`` persists ``docsets`` (MEMORY_AND_DISK, lineage kept
     for executor-loss recovery — the ``bpe_train`` pattern) so the
     corpus is scanned ONCE. The persisted frame's lifecycle follows
-    the returned DataFrame (unpersist via ``spark.catalog.clearCache``
-    or executor eviction); output is bit-identical (tested).
+    the returned DataFrame (r14: ``unpersist_when_dropped`` — the
+    cache is released when the result is garbage-collected, so
+    repeated calls don't accumulate entries); output is
+    bit-identical (tested).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold,
     jaccard rounded to 6dp for float-stable comparison.
@@ -311,7 +313,16 @@ def _jaccard_prefix_join(ranked: DataFrame, id_col: str,
     for c in block_cols:
         cond.append(F.col(f"a_{c}") == F.col(f"b_{c}"))
     cand = a.join(b, cond).select("id_a", "id_b").distinct()
-    return _jaccard_verify(cand, docsets, id_col, threshold)
+    out = _jaccard_verify(cand, docsets, id_col, threshold)
+    if cache_docsets:
+        # r14 advice: tie the persisted docsets' lifecycle to the
+        # returned DataFrame (the minhash pattern) — repeated calls in
+        # a long-lived session no longer accumulate MEMORY_AND_DISK
+        # entries until a whole-session clearCache.
+        from decision_tree_stuff_spark.utils import unpersist_when_dropped
+
+        out = unpersist_when_dropped(out, docsets)
+    return out
 
 
 def _jaccard_allpairs_naive(toks: DataFrame, id_col: str,

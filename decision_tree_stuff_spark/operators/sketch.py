@@ -1377,11 +1377,22 @@ def hist_rebucket(
         F.col("bucket").cast("double") + F.lit(0.5)
     )
     scale = float(n_buckets) / (float(hi) - float(lo))
+    # r14 advice: the in-range branch is clamped — a midpoint just
+    # below hi can float-round floor((mid-lo)*scale) to exactly
+    # n_buckets, silently landing in-range mass in the overflow cell
+    # (which hist_quantiles then clamps to hi); least() keeps the
+    # documented one-cell bound honest at the rounding edge. The SQL
+    # twin mirrors the clamp.
     tb = (
         F.when(mid < float(lo), F.lit(-1))
         .when(mid >= float(hi), F.lit(int(n_buckets)))
         .otherwise(
-            F.floor((mid - F.lit(float(lo))) * F.lit(scale)).cast("int")
+            F.least(
+                F.lit(int(n_buckets - 1)),
+                F.floor((mid - F.lit(float(lo))) * F.lit(scale)).cast(
+                    "int"
+                ),
+            )
         )
     )
     return (
@@ -1443,11 +1454,12 @@ rb_{tag} AS (
                           / {float(src_n_buckets)!r})
                          * (CAST(bucket AS DOUBLE) + 0.5)) >= {float(hi)!r}
               THEN {int(n_buckets)}
-              ELSE CAST(floor(((lo + ((CASE WHEN hi > lo THEN hi - lo
+              ELSE LEAST({int(n_buckets - 1)},
+                   CAST(floor(((lo + ((CASE WHEN hi > lo THEN hi - lo
                                             ELSE 1.0 END)
                                       / {float(src_n_buckets)!r})
                                      * (CAST(bucket AS DOUBLE) + 0.5))
-                               - {float(lo)!r}) * {tscale!r}) AS INT)
+                               - {float(lo)!r}) * {tscale!r}) AS INT))
          END AS bucket,
          cnt
   FROM sk_{tag}
