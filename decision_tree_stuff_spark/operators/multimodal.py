@@ -3212,6 +3212,126 @@ def _dh_decode_sym(p, zs, bp, counts, syms, maxbits: int):
     return F.struct(walked["sym"].alias("sym"), walked["nb"].alias("nb"))
 
 
+def _pow2w(k):
+    """2^k for dynamic k up to 15 (the Huffman-code width) — the
+    ``_pow2`` literal-table trick, one wider (its 14 entries stop at
+    the max EXTRA-bits count). The index is clamped: the no-hit path
+    feeds k = −1, and ANSI ``element_at`` at index 0 throws even
+    though the consuming branch is guarded (the eager
+    subexpression-hoisting trap)."""
+    return F.element_at(
+        F.array(*[F.lit(1 << i) for i in range(16)]),
+        F.greatest(k.cast("int"), F.lit(0)) + 1,
+    ).cast("bigint")
+
+
+def _dh_prefix_tables(counts, maxbits: int):
+    """Per-image STAGED prefix tables for the peek-based symbol
+    decode (r14 — the r13 pre-noted byte-arithmetic variant):
+    ``lims[l] = Σ_{j≤l} counts[j]·2^(maxbits−j)`` (the first
+    ``maxbits``-bit value NOT covered by codes of length ≤ l — the
+    zlib ``first``/``count`` walk's limit collapsed into one
+    monotone array) and ``cums[l] = Σ_{j≤l} counts[j]`` (the symbol-
+    table offset). One ``maxbits``-step fold once per image; the
+    per-symbol decode then needs no stateful walk at all (see
+    ``_dh_decode_sym_peek``)."""
+    init = F.struct(
+        F.array().cast("array<bigint>").alias("lims"),
+        F.array().cast("array<bigint>").alias("cums"),
+        F.lit(0).cast("bigint").alias("lim"),
+        F.lit(0).cast("bigint").alias("cum"),
+    )
+
+    def st(acc, l):
+        c = F.coalesce(
+            F.try_element_at(counts, l.cast("int")), F.lit(0)
+        ).cast("bigint")
+        lim2 = acc["lim"] + c * _pow2w(F.lit(maxbits) - l)
+        cum2 = acc["cum"] + c
+        return F.struct(
+            F.concat(acc["lims"], F.array(lim2)).alias("lims"),
+            F.concat(acc["cums"], F.array(cum2)).alias("cums"),
+            lim2.alias("lim"),
+            cum2.alias("cum"),
+        )
+
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.lit(maxbits)), init, st
+    )
+    return folded["lims"], folded["cums"]
+
+
+def _dh_decode_sym_peek(p, zs, bp, lims, cums, syms, maxbits: int):
+    """ONE canonical-Huffman symbol starting at bit ``bp`` via the
+    PEEK variant (r14 A/B against the stateful count walk
+    ``_dh_decode_sym``): read ``maxbits`` bits once as a flat
+    MSB-first sum (over-reads past the stream coalesce to 0 — they
+    can only sit below the true code's ``lims`` hit, and the walk's
+    final bit-budget check still catches genuine overruns), then the
+    code length is ``maxbits + 1 − #{l : peek < lims[l]}`` (``lims``
+    is monotone, so the hit set is a suffix) and the symbol is one
+    arithmetic index into ``syms`` — no per-bit struct fold. Returns
+    the same ``(sym, nb)`` struct; an invalid/over-long code (no
+    ``lims`` hit) leaves ``sym`` null."""
+    peek = F.lit(0).cast("bigint")
+    for k in range(maxbits):
+        peek = peek + F.coalesce(
+            _fh_bit(p, zs, bp + k), F.lit(0)
+        ).cast("bigint") * F.lit(1 << (maxbits - 1 - k)).cast("bigint")
+
+    def with_peek(pk):
+        def with_l(l):
+            # l = 1 reads prefix slot 0, which doesn't exist (both
+            # prefixes are 0 there) — and try_element_at THROWS on a
+            # literal-zero index (INVALID_INDEX_OF_ZERO), so the index
+            # is clamped to 1 and the l = 1 case guarded by the when
+            zero = F.lit(0).cast("bigint")
+            prev_i = F.greatest(l - 1, F.lit(1)).cast("int")
+            lim_prev = F.when(
+                l > 1,
+                F.coalesce(F.try_element_at(lims, prev_i), zero),
+            ).otherwise(zero)
+            cum_prev = F.when(
+                l > 1,
+                F.coalesce(F.try_element_at(cums, prev_i), zero),
+            ).otherwise(zero)
+            pos = cum_prev + F.floor(
+                (pk - lim_prev) / _pow2w(F.lit(maxbits) - l)
+            ).cast("bigint")
+            sym = F.when(
+                l <= maxbits,
+                F.try_element_at(syms, (pos + 1).cast("int")),
+            ).otherwise(F.lit(None).cast("int"))
+            return F.struct(
+                sym.cast("int").alias("sym"),
+                F.when(l <= maxbits, l.cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint"))
+                .alias("nb"),
+            )
+
+        return _let(
+            (
+                F.lit(maxbits + 1)
+                - F.size(F.filter(lims, lambda lm: pk < lm))
+            ).cast("bigint"),
+            with_l,
+        )
+
+    return _let(peek, with_peek)
+
+
+#: symbol-decode implementation for the dynamic-Huffman DATA walk:
+#: "fold" = the stateful count walk (_dh_decode_sym), "peek" = the
+#: staged-prefix-table arithmetic decode (_dh_decode_sym_peek).
+#: Module-level so the r14 A/B (scripts/dh_walk_ab_r14.py) can flip
+#: it between plan builds. MEASURED (SCALING_r14.md §2, same-session
+#: interleaved at sf0.1, hashes identical): fold 27.2 s vs peek
+#: 28.2 s — the second negative result on this line (r13's
+#: bit-reversal peek lost 1.6x), so "fold" stays the default and the
+#: per-symbol-walk optimization line is closed.
+DH_SYM_IMPL = "fold"
+
+
 def _kraft_ok(counts, maxbits: int):
     """No over-subscription: left_0 = 1, left_l = left_{l-1}·2 −
     counts[l] must never go negative (incomplete codes — left > 0 at
@@ -3434,6 +3554,18 @@ def _png_dh_tabs(hdr, lw):
     d_lens = F.slice(lw["lens"], n_lit + 1, n_dist)
     ll_counts, ll_syms = _canon_tables(ll_lens, 15)
     d_counts, d_syms = _canon_tables(d_lens, 15)
+    # r14: staged prefix tables for the peek symbol decode (one
+    # 15-step fold per alphabet per IMAGE — amortized over raw_n
+    # symbol decodes). Gated: the A/B measured the peek walk a WASH-
+    # to-slightly-worse (27.2 vs 28.2 s, SCALING_r14.md §2), so the
+    # default "fold" plan carries null literals here, not the folds.
+    if DH_SYM_IMPL == "peek":
+        ll_lims, ll_cums = _dh_prefix_tables(ll_counts, 15)
+        d_lims, d_cums = _dh_prefix_tables(d_counts, 15)
+    else:
+        ll_lims = ll_cums = d_lims = d_cums = F.lit(None).cast(
+            "array<bigint>"
+        )
     eob_coded = F.coalesce(
         F.try_element_at(ll_lens, F.lit(257)), F.lit(0)
     ) > 0
@@ -3442,6 +3574,10 @@ def _png_dh_tabs(hdr, lw):
         ll_syms.alias("ll_syms"),
         d_counts.alias("d_counts"),
         d_syms.alias("d_syms"),
+        ll_lims.alias("ll_lims"),
+        ll_cums.alias("ll_cums"),
+        d_lims.alias("d_lims"),
+        d_cums.alias("d_cums"),
         lw["bp"].alias("bp0"),
         (
             lw["ok"]
@@ -3532,7 +3668,12 @@ def _png_dyn_walk(p, cw, raw_n, tabs):
                     )
 
                 return _let(
-                    _dh_decode_sym(
+                    _dh_decode_sym_peek(
+                        p, zs, bp2, tabs["d_lims"], tabs["d_cums"],
+                        tabs["d_syms"], 15,
+                    )
+                    if DH_SYM_IMPL == "peek"
+                    else _dh_decode_sym(
                         p, zs, bp2, tabs["d_counts"], tabs["d_syms"], 15
                     ),
                     with_dsym,
@@ -3577,7 +3718,12 @@ def _png_dyn_walk(p, cw, raw_n, tabs):
             )
 
         new = _let(
-            _dh_decode_sym(
+            _dh_decode_sym_peek(
+                p, zs, bp, tabs["ll_lims"], tabs["ll_cums"],
+                tabs["ll_syms"], 15,
+            )
+            if DH_SYM_IMPL == "peek"
+            else _dh_decode_sym(
                 p, zs, bp, tabs["ll_counts"], tabs["ll_syms"], 15
             ),
             with_sym,

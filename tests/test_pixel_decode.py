@@ -1794,3 +1794,54 @@ def test_encode_png_dyn_oversize_raises_instead_of_corrupt(spark):
         spark.range(1).select(
             encode_png_dyn(F.lit(3), F.lit(300), F.lit(300)).alias("p")
         ).collect()
+
+
+def test_dh_peek_walk_equivalence(spark):
+    """The r14 peek symbol decode (staged lims/cums prefix tables,
+    ``DH_SYM_IMPL='peek'``) must decode byte-identically to the
+    default count-fold walk — on the synth encoder's flat tables AND
+    on zlib's own rich-table streams. The peek variant measured a
+    wash-to-slightly-worse at bench scale (SCALING_r14.md §2) so the
+    fold stays the default; this pin keeps the measured alternative
+    honest while it lives in-tree."""
+    import zlib as _z
+
+    import decision_tree_stuff_spark.operators.multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 9)], "doc_id bigint"
+    )
+    media = synthesize_decodable_media(
+        docs, formats=("pngd", "pngdc")
+    ).localCheckpoint()
+    w, h = 16, 9
+    grays = [(i * i % 17) + (i % 5) for i in range(w * h)]
+    raw = b"".join(
+        b"\x00" + bytes(grays[r * w:(r + 1) * w]) for r in range(h)
+    )
+    z = _z.compress(raw, 9)
+    assert (z[2] >> 1) & 3 == 2, "fixture no longer dynamic"
+    zdf = spark.createDataFrame(
+        [(99, bytearray(_png_from(raw, w, h, idat_data=z)))],
+        "media_id bigint, payload binary",
+    ).localCheckpoint()
+
+    def run(df):
+        return sorted(
+            (r["media_id"], r["img_format"], r["width"], r["height"],
+             tuple(r["pixels"] or []))
+            for r in decode_pixels(
+                df, formats=("png",), png_dynamic_huffman=True
+            ).collect()
+        )
+
+    assert mm.DH_SYM_IMPL == "fold", "default changed — update test"
+    try:
+        a_synth, a_zlib = run(media), run(zdf)
+        mm.DH_SYM_IMPL = "peek"
+        b_synth, b_zlib = run(media), run(zdf)
+    finally:
+        mm.DH_SYM_IMPL = "fold"
+    assert a_synth == b_synth
+    assert a_zlib == b_zlib
+    assert all(r[1] == "png" for r in b_synth + b_zlib)
