@@ -179,6 +179,11 @@ BENCH_QUERIES = [
     "e4_pii_scrub",          # PII redaction + audit counts (planted)
     "e6_png_rgb_decode",     # truecolor RGB PNG, stored + dynamic paths
     "e4_url_dedup",          # URL canonicalization + exact URL dedup
+    # round-14 additions
+    "e6_png_filtered_decode",  # scanline filters 1-4 (Sub/Up/Avg/
+    #   Paeth), stored gray + DH RGB in one plan; near-zero DuckDB
+    #   denominator (closed-form twin), same reading as the other
+    #   opt-in PNG rows
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

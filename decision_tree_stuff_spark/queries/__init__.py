@@ -367,10 +367,22 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     # keeps e5_sessions; shuffle and tumbling stay EXTRA-parity).
     "e12_batch_ingest": q_e12_batch_ingest,
     "e6_pixel_decode_paletted": q_e6_pixel_decode_paletted,
-    "e5_sessions": q_e5_sessions,
+    # r14 rotation (GATE_ROTATION.md; r13 verdict task 4): the sketch
+    # family's mergeability completion (cross-grid rebucket+merge),
+    # the weighted×auto-range quantile composition, and — per the
+    # verdict's explicit release now that its ~85%-one-time plan
+    # floor is measured (SCALING_r13.md §1) and budget-pinned
+    # (test_plan_budget.py) — the fixed-Huffman PNG decode, in place
+    # of three long-green rows from families that stay gate-covered
+    # (profile: e4_document_stats + e4_hll_distinct; temporal:
+    # e10_asof_join; decontam: e9_decontamination +
+    # e9c_semantic_decontam). All three promoted rows
+    # schema-contract-validated and sf0.01 hash-matched at swap time.
+    "e4_hist_rebucket_merge": q_e4_hist_rebucket_merge,
+    "e4_hist_quantiles_auto_weighted": q_e4_hist_quantiles_auto_weighted,
     "e4_document_stats": q_e4_document_stats,
     "e4_hist_quantiles_auto": q_e4_hist_quantiles_auto,
-    "e4_corpus_profile": q_e4_corpus_profile,
+    "e6_png_fixed_decode": q_e6_png_fixed_decode,
     "e4_quality_filter": q_e4_quality_filter,
     "e6_media_meta": q_e6_media_meta,
     # r12 rotation (GATE_ROTATION.md; r11 verdict task 5): the r11
@@ -398,7 +410,6 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     # similarity via e2_winnow/e3 rows; temporal via e10_asof +
     # e10c parity)
     "e9c_semantic_decontam": q_e9c_semantic_decontam,
-    "e9d_contamination_spans": q_e9d_contamination_spans,
     "e14b_hilbert": q_e14b_hilbert,
     "e6_pixel_decode": q_e6_pixel_decode,
     "skew_salted_agg": q_skew_salted_agg,
@@ -494,7 +505,6 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_lr_langid_joined": q_e4_lr_langid_joined,  # r10: joined path, own oracle
     "e6_wav_decode": q_e6_wav_decode,              # r10: real PCM audio decode
     "e6_png_decode": q_e6_png_decode,              # r11: stored-deflate PNG
-    "e6_png_fixed_decode": q_e6_png_fixed_decode,  # r12: fixed-Huffman PNG
     "e6_resize": q_e6_resize,                      # r11: nearest-neighbor resize
     "e6_audio_frames": q_e6_audio_frames,          # r11: short-time framing
     "e6_frame_resize": q_e6_frame_resize,          # r11: video frame resize
@@ -504,11 +514,9 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_kmv_matrix": q_e4_kmv_matrix,              # r11: pairwise overlap matrix
     "e4_hist_quantiles_auto_grouped": q_e4_hist_quantiles_auto_grouped,  # r12
     "e4_hist_quantiles_weighted": q_e4_hist_quantiles_weighted,  # r12
-    "e4_hist_quantiles_auto_weighted": q_e4_hist_quantiles_auto_weighted,  # r13
     "e4_hist_quantiles_auto_grouped_weighted": (
         q_e4_hist_quantiles_auto_grouped_weighted
     ),  # r13: weighted x per-group auto
-    "e4_hist_rebucket_merge": q_e4_hist_rebucket_merge,  # r13: cross-grid merge
     "e4_pii_scrub": q_e4_pii_scrub,  # r13: PII redaction + audit counts
     "e4_url_dedup": q_e4_url_dedup,  # r13: URL canonicalization + dedup
     "e6_wav_features": q_e6_wav_features,          # r10: decoded-PCM features
@@ -547,6 +555,12 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # r14: scanline filters 1-4 (Sub/Up/Average/Paeth) — stored gray +
     # DH RGB in one plan, all five filters per image
     "e6_png_filtered_decode": q_e6_png_filtered_decode,
+    # r14 rotation: three long-green rows demoted to make room for
+    # e4_hist_rebucket_merge / e4_hist_quantiles_auto_weighted /
+    # e6_png_fixed_decode (GATE_ROTATION.md)
+    "e4_corpus_profile": q_e4_corpus_profile,
+    "e5_sessions": q_e5_sessions,
+    "e9d_contamination_spans": q_e9d_contamination_spans,
 }
 
 EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {

@@ -54,10 +54,14 @@ GATE_KEYS = [
     "e8_hash_split",
     "e12_batch_ingest",
     "e6_pixel_decode_paletted",
-    "e5_sessions",
+    # r14 rotation (GATE_ROTATION.md): e4_hist_rebucket_merge,
+    # e4_hist_quantiles_auto_weighted, e6_png_fixed_decode in;
+    # e5_sessions, e4_corpus_profile, e9d_contamination_spans out
+    "e4_hist_rebucket_merge",
+    "e4_hist_quantiles_auto_weighted",
     "e4_document_stats",
     "e4_hist_quantiles_auto",
-    "e4_corpus_profile",
+    "e6_png_fixed_decode",
     "e4_quality_filter",
     "e6_media_meta",
     "e1f_exact_substring",
@@ -66,7 +70,6 @@ GATE_KEYS = [
     "e7d_pagerank",
     "e4_heavy_hitters",
     "e9c_semantic_decontam",
-    "e9d_contamination_spans",
     "e14b_hilbert",
     "e6_pixel_decode",
     "skew_salted_agg",
