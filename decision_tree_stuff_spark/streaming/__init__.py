@@ -462,6 +462,65 @@ def stream_hist(
     )
 
 
+def stream_hist_rebucket(
+    stream_df: DataFrame,
+    state_dir: str,
+    value_col: str = "v",
+    group_cols: list = None,
+    lo: float = 0.0,
+    hi: float = 1024.0,
+    n_buckets: int = None,
+    src_n_buckets: int = None,
+    checkpoint_dir: str = None,
+):
+    """Streaming AUTO-GRID histogram via cross-grid rebucket (r14 —
+    the sketch family's last stream≡batch gap): each micro-batch
+    builds an auto-range sketch on its OWN min/max grid
+    (``hist_buckets_auto``), ``hist_rebucket`` maps it onto the
+    caller's FIXED [lo, hi) target grid, and the additive fold sums
+    counts per target cell — so the maintained state is exactly the
+    batch cross-shard program (per-shard auto sketch → rebucket →
+    ``hist_merge``) with shards = micro-batches, in ≤ groups ×
+    (n_buckets+2) rows of state forever; ``hist_quantiles`` reads
+    the snapshot unchanged. NOTE the semantics are the rebucket
+    program's, not the one-shot global-bounds sketch: per-batch
+    grids differ, so each batch's mass lands within the documented
+    ≤ 1 target cell of its true cell (midpoint assignment) — the
+    price of folding auto-gridded shards without a second global
+    bounds pass over the stream's history."""
+    from decision_tree_stuff_spark.operators.sketch import (
+        HIST_BUCKETS,
+        hist_buckets_auto,
+        hist_buckets_auto_grouped,
+        hist_rebucket,
+    )
+
+    gcols = list(group_cols or [])
+    n_buckets = n_buckets or HIST_BUCKETS
+    src_n_buckets = src_n_buckets or HIST_BUCKETS
+
+    def _prep(batch: DataFrame) -> DataFrame:
+        if gcols:
+            sk = hist_buckets_auto_grouped(
+                batch, value_col, gcols, src_n_buckets
+            )
+        else:
+            sk = hist_buckets_auto(batch, value_col, (), src_n_buckets)
+        return hist_rebucket(
+            sk, lo, hi, n_buckets, gcols, src_n_buckets
+        )
+
+    return _stream_mergeable_fold(
+        stream_df,
+        state_dir,
+        lambda cells: cells.groupBy(*gcols, "bucket").agg(
+            F.sum("cnt").alias("cnt")
+        ),
+        checkpoint_dir,
+        prep_fn=_prep,
+    )
+
+
 def stream_kmv(
     stream_df: DataFrame,
     state_dir: str,

@@ -1233,3 +1233,85 @@ def test_hist_rebucket_weighted_sketches_compose(spark):
     assert sum(r["cnt"] for r in m.collect()) == 2 * sum(
         w for _, _, w in rows
     )
+
+
+def test_stream_hist_rebucket_state_equals_batch_shard_program(
+    spark, sf_dir, tmp_path_factory
+):
+    """r14 (the r13 verdict's streaming pin): the stream_hist_rebucket
+    state after 3 micro-batches must equal the BATCH cross-shard
+    program — per-shard auto sketch → hist_rebucket onto the fixed
+    grid → hist_merge — with shards = the same 3 files, exactly
+    (counts are integers; the midpoint assignment is deterministic
+    double arithmetic in one parenthesization on both paths). Also
+    pins snapshot retention (≤ 2 versions survive) and that
+    hist_quantiles reads the state snapshot unchanged."""
+    import os
+
+    from decision_tree_stuff_spark.operators.sketch import (
+        hist_buckets_auto,
+        hist_merge,
+        hist_quantiles,
+        hist_rebucket,
+    )
+    from decision_tree_stuff_spark.streaming import (
+        read_capped_state,
+        stream_hist_rebucket,
+    )
+
+    d = tmp_path_factory.mktemp("hist_rb_stream")
+    state = str(tmp_path_factory.mktemp("hist_rb_state"))
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    third = t.num_rows // 3
+    for i in range(3):
+        n = third if i < 2 else t.num_rows - 2 * third
+        pq.write_table(t.slice(i * third, n), f"{d}/part{i}.parquet")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo, hi, nb, src_nb = 0.0, 512.0, 32, 24
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .select(F.col("n_chars").cast("double").alias("v"))
+    )
+    stream_hist_rebucket(
+        stream, state, lo=lo, hi=hi, n_buckets=nb, src_n_buckets=src_nb
+    )
+
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in read_capped_state(spark, state).collect()
+    }
+
+    # batch cross-shard program over the SAME 3 shards
+    shards = [
+        hist_rebucket(
+            hist_buckets_auto(
+                spark.read.parquet(f"{d}/part{i}.parquet").select(
+                    F.col("n_chars").cast("double").alias("v")
+                ),
+                "v",
+                (),
+                src_nb,
+            ),
+            lo, hi, nb, (), src_nb,
+        )
+        for i in range(3)
+    ]
+    merged = hist_merge(shards[0], shards[1])
+    merged = hist_merge(merged, shards[2])
+    batch = {r["bucket"]: r["cnt"] for r in merged.collect()}
+    assert got == batch and got
+    assert sum(got.values()) == docs.count()  # mass conserved
+
+    # retention: only the newest snapshot + its direct predecessor
+    versions = [v for v in os.listdir(state) if v.startswith("v")]
+    assert len(versions) <= 2, versions
+
+    # the snapshot feeds hist_quantiles unchanged (hist_buckets shape)
+    qrows = hist_quantiles(
+        read_capped_state(spark, state), [0.5, 0.9], (), lo, hi, nb
+    ).collect()
+    assert len(qrows) == 2
+    assert all(lo <= r["est"] <= hi for r in qrows)
