@@ -736,39 +736,59 @@ def encode_png(
         _be_hex(F.crc32(F.unhex(ihdr_td)), 4),
     )
 
-    raw_hex = F.array_join(
-        F.transform(
-            F.sequence(F.lit(1), raw_n), lambda j: _byte_hex(raw_byte(j))
-        ),
-        "",
-    )
-    s1 = F.aggregate(
-        F.sequence(F.lit(1), raw_n),
-        F.lit(0).cast("bigint"),
-        lambda a, j: a + raw_byte(j),
-    )
-    sw = F.aggregate(
-        F.sequence(F.lit(1), raw_n),
-        F.lit(0).cast("bigint"),
-        lambda a, j: a + j.cast("bigint") * raw_byte(j),
-    )
-    adler_a = F.pmod(F.lit(1) + s1, F.lit(65521))
-    adler_b = F.pmod(raw_n + (raw_n + 1) * s1 - sw, F.lit(65521))
-    zstream = F.concat(
-        F.lit("7801"),              # CMF/FLG: deflate, (0x7801 % 31) == 0
-        F.lit("01"),                # BFINAL=1, BTYPE=00 (stored)
-        _le_hex(raw_n, 2),          # LEN
-        _le_hex(F.lit(65535) - raw_n, 2),  # NLEN = ~LEN
-        raw_hex,
-        _be_hex(adler_b * 65536 + adler_a, 4),
-    )
-    idat_td = F.concat(F.lit("49444154"), zstream)  # 'IDAT' + data
-    idat = F.concat(
-        _be_hex(raw_n + 11, 4),     # zlib stream = 2 + 5 + raw + 4
-        idat_td,
-        _be_hex(F.crc32(F.unhex(idat_td)), 4),
-    )
-    iend = F.lit("00000000" + "49454E44" + "AE426082")
+    def assemble(rb):
+        # rb: byte j (1-based) of the decompressed scanline stream
+        raw_hex = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), raw_n), lambda j: _byte_hex(rb(j))
+            ),
+            "",
+        )
+        s1 = F.aggregate(
+            F.sequence(F.lit(1), raw_n),
+            F.lit(0).cast("bigint"),
+            lambda a, j: a + rb(j),
+        )
+        sw = F.aggregate(
+            F.sequence(F.lit(1), raw_n),
+            F.lit(0).cast("bigint"),
+            lambda a, j: a + j.cast("bigint") * rb(j),
+        )
+        adler_a = F.pmod(F.lit(1) + s1, F.lit(65521))
+        adler_b = F.pmod(raw_n + (raw_n + 1) * s1 - sw, F.lit(65521))
+        zstream = F.concat(
+            F.lit("7801"),          # CMF/FLG: deflate, (0x7801 % 31) == 0
+            F.lit("01"),            # BFINAL=1, BTYPE=00 (stored)
+            _le_hex(raw_n, 2),      # LEN
+            _le_hex(F.lit(65535) - raw_n, 2),  # NLEN = ~LEN
+            raw_hex,
+            _be_hex(adler_b * 65536 + adler_a, 4),
+        )
+        idat_td = F.concat(F.lit("49444154"), zstream)  # 'IDAT' + data
+        idat = F.concat(
+            _be_hex(raw_n + 11, 4),  # zlib stream = 2 + 5 + raw + 4
+            idat_td,
+            _be_hex(F.crc32(F.unhex(idat_td)), 4),
+        )
+        iend = F.lit("00000000" + "49454E44" + "AE426082")
+        return F.concat(F.lit("89504E470D0A1A0A"), ihdr, idat, iend)
+
+    if filtered:
+        # the filtered raw-byte tree is an order of magnitude bigger
+        # than the plain one, and assemble() references it three times
+        # (hex render + both Adler prefix sums) — stage the stream as
+        # one array bound through _let so the tree appears ONCE in
+        # the plan (measured: the inlined form took the synthesis
+        # select's ANALYSIS from ~3 s to ~25 s; see SCALING_r14.md §4)
+        arr = F.transform(F.sequence(F.lit(1), raw_n), raw_byte)
+        png_hex = _let(
+            arr,
+            lambda a: assemble(
+                lambda j: F.try_element_at(a, j.cast("int"))
+            ),
+        )
+    else:
+        png_hex = assemble(raw_byte)
     # enforce the single-stored-block constraint the docstring states:
     # LEN/NLEN are 16-bit fields, so h·(w+1) > 65535 would silently
     # wrap into a corrupt file. raise_error fails the WHOLE JOB, not
@@ -779,7 +799,7 @@ def encode_png(
     # UNTRUSTED inputs; encoder inputs are the caller's own literals).
     return F.when(
         raw_n <= F.lit(65535),
-        F.unhex(F.concat(F.lit("89504E470D0A1A0A"), ihdr, idat, iend)),
+        F.unhex(png_hex),
     ).otherwise(
         F.raise_error(
             F.concat(
@@ -3881,15 +3901,17 @@ def encode_png_dyn(
             ),
         )
 
-    bits = F.concat(
-        F.array(*[F.lit(b) for b in _dh_header_bits()]),
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), raw_n), lambda j: lit_bits(raw_byte(j))
-            )
-        ),
-        F.array(F.lit(0)),  # EOB (1-bit code 0)
-    )
+    def make_bits(rb):
+        return F.concat(
+            F.array(*[F.lit(b) for b in _dh_header_bits()]),
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), raw_n),
+                    lambda j: lit_bits(rb(j)),
+                )
+            ),
+            F.array(F.lit(0)),  # EOB (1-bit code 0)
+        )
 
     def pack(bs):
         nbytes = F.floor((F.size(bs) + 7) / 8).cast("bigint")
@@ -3914,23 +3936,6 @@ def encode_png_dyn(
             "",
         )
 
-    zdata_hex = F.element_at(
-        F.transform(F.array(bits), lambda bs: pack(bs)), 1
-    )
-
-    s1 = F.aggregate(
-        F.sequence(F.lit(1), raw_n),
-        F.lit(0).cast("bigint"),
-        lambda a, j: a + raw_byte(j),
-    )
-    sw = F.aggregate(
-        F.sequence(F.lit(1), raw_n),
-        F.lit(0).cast("bigint"),
-        lambda a, j: a + j.cast("bigint") * raw_byte(j),
-    )
-    adler_a = F.pmod(F.lit(1) + s1, F.lit(65521))
-    adler_b = F.pmod(raw_n + (raw_n + 1) * s1 - sw, F.lit(65521))
-
     ihdr_td = F.concat(
         F.lit("49484452"),
         _be_hex(w, 4),
@@ -3942,28 +3947,58 @@ def encode_png_dyn(
         ihdr_td,
         _be_hex(F.crc32(F.unhex(ihdr_td)), 4),
     )
-    zstream = F.concat(
-        F.lit("7801"),
-        zdata_hex,
-        _be_hex(adler_b * 65536 + adler_a, 4),
-    )
-    idat_td = F.concat(F.lit("49444154"), zstream)
-    idat = F.concat(
-        # chunk length = zlib bytes: hex length / 2
-        _be_hex((F.length(zstream) / 2).cast("bigint"), 4),
-        idat_td,
-        _be_hex(F.crc32(F.unhex(idat_td)), 4),
-    )
-    iend = F.lit("00000000" + "49454E44" + "AE426082")
+
+    def assemble(rb):
+        zdata_hex = F.element_at(
+            F.transform(F.array(make_bits(rb)), lambda bs: pack(bs)), 1
+        )
+        s1 = F.aggregate(
+            F.sequence(F.lit(1), raw_n),
+            F.lit(0).cast("bigint"),
+            lambda a, j: a + rb(j),
+        )
+        sw = F.aggregate(
+            F.sequence(F.lit(1), raw_n),
+            F.lit(0).cast("bigint"),
+            lambda a, j: a + j.cast("bigint") * rb(j),
+        )
+        adler_a = F.pmod(F.lit(1) + s1, F.lit(65521))
+        adler_b = F.pmod(raw_n + (raw_n + 1) * s1 - sw, F.lit(65521))
+        zstream = F.concat(
+            F.lit("7801"),
+            zdata_hex,
+            _be_hex(adler_b * 65536 + adler_a, 4),
+        )
+        idat_td = F.concat(F.lit("49444154"), zstream)
+        idat = F.concat(
+            # chunk length = zlib bytes: hex length / 2
+            _be_hex((F.length(zstream) / 2).cast("bigint"), 4),
+            idat_td,
+            _be_hex(F.crc32(F.unhex(idat_td)), 4),
+        )
+        iend = F.lit("00000000" + "49454E44" + "AE426082")
+        return F.concat(F.lit("89504E470D0A1A0A"), ihdr, idat, iend)
+
+    if filtered:
+        # same staging as encode_png: the filtered raw-byte tree is
+        # referenced three times (bit emission + both Adler sums) —
+        # bind the stream array once through _let (SCALING_r14.md §4)
+        arr = F.transform(F.sequence(F.lit(1), raw_n), raw_byte)
+        png_hex = _let(
+            arr,
+            lambda a: assemble(
+                lambda j: F.try_element_at(a, j.cast("int"))
+            ),
+        )
+    else:
+        png_hex = assemble(raw_byte)
     # r14 advice: the decode paths cap raw at _PNG_FH_MAX_RAW, so an
     # oversize fixture would silently emit a PNG every decoder nulls
     # out — fail the job loudly instead, matching encode_png's
     # caller-error convention (fixture encoders take caller literals).
     return F.when(
         raw_n <= F.lit(_PNG_FH_MAX_RAW),
-        F.unhex(
-            F.concat(F.lit("89504E470D0A1A0A"), ihdr, idat, iend)
-        ),
+        F.unhex(png_hex),
     ).otherwise(
         F.raise_error(
             F.concat(

@@ -1,42 +1,50 @@
 """Analyzer/plan-build budget for the heavy media plans (r13, r12
-verdict task 7): the e6_png_decode / e6_png_fixed_decode bench floor
-(~10-12 s at sf0.1) is almost entirely ONE-TIME driver-side cost, not
-per-row compute. Measured breakdown (SCALING_r13.md):
+verdict task 7; tightened r14 per the r13 verdict): the PNG rows'
+bench floor is almost entirely ONE-TIME driver-side cost, not per-row
+compute. Measured breakdown (SCALING_r13.md §1, re-measured r14 warm
+after the encoder _let staging — SCALING_r14.md §4):
 
-* ~5-6 s  Python-side expression construction (py4j round trips
-          building the chunk/block/symbol-walk Column tree) — data-
-          independent;
-* ~1 s    JVM analysis + optimization + physical planning;
-* ~2.4 s  execution at sf0.1 (codegen compile included in the first
-          run only; re-executing the SAME DataFrame costs the same,
-          so there is no cross-action analysis re-pay to reuse).
+* construct (py4j expression building, data-independent):
+  decode ~4.4 s, fixed ~8.2 s, dyn ~10.7 s, rgb ~10.4 s,
+  filtered ~10.9 s
+* JVM analysis + physical planning: 1.0-3.4 s per row
 
-This test pins a generous regression budget on the one-time part so
-an expression-tree blow-up (the pre-``_let`` fixed-Huffman walk OOMed
-the analyzer outright — the failure mode this guards) is caught as a
-slow/failed build, while ±50% box noise can't flake it."""
+The r13 45 s blanket budget had 6x headroom — enough to catch the
+analyzer-OOM failure mode (the pre-``_let`` fixed-Huffman walk never
+finished analysis) but not a 3x plan-cost regression. r14 pins each
+row at ~2x its measured warm floor (+ the ±50% box-noise band), after
+a WARMUP build that pays the session's one-time JVM class-loading so
+the first row measured isn't the cold one (measured: first-build
+penalty ~3x on this box)."""
 
 from __future__ import annotations
 
 import time
 
-# 6-10x headroom over the measured ~6.7 s combined one-time cost; a
-# regression to quadratic tree copying blows through this immediately
-# (the r12 pre-_let walk never finished analysis at all).
-BUILD_PLUS_PLAN_BUDGET_SEC = 45.0
+# name -> budget over (construct + analyze + plan), seconds.
+# ~2x the measured warm floor, rounded up through the noise band.
+BUILD_PLUS_PLAN_BUDGET_SEC = {
+    "e6_png_decode": 14.0,
+    "e6_png_fixed_decode": 22.0,
+    "e6_png_dyn_decode": 28.0,
+    "e6_png_rgb_decode": 30.0,
+    "e6_png_filtered_decode": 30.0,  # r14: the _let-staged encoders —
+    #   the UNstaged form measured 52 s here (SCALING_r14.md §4), so
+    #   this pin fails if the staging regresses
+}
 
 
 def test_png_plan_build_within_budget(spark, sf_dir):
     from decision_tree_stuff_spark.queries import ALL_QUERIES
 
-    for name in (
-        "e6_png_decode",
-        "e6_png_fixed_decode",
-        "e6_png_dyn_decode",  # r13: four staged DH columns — the row
-        #   this budget most exists for
-    ):
+    # warmup: pay the session's one-time JVM/py4j cost outside the
+    # measured window (any PNG row works; use the cheapest)
+    warm = ALL_QUERIES["e6_png_decode"](spark, sf_dir)
+    warm._jdf.queryExecution().executedPlan()
+
+    for name, budget in BUILD_PLUS_PLAN_BUDGET_SEC.items():
         t0 = time.time()
         df = ALL_QUERIES[name](spark, sf_dir)
         df._jdf.queryExecution().executedPlan()
         elapsed = time.time() - t0
-        assert elapsed < BUILD_PLUS_PLAN_BUDGET_SEC, (name, elapsed)
+        assert elapsed < budget, (name, elapsed, budget)
