@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     #   Paeth), stored gray + DH RGB in one plan; near-zero DuckDB
     #   denominator (closed-form twin), same reading as the other
     #   opt-in PNG rows
+    "e6_png_alpha_decode",   # gray+alpha / RGBA (DH+filtered) — the
+    #   8-bit non-palette color-type matrix completed
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -169,6 +169,20 @@ def decode_media(payload: bytes, fmt: str):
 _PNG_SIG = "89504E470D0A1A0A"  # \x89PNG\r\n\x1a\n
 
 
+def _png_bpp(ctype):
+    """Bytes per pixel for the supported 8-bit color types (r14 —
+    the full non-palette matrix): 0 gray, 2 RGB, 4 gray+alpha,
+    6 RGBA. Garbage-safe: anything else maps to 1 and the IHDR
+    check nulls the row."""
+    return (
+        F.when(ctype == 2, F.lit(3))
+        .when(ctype == 4, F.lit(2))
+        .when(ctype == 6, F.lit(4))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+    )
+
+
 def _sig(payload, pos: int, ascii_tag: str):
     """True iff the bytes at 1-based ``pos`` equal ``ascii_tag`` —
     compared as HEX, because ``decode(..., 'UTF-8')`` raises on the
@@ -689,7 +703,12 @@ def _png_raw_byte_fn(media_id, wb, bpp, filtered: bool):
 
 
 def encode_png(
-    media_id, w, h, rgb: bool = False, filtered: bool = False
+    media_id,
+    w,
+    h,
+    rgb: bool = False,
+    filtered: bool = False,
+    color_type: int = None,
 ) -> Column:
     """A spec-compliant grayscale 8-bit PNG (r11) whose top-down gray
     pixel q is ``pixel_value(media_id, q)`` — REAL PNG, not just the
@@ -719,7 +738,10 @@ def encode_png(
     mismatches the hash."""
     wb = w.cast("bigint")
     hb = h.cast("bigint")
-    bpp = 3 if rgb else 1
+    ct = color_type if color_type is not None else (2 if rgb else 0)
+    if ct not in (0, 2, 4, 6):
+        raise ValueError(f"encode_png: unsupported color type {ct}")
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
     # h scanlines of (filter byte + w*bpp data bytes)
     raw_n = hb * (wb * bpp + 1)
     raw_byte = _png_raw_byte_fn(media_id, wb, bpp, filtered)
@@ -728,7 +750,7 @@ def encode_png(
         F.lit("49484452"),  # 'IHDR'
         _be_hex(w, 4),
         _be_hex(h, 4),
-        F.lit(("08" + ("02" if rgb else "00")) + "00" + "00" + "00"),
+        F.lit(("08" + "%02X" % ct) + "00" + "00" + "00"),
     )
     ihdr = F.concat(
         F.lit("0000000D"),
@@ -1420,15 +1442,16 @@ def decode_png(
     depth, ctype, comp, filt, interlace = payload[24:29]
     if (
         depth != 8
-        or ctype not in (0, 2)
+        or ctype not in (0, 2, 4, 6)
         or (comp, filt, interlace) != (0, 0, 0)
         or w <= 0
         or h <= 0
     ):
         raise ValueError(
-            "unsupported IHDR (need gray-8 or RGB-8, no interlace)"
+            "unsupported IHDR (need 8-bit color type 0/2/4/6, "
+            "no interlace)"
         )
-    bpp = 3 if ctype == 2 else 1
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
 
     pos, idat, n_idat, done = 33, b"", 0, False
     for _ in range(_PNG_MAX_CHUNKS):
@@ -1536,6 +1559,12 @@ def decode_png(
     pixels = []
     if ctype == 2:
         pixels = recon
+    elif ctype == 6:          # RGBA: drop every 4th (alpha) byte
+        pixels = [b for i, b in enumerate(recon) if i % 4 != 3]
+    elif ctype == 4:          # gray+alpha: gray byte expands, alpha drops
+        for i in range(0, len(recon), 2):
+            g = recon[i]
+            pixels += [g, g, g]
     else:
         for g in recon:
             pixels += [g, g, g]
@@ -1579,6 +1608,14 @@ def synthesize_decodable_media(
         ),
         "pngdfltc": lambda m, w, h: encode_png_dyn(
             m, w, h, rgb=True, filtered=True
+        ),
+        # r14: alpha-carrying color types — gray+alpha (4) stored,
+        # RGBA (6) stored, and RGBA dynamic+filtered (the full
+        # real-world libpng shape)
+        "pngga": lambda m, w, h: encode_png(m, w, h, color_type=4),
+        "pnga": lambda m, w, h: encode_png(m, w, h, color_type=6),
+        "pngdflta": lambda m, w, h: encode_png_dyn(
+            m, w, h, filtered=True, color_type=6
         ),
     }
     even_fmt, odd_fmt = formats
@@ -1643,11 +1680,12 @@ def _png_gray_decode(p, cw, bw, recon=None):
     shape as every other format."""
     w = _be32(p, 17)
     h = _be32(p, 21)
-    # r13: color type 0 (gray, 1 byte/px, expanded to R=G=B) OR 2
-    # (truecolor RGB, 3 bytes/px, copied through) — bpp is total and
-    # garbage-safe (always 1 or 3)
+    # r13/r14: the full 8-bit non-palette color-type matrix — 0 gray
+    # (expanded to R=G=B), 2 RGB (copied through), 4 gray+alpha,
+    # 6 RGBA (alpha filtered-through but dropped from the flat-RGB
+    # output); bpp is total and garbage-safe
     ctype = _u8(p, 26)
-    bpp = F.when(ctype == 2, F.lit(3)).otherwise(F.lit(1)).cast("bigint")
+    bpp = _png_bpp(ctype)
     # clamp header-derived sizes BEFORE they feed any sequence/fold:
     # on a non-PNG or corrupt payload these fields are garbage, and
     # codegen subexpression elimination can evaluate the folds
@@ -1674,7 +1712,7 @@ def _png_gray_decode(p, cw, bw, recon=None):
         & (_be32(p, 9) == 13)
         & _sig(p, 13, "IHDR")
         & (_u8(p, 25) == 8)   # bit depth
-        & ((ctype == 0) | (ctype == 2))  # grayscale or RGB (r13)
+        & ctype.isin(0, 2, 4, 6)  # 8-bit non-palette matrix (r14)
         & (_u8(p, 27) == 0)   # compression: deflate
         & (_u8(p, 28) == 0)   # filter method 0
         & (_u8(p, 29) == 0)   # no interlace
@@ -1758,7 +1796,25 @@ def _png_pixel_reader(oraw, recon, wb, hb, bpp, ctype):
     (exact size, no null entries — a null marks an unknown filter
     type or a short stream), and pixels read from ``recon`` —
     cheaper than the stream reads (one try_element_at on a staged
-    array vs the stored path's per-byte block-table probe)."""
+    array vs the stored path's per-byte block-table probe).
+
+    Channel mapping (r14: the full 8-bit non-palette color-type
+    matrix 0/2/4/6): output byte k is pixel ``q = k//3`` channel
+    ``c = k%3``; its SOURCE byte inside pixel q's ``bpp`` group is
+    ``c`` for the color types (2/6) and 0 (the gray byte) for the
+    gray types (0/4) — alpha bytes participate in stride and filter
+    reconstruction but are dropped from the flat-RGB output
+    contract."""
+
+    def src_off(k):
+        # 0-based offset of output byte k's source in the recon
+        # stream: q*bpp + (c | 0)
+        q = F.floor(k / 3).cast("bigint")
+        c = F.pmod(k, F.lit(3))
+        return q * bpp + F.when(
+            (ctype == 2) | (ctype == 6), c
+        ).otherwise(F.lit(0))
+
     if recon is None:
         filters_ok = F.forall(
             F.sequence(F.lit(0), hb - 1),
@@ -1766,16 +1822,11 @@ def _png_pixel_reader(oraw, recon, wb, hb, bpp, ctype):
         )
 
         def png_byte(k):
-            # gray: pixel q's single source byte expands to R=G=B;
-            # rgb: output byte k maps straight through the stride
-            q = F.floor(k / 3).cast("bigint")
-            r_g = F.floor(q / wb).cast("bigint")
-            px = F.pmod(q, wb)
-            r_c = F.floor(k / (wb * 3)).cast("bigint")
-            m = F.pmod(k, wb * 3)
-            return F.when(
-                ctype == 2, oraw(r_c * (wb * 3 + 1) + 2 + m)
-            ).otherwise(oraw(r_g * (wb + 1) + 2 + px))
+            # map the source offset through the per-row filter bytes
+            i = src_off(k)
+            r = F.floor(i / (wb * bpp)).cast("bigint")
+            m = F.pmod(i, wb * bpp)
+            return oraw(r * (wb * bpp + 1) + 2 + m)
 
         return filters_ok, png_byte
 
@@ -1794,10 +1845,7 @@ def _png_pixel_reader(oraw, recon, wb, hb, bpp, ctype):
     )
 
     def png_byte(k):
-        q = F.floor(k / 3).cast("bigint")
-        return F.when(
-            ctype == 2, F.try_element_at(recon, (k + 1).cast("int"))
-        ).otherwise(F.try_element_at(recon, (q + 1).cast("int")))
+        return F.try_element_at(recon, (src_off(k) + 1).cast("int"))
 
     return filters_ok, png_byte
 
@@ -2071,11 +2119,13 @@ def decode_pixels(
       tools); P6 data is already top-down RGB, P5 grayscale is
       expanded to R=G=B so ``pixels`` has one shape for every format.
 
-    * PNG grayscale-8 with STORED-deflate zlib (r11,
-      ``_png_gray_decode``): signature + IHDR dispatch, CRC/Adler
-      verified, gray expanded to R=G=B. Huffman-compressed PNGs (the
-      overwhelmingly common kind) still null out here — that is the
-      genuinely codec-bound case ``decode_media`` documents.
+    * PNG 8-bit with STORED-deflate zlib (r11, ``_png_gray_decode``;
+      r13 RGB; r14 gray+alpha and RGBA — the full non-palette
+      color-type matrix 0/2/4/6): signature + IHDR dispatch,
+      CRC/Adler verified, gray expanded to R=G=B, alpha decoded
+      through the stride/filters then dropped from the flat-RGB
+      output. Huffman-compressed PNGs null out here unless the
+      opt-in walk flags below are set.
 
     JPEG/GIF (and compressed PNG) pixel decode still requires
     ``decode_media``'s codec libraries — header metadata for those is
@@ -2224,11 +2274,7 @@ def _decode_pixels_png(
     if fixed_huffman or dynamic_huffman or filters:
         w = _be32(p, 17)
         h = _be32(p, 21)
-        _bpp = (
-            F.when(_u8(p, 26) == 2, F.lit(3))
-            .otherwise(F.lit(1))
-            .cast("bigint")
-        )
+        _bpp = _png_bpp(_u8(p, 26))
         _raw0 = h.cast("bigint") * (w.cast("bigint") * _bpp + 1)
         _sane = (
             _raw0.isNotNull()
@@ -2861,7 +2907,7 @@ def _png_gray_decode_fh(p, cw, fw, recon=None):
     w = _be32(p, 17)
     h = _be32(p, 21)
     ctype = _u8(p, 26)
-    bpp = F.when(ctype == 2, F.lit(3)).otherwise(F.lit(1)).cast("bigint")
+    bpp = _png_bpp(ctype)
     _cap = F.lit(_PNG_FH_MAX_RAW).cast("bigint")
     _raw0 = h.cast("bigint") * (w.cast("bigint") * bpp + 1)
     _sane = _raw0.isNotNull() & (_raw0 > 0) & (_raw0 <= _cap)
@@ -2876,7 +2922,7 @@ def _png_gray_decode_fh(p, cw, fw, recon=None):
         & (_be32(p, 9) == 13)
         & _sig(p, 13, "IHDR")
         & (_u8(p, 25) == 8)
-        & ((ctype == 0) | (ctype == 2))  # gray or RGB (r13)
+        & ctype.isin(0, 2, 4, 6)  # 8-bit non-palette matrix (r14)
         & (_u8(p, 27) == 0)
         & (_u8(p, 28) == 0)
         & (_u8(p, 29) == 0)
@@ -3769,7 +3815,7 @@ def _png_gray_decode_dh(p, cw, dw, recon=None):
     w = _be32(p, 17)
     h = _be32(p, 21)
     ctype = _u8(p, 26)
-    bpp = F.when(ctype == 2, F.lit(3)).otherwise(F.lit(1)).cast("bigint")
+    bpp = _png_bpp(ctype)
     _cap = F.lit(_PNG_FH_MAX_RAW).cast("bigint")
     _raw0 = h.cast("bigint") * (w.cast("bigint") * bpp + 1)
     _sane = _raw0.isNotNull() & (_raw0 > 0) & (_raw0 <= _cap)
@@ -3784,7 +3830,7 @@ def _png_gray_decode_dh(p, cw, dw, recon=None):
         & (_be32(p, 9) == 13)
         & _sig(p, 13, "IHDR")
         & (_u8(p, 25) == 8)
-        & ((ctype == 0) | (ctype == 2))  # gray or RGB (r13)
+        & ctype.isin(0, 2, 4, 6)  # 8-bit non-palette matrix (r14)
         & (_u8(p, 27) == 0)
         & (_u8(p, 28) == 0)
         & (_u8(p, 29) == 0)
@@ -3864,7 +3910,12 @@ def _dh_header_bits() -> list:
 
 
 def encode_png_dyn(
-    media_id, w, h, rgb: bool = False, filtered: bool = False
+    media_id,
+    w,
+    h,
+    rgb: bool = False,
+    filtered: bool = False,
+    color_type: int = None,
 ) -> Column:
     """A spec-compliant grayscale-8 PNG whose zlib stream is ONE
     final DYNAMIC-HUFFMAN deflate block (RFC 1951 §3.2.7) — the
@@ -3888,7 +3939,10 @@ def encode_png_dyn(
     libpng emits; the decoded pixels stay the one closed form."""
     wb = w.cast("bigint")
     hb = h.cast("bigint")
-    bpp = 3 if rgb else 1
+    ct = color_type if color_type is not None else (2 if rgb else 0)
+    if ct not in (0, 2, 4, 6):
+        raise ValueError(f"encode_png_dyn: unsupported color type {ct}")
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
     raw_n = hb * (wb * bpp + 1)
     raw_byte = _png_raw_byte_fn(media_id, wb, bpp, filtered)
 
@@ -3940,7 +3994,7 @@ def encode_png_dyn(
         F.lit("49484452"),
         _be_hex(w, 4),
         _be_hex(h, 4),
-        F.lit(("08" + ("02" if rgb else "00")) + "00" + "00" + "00"),
+        F.lit(("08" + "%02X" % ct) + "00" + "00" + "00"),
     )
     ihdr = F.concat(
         F.lit("0000000D"),

@@ -225,6 +225,7 @@ from decision_tree_stuff_spark.queries.media import (  # noqa: F401,E501
     q_e6_png_dyn_decode,
     q_e6_png_rgb_decode,
     q_e6_png_filtered_decode,
+    q_e6_png_alpha_decode,
     q_e6_resize,
     q_e6_audio_frames,
     q_e6_frame_resize,
@@ -555,6 +556,8 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # r14: scanline filters 1-4 (Sub/Up/Average/Paeth) — stored gray +
     # DH RGB in one plan, all five filters per image
     "e6_png_filtered_decode": q_e6_png_filtered_decode,
+    # r14: alpha color types (gray+alpha stored / RGBA DH filtered)
+    "e6_png_alpha_decode": q_e6_png_alpha_decode,
     # r14 rotation: three long-green rows demoted to make room for
     # e4_hist_rebucket_merge / e4_hist_quantiles_auto_weighted /
     # e6_png_fixed_decode (GATE_ROTATION.md)

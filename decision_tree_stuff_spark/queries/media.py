@@ -309,6 +309,37 @@ def q_e6_png_filtered_decode(spark, sf_dir):
     )
 
 
+def q_e6_png_alpha_decode(spark, sf_dir):
+    """REAL alpha-carrying PNG decode (r14 — completes the 8-bit
+    non-palette color-type matrix 0/2/4/6): even ids a STORED-deflate
+    GRAY+ALPHA (type 4) PNG, odd ids a DYNAMIC-HUFFMAN FILTERED RGBA
+    (type 6) PNG — the full real-world libpng shape (truecolor +
+    alpha + adaptive filters + dynamic Huffman). Alpha bytes
+    participate in the stride and the filter reconstruction but are
+    dropped from the flat-RGB output contract, so the oracle
+    recomputes RGB straight from the closed form (gray byte at
+    recon[2q], RGBA byte at recon[4q+c]) and any mistake in the
+    4-byte/2-byte stride math, the alpha-aware Paeth neighbors, or
+    the channel drop mismatches the hash. Density %31 (the DH half).
+    Hex-packed scalar output."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_pixels,
+        synthesize_decodable_media,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 31 == 0)
+    return _hex_packed_pixels(
+        decode_pixels(
+            synthesize_decodable_media(
+                docs, formats=("pngga", "pngdflta")
+            ),
+            formats=("png",),
+            png_dynamic_huffman=True,
+            png_filters=True,
+        )
+    )
+
+
 def q_e6_resize(spark, sf_dir):
     """Nearest-neighbor resize to 4x3 over REAL decoded pixels (r11)
     — the fixed-input-resolution preprocessing step, one shuffle-free
@@ -658,6 +689,22 @@ SELECT doc_id AS media_id,
          k -> printf('%02X', CASE WHEN doc_id % 2 = 0
                 THEN (doc_id * 7 + (k // 3) * 13) % 256
                 ELSE (doc_id * 7 + k * 13) % 256 END)
+       ), '') AS pixels_hex
+FROM documents WHERE doc_id % 31 = 0
+""",
+    # r14: alpha twin — even ids gray+alpha (gray byte 2*(k//3)), odd
+    # ids RGBA (byte 4*(k//3) + k%3); alpha never reaches the output.
+    "e6_png_alpha_decode": """
+SELECT doc_id AS media_id,
+       'png' AS img_format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       array_to_string(list_transform(
+         range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
+         k -> printf('%02X', CASE WHEN doc_id % 2 = 0
+                THEN (doc_id * 7 + (k // 3) * 2 * 13) % 256
+                ELSE (doc_id * 7 + ((k // 3) * 4 + k % 3) * 13) % 256
+              END)
        ), '') AS pixels_hex
 FROM documents WHERE doc_id % 31 = 0
 """,

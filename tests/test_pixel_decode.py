@@ -1465,9 +1465,12 @@ def test_png_rgb_round_trip_all_paths(spark):
     assert {f for m, f in off.items() if m % 2 == 1} == {None}
 
 
-def test_png_rgba_and_16bit_reject_both_paths(spark):
-    """Color types/depths outside {gray-8, RGB-8} null in Spark and
-    raise in Python — RGBA (6) and 16-bit RGB pinned."""
+def test_png_palette_and_16bit_reject_both_paths(spark):
+    """Color types/depths outside the 8-bit non-palette matrix
+    {0, 2, 4, 6} null in Spark and raise in Python — paletted (3)
+    and 16-bit RGB pinned (r14: RGBA and gray+alpha moved from this
+    rejection set to full decode support; see
+    test_png_alpha_color_types_both_paths)."""
     import struct as _struct
     import zlib as _z
 
@@ -1490,21 +1493,99 @@ def test_png_rgba_and_16bit_reject_both_paths(spark):
                 + chunk(b"IEND", b""))
 
     w, h = 2, 2
-    rgba_raw = b"".join(b"\x00" + bytes(range(w * 4)) for _ in range(h))
-    p_rgba = png(w, h, 8, 6, rgba_raw)
+    pal_raw = b"".join(b"\x00" + bytes(range(w)) for _ in range(h))
+    p_pal = png(w, h, 8, 3, pal_raw)  # paletted (needs PLTE — unsupported)
     rgb16_raw = b"".join(b"\x00" + bytes(range(w * 6)) for _ in range(h))
     p_16 = png(w, h, 16, 2, rgb16_raw)
 
     df = spark.createDataFrame(
-        [("rgba", bytearray(p_rgba)), ("d16", bytearray(p_16))],
+        [("pal", bytearray(p_pal)), ("d16", bytearray(p_16))],
         "media_id string, payload binary",
     )
     rows = decode_pixels(df, formats=("png",),
                          png_dynamic_huffman=True).collect()
     assert all(r["img_format"] is None for r in rows)
-    for p in (p_rgba, p_16):
+    for p in (p_pal, p_16):
         with pytest.raises(ValueError):
             decode_png(p, dynamic_huffman=True)
+
+
+def test_png_alpha_color_types_both_paths(spark):
+    """r14: gray+alpha (4) and RGBA (6) decode across stored and
+    DH+filtered envelopes — alpha bytes ride the stride and the
+    filter reconstruction, then drop from the flat-RGB output. Hand
+    fixture pins the channel mapping independent of the encoders;
+    round trips pin the closed form; the twin agrees."""
+    import zlib as _z
+
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    # hand fixture: 2x1 RGBA stored, known bytes — alpha 9/250 dropped
+    raw = b"\x00" + bytes([10, 20, 30, 9, 40, 50, 60, 250])
+    payload = _png_from(raw, 2, 1, idat_data=_z.compress(raw, 0), ctype=6)
+    df = spark.createDataFrame(
+        [("1", bytearray(payload))], "media_id string, payload binary"
+    )
+    r = decode_pixels(df, formats=("png",)).collect()[0]
+    assert (r["img_format"], r["width"], r["height"]) == ("png", 2, 1)
+    assert list(r["pixels"]) == [10, 20, 30, 40, 50, 60]
+    assert decode_png(payload) == (2, 1, [10, 20, 30, 40, 50, 60])
+
+    # hand fixture: 2x1 gray+alpha — gray expands, alpha drops
+    raw_ga = b"\x00" + bytes([77, 5, 200, 255])
+    p_ga = _png_from(
+        raw_ga, 2, 1, idat_data=_z.compress(raw_ga, 0), ctype=4
+    )
+    df = spark.createDataFrame(
+        [("1", bytearray(p_ga))], "media_id string, payload binary"
+    )
+    r = decode_pixels(df, formats=("png",)).collect()[0]
+    assert list(r["pixels"]) == [77, 77, 77, 200, 200, 200]
+    assert decode_png(p_ga) == (2, 1, [77, 77, 77, 200, 200, 200])
+
+    # round trips: stored gray+alpha / stored RGBA / DH filtered RGBA
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 13)], "doc_id bigint"
+    )
+    for fmts, bpps in [
+        (("pngga", "pnga"), (2, 4)),
+        (("pnga", "pngdflta"), (4, 4)),
+    ]:
+        media = synthesize_decodable_media(docs, formats=fmts)
+        rows = {
+            r["media_id"]: r
+            for r in decode_pixels(
+                media,
+                formats=("png",),
+                png_dynamic_huffman=True,
+                png_filters=True,
+            )
+            .join(media.select("media_id", "payload"), "media_id")
+            .collect()
+        }
+        assert len(rows) == 12
+        for mid, r in rows.items():
+            w, h = mid % 5 + 2, mid % 4 + 2
+            bpp = bpps[mid % 2]
+            if bpp == 2:
+                expect = [
+                    (mid * 7 + (k // 3) * 2 * 13) % 256
+                    for k in range(w * h * 3)
+                ]
+            else:
+                expect = [
+                    (mid * 7 + ((k // 3) * 4 + k % 3) * 13) % 256
+                    for k in range(w * h * 3)
+                ]
+            assert (r["img_format"], r["width"], r["height"]) == (
+                "png", w, h,
+            ), (fmts, mid)
+            assert list(r["pixels"]) == expect, (fmts, mid)
+            assert decode_png(
+                bytes(r["payload"]), dynamic_huffman=True, filters=True
+            ) == (w, h, expect), (fmts, mid)
 
 
 # ------------------------------------------------------------- r14 —
