@@ -25,6 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -2235,6 +2236,21 @@ def decode_pixels(
     return non_png.unionByName(png)
 
 
+#: Expression-construction backend for the PNG decode plan. "column"
+#: (default) is the per-node py4j/ColumnNode build; "sql" assembles
+#: each staged walk as one SQL text via strexpr and hands it to ONE
+#: ``F.expr`` per staged column. MEASURED NEGATIVE (SCALING_r14.md
+#: §6): the sql path cuts construction from ~3.8 s to ~0.05 s (it
+#: eliminates ~31k py4j round trips) but ``F.expr`` parse is LAZY —
+#: paid inside each select's eager analysis — and ANTLR on the
+#: ~515 KB deeply-nested program costs ~18 s, 3-7x the ColumnNode
+#: analysis it replaces (full-flag build+selects: column 8.2 s vs
+#: sql 22.6 s, same session). Kept in-tree gated at zero
+#: default-plan cost with a byte-identity differential test, the DH
+#: peek-walk precedent. Overridable for A/B via env.
+_PNG_EXPR_BACKEND = os.environ.get("SPARK_GRAFT_PNG_EXPR", "column")
+
+
 def _decode_pixels_png(
     media: DataFrame,
     payload_col: str,
@@ -2264,13 +2280,57 @@ def _decode_pixels_png(
     ``_png_unfilter`` reconstruction fold over it. The decoders then
     read pixels from ``__prc`` and accept filter types 0-4 instead
     of requiring 0; scope under the flag is raw <= _PNG_FH_MAX_RAW
-    for every envelope (the shared fold bound)."""
+    for every envelope (the shared fold bound).
+
+    Expression construction vs plan assembly are split (r14,
+    ``_png_plan_exprs``) so the expression program can be built under
+    either backend: the default ``column`` backend is the per-node
+    py4j/ColumnNode build; the gated ``sql`` backend assembles the
+    walks as ONE SQL text per staged column via :mod:`strexpr`.
+    Tests pin the two backends byte-identical; the sql path is a
+    measured NEGATIVE for wall time (see ``_PNG_EXPR_BACKEND``) —
+    it exists as the reproducible record of that measurement and as
+    a construction-path differential oracle."""
+    backend = _PNG_EXPR_BACKEND
+    if backend == "sql":
+        import sys
+
+        from . import strexpr
+
+        with strexpr.string_backend(sys.modules[__name__]):
+            staged_e, finals_e = _png_plan_exprs(
+                payload_col, fixed_huffman, dynamic_huffman, filters
+            )
+        staged_e = [(n, strexpr.to_col(e)) for n, e in staged_e]
+        finals = [strexpr.to_col(e) for e in finals_e]
+    else:
+        staged_e, finals = _png_plan_exprs(
+            payload_col, fixed_huffman, dynamic_huffman, filters
+        )
+    df = media
+    for n, e in staged_e:
+        df = df.select("*", e.alias(n))
+    return df.select("media_id", *finals)
+
+
+def _png_plan_exprs(
+    payload_col: str,
+    fixed_huffman: bool = False,
+    dynamic_huffman: bool = False,
+    filters: bool = False,
+):
+    """The PNG decode EXPRESSION PROGRAM, backend-agnostic: returns
+    ``(staged, finals)`` where ``staged`` is an ordered list of
+    ``(column_name, expr)`` (later stages reference earlier ones by
+    column name) and ``finals`` are the four aliased output
+    expressions ``img_format / width / height / pixels``.  Every
+    expression is built through the module-global ``F``, so the same
+    code produces Column trees (py4j) or :class:`strexpr.S` fragment
+    trees (string backend) depending on what ``F`` is bound to at
+    call time."""
     p = F.col(payload_col)
-    staged = media.select(
-        "*", _png_chunk_walk(p).alias("__pcw")
-    ).select(
-        "*", _png_block_walk(p, F.col("__pcw")).alias("__pbw")
-    )
+    staged = [("__pcw", _png_chunk_walk(p))]
+    staged.append(("__pbw", _png_block_walk(p, F.col("__pcw"))))
     if fixed_huffman or dynamic_huffman or filters:
         w = _be32(p, 17)
         h = _be32(p, 21)
@@ -2286,47 +2346,45 @@ def _decode_pixels_png(
         fh_sig = _sane & (
             F.pmod(_u8(p, F.col("__pcw")["zs"] + 2), F.lit(8)) == 3
         )
-        staged = staged.select(
-            "*",
-            F.when(
-                fh_sig, _png_fixed_walk(p, F.col("__pcw"), raw_n)
-            ).alias("__pfw"),
+        staged.append(
+            (
+                "__pfw",
+                F.when(fh_sig, _png_fixed_walk(p, F.col("__pcw"), raw_n)),
+            )
         )
     if dynamic_huffman:
         dh_sig = _sane & (
             F.pmod(_u8(p, F.col("__pcw")["zs"] + 2), F.lit(8)) == 5
         )
-        staged = (
-            staged.select(
-                "*",
-                F.when(
-                    dh_sig, _png_dh_header(p, F.col("__pcw"))
-                ).alias("__pdh"),
-            )
-            .select(
-                "*",
+        staged.append(
+            ("__pdh", F.when(dh_sig, _png_dh_header(p, F.col("__pcw"))))
+        )
+        staged.append(
+            (
+                "__pdl",
                 F.when(
                     dh_sig,
-                    _png_dh_lens_walk(
-                        p, F.col("__pcw"), F.col("__pdh")
-                    ),
-                ).alias("__pdl"),
+                    _png_dh_lens_walk(p, F.col("__pcw"), F.col("__pdh")),
+                ),
             )
-            .select(
-                "*",
+        )
+        staged.append(
+            (
+                "__pdt",
                 F.when(
-                    dh_sig,
-                    _png_dh_tabs(F.col("__pdh"), F.col("__pdl")),
-                ).alias("__pdt"),
+                    dh_sig, _png_dh_tabs(F.col("__pdh"), F.col("__pdl"))
+                ),
             )
-            .select(
-                "*",
+        )
+        staged.append(
+            (
+                "__pdw",
                 F.when(
                     dh_sig,
                     _png_dyn_walk(
                         p, F.col("__pcw"), raw_n, F.col("__pdt")
                     ),
-                ).alias("__pdw"),
+                ),
             )
         )
     recon = None
@@ -2349,11 +2407,9 @@ def _decode_pixels_png(
         one = F.lit(1).cast("bigint")
         wbf = F.when(_sane, w.cast("bigint")).otherwise(one)
         hbf = F.when(_sane, h.cast("bigint")).otherwise(one)
-        staged = staged.select("*", praw.alias("__praw")).select(
-            "*",
-            _png_unfilter(
-                F.col("__praw"), wbf, hbf, _bpp
-            ).alias("__prc"),
+        staged.append(("__praw", praw))
+        staged.append(
+            ("__prc", _png_unfilter(F.col("__praw"), wbf, hbf, _bpp))
         )
         recon = F.col("__prc")
     png_ok, png_w, png_h, png_pixels = _png_gray_decode(
@@ -2379,13 +2435,13 @@ def _decode_pixels_png(
         width = width.when(dh_ok, dh_w)
         height = height.when(dh_ok, dh_h)
         pixels = pixels.when(dh_ok, dh_pixels)
-    return staged.select(
-        "media_id",
+    finals = [
         fmt.alias("img_format"),
         width.cast("int").alias("width"),
         height.cast("int").alias("height"),
         pixels.alias("pixels"),
-    )
+    ]
+    return staged, finals
 
 
 def _decode_pixels_nonpng(

@@ -1926,3 +1926,53 @@ def test_dh_peek_walk_equivalence(spark):
     assert a_synth == b_synth
     assert a_zlib == b_zlib
     assert all(r[1] == "png" for r in b_synth + b_zlib)
+
+
+def test_png_expr_backend_sql_differential(spark):
+    """The gated strexpr ("sql") construction backend must produce
+    byte-identical decode results to the default ColumnNode
+    ("column") build — same expression program, two construction
+    paths (r14, SCALING_r14.md §6: the sql path is a measured wall
+    time NEGATIVE kept in-tree as this differential oracle; the
+    filters case here routes through the stored-envelope reader,
+    the unfilter fold and every final, the deepest shared program
+    the cheap flag set reaches)."""
+    import decision_tree_stuff_spark.operators.multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 9)], "doc_id bigint"
+    )
+    media = synthesize_decodable_media(
+        docs, formats=("pngflt", "pngfltc")
+    ).localCheckpoint()
+    # a payload the decoder must NULL out (bad filter byte) rides
+    # along so the reject path is pinned through both backends too
+    raw = b"\x07" + bytes([1, 2]) + b"\x00" + bytes([3, 4])
+    bad = spark.createDataFrame(
+        [(99, bytearray(_png_from(raw, 2, 2)))],
+        "media_id bigint, payload binary",
+    ).localCheckpoint()
+
+    def run(df):
+        return sorted(
+            (r["media_id"], r["img_format"], r["width"], r["height"],
+             None if r["pixels"] is None else tuple(r["pixels"]))
+            for r in decode_pixels(
+                df, formats=("png",), png_filters=True
+            ).collect()
+        )
+
+    assert mm._PNG_EXPR_BACKEND == "column", (
+        "default backend changed — update test and the "
+        "_PNG_EXPR_BACKEND measurement note"
+    )
+    try:
+        a_synth, a_bad = run(media), run(bad)
+        mm._PNG_EXPR_BACKEND = "sql"
+        b_synth, b_bad = run(media), run(bad)
+    finally:
+        mm._PNG_EXPR_BACKEND = "column"
+    assert a_synth == b_synth
+    assert a_bad == b_bad
+    assert all(r[1] == "png" for r in b_synth)
+    assert b_bad[0][1] is None
