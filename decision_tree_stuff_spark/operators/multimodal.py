@@ -640,7 +640,7 @@ def encode_pgm(media_id, w, h) -> Column:
     return F.concat(header, data)
 
 
-def _png_raw_byte_fn(media_id, wb, bpp, filtered: bool):
+def _png_raw_byte_fn(media_id, wb, bpp, filtered: bool, value_fn=None):
     """Byte j (1-based) of a synthetic PNG's decompressed scanline
     stream, shared by the stored / fixed-Huffman / dynamic-Huffman
     encoders. Unfiltered (default): filter byte 0, data byte =
@@ -650,26 +650,27 @@ def _png_raw_byte_fn(media_id, wb, bpp, filtered: bool):
     reconstructed image stays ``pixel_value``, so the decode-side
     oracle is unchanged while the payload exercises all five RFC
     2083 filters."""
+    pv = value_fn or pixel_value
 
     def raw_byte(j):
         r = F.floor((j - 1) / (wb * bpp + 1)).cast("bigint")
         pos = F.pmod(j - 1, wb * bpp + 1)
         if not filtered:
             return F.when(pos == 0, F.lit(0)).otherwise(
-                pixel_value(media_id, r * wb * bpp + pos - 1)
+                pv(media_id, r * wb * bpp + pos - 1)
             )
         ft = F.pmod(r + media_id, F.lit(5))
         x = pos - 1                      # 0-based offset in the line
         i = r * wb * bpp + x             # 0-based recon index
         a = F.when(
-            x >= bpp, pixel_value(media_id, i - bpp)
+            x >= bpp, pv(media_id, i - bpp)
         ).otherwise(F.lit(0)).cast("bigint")
         b = F.when(
-            r > 0, pixel_value(media_id, i - wb * bpp)
+            r > 0, pv(media_id, i - wb * bpp)
         ).otherwise(F.lit(0)).cast("bigint")
         c = F.when(
             (r > 0) & (x >= bpp),
-            pixel_value(media_id, i - wb * bpp - bpp),
+            pv(media_id, i - wb * bpp - bpp),
         ).otherwise(F.lit(0)).cast("bigint")
 
         def filt(av):
@@ -691,7 +692,7 @@ def _png_raw_byte_fn(media_id, wb, bpp, filtered: bool):
                         .otherwise(paeth)
                     )
                     return F.pmod(
-                        pixel_value(media_id, i) - pred, F.lit(256)
+                        pv(media_id, i) - pred, F.lit(256)
                     ).cast("int")
 
                 return _let(c, filt_c)
@@ -701,6 +702,44 @@ def _png_raw_byte_fn(media_id, wb, bpp, filtered: bool):
         return F.when(pos == 0, ft.cast("int")).otherwise(_let(a, filt))
 
     return raw_byte
+
+
+def _png_index_value(media_id, q):
+    """Index byte of pixel ``q`` in the synthetic PALETTED (color
+    type 3) fixtures: ``q mod 256`` — with the 256-entry palette of
+    ``_png_plte_hex`` this makes the decoded RGB byte k equal
+    ``pixel_value(media_id, k)`` exactly (39*(q mod 256) == 39*q
+    mod 256), so the paletted rows share the one closed-form oracle
+    while the palette indirection must round-trip correctly for the
+    hash to match."""
+    return F.pmod(q, F.lit(256)).cast("int")
+
+
+def _png_plte_hex(media_id):
+    """Hex of the synthetic 256-entry PLTE chunk (r14 paletted
+    fixtures): palette byte t (entry ``t//3`` channel ``t%3``) is
+    ``pixel_value(media_id, t)``; see ``_png_index_value`` for why
+    this choice keeps the decode oracle the shared closed form. 768
+    data bytes + real CRC-32; the chunk data hex is bound once
+    through ``_let`` (it feeds both the payload and the CRC)."""
+    td = F.concat(
+        F.lit("504C5445"),  # 'PLTE'
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(767)),
+                lambda t: _byte_hex(pixel_value(media_id, t)),
+            ),
+            "",
+        ),
+    )
+    return _let(
+        td,
+        lambda tdv: F.concat(
+            F.lit("00000300"),  # length 768
+            tdv,
+            _be_hex(F.crc32(F.unhex(tdv)), 4),
+        ),
+    )
 
 
 def encode_png(
@@ -740,12 +779,16 @@ def encode_png(
     wb = w.cast("bigint")
     hb = h.cast("bigint")
     ct = color_type if color_type is not None else (2 if rgb else 0)
-    if ct not in (0, 2, 4, 6):
+    if ct not in (0, 2, 3, 4, 6):
         raise ValueError(f"encode_png: unsupported color type {ct}")
-    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
     # h scanlines of (filter byte + w*bpp data bytes)
     raw_n = hb * (wb * bpp + 1)
-    raw_byte = _png_raw_byte_fn(media_id, wb, bpp, filtered)
+    raw_byte = _png_raw_byte_fn(
+        media_id, wb, bpp, filtered,
+        value_fn=_png_index_value if ct == 3 else None,
+    )
+    plte = _png_plte_hex(media_id) if ct == 3 else None
 
     ihdr_td = F.concat(
         F.lit("49484452"),  # 'IHDR'
@@ -794,6 +837,10 @@ def encode_png(
             _be_hex(F.crc32(F.unhex(idat_td)), 4),
         )
         iend = F.lit("00000000" + "49454E44" + "AE426082")
+        if ct == 3:
+            return F.concat(
+                F.lit("89504E470D0A1A0A"), ihdr, plte, idat, iend
+            )
         return F.concat(F.lit("89504E470D0A1A0A"), ihdr, idat, iend)
 
     if filtered:
@@ -1405,6 +1452,7 @@ def decode_png(
     fixed_huffman: bool = False,
     dynamic_huffman: bool = False,
     filters: bool = False,
+    palette: bool = False,
 ):
     """Python single-payload twin of the Spark ``_png_gray_decode``
     branch: returns ``(w, h, rgb_pixels)`` (gray expanded to R=G=B,
@@ -1425,6 +1473,12 @@ def decode_png(
     multi/non-final compressed blocks — still raises, just as it
     nulls out in Spark.
 
+    ``palette`` (r14) mirrors the Spark ``png_palette`` opt-in:
+    color type 3 decodes — index bytes (one per pixel, filters
+    apply to them) looked up in THE PLTE chunk that precedes the
+    first IDAT (exactly one, length a multiple of 3 in [3, 768]);
+    any index >= the entry count raises, as it nulls out in Spark.
+
     ``filters`` (r14) mirrors the Spark ``png_filters`` opt-in:
     scanline filters 1-4 (Sub/Up/Average/Paeth) are reconstructed;
     the flag also narrows the stored-envelope raw cap to
@@ -1441,20 +1495,23 @@ def decode_png(
         raise ValueError("IHDR CRC mismatch")
     w, h = _struct.unpack(">II", payload[16:24])
     depth, ctype, comp, filt, interlace = payload[24:29]
+    ctypes_ok = (0, 2, 3, 4, 6) if palette else (0, 2, 4, 6)
     if (
         depth != 8
-        or ctype not in (0, 2, 4, 6)
+        or ctype not in ctypes_ok
         or (comp, filt, interlace) != (0, 0, 0)
         or w <= 0
         or h <= 0
     ):
         raise ValueError(
-            "unsupported IHDR (need 8-bit color type 0/2/4/6, "
-            "no interlace)"
+            "unsupported IHDR (need 8-bit color type "
+            + ("0/2/3/4/6" if palette else "0/2/4/6")
+            + ", no interlace)"
         )
-    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
 
     pos, idat, n_idat, done = 33, b"", 0, False
+    plte_data, n_plte = None, 0
     for _ in range(_PNG_MAX_CHUNKS):
         if pos + 12 > len(payload):
             raise ValueError("truncated chunk header")
@@ -1471,6 +1528,12 @@ def decode_png(
             break
         if ctag == b"IDAT":
             idat, n_idat = payload[pos + 8:pos + 8 + clen], n_idat + 1
+        # mirror _png_plte_walk: only PLTE chunks BEFORE the first
+        # IDAT are considered (the walk stops at IDAT, per spec order)
+        if ctag == b"PLTE" and n_idat == 0:
+            if plte_data is None:
+                plte_data = payload[pos + 8:pos + 8 + clen]
+            n_plte += 1
         pos += 12 + clen
     if not done:
         raise ValueError(f"no IEND within {_PNG_MAX_CHUNKS} chunks")
@@ -1558,7 +1621,21 @@ def decode_png(
                 )
             recon.append((fx + pred) % 256)
     pixels = []
-    if ctype == 2:
+    if ctype == 3:
+        if n_plte != 1:
+            raise ValueError(
+                f"need exactly one PLTE before IDAT, saw {n_plte}"
+            )
+        if len(plte_data) % 3 != 0 or not 3 <= len(plte_data) <= 768:
+            raise ValueError(f"bad PLTE length {len(plte_data)}")
+        n_entries = len(plte_data) // 3
+        for idx in recon:
+            if idx >= n_entries:
+                raise ValueError(
+                    f"palette index {idx} >= {n_entries} entries"
+                )
+            pixels += list(plte_data[3 * idx:3 * idx + 3])
+    elif ctype == 2:
         pixels = recon
     elif ctype == 6:          # RGBA: drop every 4th (alpha) byte
         pixels = [b for i, b in enumerate(recon) if i % 4 != 3]
@@ -1618,6 +1695,18 @@ def synthesize_decodable_media(
         "pngdflta": lambda m, w, h: encode_png_dyn(
             m, w, h, filtered=True, color_type=6
         ),
+        # r14: PALETTED (color type 3) — stored, stored+filtered,
+        # dynamic, and dynamic+filtered (indexed icons as libpng
+        # emits them); indices filter through the 1-byte stride and
+        # map through the real PLTE chunk on decode
+        "pngp": lambda m, w, h: encode_png(m, w, h, color_type=3),
+        "pngpflt": lambda m, w, h: encode_png(
+            m, w, h, color_type=3, filtered=True
+        ),
+        "pngdp": lambda m, w, h: encode_png_dyn(m, w, h, color_type=3),
+        "pngdfltp": lambda m, w, h: encode_png_dyn(
+            m, w, h, color_type=3, filtered=True
+        ),
     }
     even_fmt, odd_fmt = formats
     mid = F.col(id_col)
@@ -1659,7 +1748,7 @@ def _be32u(payload, pos):
     )
 
 
-def _png_gray_decode(p, cw, bw, recon=None):
+def _png_gray_decode(p, cw, bw, recon=None, plte=None):
     """(ok, w, h, pixels) for a grayscale-8 stored-deflate PNG — the
     pure-expression inverse of ``encode_png``, with REAL integrity
     verification: IHDR + IDAT CRC-32s (``F.crc32``), zlib header
@@ -1713,7 +1802,13 @@ def _png_gray_decode(p, cw, bw, recon=None):
         & (_be32(p, 9) == 13)
         & _sig(p, 13, "IHDR")
         & (_u8(p, 25) == 8)   # bit depth
-        & ctype.isin(0, 2, 4, 6)  # 8-bit non-palette matrix (r14)
+        & (
+            ctype.isin(0, 2, 4, 6)  # 8-bit non-palette matrix (r14)
+            if plte is None
+            # r14 opt-in png_palette: +3 (paletted); PLTE
+            # validity/index bounds enforced by the reader
+            else ctype.isin(0, 2, 3, 4, 6)
+        )
         & (_u8(p, 27) == 0)   # compression: deflate
         & (_u8(p, 28) == 0)   # filter method 0
         & (_u8(p, 29) == 0)   # no interlace
@@ -1778,7 +1873,7 @@ def _png_gray_decode(p, cw, bw, recon=None):
     ) == _be32u(p, zs + zl - 4)
 
     filters_ok, png_byte = _png_pixel_reader(
-        zraw, recon, wb, hb, bpp, ctype
+        zraw, recon, wb, hb, bpp, ctype, p=p, plte=plte
     )
     pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
     ok = (
@@ -1787,7 +1882,7 @@ def _png_gray_decode(p, cw, bw, recon=None):
     return ok, w, h, pixels
 
 
-def _png_pixel_reader(oraw, recon, wb, hb, bpp, ctype):
+def _png_pixel_reader(oraw, recon, wb, hb, bpp, ctype, p=None, plte=None):
     """(filters_ok, png_byte) shared by the three deflate-envelope
     decoders. Default (``recon is None``, the pre-r14 plan shape):
     scanlines must use filter 0 and output byte k reads straight out
@@ -1805,7 +1900,19 @@ def _png_pixel_reader(oraw, recon, wb, hb, bpp, ctype):
     ``c`` for the color types (2/6) and 0 (the gray byte) for the
     gray types (0/4) — alpha bytes participate in stride and filter
     reconstruction but are dropped from the flat-RGB output
-    contract."""
+    contract.
+
+    ``p``/``plte`` (r14, opt-in ``png_palette``): color type 3 —
+    the decompressed stream carries one INDEX byte per pixel
+    (bpp 1, filters apply to the index bytes) and output byte k is
+    palette entry ``idx*3 + c`` read STRAIGHT OUT OF THE PAYLOAD's
+    PLTE chunk data (``_png_plte_walk`` staged as ``plte``; the main
+    chunk walk has already CRC-verified the chunk). The returned
+    ``filters_ok`` additionally requires, for type-3 rows only: one
+    PLTE before IDAT, length a multiple of 3 in [3, 768], and EVERY
+    index < pl/3 — an out-of-range index must null the row, never
+    silently read bytes beyond the palette. When ``plte`` is None
+    the expressions are byte-identical to the pre-palette plans."""
 
     def src_off(k):
         # 0-based offset of output byte k's source in the recon
@@ -1822,33 +1929,81 @@ def _png_pixel_reader(oraw, recon, wb, hb, bpp, ctype):
             lambda r: oraw(r * (wb * bpp + 1) + 1) == 0,
         )
 
-        def png_byte(k):
-            # map the source offset through the per-row filter bytes
-            i = src_off(k)
+        def stream_at(i):
+            # decompressed data byte at 0-based offset i, mapped
+            # through the per-row filter bytes
             r = F.floor(i / (wb * bpp)).cast("bigint")
             m = F.pmod(i, wb * bpp)
             return oraw(r * (wb * bpp + 1) + 2 + m)
 
+        def png_byte(k):
+            return stream_at(src_off(k))
+
+    else:
+        filters_ok = (
+            F.coalesce(
+                F.forall(
+                    F.sequence(F.lit(0), hb - 1),
+                    lambda r: oraw(r * (wb * bpp + 1) + 1).between(0, 4),
+                ),
+                F.lit(False),
+            )
+            & (F.size(recon).cast("bigint") == hb * wb * bpp)
+            & F.coalesce(
+                F.forall(recon, lambda v: v.isNotNull()), F.lit(False)
+            )
+        )
+
+        def stream_at(i):
+            return F.try_element_at(recon, (i + 1).cast("int"))
+
+        def png_byte(k):
+            return stream_at(src_off(k))
+
+    if plte is None:
         return filters_ok, png_byte
 
-    filters_ok = (
-        F.coalesce(
-            F.forall(
-                F.sequence(F.lit(0), hb - 1),
-                lambda r: oraw(r * (wb * bpp + 1) + 1).between(0, 4),
-            ),
-            F.lit(False),
-        )
-        & (F.size(recon).cast("bigint") == hb * wb * bpp)
-        & F.coalesce(
-            F.forall(recon, lambda v: v.isNotNull()), F.lit(False)
-        )
+    # --- color type 3: palette indirection through the payload -----
+    ps, pl = plte["ps"], plte["pl"]
+    n_entries = F.floor(pl / 3).cast("bigint")
+    plte_ok = F.coalesce(
+        plte.isNotNull()
+        & plte["ok"]
+        & (plte["n_plte"] == 1)
+        & (F.pmod(pl, F.lit(3)) == 0)
+        & (pl >= 3)
+        & (pl <= 768),
+        F.lit(False),
     )
 
-    def png_byte(k):
-        return F.try_element_at(recon, (src_off(k) + 1).cast("int"))
+    def idx_at(q):
+        # pixel q's index byte: source offset q*bpp with bpp == 1
+        return stream_at(q)
 
-    return filters_ok, png_byte
+    idx_ok = F.coalesce(
+        F.forall(
+            F.sequence(F.lit(0), wb * hb - 1),
+            lambda q: F.coalesce(
+                idx_at(q).cast("bigint") < n_entries, F.lit(False)
+            ),
+        ),
+        F.lit(False),
+    )
+    pal_filters_ok = F.when(
+        ctype == 3, filters_ok & plte_ok & idx_ok
+    ).otherwise(filters_ok)
+
+    base_byte = png_byte
+
+    def pal_png_byte(k):
+        q = F.floor(k / 3).cast("bigint")
+        c = F.pmod(k, F.lit(3))
+        return F.when(
+            ctype == 3,
+            _u8(p, ps + idx_at(q).cast("bigint") * 3 + c),
+        ).otherwise(base_byte(k))
+
+    return pal_filters_ok, pal_png_byte
 
 
 def _png_chunk_walk(p):
@@ -1925,6 +2080,87 @@ def _png_chunk_walk(p):
 
     return F.aggregate(
         F.sequence(F.lit(1), F.lit(_PNG_MAX_CHUNKS)), cinit, cstep
+    )
+
+
+def _png_plte_walk(p):
+    """Bounded chunk walk locating THE PLTE chunk (r14, paletted
+    color-type-3 support — RFC 2083 §4.1.2): one struct column
+    (pos, ps, pl, n_plte, ok, done) where ``ps``/``pl`` are the
+    1-based data start and byte length of the first PLTE chunk seen
+    BEFORE the first IDAT — the spec orders PLTE strictly before
+    IDAT, so the walk stops (done) at IDAT or IEND and a PLTE after
+    IDAT is simply never recorded (n_plte stays 0 and the decoder
+    nulls the row, matching the Python twin's raise). CRC integrity
+    of every visited chunk is already enforced by the main
+    ``_png_chunk_walk`` (staged alongside this one), so this walk
+    only guards readability/advance; traversal order is identical."""
+    pinit = F.struct(
+        F.lit(34).cast("bigint").alias("pos"),
+        F.lit(None).cast("bigint").alias("ps"),   # PLTE data start
+        F.lit(None).cast("bigint").alias("pl"),   # PLTE data length
+        F.lit(0).alias("n_plte"),
+        F.lit(True).alias("ok"),
+        F.lit(False).alias("done"),
+    )
+
+    def pstep(acc, _):
+        pos = acc["pos"]
+        clen = _be32(p, pos).cast("bigint")
+        readable = (pos + 11 + clen) <= F.length(p)
+        is_stop = _sig(p, pos + 4, "IEND") | _sig(p, pos + 4, "IDAT")
+        is_plte = _sig(p, pos + 4, "PLTE")
+        bad = clen.isNull() | (clen < 0) | ~readable
+        adv = pos + 12 + clen
+        new = (
+            F.when(
+                bad,
+                F.struct(
+                    pos.alias("pos"),
+                    acc["ps"].alias("ps"),
+                    acc["pl"].alias("pl"),
+                    acc["n_plte"].alias("n_plte"),
+                    F.lit(False).alias("ok"),
+                    F.lit(True).alias("done"),
+                ),
+            )
+            .when(
+                is_stop,
+                F.struct(
+                    pos.alias("pos"),
+                    acc["ps"].alias("ps"),
+                    acc["pl"].alias("pl"),
+                    acc["n_plte"].alias("n_plte"),
+                    acc["ok"].alias("ok"),
+                    F.lit(True).alias("done"),
+                ),
+            )
+            .when(
+                is_plte,
+                F.struct(
+                    adv.alias("pos"),
+                    F.coalesce(acc["ps"], pos + 8).alias("ps"),
+                    F.coalesce(acc["pl"], clen).alias("pl"),
+                    (acc["n_plte"] + 1).alias("n_plte"),
+                    acc["ok"].alias("ok"),
+                    F.lit(False).alias("done"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    adv.alias("pos"),
+                    acc["ps"].alias("ps"),
+                    acc["pl"].alias("pl"),
+                    acc["n_plte"].alias("n_plte"),
+                    acc["ok"].alias("ok"),
+                    F.lit(False).alias("done"),
+                )
+            )
+        )
+        return F.when(acc["done"], acc).otherwise(new)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_PNG_MAX_CHUNKS)), pinit, pstep
     )
 
 
@@ -2101,6 +2337,7 @@ def decode_pixels(
     png_fixed_huffman: bool = False,
     png_dynamic_huffman: bool = False,
     png_filters: bool = False,
+    png_palette: bool = False,
 ) -> DataFrame:
     """REAL pixel decode of uncompressed formats, pure Spark: returns
     (media_id, img_format, width, height, pixels) where ``pixels`` is
@@ -2214,6 +2451,7 @@ def decode_pixels(
                 fixed_huffman=png_fixed_huffman,
                 dynamic_huffman=png_dynamic_huffman,
                 filters=png_filters,
+                palette=png_palette,
             )
     p = F.col(payload_col)
     # null payloads must route to the non-PNG branch (where they null
@@ -2232,6 +2470,7 @@ def decode_pixels(
         fixed_huffman=png_fixed_huffman,
         dynamic_huffman=png_dynamic_huffman,
         filters=png_filters,
+        palette=png_palette,
     )
     return non_png.unionByName(png)
 
@@ -2257,6 +2496,7 @@ def _decode_pixels_png(
     fixed_huffman: bool = False,
     dynamic_huffman: bool = False,
     filters: bool = False,
+    palette: bool = False,
 ) -> DataFrame:
     """The PNG-only decode plan: every input row carries the PNG
     signature, so the walk folds are staged as columns (each
@@ -2299,13 +2539,13 @@ def _decode_pixels_png(
 
         with strexpr.string_backend(sys.modules[__name__]):
             staged_e, finals_e = _png_plan_exprs(
-                payload_col, fixed_huffman, dynamic_huffman, filters
+                payload_col, fixed_huffman, dynamic_huffman, filters, palette
             )
         staged_e = [(n, strexpr.to_col(e)) for n, e in staged_e]
         finals = [strexpr.to_col(e) for e in finals_e]
     else:
         staged_e, finals = _png_plan_exprs(
-            payload_col, fixed_huffman, dynamic_huffman, filters
+            payload_col, fixed_huffman, dynamic_huffman, filters, palette
         )
     df = media
     for n, e in staged_e:
@@ -2318,6 +2558,7 @@ def _png_plan_exprs(
     fixed_huffman: bool = False,
     dynamic_huffman: bool = False,
     filters: bool = False,
+    palette: bool = False,
 ):
     """The PNG decode EXPRESSION PROGRAM, backend-agnostic: returns
     ``(staged, finals)`` where ``staged`` is an ordered list of
@@ -2331,6 +2572,13 @@ def _png_plan_exprs(
     p = F.col(payload_col)
     staged = [("__pcw", _png_chunk_walk(p))]
     staged.append(("__pbw", _png_block_walk(p, F.col("__pcw"))))
+    if palette:
+        # PLTE located only for type-3 rows; other color types (and
+        # garbage payloads) skip the fold at runtime
+        staged.append(
+            ("__ppl", F.when(_u8(p, 26) == 3, _png_plte_walk(p)))
+        )
+    plte = F.col("__ppl") if palette else None
     if fixed_huffman or dynamic_huffman or filters:
         w = _be32(p, 17)
         h = _be32(p, 21)
@@ -2413,7 +2661,7 @@ def _png_plan_exprs(
         )
         recon = F.col("__prc")
     png_ok, png_w, png_h, png_pixels = _png_gray_decode(
-        p, F.col("__pcw"), F.col("__pbw"), recon=recon
+        p, F.col("__pcw"), F.col("__pbw"), recon=recon, plte=plte
     )
     fmt = F.when(png_ok, "png")
     width = F.when(png_ok, png_w)
@@ -2421,7 +2669,7 @@ def _png_plan_exprs(
     pixels = F.when(png_ok, png_pixels)
     if fixed_huffman:
         fh_ok, fh_w, fh_h, fh_pixels = _png_gray_decode_fh(
-            p, F.col("__pcw"), F.col("__pfw"), recon=recon
+            p, F.col("__pcw"), F.col("__pfw"), recon=recon, plte=plte
         )
         fmt = fmt.when(fh_ok, "png")
         width = width.when(fh_ok, fh_w)
@@ -2429,7 +2677,7 @@ def _png_plan_exprs(
         pixels = pixels.when(fh_ok, fh_pixels)
     if dynamic_huffman:
         dh_ok, dh_w, dh_h, dh_pixels = _png_gray_decode_dh(
-            p, F.col("__pcw"), F.col("__pdw"), recon=recon
+            p, F.col("__pcw"), F.col("__pdw"), recon=recon, plte=plte
         )
         fmt = fmt.when(dh_ok, "png")
         width = width.when(dh_ok, dh_w)
@@ -2948,7 +3196,7 @@ def _png_fixed_walk(p, cw, raw_n):
     )
 
 
-def _png_gray_decode_fh(p, cw, fw, recon=None):
+def _png_gray_decode_fh(p, cw, fw, recon=None, plte=None):
     """(ok, w, h, pixels) for a grayscale-8 PNG whose zlib stream is
     ONE final fixed-Huffman deflate block (BTYPE=01) — the FH sibling
     of ``_png_gray_decode``, consuming the staged symbol walk ``fw``
@@ -2978,7 +3226,13 @@ def _png_gray_decode_fh(p, cw, fw, recon=None):
         & (_be32(p, 9) == 13)
         & _sig(p, 13, "IHDR")
         & (_u8(p, 25) == 8)
-        & ctype.isin(0, 2, 4, 6)  # 8-bit non-palette matrix (r14)
+        & (
+            ctype.isin(0, 2, 4, 6)  # 8-bit non-palette matrix (r14)
+            if plte is None
+            # r14 opt-in png_palette: +3 (paletted); PLTE
+            # validity/index bounds enforced by the reader
+            else ctype.isin(0, 2, 3, 4, 6)
+        )
         & (_u8(p, 27) == 0)
         & (_u8(p, 28) == 0)
         & (_u8(p, 29) == 0)
@@ -3023,7 +3277,7 @@ def _png_gray_decode_fh(p, cw, fw, recon=None):
         + F.pmod(F.lit(1) + s1, F.lit(65521))
     ) == _be32u(p, zs + zl - 4)
     filters_ok, png_byte = _png_pixel_reader(
-        oraw, recon, wb, hb, bpp, ctype
+        oraw, recon, wb, hb, bpp, ctype, p=p, plte=plte
     )
     pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
     ok = (
@@ -3857,7 +4111,7 @@ def _png_dyn_walk(p, cw, raw_n, tabs):
     )
 
 
-def _png_gray_decode_dh(p, cw, dw, recon=None):
+def _png_gray_decode_dh(p, cw, dw, recon=None, plte=None):
     """(ok, w, h, pixels) for a grayscale-8 PNG whose zlib stream is
     ONE final DYNAMIC-HUFFMAN deflate block (BTYPE=10) — the DH
     sibling of ``_png_gray_decode_fh``, consuming the staged symbol
@@ -3886,7 +4140,13 @@ def _png_gray_decode_dh(p, cw, dw, recon=None):
         & (_be32(p, 9) == 13)
         & _sig(p, 13, "IHDR")
         & (_u8(p, 25) == 8)
-        & ctype.isin(0, 2, 4, 6)  # 8-bit non-palette matrix (r14)
+        & (
+            ctype.isin(0, 2, 4, 6)  # 8-bit non-palette matrix (r14)
+            if plte is None
+            # r14 opt-in png_palette: +3 (paletted); PLTE
+            # validity/index bounds enforced by the reader
+            else ctype.isin(0, 2, 3, 4, 6)
+        )
         & (_u8(p, 27) == 0)
         & (_u8(p, 28) == 0)
         & (_u8(p, 29) == 0)
@@ -3932,7 +4192,7 @@ def _png_gray_decode_dh(p, cw, dw, recon=None):
         + F.pmod(F.lit(1) + s1, F.lit(65521))
     ) == _be32u(p, zs + zl - 4)
     filters_ok, png_byte = _png_pixel_reader(
-        oraw, recon, wb, hb, bpp, ctype
+        oraw, recon, wb, hb, bpp, ctype, p=p, plte=plte
     )
     pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
     ok = (
@@ -3996,11 +4256,15 @@ def encode_png_dyn(
     wb = w.cast("bigint")
     hb = h.cast("bigint")
     ct = color_type if color_type is not None else (2 if rgb else 0)
-    if ct not in (0, 2, 4, 6):
+    if ct not in (0, 2, 3, 4, 6):
         raise ValueError(f"encode_png_dyn: unsupported color type {ct}")
-    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
     raw_n = hb * (wb * bpp + 1)
-    raw_byte = _png_raw_byte_fn(media_id, wb, bpp, filtered)
+    raw_byte = _png_raw_byte_fn(
+        media_id, wb, bpp, filtered,
+        value_fn=_png_index_value if ct == 3 else None,
+    )
+    plte = _png_plte_hex(media_id) if ct == 3 else None
 
     def lit_bits(b):
         # 9 bits of b+256, MSB-first
@@ -4087,6 +4351,10 @@ def encode_png_dyn(
             _be_hex(F.crc32(F.unhex(idat_td)), 4),
         )
         iend = F.lit("00000000" + "49454E44" + "AE426082")
+        if ct == 3:
+            return F.concat(
+                F.lit("89504E470D0A1A0A"), ihdr, plte, idat, iend
+            )
         return F.concat(F.lit("89504E470D0A1A0A"), ihdr, idat, iend)
 
     if filtered:

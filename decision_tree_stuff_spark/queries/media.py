@@ -340,6 +340,40 @@ def q_e6_png_alpha_decode(spark, sf_dir):
     )
 
 
+def q_e6_png_palette_decode(spark, sf_dir):
+    """REAL PALETTED (color-type-3) PNG decode (r14 — indexed icons
+    as libpng emits them): even ids a STORED-deflate paletted PNG,
+    odd ids a DYNAMIC-HUFFMAN FILTERED paletted PNG. The stream
+    carries one INDEX byte per pixel (filters apply to the indices
+    at the 1-byte stride) and RGB comes from the payload's real PLTE
+    chunk — located by a bounded pre-IDAT chunk walk
+    (``_png_plte_walk``), CRC-verified by the shared chunk walk,
+    length/multiplicity validated, and EVERY index bounds-checked
+    against the entry count (an out-of-range index nulls the row,
+    never reads past the palette). The synthetic 256-entry palette
+    is arranged so the decoded RGB byte k equals the one closed-form
+    ``pixel_value`` (see ``_png_index_value``): the oracle needs no
+    palette math, while a mistake in the PLTE offset, the
+    idx->entry*3+channel mapping or the index filter reconstruction
+    mismatches the hash. Density %31 (the DH half). Hex-packed
+    scalar output."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_pixels,
+        synthesize_decodable_media,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 31 == 0)
+    return _hex_packed_pixels(
+        decode_pixels(
+            synthesize_decodable_media(docs, formats=("pngp", "pngdfltp")),
+            formats=("png",),
+            png_dynamic_huffman=True,
+            png_filters=True,
+            png_palette=True,
+        )
+    )
+
+
 def q_e6_resize(spark, sf_dir):
     """Nearest-neighbor resize to 4x3 over REAL decoded pixels (r11)
     — the fixed-input-resolution preprocessing step, one shuffle-free
@@ -689,6 +723,22 @@ SELECT doc_id AS media_id,
          k -> printf('%02X', CASE WHEN doc_id % 2 = 0
                 THEN (doc_id * 7 + (k // 3) * 13) % 256
                 ELSE (doc_id * 7 + k * 13) % 256 END)
+       ), '') AS pixels_hex
+FROM documents WHERE doc_id % 31 = 0
+""",
+    # r14: paletted twin — the 256-entry synthetic palette makes the
+    # decoded byte k the plain formula (39*(q mod 256) == 39q mod
+    # 256), so the oracle is identical to the truecolor rows; the
+    # Spark side must still walk PLTE, bounds-check every index and
+    # reconstruct the index-byte filters for the hash to match.
+    "e6_png_palette_decode": """
+SELECT doc_id AS media_id,
+       'png' AS img_format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       array_to_string(list_transform(
+         range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
+         k -> printf('%02X', (doc_id * 7 + k * 13) % 256)
        ), '') AS pixels_hex
 FROM documents WHERE doc_id % 31 = 0
 """,

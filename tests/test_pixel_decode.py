@@ -526,11 +526,15 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def _png_from(raw, w, h, idat_data=None, ctype=0, split_idat=False):
+def _png_from(raw, w, h, idat_data=None, ctype=0, split_idat=False,
+              plte=None, plte_after_idat=False):
     """Assemble a PNG from parts with stdlib zlib/struct — independent
     of BOTH the Spark encoder and the Python twin. ``zlib.compress(
     raw, 0)`` emits exactly the stored-block zlib stream the decoders
-    support."""
+    support. ``plte`` (r14): raw palette bytes emitted as a PLTE chunk
+    before the IDAT (after it with ``plte_after_idat`` — the order the
+    walk must ignore). Pass a list of byte strings to emit several
+    PLTE chunks."""
     import zlib as _z
 
     ihdr = _png_chunk(
@@ -541,7 +545,15 @@ def _png_from(raw, w, h, idat_data=None, ctype=0, split_idat=False):
         idat = _png_chunk(b"IDAT", z[:4]) + _png_chunk(b"IDAT", z[4:])
     else:
         idat = _png_chunk(b"IDAT", z)
-    return b"\x89PNG\r\n\x1a\n" + ihdr + idat + _png_chunk(b"IEND", b"")
+    plte_bin = b""
+    if plte is not None:
+        parts = plte if isinstance(plte, list) else [plte]
+        plte_bin = b"".join(_png_chunk(b"PLTE", pp) for pp in parts)
+    if plte_after_idat:
+        body = ihdr + idat + plte_bin
+    else:
+        body = ihdr + plte_bin + idat
+    return b"\x89PNG\r\n\x1a\n" + body + _png_chunk(b"IEND", b"")
 
 
 def _golden_png_2x2():
@@ -1976,3 +1988,199 @@ def test_png_expr_backend_sql_differential(spark):
     assert a_bad == b_bad
     assert all(r[1] == "png" for r in b_synth)
     assert b_bad[0][1] is None
+
+
+# ---------------------------------------------------------------------------
+# r14: PALETTED (color type 3) PNG — opt-in png_palette
+# ---------------------------------------------------------------------------
+
+
+def _pal_decode(spark, payloads, **flags):
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "media_id bigint, payload binary",
+    )
+    rows = decode_pixels(
+        df, formats=("png",), png_palette=True, **flags
+    ).collect()
+    return {r["media_id"]: r for r in rows}
+
+
+def test_png_palette_golden_both_paths(spark):
+    """Hand-assembled 3x2 paletted PNG with a 4-entry palette —
+    external bytes (stdlib zlib + struct), not our encoder: indices
+    filter-0 through the 1-byte stride, RGB from the PLTE chunk."""
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    pal = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220])
+    idx = [0, 3, 1, 2, 2, 0]
+    raw = b"\x00" + bytes(idx[:3]) + b"\x00" + bytes(idx[3:])
+    payload = _png_from(raw, 3, 2, ctype=3, plte=pal)
+    expect = [b for i in idx for b in pal[3 * i:3 * i + 3]]
+    r = _pal_decode(spark, [payload])[0]
+    assert (r["img_format"], r["width"], r["height"]) == ("png", 3, 2)
+    assert list(r["pixels"]) == expect
+    assert decode_png(payload, palette=True) == (3, 2, expect)
+
+
+def test_png_palette_filtered_golden_both_paths(spark):
+    """Filtered index scanlines (Sub then Up) + small palette: the
+    filters reconstruct INDEX bytes at bpp 1; only then does the
+    palette lookup happen — on both paths."""
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    pal = bytes(range(3, 3 + 18))  # 6 entries
+    # recon indices row0 = [1,3,4], row1 = [5,2,0]
+    # Sub (type 1): filt = recon - left -> [1, 2, 1]
+    # Up (type 2):  filt = recon - up (mod 256) -> [4, 255, 252]
+    raw = b"\x01" + bytes([1, 2, 1]) + b"\x02" + bytes([4, 255, 252])
+    payload = _png_from(raw, 3, 2, ctype=3, plte=pal)
+    recon = [1, 3, 4, 5, 2, 0]
+    expect = [b for i in recon for b in pal[3 * i:3 * i + 3]]
+    r = _pal_decode(spark, [payload], png_filters=True)[0]
+    assert (r["img_format"], r["width"], r["height"]) == ("png", 3, 2)
+    assert list(r["pixels"]) == expect
+    assert decode_png(payload, palette=True, filters=True) == (
+        3, 2, expect
+    )
+
+
+def test_png_palette_round_trip_matches_formula_and_python(spark):
+    """Spark encode (all four paletted fixture formats) → real PNG
+    bytes → Spark decode must reproduce the closed-form
+    ``pixel_value`` RGB (the 256-entry palette is arranged so the
+    palette indirection is invisible to the oracle); the Python twin
+    must agree on the same payload bytes."""
+    import decision_tree_stuff_spark.operators.multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 13)], "doc_id bigint"
+    )
+    for fmts, dh, filt in [
+        (("pngp", "pngp"), False, False),
+        (("pngpflt", "pngpflt"), False, True),
+        (("pngdp", "pngdfltp"), True, True),
+    ]:
+        media = mm.synthesize_decodable_media(docs, formats=fmts)
+        rows = {
+            r["media_id"]: r
+            for r in decode_pixels(
+                media,
+                formats=("png",),
+                png_dynamic_huffman=dh,
+                png_filters=filt,
+                png_palette=True,
+            )
+            .join(media.select("media_id", "payload"), "media_id")
+            .collect()
+        }
+        assert len(rows) == 12
+        for mid, r in rows.items():
+            w, h = mid % 5 + 2, mid % 4 + 2
+            expect = [(mid * 7 + k * 13) % 256 for k in range(w * h * 3)]
+            assert r["img_format"] == "png", (fmts, mid)
+            assert (r["width"], r["height"]) == (w, h), (fmts, mid)
+            assert list(r["pixels"]) == expect, (fmts, mid)
+            assert mm.decode_png(
+                bytes(r["payload"]),
+                palette=True,
+                dynamic_huffman=dh,
+                filters=filt,
+            ) == (w, h, expect), (fmts, mid)
+
+
+def test_png_palette_dyn_stream_accepted_by_zlib(spark):
+    """The DH paletted fixture's zlib stream must be a stream stdlib
+    zlib accepts, and its inflated scanlines must carry the index
+    bytes (q mod 256) — external-decoder pin for the encode side."""
+    import zlib as _z
+
+    import decision_tree_stuff_spark.operators.multimodal as mm
+
+    docs = spark.createDataFrame([(5,)], "doc_id bigint")
+    media = mm.synthesize_decodable_media(docs, formats=("pngdp", "pngdp"))
+    payload = bytes(media.select("payload").first()[0])
+    # locate the single IDAT
+    pos, idat = 33, None
+    while pos + 12 <= len(payload):
+        clen = struct.unpack(">I", payload[pos:pos + 4])[0]
+        if payload[pos + 4:pos + 8] == b"IDAT":
+            idat = payload[pos + 8:pos + 8 + clen]
+        if payload[pos + 4:pos + 8] == b"IEND":
+            break
+        pos += 12 + clen
+    w, h = 5 % 5 + 2, 5 % 4 + 2
+    raw = _z.decompress(idat)
+    assert len(raw) == h * (w + 1)
+    for r in range(h):
+        line = raw[r * (w + 1):(r + 1) * (w + 1)]
+        assert line[0] == 0
+        assert list(line[1:]) == [(r * w + x) % 256 for x in range(w)]
+
+
+def test_png_palette_invalid_variants_rejected_both_paths(spark):
+    """Each paletted-specific corruption must null out in Spark AND
+    raise in the Python twin (the r10 twin-parity rule): missing
+    PLTE, PLTE only after IDAT (the walk stops at IDAT per spec
+    order), two PLTEs before IDAT, a length not divisible by 3, an
+    out-of-range index, and a corrupt PLTE CRC (caught by the shared
+    CRC-checking chunk walk)."""
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    pal4 = bytes(range(12))
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 3])
+    good = _png_from(raw, 2, 2, ctype=3, plte=pal4)
+    variants = {
+        "no_plte": _png_from(raw, 2, 2, ctype=3),
+        "plte_after_idat": _png_from(
+            raw, 2, 2, ctype=3, plte=pal4, plte_after_idat=True
+        ),
+        "two_plte": _png_from(raw, 2, 2, ctype=3, plte=[pal4, pal4]),
+        "bad_len": _png_from(raw, 2, 2, ctype=3, plte=pal4[:4]),
+        "index_oor": _png_from(
+            b"\x00" + bytes([0, 5]) + b"\x00" + bytes([1, 2]),
+            2, 2, ctype=3, plte=pal4,
+        ),
+    }
+    # corrupt PLTE CRC: flip one palette byte after assembly (the
+    # chunk CRC was computed over the original bytes)
+    crc_bad = bytearray(good)
+    plte_pos = good.index(b"PLTE")
+    crc_bad[plte_pos + 4] ^= 0xFF
+    variants["plte_crc"] = bytes(crc_bad)
+
+    rows = _pal_decode(spark, list(variants.values()))
+    for i, (name, payload) in enumerate(variants.items()):
+        assert rows[i]["img_format"] is None, name
+        assert rows[i]["pixels"] is None, name
+        try:
+            decode_png(payload, palette=True)
+            raise AssertionError(f"twin accepted {name}")
+        except ValueError:
+            pass
+    # the good fixture decodes (sanity that the variants, not the
+    # base shape, are what reject)
+    ok = _pal_decode(spark, [good])[0]
+    assert ok["img_format"] == "png"
+    assert decode_png(good, palette=True)[0] == 2
+
+
+def test_png_palette_flag_off_unchanged_both_paths(spark):
+    """Without png_palette, a type-3 PNG nulls out in Spark and the
+    twin raises — the opt-in leaves the default plans' accept set
+    untouched."""
+    from decision_tree_stuff_spark.operators.multimodal import decode_png
+
+    pal4 = bytes(range(12))
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 3])
+    payload = _png_from(raw, 2, 2, ctype=3, plte=pal4)
+    df = spark.createDataFrame(
+        [(0, bytearray(payload))], "media_id bigint, payload binary"
+    )
+    r = decode_pixels(df, formats=("png",)).collect()[0]
+    assert r["img_format"] is None and r["pixels"] is None
+    try:
+        decode_png(payload)
+        raise AssertionError("twin accepted type 3 without the flag")
+    except ValueError:
+        pass
