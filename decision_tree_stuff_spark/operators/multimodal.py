@@ -2433,6 +2433,17 @@ def decode_pixels(
     raw ≤ ``_PNG_FH_MAX_RAW`` for every envelope (the shared
     unfilter stage's fold bound; unfiltered stored-block decode
     keeps its larger multi-block cap).
+
+    ``png_palette`` (r14 — completes the 8-bit color-type matrix
+    0/2/3/4/6) additionally decodes PALETTED (color type 3) PNGs:
+    the stream carries one index byte per pixel (filters apply at
+    the 1-byte stride), RGB comes from the payload's PLTE chunk —
+    located by a bounded pre-IDAT chunk walk (``_png_plte_walk``),
+    CRC-verified by the shared chunk walk, length/multiplicity
+    validated, and every index bounds-checked against the entry
+    count (out-of-range nulls the row). Works across all enabled
+    deflate envelopes and both filter modes. Same opt-in reasoning;
+    default keeps prior plans byte-identical.
     """
     if formats is not None:
         fs = set(formats)

@@ -31,6 +31,9 @@ BUILD_PLUS_PLAN_BUDGET_SEC = {
     "e6_png_filtered_decode": 30.0,  # r14: the _let-staged encoders —
     #   the UNstaged form measured 52 s here (SCALING_r14.md §4), so
     #   this pin fails if the staging regresses
+    "e6_png_palette_decode": 40.0,  # r14: warm floor ~20 s (the
+    #   palette branch rides every byte-read in all three envelope
+    #   decoders, plus the PLTE walk stage and the index-bounds fold)
 }
 
 
