@@ -4507,3 +4507,372 @@ def _inflate_dyn_py(data: bytes):
             raise ValueError("invalid length symbol")
         if len(out) > _PNG_FH_MAX_RAW:
             raise ValueError("decompressed output beyond bound")
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW) pixel decode — r14. A second REAL compressed container in
+# pure Spark expressions, reusing the PNG machinery's patterns: bounded
+# CRC-free block walks (GIF has no chunk CRCs), a sub-block table like
+# the stored-deflate block table, one bounded fold per LZW CODE, and
+# the paletted lookup (the global color table is read straight out of
+# the payload, every decoded index bounds-checked).
+#
+# LZW dictionary entries all point INTO THE OUTPUT STREAM: when code k
+# is decoded its expansion is appended at out[cur..), and the new
+# dictionary entry is (prev_start, prev_len + 1) — contiguous in `out`
+# because prev's expansion was the immediately preceding append. So
+# the walk state needs no string table, only (start, len) pairs — the
+# same output-window copy semantics as the deflate LZ77 walk.
+#
+# Code-width convention (derived, and what giflib/Pillow implement):
+# before reading a data code the largest possible value is the
+# decoder's next_free (the KwKwK case), so after ADDING an entry the
+# width bumps when next_free == 2^width (max 12); at 4096 the table
+# freezes until a CLEAR (deferred-clear tolerated). The famous 1x1
+# GIF89a spacer pins the convention against external bytes in tests.
+#
+# Envelope (documented; everything else nulls out): GIF87a/89a, global
+# color table present, ONE image covering the full screen at (0, 0),
+# no local color table, no interlace, LZW data in <=
+# _GIF_MAX_SUBBLOCKS sub-blocks, npix <= _GIF_MAX_PIXELS, trailer
+# immediately after the image data. Extensions (graphic control,
+# comment, application) are SKIPPED, matching real-world files.
+# ---------------------------------------------------------------------------
+
+_GIF_MAX_BLOCKS = 8       #: extension/descriptor walk bound
+_GIF_MAX_SUBBLOCKS = 16   #: LZW data sub-blocks (255 B each)
+_GIF_MAX_PIXELS = 4096    #: npix bound for the expression walk
+
+
+def _lzw_decode_py(data: bytes, mcs: int, npix: int):
+    """GIF LZW decoder (Python twin of the Spark ``_gif_lzw_walk``):
+    returns the index list; raises on anything the Spark walk would
+    flip ``ok`` for. Codes are read LSB-first; see the module-section
+    note for the width convention."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    total_bits = 8 * len(data)
+    bp, width = 0, mcs + 1
+    out = []
+    tab = []                 # (start, len) into out, per generation
+    pstart, plen = 0, 0
+    nf = eoi + 1
+    for _ in range(2 * npix + 8 + 2):
+        if bp + width > total_bits:
+            raise ValueError("LZW stream ran out of bits")
+        code = 0
+        for t in range(width):
+            j = bp + t
+            code += ((data[j // 8] >> (j % 8)) & 1) << t
+        bp += width
+        if code == clear:
+            tab, pstart, plen = [], 0, 0
+            nf, width = eoi + 1, mcs + 1
+            continue
+        if code == eoi:
+            if len(out) != npix:
+                raise ValueError(
+                    f"EOI after {len(out)} of {npix} pixels"
+                )
+            return out
+        cur = len(out)
+        if code < clear:
+            out.append(code)
+            elen = 1
+        elif eoi + 1 <= code < nf:
+            s, l = tab[code - eoi - 1]
+            out.extend(out[s:s + l])
+            elen = l
+        elif code == nf and plen > 0:
+            out.extend(out[pstart:pstart + plen])
+            out.append(out[pstart])
+            elen = plen + 1
+        else:
+            raise ValueError(f"invalid LZW code {code} (next={nf})")
+        if len(out) > npix:
+            raise ValueError("LZW output beyond pixel count")
+        if plen > 0 and nf < 4096:
+            tab.append((pstart, plen + 1))
+            nf += 1
+            if nf == (1 << width) and width < 12:
+                width += 1
+        pstart, plen = cur, elen
+    raise ValueError("no EOI within the code budget")
+
+
+def _lzw_compress_py(indices, mcs: int):
+    """Real GIF LZW compressor (driver-side: precomputes the
+    ``encode_gif_lzw`` code streams per (w, h); also the tests'
+    reference). Emits CLEAR first and EOI last. The emission WIDTH
+    mirrors the DECODER's table state, not the encoder's: the decoder
+    adds an entry after EVERY data code except the first after a
+    CLEAR (including the encoder's final flush, which adds nothing
+    encoder-side) — tracking the encoder's own table for the width
+    decision desyncs exactly at a power-of-two boundary hit by the
+    flush code (caught by the n=19 periodic stream in tests).
+    Returns packed bytes (LSB-first)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out_bits = []
+    width = mcs + 1
+    dec_nf = eoi + 1          # the DECODER's next_free mirror
+    first = True              # first data code after CLEAR
+
+    def emit(code, w):
+        for t in range(w):
+            out_bits.append((code >> t) & 1)
+
+    def emit_data(code):
+        nonlocal dec_nf, width, first
+        emit(code, width)
+        if not first and dec_nf < 4096:
+            dec_nf += 1
+            if dec_nf == (1 << width) and width < 12:
+                width += 1
+        first = False
+
+    emit(clear, width)
+    tab = {}
+    enc_next = eoi + 1        # value assignment counter
+    seq = ()
+    for sym in indices:
+        if not 0 <= sym < clear:
+            raise ValueError(f"symbol {sym} outside root range")
+        cand = seq + (sym,)
+        if len(cand) == 1 or cand in tab:
+            seq = cand
+            continue
+        emit_data(seq[0] if len(seq) == 1 else tab[seq])
+        if enc_next < 4096:
+            tab[cand] = enc_next
+            enc_next += 1
+        seq = (sym,)
+    if seq:
+        emit_data(seq[0] if len(seq) == 1 else tab[seq])
+    emit(eoi, width)
+    return bytes(
+        sum(b << t for t, b in enumerate(out_bits[i:i + 8]))
+        for i in range(0, len(out_bits), 8)
+    )
+
+
+def decode_gif(payload: bytes):
+    """Python single-payload twin of the Spark GIF decode: returns
+    ``(w, h, rgb_pixels)`` (flattened top-down row-major RGB via the
+    global color table) or raises exactly where the Spark path nulls
+    out — same envelope, same caps (the r10 twin-parity rule)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    if not flags & 0x80:
+        raise ValueError("no global color table")
+    n_entries = 2 << (flags & 7)
+    if w <= 0 or h <= 0 or w * h > _GIF_MAX_PIXELS:
+        raise ValueError("dims outside the decode envelope")
+    gct = payload[13:13 + 3 * n_entries]
+    if len(gct) != 3 * n_entries:
+        raise ValueError("truncated global color table")
+    pos = 13 + 3 * n_entries
+    for _ in range(_GIF_MAX_BLOCKS):
+        if pos >= len(payload):
+            raise ValueError("truncated block stream")
+        b = payload[pos]
+        if b == 0x2C:
+            break
+        if b == 0x21:
+            pos += 2
+            for _ in range(_GIF_MAX_SUBBLOCKS):
+                sl = payload[pos]
+                pos += 1 + sl
+                if sl == 0:
+                    break
+            else:
+                raise ValueError("extension sub-blocks beyond cap")
+            continue
+        raise ValueError(f"unexpected block 0x{b:02X}")
+    else:
+        raise ValueError(f"no image descriptor in {_GIF_MAX_BLOCKS} blocks")
+    left = int.from_bytes(payload[pos + 1:pos + 3], "little")
+    top = int.from_bytes(payload[pos + 3:pos + 5], "little")
+    iw = int.from_bytes(payload[pos + 5:pos + 7], "little")
+    ih = int.from_bytes(payload[pos + 7:pos + 9], "little")
+    iflags = payload[pos + 9]
+    if (left, top) != (0, 0) or (iw, ih) != (w, h):
+        raise ValueError("image does not cover the screen at (0,0)")
+    if iflags & 0xC0:
+        raise ValueError("local color table / interlace unsupported")
+    mcs = payload[pos + 10]
+    if not 2 <= mcs <= 8:
+        raise ValueError(f"bad LZW minimum code size {mcs}")
+    pos += 11
+    data = b""
+    for _ in range(_GIF_MAX_SUBBLOCKS):
+        if pos >= len(payload):
+            raise ValueError("truncated sub-block stream")
+        sl = payload[pos]
+        if sl == 0:
+            pos += 1
+            break
+        data += payload[pos + 1:pos + 1 + sl]
+        if len(payload) < pos + 1 + sl:
+            raise ValueError("truncated sub-block")
+        pos += 1 + sl
+    else:
+        raise ValueError(f"no terminator in {_GIF_MAX_SUBBLOCKS} sub-blocks")
+    if pos >= len(payload) or payload[pos] != 0x3B:
+        raise ValueError("missing trailer")
+    if pos + 1 != len(payload):
+        raise ValueError("trailing bytes after trailer")
+    indices = _lzw_decode_py(data, mcs, w * h)
+    pixels = []
+    for idx in indices:
+        if idx >= n_entries:
+            raise ValueError(f"index {idx} >= {n_entries} table entries")
+        pixels += list(gct[3 * idx:3 * idx + 3])
+    return w, h, pixels
+
+
+def encode_gif(media_id, w, h) -> Column:
+    """A spec-compliant GIF89a whose decoded RGB byte k is
+    ``pixel_value(media_id, k)`` — REAL GIF: 256-entry global color
+    table (byte t = ``pixel_value(media_id, t)``, the PLTE trick:
+    with index(q) = q mod 256 the palette indirection is invisible
+    to the closed-form oracle), full-screen image descriptor, and an
+    LZW stream in the UNCOMPRESSED-GIF shape real tools emit for
+    incompressible data: one CLEAR then every pixel as a 9-bit ROOT
+    code then EOI — a legal stream any GIF reader inflates (the
+    decoder still builds its dictionary while reading it). One hex
+    projection + ``unhex``, like the other media encoders. Envelope:
+    npix <= 220 keeps next_free under the 9-bit boundary AND the
+    packed stream inside one 255-byte sub-block — oversize dims
+    raise (caller-error convention, fixture encoders take caller
+    literals)."""
+    wb = w.cast("bigint")
+    hb = h.cast("bigint")
+    npix = wb * hb
+    header = F.concat(
+        F.lit("474946383961"),          # 'GIF89a'
+        _le_hex(w, 2),
+        _le_hex(h, 2),
+        F.lit("F7"),                    # GCT present, 2^(7+1) entries
+        F.lit("0000"),                  # bg index, aspect
+    )
+    gct = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(767)),
+            lambda t: _byte_hex(pixel_value(media_id, t)),
+        ),
+        "",
+    )
+    desc = F.concat(
+        F.lit("2C00000000"),            # descriptor, left=top=0
+        _le_hex(w, 2),
+        _le_hex(h, 2),
+        F.lit("00"),                    # no local table, no interlace
+        F.lit("08"),                    # LZW minimum code size
+    )
+    nbits = (npix + 2) * 9              # CLEAR + npix roots + EOI
+    nbytes = F.floor((nbits + 7) / 8).cast("bigint")
+
+    def code_at(ci):
+        return (
+            F.when(ci == 0, F.lit(256))
+            .when(ci == npix + 1, F.lit(257))
+            .otherwise(F.pmod(ci - 1, F.lit(256)))
+            .cast("bigint")
+        )
+
+    def bit_at(j):
+        return F.pmod(
+            F.floor(
+                code_at(F.floor(j / 9).cast("bigint"))
+                / _pow2(F.pmod(j, F.lit(9)))
+            ).cast("bigint"),
+            F.lit(2),
+        )
+
+    def byte_at(k):
+        e = F.lit(0).cast("bigint")
+        for i in range(8):
+            j = k * 8 + i
+            e = e + F.when(j < nbits, bit_at(j)).otherwise(
+                F.lit(0).cast("bigint")
+            ) * (1 << i)
+        return _byte_hex(e.cast("int"))
+
+    data = F.array_join(
+        F.transform(F.sequence(F.lit(0), nbytes - 1), byte_at), ""
+    )
+    body = F.concat(
+        header, gct, desc,
+        _byte_hex(nbytes.cast("int")),  # one sub-block
+        data,
+        F.lit("003B"),                  # terminator + trailer
+    )
+    return F.when(npix <= F.lit(220), F.unhex(body)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("encode_gif: w*h = "),
+                npix.cast("string"),
+                F.lit(" exceeds the one-sub-block root-code bound (220)"),
+            )
+        ).cast("binary")
+    )
+
+
+def encode_gif_lzw(media_id, w, h) -> Column:
+    """A GIF89a with a REAL dictionary-using LZW stream: 4-entry
+    global color table (byte t = ``pixel_value(media_id, t)``),
+    index(q) = q mod 4 — a periodic stream LZW genuinely compresses,
+    so the decoder must exercise table codes (and the width growth
+    the stream's length dictates). The code stream depends only on
+    (w, h), so it is PRECOMPUTED driver-side by the real compressor
+    ``_lzw_compress_py`` and emitted as a literal per supported dim
+    pair (w in 2..6, h in 2..5 — the synthesis envelope; anything
+    else raises). Decoded RGB byte k = ``pixel_value(media_id,
+    3*((k//3) mod 4) + k%3)`` — closed form, palette math included."""
+    header = F.concat(
+        F.lit("474946383961"),
+        _le_hex(w, 2),
+        _le_hex(h, 2),
+        F.lit("F1"),                    # GCT present, 2^(1+1) entries
+        F.lit("0000"),
+    )
+    gct = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda t: _byte_hex(pixel_value(media_id, t)),
+        ),
+        "",
+    )
+    desc = F.concat(
+        F.lit("2C00000000"),
+        _le_hex(w, 2),
+        _le_hex(h, 2),
+        F.lit("00"),
+        F.lit("02"),                    # LZW minimum code size 2
+    )
+    blocks = None
+    for wi in range(2, 7):
+        for hi in range(2, 6):
+            blob = _lzw_compress_py(
+                [q % 4 for q in range(wi * hi)], 2
+            )
+            assert len(blob) <= 255
+            sub = "%02X" % len(blob) + blob.hex().upper() + "00"
+            cond = (w.cast("int") == wi) & (h.cast("int") == hi)
+            blocks = (
+                F.when(cond, F.lit(sub))
+                if blocks is None
+                else blocks.when(cond, F.lit(sub))
+            )
+    data_block = blocks.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("encode_gif_lzw: dims "),
+                w.cast("string"), F.lit("x"), h.cast("string"),
+                F.lit(" outside the precomputed 2..6 x 2..5 envelope"),
+            )
+        ).cast("string")
+    )
+    return F.unhex(F.concat(header, gct, desc, data_block, F.lit("3B")))
