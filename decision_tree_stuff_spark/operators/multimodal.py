@@ -1707,6 +1707,11 @@ def synthesize_decodable_media(
         "pngdfltp": lambda m, w, h: encode_png_dyn(
             m, w, h, color_type=3, filtered=True
         ),
+        # r14: REAL GIFs — 'gif' the uncompressed-shape root-code
+        # stream under a 256-entry table, 'gifz' a genuinely
+        # dictionary-compressed LZW stream (4-color periodic indices)
+        "gif": encode_gif,
+        "gifz": encode_gif_lzw,
     }
     even_fmt, odd_fmt = formats
     mid = F.col(id_col)
@@ -2327,7 +2332,7 @@ def _png_unfilter(raw, wb, hb, bpp):
 
 
 #: formats decode_pixels can dispatch on
-_DECODE_FORMATS = ("bmp", "bmp8", "ppm", "pgm", "png")
+_DECODE_FORMATS = ("bmp", "bmp8", "ppm", "pgm", "png", "gif")
 
 
 def decode_pixels(
@@ -2453,6 +2458,31 @@ def decode_pixels(
                 f"decode_pixels: unknown formats {sorted(unknown)}; "
                 f"supported: {_DECODE_FORMATS}"
             )
+        if "gif" in fs:
+            # GIF rides the EXPLICIT formats contract only (r14): the
+            # auto-dispatch default keeps the r12 png/non-png split so
+            # existing formats=None plans stay byte-identical
+            rest = fs - {"gif"}
+            if not rest:
+                return _decode_pixels_gif(media, payload_col)
+            has_gif = F.coalesce(
+                F.hex(F.substring(F.col(payload_col), 1, 4))
+                == "47494638",
+                F.lit(False),
+            )
+            gif = _decode_pixels_gif(
+                media.where(has_gif), payload_col
+            )
+            others = decode_pixels(
+                media.where(~has_gif),
+                payload_col,
+                formats=tuple(sorted(rest)),
+                png_fixed_huffman=png_fixed_huffman,
+                png_dynamic_huffman=png_dynamic_huffman,
+                png_filters=png_filters,
+                png_palette=png_palette,
+            )
+            return others.unionByName(gif)
         if "png" not in fs:
             return _decode_pixels_nonpng(media, payload_col, formats=fs)
         if fs == {"png"}:
@@ -4876,3 +4906,473 @@ def encode_gif_lzw(media_id, w, h) -> Column:
         ).cast("string")
     )
     return F.unhex(F.concat(header, gct, desc, data_block, F.lit("3B")))
+
+
+def _gif_block_walk(p, pos0):
+    """Bounded GIF block walk (stage 1): from ``pos0`` (first byte
+    after the global color table, 1-based), skip extension blocks
+    (0x21 + label + sub-blocks, each skipped by an inner bounded
+    fold) until the image descriptor 0x2C — one struct column
+    (pos, ok, done) where ``pos`` is the descriptor's 1-based
+    offset. A trailer (0x3B) or any other byte before a descriptor
+    flips ok; GIFs with more than ``_GIF_MAX_BLOCKS`` leading blocks
+    are outside the envelope (documented)."""
+    binit = F.struct(
+        pos0.alias("pos"),
+        F.lit(True).alias("ok"),
+        F.lit(False).alias("done"),
+    )
+
+    def skip_ext(q0):
+        # end position after an extension's sub-blocks (q0 = first
+        # length byte); null-safe: returns struct (q, fin)
+        einit = F.struct(
+            q0.alias("q"), F.lit(False).alias("fin")
+        )
+
+        def estep(eacc, _):
+            q = eacc["q"]
+            sl = _u8(p, q)
+            bad = sl.isNull() | (q + sl >= F.length(p) + 1)
+            new = F.when(
+                bad | (sl == 0),
+                F.struct((q + 1).alias("q"), F.lit(True).alias("fin")),
+            ).otherwise(
+                F.struct(
+                    (q + 1 + sl.cast("bigint")).alias("q"),
+                    F.lit(False).alias("fin"),
+                )
+            )
+            return F.when(eacc["fin"], eacc).otherwise(new)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(_GIF_MAX_SUBBLOCKS)), einit, estep
+        )
+
+    def bstep(acc, _):
+        pos = acc["pos"]
+        b = _u8(p, pos)
+        fail = F.struct(
+            pos.alias("pos"),
+            F.lit(False).alias("ok"),
+            F.lit(True).alias("done"),
+        )
+        ext = _let(
+            skip_ext(pos + 2),
+            lambda e: F.when(
+                e["fin"],
+                F.struct(
+                    e["q"].alias("pos"),
+                    acc["ok"].alias("ok"),
+                    F.lit(False).alias("done"),
+                ),
+            ).otherwise(fail),
+        )
+        new = (
+            F.when(b.isNull() | (pos > F.length(p)), fail)
+            .when(
+                b == 0x2C,
+                F.struct(
+                    pos.alias("pos"),
+                    acc["ok"].alias("ok"),
+                    F.lit(True).alias("done"),
+                ),
+            )
+            .when(b == 0x21, ext)
+            .otherwise(fail)
+        )
+        return F.when(acc["done"], acc).otherwise(new)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_GIF_MAX_BLOCKS)), binit, bstep
+    )
+
+
+def _gif_subblock_walk(p, dpos):
+    """LZW data sub-block table (stage 2, the GIF sibling of
+    ``_png_block_walk``): from ``dpos`` (first length byte), one
+    struct column (blocks array<(start, cum, len)>, endpos, total,
+    ok, done) — ``endpos`` the 0x00 terminator's offset, ``total``
+    the concatenated data byte count. Data byte i (1-based across
+    sub-blocks) is then read through the table exactly like the
+    stored-deflate reader."""
+    sinit = F.struct(
+        F.slice(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("bigint").alias("start"),
+                    F.lit(0).cast("bigint").alias("cum"),
+                    F.lit(0).cast("bigint").alias("len"),
+                )
+            ),
+            1,
+            0,
+        ).alias("blocks"),
+        dpos.alias("pos"),
+        F.lit(0).cast("bigint").alias("total"),
+        F.lit(True).alias("ok"),
+        F.lit(False).alias("done"),
+    )
+
+    def sstep(acc, _):
+        pos = acc["pos"]
+        sl = _u8(p, pos).cast("bigint")
+        bad = sl.isNull() | (pos + sl > F.length(p))
+        fail = F.struct(
+            acc["blocks"].alias("blocks"),
+            pos.alias("pos"),
+            acc["total"].alias("total"),
+            F.lit(False).alias("ok"),
+            F.lit(True).alias("done"),
+        )
+        new = (
+            F.when(bad, fail)
+            .when(
+                sl == 0,
+                F.struct(
+                    acc["blocks"].alias("blocks"),
+                    pos.alias("pos"),
+                    acc["total"].alias("total"),
+                    acc["ok"].alias("ok"),
+                    F.lit(True).alias("done"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(
+                        acc["blocks"],
+                        F.array(
+                            F.struct(
+                                (pos + 1).alias("start"),
+                                acc["total"].alias("cum"),
+                                sl.alias("len"),
+                            )
+                        ),
+                    ).alias("blocks"),
+                    (pos + 1 + sl).alias("pos"),
+                    (acc["total"] + sl).alias("total"),
+                    acc["ok"].alias("ok"),
+                    F.lit(False).alias("done"),
+                )
+            )
+        )
+        return F.when(acc["done"], acc).otherwise(new)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_GIF_MAX_SUBBLOCKS)), sinit, sstep
+    )
+
+
+def _gif_lzw_walk(p, sb, mcs, npix):
+    """The LZW symbol walk (stage 3): one struct column
+    (bp, out, tab, ps, pl, nf, wd, done, ok) — ``out`` the decoded
+    index stream, ``tab`` the dictionary as (ts, tl) WINDOWS INTO
+    ``out`` (see the section note: every entry is (prev_start,
+    prev_len + 1), contiguous because prev's expansion was the
+    immediately preceding append), ``nf`` the decoder's next_free,
+    ``wd`` the current code width. One fold step per CODE, budget
+    2·npix + 10 (every data code appends ≥ 1 index; CLEARs beyond
+    that budget are outside the envelope). All reads are
+    clamp/try-guarded — on garbage the row nulls, never throws (the
+    eager-hoisting rule)."""
+    clear = _pow2w(mcs)
+    total_bits = sb["total"] * 8
+    blocks = sb["blocks"]
+
+    def dbyte(i):
+        blk = F.try_element_at(
+            F.filter(
+                blocks,
+                lambda b: (i > b["cum"]) & (i <= b["cum"] + b["len"]),
+            ),
+            F.lit(1),
+        )
+        return _u8(p, blk["start"] + (i - blk["cum"]) - 1)
+
+    def dbit(j):
+        byte = dbyte(F.floor(j / 8).cast("bigint") + 1)
+        return F.pmod(
+            F.floor(byte / _pow2(F.pmod(j, F.lit(8)))).cast("bigint"),
+            F.lit(2),
+        )
+
+    ginit = F.struct(
+        F.lit(0).cast("bigint").alias("bp"),
+        F.slice(F.array(F.lit(0)), 1, 0).alias("out"),
+        F.slice(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("bigint").alias("ts"),
+                    F.lit(0).cast("bigint").alias("tl"),
+                )
+            ),
+            1,
+            0,
+        ).alias("tab"),
+        F.lit(0).cast("bigint").alias("ps"),
+        F.lit(0).cast("bigint").alias("pl"),
+        (clear + 2).alias("nf"),
+        (mcs + 1).cast("int").alias("wd"),
+        F.lit(False).alias("done"),
+        F.lit(True).alias("ok"),
+    )
+
+    def gstep(acc, _):
+        bp, out, tab = acc["bp"], acc["out"], acc["tab"]
+        ps, pl, nf, wd = acc["ps"], acc["pl"], acc["nf"], acc["wd"]
+        fail = F.struct(
+            bp.alias("bp"), out.alias("out"), tab.alias("tab"),
+            ps.alias("ps"), pl.alias("pl"), nf.alias("nf"),
+            wd.alias("wd"),
+            F.lit(True).alias("done"), F.lit(False).alias("ok"),
+        )
+        bits_ok = (bp + wd) <= total_bits
+        code = F.aggregate(
+            F.sequence(F.lit(0), wd.cast("bigint") - 1),
+            F.lit(0).cast("bigint"),
+            lambda a, t: a + dbit(bp + t) * _pow2w(t),
+        )
+
+        def with_code(c):
+            bp2 = bp + wd
+            cur = F.size(out).cast("bigint")
+
+            def data_step(out2, elen):
+                # shared post-append bookkeeping: output bound, the
+                # decoder's entry add (only when a previous expansion
+                # exists and the table isn't frozen), width bump when
+                # next_free reaches 2^wd, then prev := this expansion
+                add = (pl > 0) & (nf < 4096)
+                nf2 = F.when(add, nf + 1).otherwise(nf)
+                wd2 = F.when(
+                    add & (nf2 == _pow2w(wd.cast("bigint"))) & (wd < 12),
+                    wd + 1,
+                ).otherwise(wd)
+                tab2 = F.when(
+                    add,
+                    F.concat(
+                        tab,
+                        F.array(
+                            F.struct(
+                                ps.alias("ts"), (pl + 1).alias("tl")
+                            )
+                        ),
+                    ),
+                ).otherwise(tab)
+                return F.when(
+                    F.size(out2).cast("bigint") > npix, fail
+                ).otherwise(
+                    F.struct(
+                        bp2.alias("bp"), out2.alias("out"),
+                        tab2.alias("tab"), cur.alias("ps"),
+                        elen.alias("pl"), nf2.alias("nf"),
+                        wd2.alias("wd"),
+                        F.lit(False).alias("done"),
+                        acc["ok"].alias("ok"),
+                    )
+                )
+
+            root = data_step(
+                F.concat(out, F.array(c.cast("int"))),
+                F.lit(1).cast("bigint"),
+            )
+            entry = F.try_element_at(
+                tab,
+                F.greatest(c - clear - 1, F.lit(1).cast("bigint")).cast(
+                    "int"
+                ),
+            )
+            table_branch = _let(
+                entry,
+                lambda e: data_step(
+                    F.concat(
+                        out,
+                        F.slice(
+                            out,
+                            F.greatest(
+                                e["ts"] + 1, F.lit(1).cast("bigint")
+                            ).cast("int"),
+                            F.greatest(
+                                e["tl"], F.lit(0).cast("bigint")
+                            ).cast("int"),
+                        ),
+                    ),
+                    e["tl"],
+                ),
+            )
+            kwkwk = data_step(
+                F.concat(
+                    out,
+                    F.slice(
+                        out,
+                        F.greatest(
+                            ps + 1, F.lit(1).cast("bigint")
+                        ).cast("int"),
+                        F.greatest(pl, F.lit(0).cast("bigint")).cast(
+                            "int"
+                        ),
+                    ),
+                    F.array(
+                        F.coalesce(
+                            F.try_element_at(
+                                out,
+                                F.greatest(
+                                    ps + 1, F.lit(1).cast("bigint")
+                                ).cast("int"),
+                            ),
+                            F.lit(0),
+                        )
+                    ),
+                ),
+                pl + 1,
+            )
+            return (
+                F.when(c.isNull() | ~bits_ok, fail)
+                .when(
+                    c == clear,
+                    F.struct(
+                        bp2.alias("bp"), out.alias("out"),
+                        F.slice(tab, 1, 0).alias("tab"),
+                        F.lit(0).cast("bigint").alias("ps"),
+                        F.lit(0).cast("bigint").alias("pl"),
+                        (clear + 2).alias("nf"),
+                        (mcs + 1).cast("int").alias("wd"),
+                        F.lit(False).alias("done"),
+                        acc["ok"].alias("ok"),
+                    ),
+                )
+                .when(
+                    c == clear + 1,  # EOI
+                    F.struct(
+                        bp2.alias("bp"), out.alias("out"),
+                        tab.alias("tab"), ps.alias("ps"),
+                        pl.alias("pl"), nf.alias("nf"), wd.alias("wd"),
+                        F.lit(True).alias("done"),
+                        (
+                            acc["ok"]
+                            & (F.size(out).cast("bigint") == npix)
+                        ).alias("ok"),
+                    ),
+                )
+                .when(c < clear, root)
+                .when((c >= clear + 2) & (c < nf), table_branch)
+                .when((c == nf) & (pl > 0), kwkwk)
+                .otherwise(fail)
+            )
+
+        return F.when(acc["done"], acc).otherwise(
+            _let(code, with_code)
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), npix * 2 + 10), ginit, gstep
+    )
+
+
+def _decode_pixels_gif(media: DataFrame, payload_col: str) -> DataFrame:
+    """The GIF-only decode plan (same output contract as the other
+    decode branches: media_id, img_format, width, height, pixels).
+    Three staged walk columns — ``__gbw`` (extension-skipping block
+    walk to the image descriptor), ``__gsb`` (LZW data sub-block
+    table), ``__glw`` (the LZW symbol walk, guarded so rows that
+    fail the cheap envelope checks never run the fold) — then one
+    projection mapping every decoded index through the global color
+    table with a bounds check (the paletted-PNG rule: out-of-range
+    nulls the row, never reads past the table)."""
+    p = F.col(payload_col)
+    flags = _u8(p, 11)
+    n_ent = _pow2w(
+        (F.pmod(F.coalesce(flags, F.lit(0)), F.lit(8)) + 1).cast(
+            "bigint"
+        )
+    )
+    w = _le16(p, 7)
+    h = _le16(p, 9)
+    npix = w.cast("bigint") * h.cast("bigint")
+    sig_ok = F.coalesce(
+        F.hex(F.substring(p, 1, 6)).isin("474946383761", "474946383961"),
+        F.lit(False),
+    )
+    sane = (
+        sig_ok
+        & npix.isNotNull()
+        & (w > 0)
+        & (h > 0)
+        & (npix <= F.lit(_GIF_MAX_PIXELS).cast("bigint"))
+        & (F.floor(F.coalesce(flags, F.lit(0)) / 128) == 1)  # GCT flag
+        & (F.length(p) >= 13 + 3 * n_ent + 3)
+    )
+    one = F.lit(1).cast("bigint")
+    npix_c = F.when(sane, npix).otherwise(one)
+    pos0 = F.when(sane, 14 + 3 * n_ent).otherwise(one)
+    staged = media.select(
+        "*", _gif_block_walk(p, pos0).alias("__gbw")
+    )
+    id_pos = F.col("__gbw")["pos"]
+    mcs = _u8(p, id_pos + 10)
+    mcs_c = F.when(
+        sane & mcs.between(2, 8), mcs.cast("bigint")
+    ).otherwise(F.lit(2).cast("bigint"))
+    desc_ok = (
+        F.col("__gbw")["ok"]
+        & F.col("__gbw")["done"]
+        & (_u8(p, id_pos) == 0x2C)
+        & (_le16(p, id_pos + 1) == 0)       # left
+        & (_le16(p, id_pos + 3) == 0)       # top
+        & (_le16(p, id_pos + 5) == w)       # image width == screen
+        & (_le16(p, id_pos + 7) == h)
+        & (F.floor(_u8(p, id_pos + 9) / 64) == 0)  # no LCT/interlace
+        & mcs.between(2, 8)
+    )
+    staged = staged.select(
+        "*",
+        _gif_subblock_walk(
+            p, F.when(sane & desc_ok, id_pos + 11).otherwise(one)
+        ).alias("__gsb"),
+    )
+    sb = F.col("__gsb")
+    stream_ok = (
+        sb["ok"]
+        & sb["done"]
+        & (sb["total"] > 0)
+        & (_u8(p, sb["pos"] + 1) == 0x3B)            # trailer
+        & (sb["pos"] + 1 == F.length(p))             # nothing after
+    )
+    walk_pre = sane & desc_ok & stream_ok
+    staged = staged.select(
+        "*",
+        F.when(
+            walk_pre, _gif_lzw_walk(p, sb, mcs_c, npix_c)
+        ).alias("__glw"),
+    )
+    lw = F.col("__glw")
+    out = lw["out"]
+    idx_ok = F.coalesce(
+        F.forall(out, lambda v: v.cast("bigint") < n_ent),
+        F.lit(False),
+    )
+    ok = (
+        walk_pre
+        & F.coalesce(lw["ok"] & lw["done"], F.lit(False))
+        & (F.size(out).cast("bigint") == npix_c)
+        & idx_ok
+    )
+
+    def gif_byte(k):
+        q = F.floor(k / 3).cast("bigint")
+        c = F.pmod(k, F.lit(3))
+        idx = F.coalesce(
+            F.try_element_at(out, (q + 1).cast("int")), F.lit(0)
+        ).cast("bigint")
+        return _u8(p, 14 + idx * 3 + c)
+
+    pixels = F.transform(
+        F.sequence(F.lit(0), npix_c * 3 - 1), gif_byte
+    )
+    return staged.select(
+        "media_id",
+        F.when(ok, "gif").alias("img_format"),
+        F.when(ok, w).cast("int").alias("width"),
+        F.when(ok, h).cast("int").alias("height"),
+        F.when(ok, pixels).alias("pixels"),
+    )

@@ -374,6 +374,37 @@ def q_e6_png_palette_decode(spark, sf_dir):
     )
 
 
+def q_e6_gif_decode(spark, sf_dir):
+    """REAL GIF (LZW) pixel decode (r14 — a SECOND compressed
+    container in pure Spark expressions, after the three-envelope
+    PNG family): even ids an uncompressed-shape GIF89a (one CLEAR +
+    every pixel as a 9-bit root code under a 256-entry global color
+    table — the stream real tools emit for incompressible data), odd
+    ids a genuinely DICTIONARY-COMPRESSED stream (4-color periodic
+    indices, compressed by the real LZW compressor) that makes the
+    decoder exercise table codes and the width bookkeeping. The walk
+    decodes one fold step per CODE with the dictionary as
+    (start, len) windows into the output stream (the LZ77 insight);
+    extension blocks are skipped; every index is bounds-checked
+    against the color table. Both palettes are arranged so the
+    decoded RGB is closed-form (the 256-entry table makes the
+    indirection invisible: 39·(q mod 256) ≡ 39q mod 256). Density
+    %31 (per-code fold, the PNG-walk cost class). Hex-packed scalar
+    output."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_pixels,
+        synthesize_decodable_media,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 31 == 0)
+    return _hex_packed_pixels(
+        decode_pixels(
+            synthesize_decodable_media(docs, formats=("gif", "gifz")),
+            formats=("gif",),
+        )
+    )
+
+
 def q_e6_resize(spark, sf_dir):
     """Nearest-neighbor resize to 4x3 over REAL decoded pixels (r11)
     — the fixed-input-resolution preprocessing step, one shuffle-free
@@ -723,6 +754,25 @@ SELECT doc_id AS media_id,
          k -> printf('%02X', CASE WHEN doc_id % 2 = 0
                 THEN (doc_id * 7 + (k // 3) * 13) % 256
                 ELSE (doc_id * 7 + k * 13) % 256 END)
+       ), '') AS pixels_hex
+FROM documents WHERE doc_id % 31 = 0
+""",
+    # r14: GIF twin — even ids root-code streams under the 256-entry
+    # table (plain formula), odd ids real-LZW 4-color streams
+    # (formula through idx = q mod 4); the Spark side must inflate
+    # the LZW stream and map the color table for the hash to match.
+    "e6_gif_decode": """
+SELECT doc_id AS media_id,
+       'gif' AS img_format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       array_to_string(list_transform(
+         range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
+         k -> printf('%02X', CASE WHEN doc_id % 2 = 0
+                THEN (doc_id * 7 + k * 13) % 256
+                ELSE (doc_id * 7
+                      + (3 * ((k // 3) % 4) + k % 3) * 13) % 256
+              END)
        ), '') AS pixels_hex
 FROM documents WHERE doc_id % 31 = 0
 """,

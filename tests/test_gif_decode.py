@@ -1,0 +1,241 @@
+"""REAL GIF (LZW) pixel decode — r14 (tests/test_pixel_decode.py's
+sibling for the second compressed container).
+
+Reference citations (parity targets, not code sources): GIF89a
+specification (CompuServe 1990) §§17-24 (logical screen descriptor,
+global color table, image descriptor, extension blocks, LZW data
+sub-blocks, trailer) and the canonical LZW variable-code-width
+convention implemented by giflib/Pillow."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+import decision_tree_stuff_spark.operators.multimodal as mm
+from decision_tree_stuff_spark.operators.multimodal import (
+    decode_gif,
+    decode_pixels,
+    synthesize_decodable_media,
+    _lzw_compress_py,
+    _lzw_decode_py,
+)
+from pyspark.sql import functions as F
+
+
+#: the ubiquitous 1x1 transparent GIF89a spacer — EXTERNAL bytes (not
+#: our encoder): 2-entry color table, a graphic-control extension the
+#: decoder must skip, LZW stream 44 01 = CLEAR, root 0, EOI.
+SPACER = bytes.fromhex(
+    "47494638396101000100800000000000ffffff21f90401000000002c000000"
+    "00010001000002024401003b"
+)
+
+
+def _gif_from(
+    w,
+    h,
+    gct: bytes,
+    data: bytes,
+    mcs: int = 2,
+    flags=None,
+    desc=None,
+    ext: bytes = b"",
+    tail: bytes = b"\x3b",
+    sub_lens=None,
+):
+    """Assemble a GIF from parts with stdlib struct — independent of
+    both the Spark encoders and the Python twin. ``sub_lens`` splits
+    ``data`` into explicit sub-block sizes (default: one block)."""
+    n = len(gct) // 3
+    s = n.bit_length() - 2  # n == 2^(s+1)
+    if flags is None:
+        flags = 0x80 | s
+    hdr = b"GIF89a" + struct.pack("<HH", w, h) + bytes([flags, 0, 0])
+    if desc is None:
+        desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    blocks = b""
+    if sub_lens is None:
+        sub_lens = [len(data)]
+    pos = 0
+    for sl in sub_lens:
+        blocks += bytes([sl]) + data[pos:pos + sl]
+        pos += sl
+    return hdr + gct + ext + desc + bytes([mcs]) + blocks + b"\x00" + tail
+
+
+def _spark_decode(spark, payloads):
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "media_id bigint, payload binary",
+    )
+    return {
+        r["media_id"]: r
+        for r in decode_pixels(df, formats=("gif",)).collect()
+    }
+
+
+def test_lzw_round_trip_sweep():
+    """Compressor <-> decoder across mcs values, lengths and stream
+    shapes (periodic / constant / pseudo-random) — pins the width
+    convention incl. the final-flush bump (the n=19 desync)."""
+    import random
+
+    rnd = random.Random(7)
+    for mcs in (2, 3, 4, 5, 8):
+        for n in list(range(1, 40)) + [19, 300, 1500]:
+            for mk in ("per", "rnd", "const"):
+                if mk == "per":
+                    idx = [q % min(4, 1 << mcs) for q in range(n)]
+                elif mk == "rnd":
+                    idx = [rnd.randrange(1 << mcs) for _ in range(n)]
+                else:
+                    idx = [1 % (1 << mcs)] * n
+                data = _lzw_compress_py(idx, mcs)
+                assert _lzw_decode_py(data, mcs, n) == idx, (mcs, n, mk)
+
+
+def test_spacer_golden_both_paths(spark):
+    """The canonical 1x1 spacer decodes on both paths — external
+    bytes, extension skipped, 2-entry table, index 0 -> black."""
+    assert decode_gif(SPACER) == (1, 1, [0, 0, 0])
+    r = _spark_decode(spark, [SPACER])[0]
+    assert (r["img_format"], r["width"], r["height"]) == ("gif", 1, 1)
+    assert list(r["pixels"]) == [0, 0, 0]
+
+
+def test_gif_round_trip_matches_formula_and_python(spark):
+    """Both Spark encoders -> real GIF bytes -> Spark decode must
+    reproduce the closed forms; the twin agrees on the same bytes."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 21)], "doc_id bigint"
+    )
+    media = synthesize_decodable_media(docs, formats=("gif", "gifz"))
+    rows = {
+        r["media_id"]: r
+        for r in decode_pixels(media, formats=("gif",))
+        .join(media.select("media_id", "payload"), "media_id")
+        .collect()
+    }
+    assert len(rows) == 20
+    for mid, r in rows.items():
+        w, h = mid % 5 + 2, mid % 4 + 2
+        if mid % 2 == 0:
+            expect = [
+                (mid * 7 + k * 13) % 256 for k in range(w * h * 3)
+            ]
+        else:
+            expect = [
+                (mid * 7 + (3 * ((k // 3) % 4) + k % 3) * 13) % 256
+                for k in range(w * h * 3)
+            ]
+        assert r["img_format"] == "gif", mid
+        assert (r["width"], r["height"]) == (w, h), mid
+        assert list(r["pixels"]) == expect, mid
+        assert decode_gif(bytes(r["payload"])) == (w, h, expect), mid
+
+
+def test_gif_kwkwk_and_multiblock_both_paths(spark):
+    """A constant index stream forces the KwKwK case (code ==
+    next_free); the same data split across two sub-blocks must
+    concatenate. Hand-assembled, independent of the encoders."""
+    gct = bytes(range(30, 42))  # 4 entries
+    idx = [1] * 9
+    data = _lzw_compress_py(idx, 2)
+    expect = [b for i in idx for b in gct[3 * i:3 * i + 3]]
+    one = _gif_from(3, 3, gct, data)
+    split = _gif_from(3, 3, gct, data, sub_lens=[2, len(data) - 2])
+    assert decode_gif(one) == (3, 3, expect)
+    assert decode_gif(split) == (3, 3, expect)
+    rows = _spark_decode(spark, [one, split])
+    for i in (0, 1):
+        assert rows[i]["img_format"] == "gif", i
+        assert list(rows[i]["pixels"]) == expect, i
+
+
+def test_gif_width_growth_both_paths(spark):
+    """A pseudo-random 100-symbol mcs-2 stream grows the code width
+    through 4 and 5 bits; decoded indices must match the reference
+    decoder on both paths."""
+    idx = [(q * 7 + q * q * 3) % 4 for q in range(100)]
+    gct = bytes(range(12))
+    data = _lzw_compress_py(idx, 2)
+    assert _lzw_decode_py(data, 2, 100) == idx  # sanity: dict codes used
+    payload = _gif_from(10, 10, gct, data, sub_lens=None)
+    expect = [b for i in idx for b in gct[3 * i:3 * i + 3]]
+    assert decode_gif(payload) == (10, 10, expect)
+    r = _spark_decode(spark, [payload])[0]
+    assert r["img_format"] == "gif"
+    assert list(r["pixels"]) == expect
+
+
+def test_gif_invalid_variants_rejected_both_paths(spark):
+    """Each corruption nulls out in Spark AND raises in the twin (the
+    twin-parity rule)."""
+    gct = bytes(range(12))
+    idx = [0, 1, 2, 3]
+    data = _lzw_compress_py(idx, 2)
+    good = _gif_from(2, 2, gct, data)
+    assert decode_gif(good)[0] == 2  # baseline accepts
+
+    eoi_missing = _lzw_compress_py(idx, 2)[:-1]
+    variants = {
+        "bad_sig": b"JIF89a" + good[6:],
+        "no_gct_flag": _gif_from(2, 2, gct, data, flags=0x01),
+        "local_table": _gif_from(
+            2, 2, gct, data,
+            desc=b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x80",
+        ),
+        "interlaced": _gif_from(
+            2, 2, gct, data,
+            desc=b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x40",
+        ),
+        "partial_image": _gif_from(
+            2, 2, gct, data,
+            desc=b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 2) + b"\x00",
+        ),
+        "offset_image": _gif_from(
+            2, 2, gct, data,
+            desc=b"\x2c" + struct.pack("<HHHH", 1, 0, 2, 2) + b"\x00",
+        ),
+        "no_trailer": _gif_from(2, 2, gct, data, tail=b""),
+        "trailing_bytes": _gif_from(2, 2, gct, data) + b"\x00",
+        "bad_mcs": _gif_from(2, 2, gct, data, mcs=1),
+        "truncated_stream": _gif_from(2, 2, gct, eoi_missing),
+        # 4-entry table but an mcs-3 stream whose root 5 is a valid
+        # LZW symbol and an OUT-OF-RANGE color index
+        "index_oor": _gif_from(
+            2, 2, gct, _lzw_compress_py([0, 5, 1, 2], 3), mcs=3
+        ),
+        # pixel count beyond the walk envelope
+        "too_big": _gif_from(65, 65, gct, data),
+    }
+    rows = _spark_decode(spark, list(variants.values()))
+    for i, (name, payload) in enumerate(variants.items()):
+        assert rows[i]["img_format"] is None, name
+        assert rows[i]["pixels"] is None, name
+        with pytest.raises(ValueError):
+            decode_gif(payload)
+        _ = name
+
+
+def test_gif_format_contract(spark):
+    """'gif' rides the explicit formats contract: a GIF payload under
+    formats without 'gif' nulls out, and a mixed gif+png declaration
+    routes each signature to its branch."""
+    docs = spark.createDataFrame([(2,), (3,)], "doc_id bigint")
+    gifs = synthesize_decodable_media(docs, formats=("gif", "gif"))
+    pngs = synthesize_decodable_media(docs, formats=("png", "png"))
+    mixed = gifs.where(F.col("media_id") == 2).unionByName(
+        pngs.where(F.col("media_id") == 3)
+    )
+    out = {
+        r["media_id"]: r
+        for r in decode_pixels(mixed, formats=("gif", "png")).collect()
+    }
+    assert out[2]["img_format"] == "gif"
+    assert out[3]["img_format"] == "png"
+    # undeclared -> absent branch -> null (the r13 per-format rule)
+    undeclared = decode_pixels(gifs, formats=("png",)).collect()
+    assert all(r["img_format"] is None for r in undeclared)

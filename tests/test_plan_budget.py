@@ -34,6 +34,9 @@ BUILD_PLUS_PLAN_BUDGET_SEC = {
     "e6_png_palette_decode": 40.0,  # r14: warm floor ~20 s (the
     #   palette branch rides every byte-read in all three envelope
     #   decoders, plus the PLTE walk stage and the index-bounds fold)
+    "e6_gif_decode": 8.0,  # r14: warm floor ~3.3 s — the LZW walk is
+    #   ONE fold (no per-envelope duplication), so the whole GIF plan
+    #   is an order of magnitude cheaper than the PNG full-flag plans
 }
 
 
