@@ -186,6 +186,12 @@ BENCH_QUERIES = [
     #   opt-in PNG rows
     "e6_png_alpha_decode",   # gray+alpha / RGBA (DH+filtered) — the
     #   8-bit non-palette color-type matrix completed
+    "e6_png_palette_decode",  # paletted (type 3): index stream +
+    #   real PLTE lookup, stored + DH-filtered in one plan
+    "e6_gif_decode",         # REAL GIF LZW decode — root-code +
+    #   dictionary-compressed streams; an order of magnitude cheaper
+    #   plan than the PNG full-flag rows (one fold, no envelope
+    #   triplication)
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -2439,6 +2439,14 @@ def decode_pixels(
     unfilter stage's fold bound; unfiltered stored-block decode
     keeps its larger multi-block cap).
 
+    GIF (r14): declaring ``'gif'`` in ``formats`` adds REAL GIF
+    (LZW) decode — extension-skipping block walk, LZW data sub-block
+    table, one bounded fold per LZW code with the dictionary as
+    (start, len) windows into the output stream, and a bounds-checked
+    global-color-table lookup. GIF rides the EXPLICIT formats
+    contract only: the ``formats=None`` auto-dispatch keeps the r12
+    png/non-png split so existing default plans stay byte-identical.
+
     ``png_palette`` (r14 — completes the 8-bit color-type matrix
     0/2/3/4/6) additionally decodes PALETTED (color type 3) PNGs:
     the stream carries one index byte per pixel (filters apply at
