@@ -1712,6 +1712,13 @@ def synthesize_decodable_media(
         # dictionary-compressed LZW stream (4-color periodic indices)
         "gif": encode_gif,
         "gifz": encode_gif_lzw,
+        # r14: 4-pass INTERLACED variants — pass-permuted streams the
+        # decoder must re-order (both the root-code and the real-LZW
+        # shapes)
+        "gifi": lambda m, w, h: encode_gif(m, w, h, interlaced=True),
+        "gifzi": lambda m, w, h: encode_gif_lzw(
+            m, w, h, interlaced=True
+        ),
     }
     even_fmt, odd_fmt = formats
     mid = F.col(id_col)
@@ -4692,6 +4699,38 @@ def _lzw_compress_py(indices, mcs: int):
     )
 
 
+def _gif_interlace_pos(r: int, h: int) -> int:
+    """Stream row position of DISPLAY row ``r`` in a 4-pass
+    interlaced GIF (passes start at rows 0/4/2/1 with strides
+    8/8/4/2 — GIF89a spec appendix E); closed form over the three
+    pass sizes."""
+    c1 = (h + 7) // 8
+    c2 = (h + 3) // 8
+    c3 = (h + 1) // 4
+    if r % 8 == 0:
+        return r // 8
+    if r % 8 == 4:
+        return c1 + (r - 4) // 8
+    if r % 4 == 2:
+        return c1 + c2 + (r - 2) // 4
+    return c1 + c2 + c3 + (r - 1) // 2
+
+
+def _gif_interlace_disp_row(i: int, h: int) -> int:
+    """Inverse of ``_gif_interlace_pos``: the display row carried at
+    stream row position ``i`` (encoder side)."""
+    c1 = (h + 7) // 8
+    c2 = (h + 3) // 8
+    c3 = (h + 1) // 4
+    if i < c1:
+        return 8 * i
+    if i < c1 + c2:
+        return 8 * (i - c1) + 4
+    if i < c1 + c2 + c3:
+        return 4 * (i - c1 - c2) + 2
+    return 2 * (i - c1 - c2 - c3) + 1
+
+
 def decode_gif(payload: bytes):
     """Python single-payload twin of the Spark GIF decode: returns
     ``(w, h, rgb_pixels)`` (flattened top-down row-major RGB via the
@@ -4737,8 +4776,9 @@ def decode_gif(payload: bytes):
     iflags = payload[pos + 9]
     if (left, top) != (0, 0) or (iw, ih) != (w, h):
         raise ValueError("image does not cover the screen at (0,0)")
-    if iflags & 0xC0:
-        raise ValueError("local color table / interlace unsupported")
+    if iflags & 0x80:
+        raise ValueError("local color table unsupported")
+    interlaced = bool(iflags & 0x40)
     mcs = payload[pos + 10]
     if not 2 <= mcs <= 8:
         raise ValueError(f"bad LZW minimum code size {mcs}")
@@ -4762,6 +4802,15 @@ def decode_gif(payload: bytes):
     if pos + 1 != len(payload):
         raise ValueError("trailing bytes after trailer")
     indices = _lzw_decode_py(data, mcs, w * h)
+    if interlaced:
+        # GIF 4-pass interlace: display row r sits at stream row
+        # _gif_interlace_pos (closed form, pinned against the
+        # pass-enumeration reference in tests)
+        indices = [
+            indices[_gif_interlace_pos(r, h) * w + x]
+            for r in range(h)
+            for x in range(w)
+        ]
     pixels = []
     for idx in indices:
         if idx >= n_entries:
@@ -4770,7 +4819,7 @@ def decode_gif(payload: bytes):
     return w, h, pixels
 
 
-def encode_gif(media_id, w, h) -> Column:
+def encode_gif(media_id, w, h, interlaced: bool = False) -> Column:
     """A spec-compliant GIF89a whose decoded RGB byte k is
     ``pixel_value(media_id, k)`` — REAL GIF: 256-entry global color
     table (byte t = ``pixel_value(media_id, t)``, the PLTE trick:
@@ -4806,17 +4855,40 @@ def encode_gif(media_id, w, h) -> Column:
         F.lit("2C00000000"),            # descriptor, left=top=0
         _le_hex(w, 2),
         _le_hex(h, 2),
-        F.lit("00"),                    # no local table, no interlace
+        # no local table; bit 6 = 4-pass interlace (r14)
+        F.lit("40" if interlaced else "00"),
         F.lit("08"),                    # LZW minimum code size
     )
     nbits = (npix + 2) * 9              # CLEAR + npix roots + EOI
     nbytes = F.floor((nbits + 7) / 8).cast("bigint")
 
+    def disp_q(sq):
+        # display pixel carried at STREAM position sq (interlaced):
+        # the expression twin of _gif_interlace_disp_row
+        i = F.floor(sq / wb).cast("bigint")
+        x = F.pmod(sq, wb)
+        c1 = F.floor((hb + 7) / 8).cast("bigint")
+        c2 = F.floor((hb + 3) / 8).cast("bigint")
+        c3 = F.floor((hb + 1) / 4).cast("bigint")
+        drow = (
+            F.when(i < c1, 8 * i)
+            .when(i < c1 + c2, 8 * (i - c1) + 4)
+            .when(i < c1 + c2 + c3, 4 * (i - c1 - c2) + 2)
+            .otherwise(2 * (i - c1 - c2 - c3) + 1)
+            .cast("bigint")
+        )
+        return drow * wb + x
+
     def code_at(ci):
+        root = (
+            F.pmod(disp_q(ci - 1), F.lit(256))
+            if interlaced
+            else F.pmod(ci - 1, F.lit(256))
+        )
         return (
             F.when(ci == 0, F.lit(256))
             .when(ci == npix + 1, F.lit(257))
-            .otherwise(F.pmod(ci - 1, F.lit(256)))
+            .otherwise(root)
             .cast("bigint")
         )
 
@@ -4858,7 +4930,7 @@ def encode_gif(media_id, w, h) -> Column:
     )
 
 
-def encode_gif_lzw(media_id, w, h) -> Column:
+def encode_gif_lzw(media_id, w, h, interlaced: bool = False) -> Column:
     """A GIF89a with a REAL dictionary-using LZW stream: 4-entry
     global color table (byte t = ``pixel_value(media_id, t)``),
     index(q) = q mod 4 — a periodic stream LZW genuinely compresses,
@@ -4887,15 +4959,22 @@ def encode_gif_lzw(media_id, w, h) -> Column:
         F.lit("2C00000000"),
         _le_hex(w, 2),
         _le_hex(h, 2),
-        F.lit("00"),
+        F.lit("40" if interlaced else "00"),
         F.lit("02"),                    # LZW minimum code size 2
     )
     blocks = None
     for wi in range(2, 7):
         for hi in range(2, 6):
-            blob = _lzw_compress_py(
-                [q % 4 for q in range(wi * hi)], 2
-            )
+            if interlaced:
+                # stream order carries pass-permuted display pixels
+                stream_idx = [
+                    (_gif_interlace_disp_row(i, hi) * wi + x) % 4
+                    for i in range(hi)
+                    for x in range(wi)
+                ]
+            else:
+                stream_idx = [q % 4 for q in range(wi * hi)]
+            blob = _lzw_compress_py(stream_idx, 2)
             assert len(blob) <= 255
             sub = "%02X" % len(blob) + blob.hex().upper() + "00"
             cond = (w.cast("int") == wi) & (h.cast("int") == hi)
@@ -5329,8 +5408,16 @@ def _decode_pixels_gif(media: DataFrame, payload_col: str) -> DataFrame:
         & (_le16(p, id_pos + 3) == 0)       # top
         & (_le16(p, id_pos + 5) == w)       # image width == screen
         & (_le16(p, id_pos + 7) == h)
-        & (F.floor(_u8(p, id_pos + 9) / 64) == 0)  # no LCT/interlace
+        & (F.floor(_u8(p, id_pos + 9) / 128) == 0)  # no local table
         & mcs.between(2, 8)
+    )
+    # r14: 4-pass interlace accepted — a closed-form row permutation
+    # applied at the pixel-map stage, no extra walk
+    interlaced = (
+        F.pmod(
+            F.floor(_u8(p, id_pos + 9) / 64).cast("bigint"), F.lit(2)
+        )
+        == 1
     )
     staged = staged.select(
         "*",
@@ -5366,11 +5453,32 @@ def _decode_pixels_gif(media: DataFrame, payload_col: str) -> DataFrame:
         & idx_ok
     )
 
+    wbc = F.when(sane, w.cast("bigint")).otherwise(one)
+    hbc = F.when(sane, h.cast("bigint")).otherwise(one)
+
     def gif_byte(k):
         q = F.floor(k / 3).cast("bigint")
         c = F.pmod(k, F.lit(3))
+        # interlace: display pixel q's index sits at the stream
+        # position of its row's pass slot — the expression twin of
+        # _gif_interlace_pos (closed form over the three pass sizes)
+        r = F.floor(q / wbc).cast("bigint")
+        x = F.pmod(q, wbc)
+        c1 = F.floor((hbc + 7) / 8).cast("bigint")
+        c2 = F.floor((hbc + 3) / 8).cast("bigint")
+        c3 = F.floor((hbc + 1) / 4).cast("bigint")
+        spos = (
+            F.when(F.pmod(r, F.lit(8)) == 0, F.floor(r / 8))
+            .when(F.pmod(r, F.lit(8)) == 4, c1 + F.floor((r - 4) / 8))
+            .when(
+                F.pmod(r, F.lit(4)) == 2, c1 + c2 + F.floor((r - 2) / 4)
+            )
+            .otherwise(c1 + c2 + c3 + F.floor((r - 1) / 2))
+            .cast("bigint")
+        )
+        sq = F.when(interlaced, spos * wbc + x).otherwise(q)
         idx = F.coalesce(
-            F.try_element_at(out, (q + 1).cast("int")), F.lit(0)
+            F.try_element_at(out, (sq + 1).cast("int")), F.lit(0)
         ).cast("bigint")
         return _u8(p, 14 + idx * 3 + c)
 

@@ -405,6 +405,29 @@ def q_e6_gif_decode(spark, sf_dir):
     )
 
 
+def q_e6_gif_interlaced(spark, sf_dir):
+    """INTERLACED GIF decode (r14 — GIF89a appendix E 4-pass row
+    order, what progressive-rendering era tools emit): the same
+    root-code (even) / real-LZW (odd) pair as ``e6_gif_decode`` but
+    with pass-permuted streams the decoder must re-order via the
+    closed-form position map — the decoded pixels are the SAME
+    closed forms, so the oracle is unchanged while a permutation
+    mistake on either side mismatches the hash. Density %31.
+    Hex-packed scalar output."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_pixels,
+        synthesize_decodable_media,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 31 == 0)
+    return _hex_packed_pixels(
+        decode_pixels(
+            synthesize_decodable_media(docs, formats=("gifi", "gifzi")),
+            formats=("gif",),
+        )
+    )
+
+
 def q_e6_resize(spark, sf_dir):
     """Nearest-neighbor resize to 4x3 over REAL decoded pixels (r11)
     — the fixed-input-resolution preprocessing step, one shuffle-free
@@ -762,6 +785,24 @@ FROM documents WHERE doc_id % 31 = 0
     # (formula through idx = q mod 4); the Spark side must inflate
     # the LZW stream and map the color table for the hash to match.
     "e6_gif_decode": """
+SELECT doc_id AS media_id,
+       'gif' AS img_format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       array_to_string(list_transform(
+         range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
+         k -> printf('%02X', CASE WHEN doc_id % 2 = 0
+                THEN (doc_id * 7 + k * 13) % 256
+                ELSE (doc_id * 7
+                      + (3 * ((k // 3) % 4) + k % 3) * 13) % 256
+              END)
+       ), '') AS pixels_hex
+FROM documents WHERE doc_id % 31 = 0
+""",
+    # r14: interlaced twin — same closed forms as e6_gif_decode (the
+    # 4-pass permutation round-trips invisibly; the payload bytes
+    # differ per pass order).
+    "e6_gif_interlaced": """
 SELECT doc_id AS media_id,
        'gif' AS img_format,
        CAST(doc_id % 5 + 2 AS INT) AS width,

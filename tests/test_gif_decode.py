@@ -187,10 +187,6 @@ def test_gif_invalid_variants_rejected_both_paths(spark):
             2, 2, gct, data,
             desc=b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x80",
         ),
-        "interlaced": _gif_from(
-            2, 2, gct, data,
-            desc=b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x40",
-        ),
         "partial_image": _gif_from(
             2, 2, gct, data,
             desc=b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 2) + b"\x00",
@@ -239,3 +235,72 @@ def test_gif_format_contract(spark):
     # undeclared -> absent branch -> null (the r13 per-format rule)
     undeclared = decode_pixels(gifs, formats=("png",)).collect()
     assert all(r["img_format"] is None for r in undeclared)
+
+
+def test_gif_interlaced_hand_fixture_both_paths(spark):
+    """A 2x5 interlaced GIF hand-assembled with pass-ordered rows
+    (passes 0/4/2/1-stride: display rows 0,4 | - | 2 | 1,3): the
+    decoder must permute the stream rows back to display order.
+    Independent of the encoders."""
+    gct = bytes(range(12))
+    # display rows r carry indices [2r % 4, (2r+1) % 4]
+    disp = [[(2 * r) % 4, (2 * r + 1) % 4] for r in range(5)]
+    stream_rows = [disp[0], disp[4], disp[2], disp[1], disp[3]]
+    idx = [i for row in stream_rows for i in row]
+    data = _lzw_compress_py(idx, 2)
+    payload = _gif_from(
+        2, 5, gct, data,
+        desc=struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 5, 0x40),
+    )
+    expect = [b for row in disp for i in row for b in gct[3 * i:3 * i + 3]]
+    assert decode_gif(payload) == (2, 5, expect)
+    r = _spark_decode(spark, [payload])[0]
+    assert r["img_format"] == "gif"
+    assert list(r["pixels"]) == expect
+
+
+def test_gif_interlaced_round_trip_matches_formula_and_python(spark):
+    """Both interlaced fixture formats -> Spark decode reproduces the
+    same closed forms as the progressive ones (the pass permutation
+    round-trips invisibly); the twin agrees on the same bytes."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 21)], "doc_id bigint"
+    )
+    media = synthesize_decodable_media(docs, formats=("gifi", "gifzi"))
+    rows = {
+        r["media_id"]: r
+        for r in decode_pixels(media, formats=("gif",))
+        .join(media.select("media_id", "payload"), "media_id")
+        .collect()
+    }
+    for mid, r in rows.items():
+        w, h = mid % 5 + 2, mid % 4 + 2
+        if mid % 2 == 0:
+            expect = [
+                (mid * 7 + k * 13) % 256 for k in range(w * h * 3)
+            ]
+        else:
+            expect = [
+                (mid * 7 + (3 * ((k // 3) % 4) + k % 3) * 13) % 256
+                for k in range(w * h * 3)
+            ]
+        assert r["img_format"] == "gif", mid
+        assert list(r["pixels"]) == expect, mid
+        assert decode_gif(bytes(r["payload"])) == (w, h, expect), mid
+
+
+def test_gif_interlace_maps_pin():
+    """The closed-form stream-position map and its inverse agree with
+    the pass-enumeration reference for every height to 64."""
+    import decision_tree_stuff_spark.operators.multimodal as _mm
+
+    for h in range(1, 65):
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        for i, r in enumerate(order):
+            assert _mm._gif_interlace_pos(r, h) == i, (h, r)
+            assert _mm._gif_interlace_disp_row(i, h) == r, (h, i)
