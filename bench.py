@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     #   dictionary-compressed streams; an order of magnitude cheaper
     #   plan than the PNG full-flag rows (one fold, no envelope
     #   triplication)
+    "e6_gif_frames",         # animated GIF, one row per frame
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

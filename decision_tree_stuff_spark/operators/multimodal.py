@@ -4819,6 +4819,48 @@ def decode_gif(payload: bytes):
     return w, h, pixels
 
 
+def _gif_root_block_hex(npix, root_fn):
+    """Hex of one mcs-8 ROOT-CODE LZW image data block (one 255-byte
+    sub-block + terminator): CLEAR, then ``root_fn(qi)`` for every
+    stream position qi, then EOI — all 9-bit codes LSB-first (the
+    uncompressed-GIF shape; next_free stays under the 9-bit boundary
+    for npix <= 220, enforced by the callers). Shared by the single-
+    image and the animated encoders."""
+    nbits = (npix + 2) * 9              # CLEAR + npix roots + EOI
+    nbytes = F.floor((nbits + 7) / 8).cast("bigint")
+
+    def code_at(ci):
+        return (
+            F.when(ci == 0, F.lit(256))
+            .when(ci == npix + 1, F.lit(257))
+            .otherwise(root_fn(ci - 1))
+            .cast("bigint")
+        )
+
+    def bit_at(j):
+        return F.pmod(
+            F.floor(
+                code_at(F.floor(j / 9).cast("bigint"))
+                / _pow2(F.pmod(j, F.lit(9)))
+            ).cast("bigint"),
+            F.lit(2),
+        )
+
+    def byte_at(k):
+        e = F.lit(0).cast("bigint")
+        for i in range(8):
+            j = k * 8 + i
+            e = e + F.when(j < nbits, bit_at(j)).otherwise(
+                F.lit(0).cast("bigint")
+            ) * (1 << i)
+        return _byte_hex(e.cast("int"))
+
+    data = F.array_join(
+        F.transform(F.sequence(F.lit(0), nbytes - 1), byte_at), ""
+    )
+    return F.concat(_byte_hex(nbytes.cast("int")), data, F.lit("00"))
+
+
 def encode_gif(media_id, w, h, interlaced: bool = False) -> Column:
     """A spec-compliant GIF89a whose decoded RGB byte k is
     ``pixel_value(media_id, k)`` — REAL GIF: 256-entry global color
@@ -4859,9 +4901,6 @@ def encode_gif(media_id, w, h, interlaced: bool = False) -> Column:
         F.lit("40" if interlaced else "00"),
         F.lit("08"),                    # LZW minimum code size
     )
-    nbits = (npix + 2) * 9              # CLEAR + npix roots + EOI
-    nbytes = F.floor((nbits + 7) / 8).cast("bigint")
-
     def disp_q(sq):
         # display pixel carried at STREAM position sq (interlaced):
         # the expression twin of _gif_interlace_disp_row
@@ -4879,45 +4918,15 @@ def encode_gif(media_id, w, h, interlaced: bool = False) -> Column:
         )
         return drow * wb + x
 
-    def code_at(ci):
-        root = (
-            F.pmod(disp_q(ci - 1), F.lit(256))
-            if interlaced
-            else F.pmod(ci - 1, F.lit(256))
-        )
-        return (
-            F.when(ci == 0, F.lit(256))
-            .when(ci == npix + 1, F.lit(257))
-            .otherwise(root)
-            .cast("bigint")
-        )
-
-    def bit_at(j):
-        return F.pmod(
-            F.floor(
-                code_at(F.floor(j / 9).cast("bigint"))
-                / _pow2(F.pmod(j, F.lit(9)))
-            ).cast("bigint"),
-            F.lit(2),
-        )
-
-    def byte_at(k):
-        e = F.lit(0).cast("bigint")
-        for i in range(8):
-            j = k * 8 + i
-            e = e + F.when(j < nbits, bit_at(j)).otherwise(
-                F.lit(0).cast("bigint")
-            ) * (1 << i)
-        return _byte_hex(e.cast("int"))
-
-    data = F.array_join(
-        F.transform(F.sequence(F.lit(0), nbytes - 1), byte_at), ""
+    root_fn = (
+        (lambda qi: F.pmod(disp_q(qi), F.lit(256)))
+        if interlaced
+        else (lambda qi: F.pmod(qi, F.lit(256)))
     )
     body = F.concat(
         header, gct, desc,
-        _byte_hex(nbytes.cast("int")),  # one sub-block
-        data,
-        F.lit("003B"),                  # terminator + trailer
+        _gif_root_block_hex(npix, root_fn),
+        F.lit("3B"),                    # trailer
     )
     return F.when(npix <= F.lit(220), F.unhex(body)).otherwise(
         F.raise_error(
@@ -5490,5 +5499,458 @@ def _decode_pixels_gif(media: DataFrame, payload_col: str) -> DataFrame:
         F.when(ok, "gif").alias("img_format"),
         F.when(ok, w).cast("int").alias("width"),
         F.when(ok, h).cast("int").alias("height"),
+        F.when(ok, pixels).alias("pixels"),
+    )
+
+
+_GIF_ANIM_MAX_BLOCKS = 12  #: frame-walk bound (ext + image per frame)
+_GIF_MAX_FRAMES = 5        #: animated-decode frame cap
+
+
+def decode_gif_anim(payload: bytes):
+    """Python twin of the Spark ``decode_gif_frames``: returns
+    ``(w, h, n_frames, [frame_rgb_or_None, ...])`` for an ANIMATED
+    GIF. STRUCTURAL failures (signature/screen/GCT, truncated or
+    over-cap block stream, missing trailer, too many frames, no
+    frames) raise — they null every row on the Spark side.
+    PER-FRAME failures (descriptor geometry, local table, bad mcs,
+    a corrupt LZW stream, an out-of-range index) yield ``None`` for
+    THAT frame only — the Spark side nulls that frame's row and
+    decodes the rest, and the twin mirrors it exactly."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    if not flags & 0x80:
+        raise ValueError("no global color table")
+    n_entries = 2 << (flags & 7)
+    if w <= 0 or h <= 0 or w * h > _GIF_MAX_PIXELS:
+        raise ValueError("dims outside the decode envelope")
+    gct = payload[13:13 + 3 * n_entries]
+    if len(gct) != 3 * n_entries:
+        raise ValueError("truncated global color table")
+    pos = 13 + 3 * n_entries
+    raw_frames = []
+    done = False
+    for _ in range(_GIF_ANIM_MAX_BLOCKS):
+        if pos >= len(payload):
+            raise ValueError("truncated block stream")
+        b = payload[pos]
+        if b == 0x3B:
+            if pos + 1 != len(payload):
+                raise ValueError("trailing bytes after trailer")
+            done = True
+            break
+        if b == 0x21:
+            pos += 2
+            for _ in range(_GIF_MAX_SUBBLOCKS):
+                sl = payload[pos]
+                pos += 1 + sl
+                if sl == 0:
+                    break
+            else:
+                raise ValueError("extension sub-blocks beyond cap")
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected block 0x{b:02X}")
+        if len(raw_frames) >= _GIF_MAX_FRAMES:
+            raise ValueError("frame count beyond cap")
+        desc = payload[pos:pos + 10]
+        mcs = payload[pos + 10]
+        pos += 11
+        data = b""
+        for _ in range(_GIF_MAX_SUBBLOCKS):
+            sl = payload[pos]
+            if sl == 0:
+                pos += 1
+                break
+            data += payload[pos + 1:pos + 1 + sl]
+            if len(payload) < pos + 1 + sl:
+                raise ValueError("truncated sub-block")
+            pos += 1 + sl
+        else:
+            raise ValueError("data sub-blocks beyond cap")
+        raw_frames.append((desc, mcs, data))
+    if not done:
+        raise ValueError(
+            f"no trailer within {_GIF_ANIM_MAX_BLOCKS} blocks"
+        )
+    if not raw_frames:
+        raise ValueError("no image frames before the trailer")
+    frames = []
+    for desc, mcs, data in raw_frames:
+        try:
+            left = int.from_bytes(desc[1:3], "little")
+            top = int.from_bytes(desc[3:5], "little")
+            iw = int.from_bytes(desc[5:7], "little")
+            ih = int.from_bytes(desc[7:9], "little")
+            iflags = desc[9]
+            if (left, top) != (0, 0) or (iw, ih) != (w, h):
+                raise ValueError("frame does not cover the screen")
+            if iflags & 0x80:
+                raise ValueError("local color table unsupported")
+            if not 2 <= mcs <= 8:
+                raise ValueError(f"bad LZW minimum code size {mcs}")
+            indices = _lzw_decode_py(data, mcs, w * h)
+            if iflags & 0x40:
+                indices = [
+                    indices[_gif_interlace_pos(r, h) * w + x]
+                    for r in range(h)
+                    for x in range(w)
+                ]
+            rgb = []
+            for idx in indices:
+                if idx >= n_entries:
+                    raise ValueError(
+                        f"index {idx} >= {n_entries} table entries"
+                    )
+                rgb += list(gct[3 * idx:3 * idx + 3])
+            frames.append(rgb)
+        except ValueError:
+            frames.append(None)
+    return w, h, len(frames), frames
+
+
+def encode_gif_anim(media_id, w, h, n_frames) -> Column:
+    """An ANIMATED GIF89a: NETSCAPE2.0 looping application extension
+    (skipped by the decoder, exercising extension handling in the
+    anim block stream), then ``n_frames`` full-screen frames under
+    the shared 256-entry color table, each the uncompressed-shape
+    root-code stream with index(f, q) = (q + 9f) mod 256 — so the
+    decoded RGB byte k of frame f is the closed form
+    ``(media_id·7 + k·13 + 95·f) mod 256`` (351 ≡ 95 mod 256).
+    Envelope: npix <= 220, 1 <= n_frames <= _GIF_MAX_FRAMES; outside
+    raises (fixture-encoder convention)."""
+    wb = w.cast("bigint")
+    hb = h.cast("bigint")
+    nf = n_frames.cast("bigint")
+    npix = wb * hb
+    header = F.concat(
+        F.lit("474946383961"),
+        _le_hex(w, 2),
+        _le_hex(h, 2),
+        F.lit("F7"),
+        F.lit("0000"),
+    )
+    gct = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(767)),
+            lambda t: _byte_hex(pixel_value(media_id, t)),
+        ),
+        "",
+    )
+    netscape = F.lit("21FF0B4E45545343415045322E300301000000")
+    desc = F.concat(
+        F.lit("2C00000000"),
+        _le_hex(w, 2),
+        _le_hex(h, 2),
+        F.lit("00"),
+        F.lit("08"),
+    )
+
+    def frame_hex(f):
+        return F.concat(
+            desc,
+            _gif_root_block_hex(
+                npix, lambda qi: F.pmod(qi + 9 * f, F.lit(256))
+            ),
+        )
+
+    frames = F.array_join(
+        F.transform(F.sequence(F.lit(0), nf - 1), frame_hex), ""
+    )
+    body = F.concat(header, gct, netscape, frames, F.lit("3B"))
+    return F.when(
+        (npix <= F.lit(220))
+        & nf.between(1, F.lit(_GIF_MAX_FRAMES)),
+        F.unhex(body),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("encode_gif_anim: w*h = "),
+                npix.cast("string"),
+                F.lit(" / n_frames = "),
+                nf.cast("string"),
+                F.lit(" outside the (220, 1..5) envelope"),
+            )
+        ).cast("binary")
+    )
+
+
+def _gif_skip_subblocks(p, q0):
+    """Bounded sub-block skip: struct (q, fin) — ``q`` the first
+    byte after the 0x00 terminator reached from ``q0`` (a length
+    byte)."""
+    einit = F.struct(q0.alias("q"), F.lit(False).alias("fin"))
+
+    def estep(eacc, _):
+        q = eacc["q"]
+        sl = _u8(p, q)
+        bad = sl.isNull() | (q + sl >= F.length(p) + 1)
+        new = F.when(
+            bad | (sl == 0),
+            F.struct((q + 1).alias("q"), F.lit(True).alias("fin")),
+        ).otherwise(
+            F.struct(
+                (q + 1 + sl.cast("bigint")).alias("q"),
+                F.lit(False).alias("fin"),
+            )
+        )
+        return F.when(eacc["fin"], eacc).otherwise(new)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_GIF_MAX_SUBBLOCKS)), einit, estep
+    )
+
+
+def _gif_frame_walk(p, pos0):
+    """Animated-GIF frame walk: from ``pos0``, skip extensions, skip
+    each image's data (descriptor + mcs + sub-blocks) while
+    RECORDING the descriptor offsets, stop at the trailer — one
+    struct column (pos, descs array<bigint>, ok, done). The trailer
+    must be the payload's last byte; more than ``_GIF_MAX_FRAMES``
+    descriptors or ``_GIF_ANIM_MAX_BLOCKS`` blocks flips ok."""
+    finit = F.struct(
+        pos0.alias("pos"),
+        F.slice(F.array(F.lit(0).cast("bigint")), 1, 0).alias("descs"),
+        F.lit(True).alias("ok"),
+        F.lit(False).alias("done"),
+    )
+
+    def fstep(acc, _):
+        pos = acc["pos"]
+        b = _u8(p, pos)
+        fail = F.struct(
+            pos.alias("pos"),
+            acc["descs"].alias("descs"),
+            F.lit(False).alias("ok"),
+            F.lit(True).alias("done"),
+        )
+        ext = _let(
+            _gif_skip_subblocks(p, pos + 2),
+            lambda e: F.when(
+                e["fin"],
+                F.struct(
+                    e["q"].alias("pos"),
+                    acc["descs"].alias("descs"),
+                    acc["ok"].alias("ok"),
+                    F.lit(False).alias("done"),
+                ),
+            ).otherwise(fail),
+        )
+        img = _let(
+            _gif_skip_subblocks(p, pos + 11),
+            lambda e: F.when(
+                e["fin"]
+                & (F.size(acc["descs"]) < F.lit(_GIF_MAX_FRAMES)),
+                F.struct(
+                    e["q"].alias("pos"),
+                    F.concat(
+                        acc["descs"], F.array(pos)
+                    ).alias("descs"),
+                    acc["ok"].alias("ok"),
+                    F.lit(False).alias("done"),
+                ),
+            ).otherwise(fail),
+        )
+        new = (
+            F.when(b.isNull() | (pos > F.length(p)), fail)
+            .when(
+                b == 0x3B,
+                F.struct(
+                    pos.alias("pos"),
+                    acc["descs"].alias("descs"),
+                    (acc["ok"] & (pos == F.length(p))).alias("ok"),
+                    F.lit(True).alias("done"),
+                ),
+            )
+            .when(b == 0x21, ext)
+            .when(b == 0x2C, img)
+            .otherwise(fail)
+        )
+        return F.when(acc["done"], acc).otherwise(new)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_GIF_ANIM_MAX_BLOCKS)), finit, fstep
+    )
+
+
+def decode_gif_frames(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """ANIMATED GIF decode, pure Spark: ONE ROW PER FRAME —
+    (media_id, gif_format, width, height, n_frames, frame_idx,
+    pixels) — the GIF sibling of ``decode_y4m_frames``. The frame
+    walk (``_gif_frame_walk``) records every full-screen image
+    descriptor while skipping extensions and image data; a
+    ``posexplode_outer`` turns the descriptor list into frame rows
+    (invalid payloads keep one null-frame row, so the operator is
+    total); each frame row then stages its OWN sub-block table and
+    LZW walk at its descriptor's offset — the single-image decode
+    machinery reused verbatim, including per-frame interlace and the
+    bounds-checked color-table lookup. Envelope: every frame covers
+    the screen under the global color table; caps
+    ``_GIF_MAX_FRAMES`` / ``_GIF_ANIM_MAX_BLOCKS`` (twin:
+    ``decode_gif_anim``)."""
+    p0 = F.col(payload_col)
+    flags0 = _u8(p0, 11)
+    n_ent0 = _pow2w(
+        (F.pmod(F.coalesce(flags0, F.lit(0)), F.lit(8)) + 1).cast(
+            "bigint"
+        )
+    )
+    w0 = _le16(p0, 7)
+    h0 = _le16(p0, 9)
+    npix0 = w0.cast("bigint") * h0.cast("bigint")
+    sig_ok0 = F.coalesce(
+        F.hex(F.substring(p0, 1, 6)).isin(
+            "474946383761", "474946383961"
+        ),
+        F.lit(False),
+    )
+    one = F.lit(1).cast("bigint")
+    sane0 = (
+        sig_ok0
+        & npix0.isNotNull()
+        & (w0 > 0)
+        & (h0 > 0)
+        & (npix0 <= F.lit(_GIF_MAX_PIXELS).cast("bigint"))
+        & (F.floor(F.coalesce(flags0, F.lit(0)) / 128) == 1)
+        & (F.length(p0) >= 13 + 3 * n_ent0 + 3)
+    )
+    base = media.select(
+        "media_id",
+        p0.alias("__p"),
+        _gif_frame_walk(
+            p0, F.when(sane0, 14 + 3 * n_ent0).otherwise(one)
+        ).alias("__gfw"),
+    )
+
+    # everything below reads from __p (header expressions are cheap
+    # closed-form byte reads, recomputed per stage)
+    p = F.col("__p")
+    flags = _u8(p, 11)
+    n_ent = _pow2w(
+        (F.pmod(F.coalesce(flags, F.lit(0)), F.lit(8)) + 1).cast(
+            "bigint"
+        )
+    )
+    w = _le16(p, 7)
+    h = _le16(p, 9)
+    npix = w.cast("bigint") * h.cast("bigint")
+    sane = (
+        F.coalesce(
+            F.hex(F.substring(p, 1, 6)).isin(
+                "474946383761", "474946383961"
+            ),
+            F.lit(False),
+        )
+        & npix.isNotNull()
+        & (w > 0)
+        & (h > 0)
+        & (npix <= F.lit(_GIF_MAX_PIXELS).cast("bigint"))
+        & (F.floor(F.coalesce(flags, F.lit(0)) / 128) == 1)
+    )
+    npix_c = F.when(sane, npix).otherwise(one)
+    gfw = F.col("__gfw")
+    pre_ok = (
+        sane
+        & F.coalesce(gfw["ok"] & gfw["done"], F.lit(False))
+        & (F.size(gfw["descs"]) >= 1)
+    )
+    frames = base.select(
+        "media_id",
+        "__p",
+        F.when(pre_ok, F.size(gfw["descs"])).alias("__nf"),
+        F.posexplode_outer(F.when(pre_ok, gfw["descs"])).alias(
+            "frame_idx", "__dpos"
+        ),
+    )
+    dpos = F.col("__dpos")
+    staged = frames.select(
+        "*",
+        _gif_subblock_walk(
+            p, F.when(dpos.isNotNull(), dpos + 11).otherwise(one)
+        ).alias("__gsb"),
+    )
+    mcs = _u8(p, dpos + 10)
+    mcs_c = F.when(
+        dpos.isNotNull() & mcs.between(2, 8), mcs.cast("bigint")
+    ).otherwise(F.lit(2).cast("bigint"))
+    desc_ok = (
+        dpos.isNotNull()
+        & (_u8(p, dpos) == 0x2C)
+        & (_le16(p, dpos + 1) == 0)
+        & (_le16(p, dpos + 3) == 0)
+        & (_le16(p, dpos + 5) == w)
+        & (_le16(p, dpos + 7) == h)
+        & (F.floor(_u8(p, dpos + 9) / 128) == 0)
+        & mcs.between(2, 8)
+    )
+    interlaced = (
+        F.pmod(
+            F.floor(_u8(p, dpos + 9) / 64).cast("bigint"), F.lit(2)
+        )
+        == 1
+    )
+    sb = F.col("__gsb")
+    stream_ok = sb["ok"] & sb["done"] & (sb["total"] > 0)
+    walk_pre = F.coalesce(desc_ok & stream_ok, F.lit(False))
+    staged = staged.select(
+        "*",
+        F.when(
+            walk_pre, _gif_lzw_walk(p, sb, mcs_c, npix_c)
+        ).alias("__glw"),
+    )
+    lw = F.col("__glw")
+    out = lw["out"]
+    idx_ok = F.coalesce(
+        F.forall(out, lambda v: v.cast("bigint") < n_ent),
+        F.lit(False),
+    )
+    ok = (
+        walk_pre
+        & F.coalesce(lw["ok"] & lw["done"], F.lit(False))
+        & (F.size(out).cast("bigint") == npix_c)
+        & idx_ok
+    )
+    wbc = F.when(sane, w.cast("bigint")).otherwise(one)
+    hbc = F.when(sane, h.cast("bigint")).otherwise(one)
+
+    def gif_byte(k):
+        q = F.floor(k / 3).cast("bigint")
+        c = F.pmod(k, F.lit(3))
+        r = F.floor(q / wbc).cast("bigint")
+        x = F.pmod(q, wbc)
+        c1 = F.floor((hbc + 7) / 8).cast("bigint")
+        c2 = F.floor((hbc + 3) / 8).cast("bigint")
+        c3 = F.floor((hbc + 1) / 4).cast("bigint")
+        spos = (
+            F.when(F.pmod(r, F.lit(8)) == 0, F.floor(r / 8))
+            .when(F.pmod(r, F.lit(8)) == 4, c1 + F.floor((r - 4) / 8))
+            .when(
+                F.pmod(r, F.lit(4)) == 2,
+                c1 + c2 + F.floor((r - 2) / 4),
+            )
+            .otherwise(c1 + c2 + c3 + F.floor((r - 1) / 2))
+            .cast("bigint")
+        )
+        sq = F.when(interlaced, spos * wbc + x).otherwise(q)
+        idx = F.coalesce(
+            F.try_element_at(out, (sq + 1).cast("int")), F.lit(0)
+        ).cast("bigint")
+        return _u8(p, 14 + idx * 3 + c)
+
+    pixels = F.transform(
+        F.sequence(F.lit(0), npix_c * 3 - 1), gif_byte
+    )
+    return staged.select(
+        "media_id",
+        F.when(ok, "gif").alias("gif_format"),
+        F.when(ok, w).cast("int").alias("width"),
+        F.when(ok, h).cast("int").alias("height"),
+        F.when(ok, F.col("__nf")).cast("int").alias("n_frames"),
+        F.when(ok, F.col("frame_idx")).cast("int").alias("frame_idx"),
         F.when(ok, pixels).alias("pixels"),
     )

@@ -428,6 +428,47 @@ def q_e6_gif_interlaced(spark, sf_dir):
     )
 
 
+def q_e6_gif_frames(spark, sf_dir):
+    """ANIMATED GIF decode (r14 — one row per frame, the y4m shape
+    for the second compressed container): each clip a GIF89a with a
+    NETSCAPE looping extension (skipped) and doc_id%3+1 full-screen
+    root-code frames whose index stream shifts by 9 per frame, so
+    frame f's RGB byte k is the closed form
+    (doc_id*7 + k*13 + 95*f) mod 256. The frame walk records every
+    descriptor while skipping extensions and image data; each frame
+    row then runs its own sub-block + LZW walk. Density %31.
+    Hex-packed scalar output."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 31 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        encode_gif_anim(
+            F.col("doc_id"),
+            (F.col("doc_id") % 5 + 2).cast("int"),
+            (F.col("doc_id") % 4 + 2).cast("int"),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("payload"),
+    )
+    return decode_gif_frames(media).select(
+        "media_id",
+        "gif_format",
+        "width",
+        "height",
+        "n_frames",
+        "frame_idx",
+        F.array_join(
+            F.transform(
+                "pixels", lambda v: F.lpad(F.hex(v), 2, "0")
+            ),
+            "",
+        ).alias("pixels_hex"),
+    )
+
+
 def q_e6_resize(spark, sf_dir):
     """Nearest-neighbor resize to 4x3 over REAL decoded pixels (r11)
     — the fixed-input-resolution preprocessing step, one shuffle-free
@@ -798,6 +839,24 @@ SELECT doc_id AS media_id,
               END)
        ), '') AS pixels_hex
 FROM documents WHERE doc_id % 31 = 0
+""",
+    # r14: animated twin — one row per frame via unnest; frame f's
+    # byte k = (doc_id*7 + k*13 + 95*f) % 256 (the index stream
+    # shifts 9 per frame under the 256-entry table; 39*9 = 351 = 95
+    # mod 256).
+    "e6_gif_frames": """
+SELECT doc_id AS media_id,
+       'gif' AS gif_format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       CAST(doc_id % 3 + 1 AS INT) AS n_frames,
+       CAST(f AS INT) AS frame_idx,
+       array_to_string(list_transform(
+         range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
+         k -> printf('%02X', (doc_id * 7 + k * 13 + 95 * f) % 256)
+       ), '') AS pixels_hex
+FROM (SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS f
+      FROM documents WHERE doc_id % 31 = 0) u
 """,
     # r14: interlaced twin — same closed forms as e6_gif_decode (the
     # 4-pass permutation round-trips invisibly; the payload bytes

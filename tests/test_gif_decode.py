@@ -304,3 +304,157 @@ def test_gif_interlace_maps_pin():
         for i, r in enumerate(order):
             assert _mm._gif_interlace_pos(r, h) == i, (h, r)
             assert _mm._gif_interlace_disp_row(i, h) == r, (h, i)
+
+
+# ---------------------------------------------------------------------------
+# r14: ANIMATED GIF — decode_gif_frames / decode_gif_anim
+# ---------------------------------------------------------------------------
+
+NETSCAPE = bytes.fromhex("21FF0B4E45545343415045322E300301000000")
+
+
+def _gif_anim_from(w, h, gct, frame_blobs, tail=b"\x3b", ext=NETSCAPE):
+    """Animated assembly: ``frame_blobs`` is a list of (data, mcs,
+    desc) triples (desc None -> canonical full-screen descriptor)."""
+    n = len(gct) // 3
+    s = n.bit_length() - 2
+    hdr = (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x80 | s, 0, 0])
+    )
+    body = b""
+    for data, mcs, desc in frame_blobs:
+        if desc is None:
+            desc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        body += desc + bytes([mcs, len(data)]) + data + b"\x00"
+    return hdr + gct + ext + body + tail
+
+
+def _spark_frames(spark, payloads):
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_gif_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "media_id bigint, payload binary",
+    )
+    out = {}
+    for r in decode_gif_frames(df).collect():
+        out.setdefault(r["media_id"], []).append(r)
+    return out
+
+
+def test_gif_anim_round_trip_matches_formula_and_python(spark):
+    """encode_gif_anim -> decode_gif_frames reproduces the per-frame
+    closed form ((mid*7 + k*13 + 95*f) mod 256); the twin agrees on
+    the same bytes, NETSCAPE extension skipped on both paths."""
+    import decision_tree_stuff_spark.operators.multimodal as _mm
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 13)], "doc_id bigint"
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _mm.encode_gif_anim(
+            F.col("doc_id"),
+            (F.col("doc_id") % 5 + 2).cast("int"),
+            (F.col("doc_id") % 4 + 2).cast("int"),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("payload"),
+    )
+    rows = {}
+    for r in (
+        _mm.decode_gif_frames(media)
+        .join(media.select("media_id", "payload"), "media_id")
+        .collect()
+    ):
+        rows.setdefault(r["media_id"], []).append(r)
+    assert len(rows) == 12
+    for mid, frs in rows.items():
+        w, h, nf = mid % 5 + 2, mid % 4 + 2, mid % 3 + 1
+        assert sorted(r["frame_idx"] for r in frs) == list(range(nf))
+        for r in frs:
+            f = r["frame_idx"]
+            expect = [
+                (mid * 7 + k * 13 + 95 * f) % 256
+                for k in range(w * h * 3)
+            ]
+            assert (
+                r["gif_format"],
+                r["width"],
+                r["height"],
+                r["n_frames"],
+            ) == ("gif", w, h, nf), (mid, f)
+            assert list(r["pixels"]) == expect, (mid, f)
+        exp_frames = [
+            [
+                (mid * 7 + k * 13 + 95 * f) % 256
+                for k in range(w * h * 3)
+            ]
+            for f in range(nf)
+        ]
+        assert _mm.decode_gif_anim(bytes(frs[0]["payload"])) == (
+            w, h, nf, exp_frames,
+        ), mid
+
+
+def test_gif_anim_per_frame_nullability_both_paths(spark):
+    """A corrupt SECOND frame (partial-coverage descriptor) nulls
+    only that frame's row; frame 0 and frame 2 still decode. The
+    twin mirrors with None at index 1. Frame 2 is INTERLACED inside
+    the animation (mixed per-frame modes)."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_gif_anim,
+    )
+
+    gct = bytes(range(12))
+    good = _lzw_compress_py([0, 1, 2, 3], 2)
+    # interlaced 2x2: passes put display row 0 then row 1 — identical
+    # stream order at h=2, but the FLAG path must still engage
+    idesc = struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0x40)
+    bad_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, 1, 2, 0)
+    payload = _gif_anim_from(
+        2, 2, gct,
+        [(good, 2, None), (good, 2, bad_desc), (good, 2, idesc)],
+    )
+    w, h, nf, frames = decode_gif_anim(payload)
+    expect = [b for i in (0, 1, 2, 3) for b in gct[3 * i:3 * i + 3]]
+    assert (w, h, nf) == (2, 2, 3)
+    assert frames == [expect, None, expect]
+    frs = {r["frame_idx"]: r for r in _spark_frames(spark, [payload])[0]}
+    # null frame rows lose their frame_idx too (every output column
+    # is ok-gated); identify them by exclusion
+    decoded = [r for r in frs.values() if r["gif_format"] == "gif"]
+    nulls = [r for r in frs.values() if r["gif_format"] is None]
+    assert len(decoded) == 2 and len(nulls) == 1
+    for r in decoded:
+        assert list(r["pixels"]) == expect
+
+
+def test_gif_anim_structural_rejections_both_paths(spark):
+    """Structural stream corruption nulls EVERY frame row in Spark
+    and raises in the twin: no trailer, trailing bytes, more than
+    _GIF_MAX_FRAMES frames, and zero frames."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_gif_anim,
+    )
+
+    gct = bytes(range(12))
+    good = _lzw_compress_py([0, 1, 2, 3], 2)
+    one = [(good, 2, None)]
+    variants = {
+        "no_trailer": _gif_anim_from(2, 2, gct, one, tail=b""),
+        "trailing": _gif_anim_from(2, 2, gct, one) + b"\x00",
+        "six_frames": _gif_anim_from(2, 2, gct, one * 6),
+        "zero_frames": _gif_anim_from(2, 2, gct, []),
+    }
+    rows = _spark_frames(spark, list(variants.values()))
+    for i, (name, payload) in enumerate(variants.items()):
+        for r in rows[i]:
+            assert r["gif_format"] is None, name
+            assert r["pixels"] is None, name
+        with pytest.raises(ValueError):
+            decode_gif_anim(payload)
+        _ = name
