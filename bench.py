@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     #   plan than the PNG full-flag rows (one fold, no envelope
     #   triplication)
     "e6_gif_frames",         # animated GIF, one row per frame
+    "e6_gif_lct",            # local color tables + interlaced LZW
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

@@ -1716,6 +1716,8 @@ def synthesize_decodable_media(
         # decoder must re-order (both the root-code and the real-LZW
         # shapes)
         "gifi": lambda m, w, h: encode_gif(m, w, h, interlaced=True),
+        # r14: LOCAL-color-table-only GIF (no global table)
+        "gifl": lambda m, w, h: encode_gif(m, w, h, lct=True),
         "gifzi": lambda m, w, h: encode_gif_lzw(
             m, w, h, interlaced=True
         ),
@@ -4741,9 +4743,8 @@ def decode_gif(payload: bytes):
     w = int.from_bytes(payload[6:8], "little")
     h = int.from_bytes(payload[8:10], "little")
     flags = payload[10]
-    if not flags & 0x80:
-        raise ValueError("no global color table")
-    n_entries = 2 << (flags & 7)
+    has_gct = bool(flags & 0x80)
+    n_entries = (2 << (flags & 7)) if has_gct else 0
     if w <= 0 or h <= 0 or w * h > _GIF_MAX_PIXELS:
         raise ValueError("dims outside the decode envelope")
     gct = payload[13:13 + 3 * n_entries]
@@ -4776,9 +4777,18 @@ def decode_gif(payload: bytes):
     iflags = payload[pos + 9]
     if (left, top) != (0, 0) or (iw, ih) != (w, h):
         raise ValueError("image does not cover the screen at (0,0)")
-    if iflags & 0x80:
-        raise ValueError("local color table unsupported")
     interlaced = bool(iflags & 0x40)
+    # r14: a LOCAL color table (descriptor flag bit 7) follows the
+    # descriptor and takes precedence over the global one; a GIF
+    # with neither table has no colors to map and rejects
+    if iflags & 0x80:
+        n_entries = 2 << (iflags & 7)
+        gct = payload[pos + 10:pos + 10 + 3 * n_entries]
+        if len(gct) != 3 * n_entries:
+            raise ValueError("truncated local color table")
+        pos += 3 * n_entries
+    elif not has_gct:
+        raise ValueError("no color table (neither global nor local)")
     mcs = payload[pos + 10]
     if not 2 <= mcs <= 8:
         raise ValueError(f"bad LZW minimum code size {mcs}")
@@ -4861,7 +4871,9 @@ def _gif_root_block_hex(npix, root_fn):
     return F.concat(_byte_hex(nbytes.cast("int")), data, F.lit("00"))
 
 
-def encode_gif(media_id, w, h, interlaced: bool = False) -> Column:
+def encode_gif(
+    media_id, w, h, interlaced: bool = False, lct: bool = False
+) -> Column:
     """A spec-compliant GIF89a whose decoded RGB byte k is
     ``pixel_value(media_id, k)`` — REAL GIF: 256-entry global color
     table (byte t = ``pixel_value(media_id, t)``, the PLTE trick:
@@ -4883,22 +4895,27 @@ def encode_gif(media_id, w, h, interlaced: bool = False) -> Column:
         F.lit("474946383961"),          # 'GIF89a'
         _le_hex(w, 2),
         _le_hex(h, 2),
-        F.lit("F7"),                    # GCT present, 2^(7+1) entries
+        # r14 lct mode: NO global table (the frame carries its own)
+        F.lit("00" if lct else "F7"),
         F.lit("0000"),                  # bg index, aspect
     )
-    gct = F.array_join(
+    table_hex = F.array_join(
         F.transform(
             F.sequence(F.lit(0), F.lit(767)),
             lambda t: _byte_hex(pixel_value(media_id, t)),
         ),
         "",
     )
+    gct = F.lit("") if lct else table_hex
+    # descriptor flags: bit 7 local table (size 7 -> 256 entries),
+    # bit 6 = 4-pass interlace (r14)
+    dflags = (0x80 | 0x07 if lct else 0) | (0x40 if interlaced else 0)
     desc = F.concat(
         F.lit("2C00000000"),            # descriptor, left=top=0
         _le_hex(w, 2),
         _le_hex(h, 2),
-        # no local table; bit 6 = 4-pass interlace (r14)
-        F.lit("40" if interlaced else "00"),
+        F.lit("%02X" % dflags),
+        table_hex if lct else F.lit(""),  # the LOCAL table
         F.lit("08"),                    # LZW minimum code size
     )
     def disp_q(sq):
@@ -5377,11 +5394,15 @@ def _decode_pixels_gif(media: DataFrame, payload_col: str) -> DataFrame:
     nulls the row, never reads past the table)."""
     p = F.col(payload_col)
     flags = _u8(p, 11)
-    n_ent = _pow2w(
-        (F.pmod(F.coalesce(flags, F.lit(0)), F.lit(8)) + 1).cast(
-            "bigint"
-        )
-    )
+    has_gct = F.floor(F.coalesce(flags, F.lit(0)) / 128) == 1
+    n_ent_g = F.when(
+        has_gct,
+        _pow2w(
+            (F.pmod(F.coalesce(flags, F.lit(0)), F.lit(8)) + 1).cast(
+                "bigint"
+            )
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
     w = _le16(p, 7)
     h = _le16(p, 9)
     npix = w.cast("bigint") * h.cast("bigint")
@@ -5395,17 +5416,36 @@ def _decode_pixels_gif(media: DataFrame, payload_col: str) -> DataFrame:
         & (w > 0)
         & (h > 0)
         & (npix <= F.lit(_GIF_MAX_PIXELS).cast("bigint"))
-        & (F.floor(F.coalesce(flags, F.lit(0)) / 128) == 1)  # GCT flag
-        & (F.length(p) >= 13 + 3 * n_ent + 3)
+        & (F.length(p) >= 13 + 3 * n_ent_g + 3)
     )
     one = F.lit(1).cast("bigint")
     npix_c = F.when(sane, npix).otherwise(one)
-    pos0 = F.when(sane, 14 + 3 * n_ent).otherwise(one)
+    pos0 = F.when(sane, 14 + 3 * n_ent_g).otherwise(one)
     staged = media.select(
         "*", _gif_block_walk(p, pos0).alias("__gbw")
     )
     id_pos = F.col("__gbw")["pos"]
-    mcs = _u8(p, id_pos + 10)
+    # r14: a LOCAL color table (descriptor flag bit 7) sits between
+    # the descriptor and the mcs byte and takes precedence over the
+    # global one; a GIF with NEITHER table has no colors and rejects
+    iflags = _u8(p, id_pos + 9)
+    has_lct = F.floor(F.coalesce(iflags, F.lit(0)) / 128) == 1
+    lct_len = F.when(
+        has_lct,
+        3
+        * _pow2w(
+            (F.pmod(F.coalesce(iflags, F.lit(0)), F.lit(8)) + 1).cast(
+                "bigint"
+            )
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    n_ent = F.when(has_lct, F.floor(lct_len / 3).cast("bigint")).otherwise(
+        n_ent_g
+    )
+    tbl_base = F.when(has_lct, id_pos + 10).otherwise(
+        F.lit(14).cast("bigint")
+    )
+    mcs = _u8(p, id_pos + 10 + lct_len)
     mcs_c = F.when(
         sane & mcs.between(2, 8), mcs.cast("bigint")
     ).otherwise(F.lit(2).cast("bigint"))
@@ -5417,7 +5457,8 @@ def _decode_pixels_gif(media: DataFrame, payload_col: str) -> DataFrame:
         & (_le16(p, id_pos + 3) == 0)       # top
         & (_le16(p, id_pos + 5) == w)       # image width == screen
         & (_le16(p, id_pos + 7) == h)
-        & (F.floor(_u8(p, id_pos + 9) / 128) == 0)  # no local table
+        & (has_lct | has_gct)               # some color table exists
+        & (F.length(p) >= id_pos + 10 + lct_len)
         & mcs.between(2, 8)
     )
     # r14: 4-pass interlace accepted — a closed-form row permutation
@@ -5431,7 +5472,10 @@ def _decode_pixels_gif(media: DataFrame, payload_col: str) -> DataFrame:
     staged = staged.select(
         "*",
         _gif_subblock_walk(
-            p, F.when(sane & desc_ok, id_pos + 11).otherwise(one)
+            p,
+            F.when(
+                sane & desc_ok, id_pos + 11 + lct_len
+            ).otherwise(one),
         ).alias("__gsb"),
     )
     sb = F.col("__gsb")
@@ -5489,7 +5533,7 @@ def _decode_pixels_gif(media: DataFrame, payload_col: str) -> DataFrame:
         idx = F.coalesce(
             F.try_element_at(out, (sq + 1).cast("int")), F.lit(0)
         ).cast("bigint")
-        return _u8(p, 14 + idx * 3 + c)
+        return _u8(p, tbl_base + idx * 3 + c)
 
     pixels = F.transform(
         F.sequence(F.lit(0), npix_c * 3 - 1), gif_byte
@@ -5522,9 +5566,8 @@ def decode_gif_anim(payload: bytes):
     w = int.from_bytes(payload[6:8], "little")
     h = int.from_bytes(payload[8:10], "little")
     flags = payload[10]
-    if not flags & 0x80:
-        raise ValueError("no global color table")
-    n_entries = 2 << (flags & 7)
+    has_gct = bool(flags & 0x80)
+    n_entries = (2 << (flags & 7)) if has_gct else 0
     if w <= 0 or h <= 0 or w * h > _GIF_MAX_PIXELS:
         raise ValueError("dims outside the decode envelope")
     gct = payload[13:13 + 3 * n_entries]
@@ -5557,6 +5600,16 @@ def decode_gif_anim(payload: bytes):
         if len(raw_frames) >= _GIF_MAX_FRAMES:
             raise ValueError("frame count beyond cap")
         desc = payload[pos:pos + 10]
+        # a local color table shifts the mcs byte and the data; its
+        # length is STRUCTURAL (the frame walk must skip it), so a
+        # truncated LCT raises rather than nulling one frame
+        lct = b""
+        if desc[9] & 0x80:
+            ln = 2 << (desc[9] & 7)
+            lct = payload[pos + 10:pos + 10 + 3 * ln]
+            if len(lct) != 3 * ln:
+                raise ValueError("truncated local color table")
+            pos += 3 * ln
         mcs = payload[pos + 10]
         pos += 11
         data = b""
@@ -5571,7 +5624,7 @@ def decode_gif_anim(payload: bytes):
             pos += 1 + sl
         else:
             raise ValueError("data sub-blocks beyond cap")
-        raw_frames.append((desc, mcs, data))
+        raw_frames.append((desc, lct, mcs, data))
     if not done:
         raise ValueError(
             f"no trailer within {_GIF_ANIM_MAX_BLOCKS} blocks"
@@ -5579,7 +5632,7 @@ def decode_gif_anim(payload: bytes):
     if not raw_frames:
         raise ValueError("no image frames before the trailer")
     frames = []
-    for desc, mcs, data in raw_frames:
+    for desc, lct, mcs, data in raw_frames:
         try:
             left = int.from_bytes(desc[1:3], "little")
             top = int.from_bytes(desc[3:5], "little")
@@ -5588,8 +5641,11 @@ def decode_gif_anim(payload: bytes):
             iflags = desc[9]
             if (left, top) != (0, 0) or (iw, ih) != (w, h):
                 raise ValueError("frame does not cover the screen")
-            if iflags & 0x80:
-                raise ValueError("local color table unsupported")
+            tbl, n_tbl = (lct, len(lct) // 3) if lct else (gct, n_entries)
+            if n_tbl == 0:
+                raise ValueError(
+                    "no color table (neither global nor local)"
+                )
             if not 2 <= mcs <= 8:
                 raise ValueError(f"bad LZW minimum code size {mcs}")
             indices = _lzw_decode_py(data, mcs, w * h)
@@ -5601,18 +5657,20 @@ def decode_gif_anim(payload: bytes):
                 ]
             rgb = []
             for idx in indices:
-                if idx >= n_entries:
+                if idx >= n_tbl:
                     raise ValueError(
-                        f"index {idx} >= {n_entries} table entries"
+                        f"index {idx} >= {n_tbl} table entries"
                     )
-                rgb += list(gct[3 * idx:3 * idx + 3])
+                rgb += list(tbl[3 * idx:3 * idx + 3])
             frames.append(rgb)
         except ValueError:
             frames.append(None)
     return w, h, len(frames), frames
 
 
-def encode_gif_anim(media_id, w, h, n_frames) -> Column:
+def encode_gif_anim(
+    media_id, w, h, n_frames, lct: bool = False
+) -> Column:
     """An ANIMATED GIF89a: NETSCAPE2.0 looping application extension
     (skipped by the decoder, exercising extension handling in the
     anim block stream), then ``n_frames`` full-screen frames under
@@ -5630,28 +5688,53 @@ def encode_gif_anim(media_id, w, h, n_frames) -> Column:
         F.lit("474946383961"),
         _le_hex(w, 2),
         _le_hex(h, 2),
-        F.lit("F7"),
+        F.lit("00" if lct else "F7"),
         F.lit("0000"),
     )
-    gct = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(767)),
-            lambda t: _byte_hex(pixel_value(media_id, t)),
-        ),
-        "",
+    gct = (
+        F.lit("")
+        if lct
+        else F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(767)),
+                lambda t: _byte_hex(pixel_value(media_id, t)),
+            ),
+            "",
+        )
     )
     netscape = F.lit("21FF0B4E45545343415045322E300301000000")
-    desc = F.concat(
-        F.lit("2C00000000"),
-        _le_hex(w, 2),
-        _le_hex(h, 2),
-        F.lit("00"),
-        F.lit("08"),
-    )
+
+    def desc_hex(f):
+        # r14 lct mode: every frame carries its OWN 256-entry table,
+        # shifted 17 per frame — decoded RGB byte k of frame f is
+        # (media_id*7 + k*13 + 112*f) mod 256 (351+17 = 112 mod 256)
+        parts = [
+            F.lit("2C00000000"),
+            _le_hex(w, 2),
+            _le_hex(h, 2),
+            F.lit("87" if lct else "00"),
+        ]
+        if lct:
+            parts.append(
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(767)),
+                        lambda t: _byte_hex(
+                            F.pmod(
+                                pixel_value(media_id, t) + 17 * f,
+                                F.lit(256),
+                            )
+                        ),
+                    ),
+                    "",
+                )
+            )
+        parts.append(F.lit("08"))
+        return F.concat(*parts)
 
     def frame_hex(f):
         return F.concat(
-            desc,
+            desc_hex(f),
             _gif_root_block_hex(
                 npix, lambda qi: F.pmod(qi + 9 * f, F.lit(256))
             ),
@@ -5739,8 +5822,19 @@ def _gif_frame_walk(p, pos0):
                 ),
             ).otherwise(fail),
         )
+        iflags_w = _u8(p, pos + 9)
+        lct_skip = F.when(
+            F.floor(F.coalesce(iflags_w, F.lit(0)) / 128) == 1,
+            3
+            * _pow2w(
+                (
+                    F.pmod(F.coalesce(iflags_w, F.lit(0)), F.lit(8))
+                    + 1
+                ).cast("bigint")
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
         img = _let(
-            _gif_skip_subblocks(p, pos + 11),
+            _gif_skip_subblocks(p, pos + 11 + lct_skip),
             lambda e: F.when(
                 e["fin"]
                 & (F.size(acc["descs"]) < F.lit(_GIF_MAX_FRAMES)),
@@ -5810,20 +5904,23 @@ def decode_gif_frames(
         F.lit(False),
     )
     one = F.lit(1).cast("bigint")
+    has_gct0 = F.floor(F.coalesce(flags0, F.lit(0)) / 128) == 1
+    n_ent0g = F.when(has_gct0, n_ent0).otherwise(
+        F.lit(0).cast("bigint")
+    )
     sane0 = (
         sig_ok0
         & npix0.isNotNull()
         & (w0 > 0)
         & (h0 > 0)
         & (npix0 <= F.lit(_GIF_MAX_PIXELS).cast("bigint"))
-        & (F.floor(F.coalesce(flags0, F.lit(0)) / 128) == 1)
-        & (F.length(p0) >= 13 + 3 * n_ent0 + 3)
+        & (F.length(p0) >= 13 + 3 * n_ent0g + 3)
     )
     base = media.select(
         "media_id",
         p0.alias("__p"),
         _gif_frame_walk(
-            p0, F.when(sane0, 14 + 3 * n_ent0).otherwise(one)
+            p0, F.when(sane0, 14 + 3 * n_ent0g).otherwise(one)
         ).alias("__gfw"),
     )
 
@@ -5839,6 +5936,10 @@ def decode_gif_frames(
     w = _le16(p, 7)
     h = _le16(p, 9)
     npix = w.cast("bigint") * h.cast("bigint")
+    has_gct = F.floor(F.coalesce(flags, F.lit(0)) / 128) == 1
+    n_ent_g = F.when(has_gct, n_ent).otherwise(
+        F.lit(0).cast("bigint")
+    )
     sane = (
         F.coalesce(
             F.hex(F.substring(p, 1, 6)).isin(
@@ -5850,7 +5951,6 @@ def decode_gif_frames(
         & (w > 0)
         & (h > 0)
         & (npix <= F.lit(_GIF_MAX_PIXELS).cast("bigint"))
-        & (F.floor(F.coalesce(flags, F.lit(0)) / 128) == 1)
     )
     npix_c = F.when(sane, npix).otherwise(one)
     gfw = F.col("__gfw")
@@ -5868,13 +5968,35 @@ def decode_gif_frames(
         ),
     )
     dpos = F.col("__dpos")
+    # per-frame local color table (r14): sits between the descriptor
+    # and the mcs byte, takes precedence over the global table
+    iflags_f = _u8(p, dpos + 9)
+    has_lct = F.floor(F.coalesce(iflags_f, F.lit(0)) / 128) == 1
+    lct_len = F.when(
+        has_lct,
+        3
+        * _pow2w(
+            (
+                F.pmod(F.coalesce(iflags_f, F.lit(0)), F.lit(8)) + 1
+            ).cast("bigint")
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    n_ent_f = F.when(
+        has_lct, F.floor(lct_len / 3).cast("bigint")
+    ).otherwise(n_ent_g)
+    tbl_base = F.when(has_lct, dpos + 10).otherwise(
+        F.lit(14).cast("bigint")
+    )
     staged = frames.select(
         "*",
         _gif_subblock_walk(
-            p, F.when(dpos.isNotNull(), dpos + 11).otherwise(one)
+            p,
+            F.when(
+                dpos.isNotNull(), dpos + 11 + lct_len
+            ).otherwise(one),
         ).alias("__gsb"),
     )
-    mcs = _u8(p, dpos + 10)
+    mcs = _u8(p, dpos + 10 + lct_len)
     mcs_c = F.when(
         dpos.isNotNull() & mcs.between(2, 8), mcs.cast("bigint")
     ).otherwise(F.lit(2).cast("bigint"))
@@ -5885,7 +6007,8 @@ def decode_gif_frames(
         & (_le16(p, dpos + 3) == 0)
         & (_le16(p, dpos + 5) == w)
         & (_le16(p, dpos + 7) == h)
-        & (F.floor(_u8(p, dpos + 9) / 128) == 0)
+        & (has_lct | has_gct)
+        & (F.length(p) >= dpos + 10 + lct_len)
         & mcs.between(2, 8)
     )
     interlaced = (
@@ -5906,7 +6029,7 @@ def decode_gif_frames(
     lw = F.col("__glw")
     out = lw["out"]
     idx_ok = F.coalesce(
-        F.forall(out, lambda v: v.cast("bigint") < n_ent),
+        F.forall(out, lambda v: v.cast("bigint") < n_ent_f),
         F.lit(False),
     )
     ok = (
@@ -5940,7 +6063,7 @@ def decode_gif_frames(
         idx = F.coalesce(
             F.try_element_at(out, (sq + 1).cast("int")), F.lit(0)
         ).cast("bigint")
-        return _u8(p, 14 + idx * 3 + c)
+        return _u8(p, tbl_base + idx * 3 + c)
 
     pixels = F.transform(
         F.sequence(F.lit(0), npix_c * 3 - 1), gif_byte

@@ -469,6 +469,30 @@ def q_e6_gif_frames(spark, sf_dir):
     )
 
 
+def q_e6_gif_lct(spark, sf_dir):
+    """LOCAL-color-table GIF decode (r14 — completes the GIF color
+    model: per-image palettes, the common shape for icon sprites and
+    palette-cycling animations): even ids a GIF with NO global table
+    whose image carries its own 256-entry LOCAL table (the decoder
+    must read colors at the descriptor-relative offset and shift the
+    mcs/data offsets by the table length), odd ids the interlaced
+    real-LZW fixture (global-table path in the same plan). Both
+    decode to closed forms. Density %31. Hex-packed scalar
+    output."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_pixels,
+        synthesize_decodable_media,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 31 == 0)
+    return _hex_packed_pixels(
+        decode_pixels(
+            synthesize_decodable_media(docs, formats=("gifl", "gifzi")),
+            formats=("gif",),
+        )
+    )
+
+
 def q_e6_resize(spark, sf_dir):
     """Nearest-neighbor resize to 4x3 over REAL decoded pixels (r11)
     — the fixed-input-resolution preprocessing step, one shuffle-free
@@ -826,6 +850,24 @@ FROM documents WHERE doc_id % 31 = 0
     # (formula through idx = q mod 4); the Spark side must inflate
     # the LZW stream and map the color table for the hash to match.
     "e6_gif_decode": """
+SELECT doc_id AS media_id,
+       'gif' AS img_format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       array_to_string(list_transform(
+         range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
+         k -> printf('%02X', CASE WHEN doc_id % 2 = 0
+                THEN (doc_id * 7 + k * 13) % 256
+                ELSE (doc_id * 7
+                      + (3 * ((k // 3) % 4) + k % 3) * 13) % 256
+              END)
+       ), '') AS pixels_hex
+FROM documents WHERE doc_id % 31 = 0
+""",
+    # r14: local-color-table twin — even ids decode through the LOCAL
+    # table (same 256-entry closed form at a descriptor-relative
+    # offset), odd ids the interlaced real-LZW global-table fixture.
+    "e6_gif_lct": """
 SELECT doc_id AS media_id,
        'gif' AS img_format,
        CAST(doc_id % 5 + 2 AS INT) AS width,

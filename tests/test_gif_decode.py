@@ -183,10 +183,7 @@ def test_gif_invalid_variants_rejected_both_paths(spark):
     variants = {
         "bad_sig": b"JIF89a" + good[6:],
         "no_gct_flag": _gif_from(2, 2, gct, data, flags=0x01),
-        "local_table": _gif_from(
-            2, 2, gct, data,
-            desc=b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x80",
-        ),
+        "no_any_table": _gif_from(2, 2, gct, data, flags=0x00),
         "partial_image": _gif_from(
             2, 2, gct, data,
             desc=b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 2) + b"\x00",
@@ -458,3 +455,114 @@ def test_gif_anim_structural_rejections_both_paths(spark):
         with pytest.raises(ValueError):
             decode_gif_anim(payload)
         _ = name
+
+
+def _gif_from_lct(w, h, lct: bytes, data, mcs=2, gct: bytes = None,
+                  interlaced=False):
+    """Assemble a GIF whose image carries a LOCAL color table (and
+    optionally a conflicting GLOBAL one, to pin precedence)."""
+    n = len(lct) // 3
+    s = n.bit_length() - 2
+    if gct is None:
+        hdr_flags, gct_bin = 0x00, b""
+    else:
+        gn = len(gct) // 3
+        hdr_flags, gct_bin = 0x80 | (gn.bit_length() - 2), gct
+    hdr = b"GIF89a" + struct.pack("<HH", w, h) + bytes([hdr_flags, 0, 0])
+    dflags = 0x80 | s | (0x40 if interlaced else 0)
+    desc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, dflags)
+    return (hdr + gct_bin + desc + lct + bytes([mcs, len(data)])
+            + data + b"\x00\x3b")
+
+
+def test_gif_local_color_table_both_paths(spark):
+    """A LOCAL color table decodes — including when a CONFLICTING
+    global table is present (the local one takes precedence, GIF89a
+    section 21); a GIF with neither table rejects; a truncated LCT
+    rejects (structurally — the data offset depends on its length)."""
+    lct = bytes(range(100, 112))            # 4 entries
+    wrong_gct = bytes(range(200, 212))      # decoy global table
+    idx = [0, 3, 1, 2]
+    data = _lzw_compress_py(idx, 2)
+    expect = [b for i in idx for b in lct[3 * i:3 * i + 3]]
+    only_lct = _gif_from_lct(2, 2, lct, data)
+    both = _gif_from_lct(2, 2, lct, data, gct=wrong_gct)
+    assert decode_gif(only_lct) == (2, 2, expect)
+    assert decode_gif(both) == (2, 2, expect)
+    rows = _spark_decode(spark, [only_lct, both])
+    for i in (0, 1):
+        assert rows[i]["img_format"] == "gif", i
+        assert list(rows[i]["pixels"]) == expect, i
+    # truncated LCT: flag says 4 entries but bytes run out
+    trunc = only_lct[: only_lct.index(lct) + 5]
+    r = _spark_decode(spark, [trunc])[0]
+    assert r["img_format"] is None
+    with pytest.raises(ValueError):
+        decode_gif(trunc)
+
+
+def test_gif_lct_round_trip_matches_formula_and_python(spark):
+    """encode_gif(lct=True) emits NO global table; the frame's own
+    256-entry local table reproduces the shared closed form. The
+    animated lct mode shifts each frame's table by 17, making frame
+    f's byte k = (mid*7 + k*13 + 112*f) mod 256 — per-frame PALETTES
+    exercised end to end."""
+    import decision_tree_stuff_spark.operators.multimodal as _mm
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 9)], "doc_id bigint"
+    )
+    wi = (F.col("doc_id") % 5 + 2).cast("int")
+    hi = (F.col("doc_id") % 4 + 2).cast("int")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _mm.encode_gif(F.col("doc_id"), wi, hi, lct=True).alias(
+            "payload"
+        ),
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_pixels(media, formats=("gif",))
+        .join(media.select("media_id", "payload"), "media_id")
+        .collect()
+    }
+    for mid, r in rows.items():
+        w, h = mid % 5 + 2, mid % 4 + 2
+        expect = [(mid * 7 + k * 13) % 256 for k in range(w * h * 3)]
+        assert r["img_format"] == "gif", mid
+        assert list(r["pixels"]) == expect, mid
+        assert decode_gif(bytes(r["payload"])) == (w, h, expect), mid
+
+    anim = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _mm.encode_gif_anim(
+            F.col("doc_id"), wi, hi,
+            (F.col("doc_id") % 3 + 1).cast("int"), lct=True,
+        ).alias("payload"),
+    )
+    frs = (
+        _mm.decode_gif_frames(anim)
+        .join(anim.select("media_id", "payload"), "media_id")
+        .collect()
+    )
+    for r in frs:
+        mid, f = r["media_id"], r["frame_idx"]
+        w, h, nf = mid % 5 + 2, mid % 4 + 2, mid % 3 + 1
+        expect = [
+            (mid * 7 + k * 13 + 112 * f) % 256
+            for k in range(w * h * 3)
+        ]
+        assert r["gif_format"] == "gif", (mid, f)
+        assert list(r["pixels"]) == expect, (mid, f)
+        if f == 0:
+            tw = _mm.decode_gif_anim(bytes(r["payload"]))
+            assert tw == (
+                w, h, nf,
+                [
+                    [
+                        (mid * 7 + k * 13 + 112 * ff) % 256
+                        for k in range(w * h * 3)
+                    ]
+                    for ff in range(nf)
+                ],
+            ), mid
