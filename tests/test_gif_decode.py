@@ -566,3 +566,86 @@ def test_gif_lct_round_trip_matches_formula_and_python(spark):
                     for ff in range(nf)
                 ],
             ), mid
+
+
+def test_gif_decode_stream_equals_batch(spark, tmp_path):
+    """Both GIF decoders are stateless projections (walk folds +
+    generate), so they run unchanged under Structured Streaming:
+    decode over readStream(availableNow) must equal the batch decode
+    of the same parquet — single-image (LCT + interlaced LZW mix)
+    AND animated per-frame rows."""
+    import decision_tree_stuff_spark.operators.multimodal as _mm
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 13)], "doc_id bigint"
+    )
+    media = synthesize_decodable_media(docs, formats=("gifl", "gifzi"))
+    path = str(tmp_path / "gif_media")
+    media.write.parquet(path)
+    src = spark.read.parquet(path)
+    s_src = spark.readStream.schema(src.schema).parquet(path)
+
+    def key(rows):
+        return sorted(
+            (
+                r["media_id"],
+                r["img_format"],
+                r["width"],
+                r["height"],
+                None if r["pixels"] is None else tuple(r["pixels"]),
+            )
+            for r in rows
+        )
+
+    q = (
+        decode_pixels(s_src, formats=("gif",))
+        .writeStream.format("memory")
+        .queryName("gif_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert key(spark.table("gif_stream_test").collect()) == key(
+        decode_pixels(src, formats=("gif",)).collect()
+    )
+
+    anim = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _mm.encode_gif_anim(
+            F.col("doc_id"),
+            (F.col("doc_id") % 5 + 2).cast("int"),
+            (F.col("doc_id") % 4 + 2).cast("int"),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+            lct=True,
+        ).alias("payload"),
+    )
+    apath = str(tmp_path / "gif_anim")
+    anim.write.parquet(apath)
+    a_src = spark.read.parquet(apath)
+
+    def akey(rows):
+        return sorted(
+            (
+                r["media_id"],
+                r["frame_idx"],
+                r["n_frames"],
+                None if r["pixels"] is None else tuple(r["pixels"]),
+            )
+            for r in rows
+        )
+
+    q2 = (
+        _mm.decode_gif_frames(
+            spark.readStream.schema(a_src.schema).parquet(apath)
+        )
+        .writeStream.format("memory")
+        .queryName("gif_frames_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert akey(spark.table("gif_frames_stream_test").collect()) == akey(
+        _mm.decode_gif_frames(a_src).collect()
+    )
