@@ -194,6 +194,9 @@ BENCH_QUERIES = [
     #   triplication)
     "e6_gif_frames",         # animated GIF, one row per frame
     "e6_gif_lct",            # local color tables + interlaced LZW
+    "e6_png_16bit_decode",   # 16-bit depth matrix (stored gray16 +
+    #   DH/filtered RGBA16 — 8-byte strides; near-zero DuckDB
+    #   denominator, fixed-cost reading like the other opt-in rows)
 ]
 
 # r4: the DuckDB oracle twins run INSIDE the bench (round-2 ask #8) so

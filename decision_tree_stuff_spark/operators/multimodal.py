@@ -715,6 +715,26 @@ def _png_index_value(media_id, q):
     return F.pmod(q, F.lit(256)).cast("int")
 
 
+def _png_value16_fn(media_id):
+    """Byte source for 16-BIT fixture scanlines: recon byte i is the
+    MSB ``pixel_value(media_id, i//2)`` on even offsets (big-endian
+    sample order — what the decoder outputs) and the independent LSB
+    formula ``(media_id*3 + (i//2)*5) mod 256`` on odd ones. The
+    LSBs never reach the flat-RGB output but DO ride the filters and
+    the Adler-32, so the decode still integrity-checks them."""
+
+    def v(mid, i):
+        s = F.floor(i / 2).cast("bigint")
+        return (
+            F.when(F.pmod(i, F.lit(2)) == 0, pixel_value(mid, s))
+            .otherwise(
+                F.pmod(mid * 3 + s * 5, F.lit(256)).cast("int")
+            )
+        )
+
+    return v
+
+
 def _png_plte_hex(media_id):
     """Hex of the synthetic 256-entry PLTE chunk (r14 paletted
     fixtures): palette byte t (entry ``t//3`` channel ``t%3``) is
@@ -749,6 +769,7 @@ def encode_png(
     rgb: bool = False,
     filtered: bool = False,
     color_type: int = None,
+    depth16: bool = False,
 ) -> Column:
     """A spec-compliant grayscale 8-bit PNG (r11) whose top-down gray
     pixel q is ``pixel_value(media_id, q)`` — REAL PNG, not just the
@@ -781,12 +802,19 @@ def encode_png(
     ct = color_type if color_type is not None else (2 if rgb else 0)
     if ct not in (0, 2, 3, 4, 6):
         raise ValueError(f"encode_png: unsupported color type {ct}")
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+    if depth16 and ct == 3:
+        raise ValueError("encode_png: 16-bit palette is invalid")
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct] * (2 if depth16 else 1)
     # h scanlines of (filter byte + w*bpp data bytes)
     raw_n = hb * (wb * bpp + 1)
+    if ct == 3:
+        value_fn = _png_index_value
+    elif depth16:
+        value_fn = _png_value16_fn(media_id)
+    else:
+        value_fn = None
     raw_byte = _png_raw_byte_fn(
-        media_id, wb, bpp, filtered,
-        value_fn=_png_index_value if ct == 3 else None,
+        media_id, wb, bpp, filtered, value_fn=value_fn
     )
     plte = _png_plte_hex(media_id) if ct == 3 else None
 
@@ -794,7 +822,10 @@ def encode_png(
         F.lit("49484452"),  # 'IHDR'
         _be_hex(w, 4),
         _be_hex(h, 4),
-        F.lit(("08" + "%02X" % ct) + "00" + "00" + "00"),
+        F.lit(
+            (("10" if depth16 else "08") + "%02X" % ct)
+            + "00" + "00" + "00"
+        ),
     )
     ihdr = F.concat(
         F.lit("0000000D"),
@@ -1453,6 +1484,7 @@ def decode_png(
     dynamic_huffman: bool = False,
     filters: bool = False,
     palette: bool = False,
+    depth16: bool = False,
 ):
     """Python single-payload twin of the Spark ``_png_gray_decode``
     branch: returns ``(w, h, rgb_pixels)`` (gray expanded to R=G=B,
@@ -1496,9 +1528,11 @@ def decode_png(
     w, h = _struct.unpack(">II", payload[16:24])
     depth, ctype, comp, filt, interlace = payload[24:29]
     ctypes_ok = (0, 2, 3, 4, 6) if palette else (0, 2, 4, 6)
+    depths_ok = (8, 16) if depth16 else (8,)
     if (
-        depth != 8
+        depth not in depths_ok
         or ctype not in ctypes_ok
+        or (depth == 16 and ctype == 3)  # invalid per spec
         or (comp, filt, interlace) != (0, 0, 0)
         or w <= 0
         or h <= 0
@@ -1506,9 +1540,12 @@ def decode_png(
         raise ValueError(
             "unsupported IHDR (need 8-bit color type "
             + ("0/2/3/4/6" if palette else "0/2/4/6")
+            + (" or 16-bit non-palette" if depth16 else "")
             + ", no interlace)"
         )
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype] * (
+        2 if depth == 16 else 1
+    )
 
     pos, idat, n_idat, done = 33, b"", 0, False
     plte_data, n_plte = None, 0
@@ -1620,6 +1657,10 @@ def decode_png(
                     b if pb <= pc else c
                 )
             recon.append((fx + pred) % 256)
+    if depth == 16:
+        # big-endian samples: the MSB (even offsets) is the standard
+        # 8-bit downsample; LSBs were integrity-checked by Adler-32
+        recon = recon[0::2]
     pixels = []
     if ctype == 3:
         if n_plte != 1:
@@ -1707,6 +1748,13 @@ def synthesize_decodable_media(
         "pngdfltp": lambda m, w, h: encode_png_dyn(
             m, w, h, color_type=3, filtered=True
         ),
+        # r14: 16-BIT variants — stored gray16 and the fullest
+        # composition (DH + filters + RGBA + 16-bit); MSBs carry the
+        # closed form, LSBs ride the filters and the Adler-32
+        "png16": lambda m, w, h: encode_png(m, w, h, depth16=True),
+        "pngdflta16": lambda m, w, h: encode_png_dyn(
+            m, w, h, color_type=6, filtered=True, depth16=True
+        ),
         # r14: REAL GIFs — 'gif' the uncompressed-shape root-code
         # stream under a 256-entry table, 'gifz' a genuinely
         # dictionary-compressed LZW stream (4-color periodic indices)
@@ -1762,7 +1810,7 @@ def _be32u(payload, pos):
     )
 
 
-def _png_gray_decode(p, cw, bw, recon=None, plte=None):
+def _png_gray_decode(p, cw, bw, recon=None, plte=None, depth16=False):
     """(ok, w, h, pixels) for a grayscale-8 stored-deflate PNG — the
     pure-expression inverse of ``encode_png``, with REAL integrity
     verification: IHDR + IDAT CRC-32s (``F.crc32``), zlib header
@@ -1789,7 +1837,20 @@ def _png_gray_decode(p, cw, bw, recon=None, plte=None):
     # 6 RGBA (alpha filtered-through but dropped from the flat-RGB
     # output); bpp is total and garbage-safe
     ctype = _u8(p, 26)
-    bpp = _png_bpp(ctype)
+    # r14 depth16: bytes/pixel doubles at bit depth 16 (big-endian
+    # samples; the reader takes each sample's FIRST byte = MSB, the
+    # standard 8-bit downsample); spb None keeps the 8-bit plans
+    # byte-identical when the flag is off
+    if depth16:
+        spb = (
+            F.when(_u8(p, 25) == 16, F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+        )
+        bpp = _png_bpp(ctype) * spb
+    else:
+        spb = None
+        bpp = _png_bpp(ctype)
     # clamp header-derived sizes BEFORE they feed any sequence/fold:
     # on a non-PNG or corrupt payload these fields are garbage, and
     # codegen subexpression elimination can evaluate the folds
@@ -1815,7 +1876,15 @@ def _png_gray_decode(p, cw, bw, recon=None, plte=None):
         & (F.hex(F.substring(p, 1, 8)) == _PNG_SIG)
         & (_be32(p, 9) == 13)
         & _sig(p, 13, "IHDR")
-        & (_u8(p, 25) == 8)   # bit depth
+        & (
+            (_u8(p, 25) == 8)
+            if not depth16
+            else (
+                _u8(p, 25).isin(8, 16)
+                # palette + 16-bit is invalid per spec
+                & ~((ctype == 3) & (_u8(p, 25) == 16))
+            )
+        )
         & (
             ctype.isin(0, 2, 4, 6)  # 8-bit non-palette matrix (r14)
             if plte is None
@@ -1887,7 +1956,7 @@ def _png_gray_decode(p, cw, bw, recon=None, plte=None):
     ) == _be32u(p, zs + zl - 4)
 
     filters_ok, png_byte = _png_pixel_reader(
-        zraw, recon, wb, hb, bpp, ctype, p=p, plte=plte
+        zraw, recon, wb, hb, bpp, ctype, p=p, plte=plte, spb=spb
     )
     pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
     ok = (
@@ -1896,7 +1965,9 @@ def _png_gray_decode(p, cw, bw, recon=None, plte=None):
     return ok, w, h, pixels
 
 
-def _png_pixel_reader(oraw, recon, wb, hb, bpp, ctype, p=None, plte=None):
+def _png_pixel_reader(
+    oraw, recon, wb, hb, bpp, ctype, p=None, plte=None, spb=None
+):
     """(filters_ok, png_byte) shared by the three deflate-envelope
     decoders. Default (``recon is None``, the pre-r14 plan shape):
     scanlines must use filter 0 and output byte k reads straight out
@@ -1930,11 +2001,13 @@ def _png_pixel_reader(oraw, recon, wb, hb, bpp, ctype, p=None, plte=None):
 
     def src_off(k):
         # 0-based offset of output byte k's source in the recon
-        # stream: q*bpp + (c | 0)
+        # stream: q*bpp + channel*spb (spb = bytes/sample; the first
+        # byte of a big-endian sample is its MSB)
         q = F.floor(k / 3).cast("bigint")
         c = F.pmod(k, F.lit(3))
+        ch = c if spb is None else c * spb
         return q * bpp + F.when(
-            (ctype == 2) | (ctype == 6), c
+            (ctype == 2) | (ctype == 6), ch
         ).otherwise(F.lit(0))
 
     if recon is None:
@@ -2352,6 +2425,7 @@ def decode_pixels(
     png_dynamic_huffman: bool = False,
     png_filters: bool = False,
     png_palette: bool = False,
+    png_16bit: bool = False,
 ) -> DataFrame:
     """REAL pixel decode of uncompressed formats, pure Spark: returns
     (media_id, img_format, width, height, pixels) where ``pixels`` is
@@ -2498,6 +2572,7 @@ def decode_pixels(
                 png_dynamic_huffman=png_dynamic_huffman,
                 png_filters=png_filters,
                 png_palette=png_palette,
+                png_16bit=png_16bit,
             )
             return others.unionByName(gif)
         if "png" not in fs:
@@ -2510,6 +2585,7 @@ def decode_pixels(
                 dynamic_huffman=png_dynamic_huffman,
                 filters=png_filters,
                 palette=png_palette,
+                depth16=png_16bit,
             )
     p = F.col(payload_col)
     # null payloads must route to the non-PNG branch (where they null
@@ -2529,6 +2605,7 @@ def decode_pixels(
         dynamic_huffman=png_dynamic_huffman,
         filters=png_filters,
         palette=png_palette,
+        depth16=png_16bit,
     )
     return non_png.unionByName(png)
 
@@ -2555,6 +2632,7 @@ def _decode_pixels_png(
     dynamic_huffman: bool = False,
     filters: bool = False,
     palette: bool = False,
+    depth16: bool = False,
 ) -> DataFrame:
     """The PNG-only decode plan: every input row carries the PNG
     signature, so the walk folds are staged as columns (each
@@ -2597,13 +2675,13 @@ def _decode_pixels_png(
 
         with strexpr.string_backend(sys.modules[__name__]):
             staged_e, finals_e = _png_plan_exprs(
-                payload_col, fixed_huffman, dynamic_huffman, filters, palette
+                payload_col, fixed_huffman, dynamic_huffman, filters, palette, depth16
             )
         staged_e = [(n, strexpr.to_col(e)) for n, e in staged_e]
         finals = [strexpr.to_col(e) for e in finals_e]
     else:
         staged_e, finals = _png_plan_exprs(
-            payload_col, fixed_huffman, dynamic_huffman, filters, palette
+            payload_col, fixed_huffman, dynamic_huffman, filters, palette, depth16
         )
     df = media
     for n, e in staged_e:
@@ -2617,6 +2695,7 @@ def _png_plan_exprs(
     dynamic_huffman: bool = False,
     filters: bool = False,
     palette: bool = False,
+    depth16: bool = False,
 ):
     """The PNG decode EXPRESSION PROGRAM, backend-agnostic: returns
     ``(staged, finals)`` where ``staged`` is an ordered list of
@@ -2641,6 +2720,12 @@ def _png_plan_exprs(
         w = _be32(p, 17)
         h = _be32(p, 21)
         _bpp = _png_bpp(_u8(p, 26))
+        if depth16:
+            _bpp = _bpp * (
+                F.when(_u8(p, 25) == 16, F.lit(2))
+                .otherwise(F.lit(1))
+                .cast("bigint")
+            )
         _raw0 = h.cast("bigint") * (w.cast("bigint") * _bpp + 1)
         _sane = (
             _raw0.isNotNull()
@@ -2719,7 +2804,8 @@ def _png_plan_exprs(
         )
         recon = F.col("__prc")
     png_ok, png_w, png_h, png_pixels = _png_gray_decode(
-        p, F.col("__pcw"), F.col("__pbw"), recon=recon, plte=plte
+        p, F.col("__pcw"), F.col("__pbw"), recon=recon, plte=plte,
+        depth16=depth16,
     )
     fmt = F.when(png_ok, "png")
     width = F.when(png_ok, png_w)
@@ -2727,7 +2813,8 @@ def _png_plan_exprs(
     pixels = F.when(png_ok, png_pixels)
     if fixed_huffman:
         fh_ok, fh_w, fh_h, fh_pixels = _png_gray_decode_fh(
-            p, F.col("__pcw"), F.col("__pfw"), recon=recon, plte=plte
+            p, F.col("__pcw"), F.col("__pfw"), recon=recon, plte=plte,
+            depth16=depth16,
         )
         fmt = fmt.when(fh_ok, "png")
         width = width.when(fh_ok, fh_w)
@@ -2735,7 +2822,8 @@ def _png_plan_exprs(
         pixels = pixels.when(fh_ok, fh_pixels)
     if dynamic_huffman:
         dh_ok, dh_w, dh_h, dh_pixels = _png_gray_decode_dh(
-            p, F.col("__pcw"), F.col("__pdw"), recon=recon, plte=plte
+            p, F.col("__pcw"), F.col("__pdw"), recon=recon, plte=plte,
+            depth16=depth16,
         )
         fmt = fmt.when(dh_ok, "png")
         width = width.when(dh_ok, dh_w)
@@ -3254,7 +3342,7 @@ def _png_fixed_walk(p, cw, raw_n):
     )
 
 
-def _png_gray_decode_fh(p, cw, fw, recon=None, plte=None):
+def _png_gray_decode_fh(p, cw, fw, recon=None, plte=None, depth16=False):
     """(ok, w, h, pixels) for a grayscale-8 PNG whose zlib stream is
     ONE final fixed-Huffman deflate block (BTYPE=01) — the FH sibling
     of ``_png_gray_decode``, consuming the staged symbol walk ``fw``
@@ -3269,7 +3357,20 @@ def _png_gray_decode_fh(p, cw, fw, recon=None, plte=None):
     w = _be32(p, 17)
     h = _be32(p, 21)
     ctype = _u8(p, 26)
-    bpp = _png_bpp(ctype)
+    # r14 depth16: bytes/pixel doubles at bit depth 16 (big-endian
+    # samples; the reader takes each sample's FIRST byte = MSB, the
+    # standard 8-bit downsample); spb None keeps the 8-bit plans
+    # byte-identical when the flag is off
+    if depth16:
+        spb = (
+            F.when(_u8(p, 25) == 16, F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+        )
+        bpp = _png_bpp(ctype) * spb
+    else:
+        spb = None
+        bpp = _png_bpp(ctype)
     _cap = F.lit(_PNG_FH_MAX_RAW).cast("bigint")
     _raw0 = h.cast("bigint") * (w.cast("bigint") * bpp + 1)
     _sane = _raw0.isNotNull() & (_raw0 > 0) & (_raw0 <= _cap)
@@ -3283,7 +3384,15 @@ def _png_gray_decode_fh(p, cw, fw, recon=None, plte=None):
         & (F.hex(F.substring(p, 1, 8)) == _PNG_SIG)
         & (_be32(p, 9) == 13)
         & _sig(p, 13, "IHDR")
-        & (_u8(p, 25) == 8)
+        & (
+            (_u8(p, 25) == 8)
+            if not depth16
+            else (
+                _u8(p, 25).isin(8, 16)
+                # palette + 16-bit is invalid per spec
+                & ~((ctype == 3) & (_u8(p, 25) == 16))
+            )
+        )
         & (
             ctype.isin(0, 2, 4, 6)  # 8-bit non-palette matrix (r14)
             if plte is None
@@ -3335,7 +3444,7 @@ def _png_gray_decode_fh(p, cw, fw, recon=None, plte=None):
         + F.pmod(F.lit(1) + s1, F.lit(65521))
     ) == _be32u(p, zs + zl - 4)
     filters_ok, png_byte = _png_pixel_reader(
-        oraw, recon, wb, hb, bpp, ctype, p=p, plte=plte
+        oraw, recon, wb, hb, bpp, ctype, p=p, plte=plte, spb=spb
     )
     pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
     ok = (
@@ -4169,7 +4278,7 @@ def _png_dyn_walk(p, cw, raw_n, tabs):
     )
 
 
-def _png_gray_decode_dh(p, cw, dw, recon=None, plte=None):
+def _png_gray_decode_dh(p, cw, dw, recon=None, plte=None, depth16=False):
     """(ok, w, h, pixels) for a grayscale-8 PNG whose zlib stream is
     ONE final DYNAMIC-HUFFMAN deflate block (BTYPE=10) — the DH
     sibling of ``_png_gray_decode_fh``, consuming the staged symbol
@@ -4183,7 +4292,20 @@ def _png_gray_decode_dh(p, cw, dw, recon=None, plte=None):
     w = _be32(p, 17)
     h = _be32(p, 21)
     ctype = _u8(p, 26)
-    bpp = _png_bpp(ctype)
+    # r14 depth16: bytes/pixel doubles at bit depth 16 (big-endian
+    # samples; the reader takes each sample's FIRST byte = MSB, the
+    # standard 8-bit downsample); spb None keeps the 8-bit plans
+    # byte-identical when the flag is off
+    if depth16:
+        spb = (
+            F.when(_u8(p, 25) == 16, F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+        )
+        bpp = _png_bpp(ctype) * spb
+    else:
+        spb = None
+        bpp = _png_bpp(ctype)
     _cap = F.lit(_PNG_FH_MAX_RAW).cast("bigint")
     _raw0 = h.cast("bigint") * (w.cast("bigint") * bpp + 1)
     _sane = _raw0.isNotNull() & (_raw0 > 0) & (_raw0 <= _cap)
@@ -4197,7 +4319,15 @@ def _png_gray_decode_dh(p, cw, dw, recon=None, plte=None):
         & (F.hex(F.substring(p, 1, 8)) == _PNG_SIG)
         & (_be32(p, 9) == 13)
         & _sig(p, 13, "IHDR")
-        & (_u8(p, 25) == 8)
+        & (
+            (_u8(p, 25) == 8)
+            if not depth16
+            else (
+                _u8(p, 25).isin(8, 16)
+                # palette + 16-bit is invalid per spec
+                & ~((ctype == 3) & (_u8(p, 25) == 16))
+            )
+        )
         & (
             ctype.isin(0, 2, 4, 6)  # 8-bit non-palette matrix (r14)
             if plte is None
@@ -4250,7 +4380,7 @@ def _png_gray_decode_dh(p, cw, dw, recon=None, plte=None):
         + F.pmod(F.lit(1) + s1, F.lit(65521))
     ) == _be32u(p, zs + zl - 4)
     filters_ok, png_byte = _png_pixel_reader(
-        oraw, recon, wb, hb, bpp, ctype, p=p, plte=plte
+        oraw, recon, wb, hb, bpp, ctype, p=p, plte=plte, spb=spb
     )
     pixels = F.transform(F.sequence(F.lit(0), wb * hb * 3 - 1), png_byte)
     ok = (
@@ -4290,6 +4420,7 @@ def encode_png_dyn(
     rgb: bool = False,
     filtered: bool = False,
     color_type: int = None,
+    depth16: bool = False,
 ) -> Column:
     """A spec-compliant grayscale-8 PNG whose zlib stream is ONE
     final DYNAMIC-HUFFMAN deflate block (RFC 1951 §3.2.7) — the
@@ -4316,11 +4447,18 @@ def encode_png_dyn(
     ct = color_type if color_type is not None else (2 if rgb else 0)
     if ct not in (0, 2, 3, 4, 6):
         raise ValueError(f"encode_png_dyn: unsupported color type {ct}")
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+    if depth16 and ct == 3:
+        raise ValueError("encode_png_dyn: 16-bit palette is invalid")
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct] * (2 if depth16 else 1)
     raw_n = hb * (wb * bpp + 1)
+    if ct == 3:
+        value_fn = _png_index_value
+    elif depth16:
+        value_fn = _png_value16_fn(media_id)
+    else:
+        value_fn = None
     raw_byte = _png_raw_byte_fn(
-        media_id, wb, bpp, filtered,
-        value_fn=_png_index_value if ct == 3 else None,
+        media_id, wb, bpp, filtered, value_fn=value_fn
     )
     plte = _png_plte_hex(media_id) if ct == 3 else None
 
@@ -4372,7 +4510,10 @@ def encode_png_dyn(
         F.lit("49484452"),
         _be_hex(w, 4),
         _be_hex(h, 4),
-        F.lit(("08" + "%02X" % ct) + "00" + "00" + "00"),
+        F.lit(
+            (("10" if depth16 else "08") + "%02X" % ct)
+            + "00" + "00" + "00"
+        ),
     )
     ihdr = F.concat(
         F.lit("0000000D"),

@@ -231,6 +231,7 @@ from decision_tree_stuff_spark.queries.media import (  # noqa: F401,E501
     q_e6_gif_interlaced,
     q_e6_gif_frames,
     q_e6_gif_lct,
+    q_e6_png_16bit_decode,
     q_e6_resize,
     q_e6_audio_frames,
     q_e6_frame_resize,
@@ -571,6 +572,7 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e6_gif_interlaced": q_e6_gif_interlaced,  # r14: 4-pass interlace
     "e6_gif_frames": q_e6_gif_frames,  # r14: animated, one row/frame
     "e6_gif_lct": q_e6_gif_lct,  # r14: local color tables
+    "e6_png_16bit_decode": q_e6_png_16bit_decode,  # r14: depth matrix
     # r14 rotation: three long-green rows demoted to make room for
     # e4_hist_rebucket_merge / e4_hist_quantiles_auto_weighted /
     # e6_png_fixed_decode (GATE_ROTATION.md)

@@ -493,6 +493,37 @@ def q_e6_gif_lct(spark, sf_dir):
     )
 
 
+def q_e6_png_16bit_decode(spark, sf_dir):
+    """16-BIT PNG decode (r14 — completes the bit-depth matrix: what
+    scanners/scientific tools emit): even ids a STORED gray16 PNG,
+    odd ids the fullest real-world composition — DYNAMIC-HUFFMAN +
+    adaptive FILTERS + RGBA + 16-bit (8 bytes/pixel stride). Samples
+    are big-endian; the decoder outputs each sample's MSB (the
+    standard 8-bit downsample) while the LSBs ride the filter
+    reconstruction and the Adler-32 — a corrupted LSB fails the
+    checksum even though it never reaches the output (pinned in
+    tests). MSBs carry the shared closed form, so the oracle is the
+    same formula family as the 8-bit rows. Density %31. Hex-packed
+    scalar output."""
+    from decision_tree_stuff_spark.operators.multimodal import (
+        decode_pixels,
+        synthesize_decodable_media,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 31 == 0)
+    return _hex_packed_pixels(
+        decode_pixels(
+            synthesize_decodable_media(
+                docs, formats=("png16", "pngdflta16")
+            ),
+            formats=("png",),
+            png_dynamic_huffman=True,
+            png_filters=True,
+            png_16bit=True,
+        )
+    )
+
+
 def q_e6_resize(spark, sf_dir):
     """Nearest-neighbor resize to 4x3 over REAL decoded pixels (r11)
     — the fixed-input-resolution preprocessing step, one shuffle-free
@@ -842,6 +873,23 @@ SELECT doc_id AS media_id,
          k -> printf('%02X', CASE WHEN doc_id % 2 = 0
                 THEN (doc_id * 7 + (k // 3) * 13) % 256
                 ELSE (doc_id * 7 + k * 13) % 256 END)
+       ), '') AS pixels_hex
+FROM documents WHERE doc_id % 31 = 0
+""",
+    # r14: 16-bit twin — even ids gray16 (MSB = formula on k//3), odd
+    # ids RGBA16 (MSB = formula on 4*(k//3)+k%3, the alpha-stride
+    # pattern of e6_png_alpha_decode); LSBs never reach the output.
+    "e6_png_16bit_decode": """
+SELECT doc_id AS media_id,
+       'png' AS img_format,
+       CAST(doc_id % 5 + 2 AS INT) AS width,
+       CAST(doc_id % 4 + 2 AS INT) AS height,
+       array_to_string(list_transform(
+         range(0, (doc_id % 5 + 2) * (doc_id % 4 + 2) * 3),
+         k -> printf('%02X', CASE WHEN doc_id % 2 = 0
+                THEN (doc_id * 7 + (k // 3) * 13) % 256
+                ELSE (doc_id * 7 + ((k // 3) * 4 + k % 3) * 13) % 256
+              END)
        ), '') AS pixels_hex
 FROM documents WHERE doc_id % 31 = 0
 """,

@@ -37,6 +37,9 @@ BUILD_PLUS_PLAN_BUDGET_SEC = {
     "e6_gif_decode": 8.0,  # r14: warm floor ~3.3 s — the LZW walk is
     #   ONE fold (no per-envelope duplication), so the whole GIF plan
     #   is an order of magnitude cheaper than the PNG full-flag plans
+    "e6_png_16bit_decode": 42.0,  # r14: warm floor ~20 s (the palette
+    #   row's cost class: full-flag program + the depth16 stride
+    #   branches in all three envelope decoders)
 }
 
 
