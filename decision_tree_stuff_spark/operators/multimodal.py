@@ -26,6 +26,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 from typing import Iterator
 
 import pandas as pd
@@ -1704,7 +1705,32 @@ def synthesize_decodable_media(
     'pngdc' (RGB color-type-2, stored / dynamic, r13), 'pngflt' /
     'pngfltc' / 'pngdflt' / 'pngdfltc' (scanline-FILTERED gray/RGB ×
     stored/dynamic, filters (r+id) mod 5, r14)."""
-    encoders = {
+    even_fmt, odd_fmt = formats
+    mid = F.col(id_col)
+    w = (mid % 5 + 2).cast("int")
+    h = (mid % 4 + 2).cast("int")
+    payload = _decodable_payload_expr(id_col, (even_fmt, odd_fmt))
+    return docs.select(
+        mid.alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            w.alias("width"),
+            h.alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+            F.when(mid % 2 == 0, even_fmt).otherwise(odd_fmt).alias(
+                "format"
+            ),
+        ).alias("meta"),
+    )
+
+
+def _media_encoders():
+    """Format-name → encoder-expression map for
+    ``synthesize_decodable_media`` (hoisted out of the function body
+    so the memoized payload builder below can reach it)."""
+    return {
         "bmp": encode_bmp,
         "ppm": encode_ppm,
         "bmp8": encode_bmp8,
@@ -1770,26 +1796,29 @@ def synthesize_decodable_media(
             m, w, h, interlaced=True
         ),
     }
+
+
+@lru_cache(maxsize=64)
+def _decodable_payload_expr(id_col: str, formats: tuple) -> Column:
+    """Memoized payload-expression program for
+    ``synthesize_decodable_media`` (r14 optimization round, guide
+    §1.2 step 2 — per-task/driver work after the plan shape is
+    right): the encoder tree is a pure function of ``(id_col,
+    formats)`` — no data, schema or session state enters
+    construction — and the PNG/GIF encoder programs cost seconds of
+    py4j round trips per build (SCALING_r14.md §4: ~4-11 s per
+    decode row, roughly half of it on this encode side). Columns are
+    immutable, unresolved expression handles, so the cached tree is
+    reusable across any number of plans; analysis, codegen and
+    execution are untouched and every invocation still computes from
+    the parquet inputs."""
+    encoders = _media_encoders()
     even_fmt, odd_fmt = formats
     mid = F.col(id_col)
     w = (mid % 5 + 2).cast("int")
     h = (mid % 4 + 2).cast("int")
-    payload = F.when(mid % 2 == 0, encoders[even_fmt](mid, w, h)).otherwise(
+    return F.when(mid % 2 == 0, encoders[even_fmt](mid, w, h)).otherwise(
         encoders[odd_fmt](mid, w, h)
-    )
-    return docs.select(
-        mid.alias("media_id"),
-        F.lit("image").alias("kind"),
-        payload.alias("payload"),
-        F.struct(
-            w.alias("width"),
-            h.alias("height"),
-            F.lit(None).cast("int").alias("sample_rate"),
-            F.lit(1).alias("n_frames"),
-            F.when(mid % 2 == 0, even_fmt).otherwise(odd_fmt).alias(
-                "format"
-            ),
-        ).alias("meta"),
     )
 
 
@@ -2680,13 +2709,39 @@ def _decode_pixels_png(
         staged_e = [(n, strexpr.to_col(e)) for n, e in staged_e]
         finals = [strexpr.to_col(e) for e in finals_e]
     else:
-        staged_e, finals = _png_plan_exprs(
+        staged_e, finals = _png_plan_exprs_cached(
             payload_col, fixed_huffman, dynamic_huffman, filters, palette, depth16
         )
     df = media
     for n, e in staged_e:
         df = df.select("*", e.alias(n))
     return df.select("media_id", *finals)
+
+
+@lru_cache(maxsize=32)
+def _png_plan_exprs_cached(
+    payload_col: str,
+    fixed_huffman: bool,
+    dynamic_huffman: bool,
+    filters: bool,
+    palette: bool,
+    depth16: bool,
+):
+    """Memoized Column-backend PNG expression program (r14
+    optimization round): the program is a pure function of its flag
+    signature — no data, schema or session state enters construction
+    — and costs ~4-11 s of py4j round trips per build, measured at
+    its floor twice (SCALING_r13.md §1, SCALING_r14.md §6). Caching
+    the immutable Column trees makes repeat plan builds free;
+    analysis, codegen and execution are untouched, and every
+    invocation still computes from the parquet inputs. The
+    sql/strexpr backend path calls ``_png_plan_exprs`` directly under
+    its F-swap context manager and must never share this cache (the
+    cached trees are py4j Columns, not strexpr fragments)."""
+    staged, finals = _png_plan_exprs(
+        payload_col, fixed_huffman, dynamic_huffman, filters, palette, depth16
+    )
+    return tuple(staged), tuple(finals)
 
 
 def _png_plan_exprs(
@@ -5532,7 +5587,32 @@ def _decode_pixels_gif(media: DataFrame, payload_col: str) -> DataFrame:
     fail the cheap envelope checks never run the fold) — then one
     projection mapping every decoded index through the global color
     table with a bounds check (the paletted-PNG rule: out-of-range
-    nulls the row, never reads past the table)."""
+    nulls the row, never reads past the table).
+
+    r14 optimization round: plan assembly is split from the
+    expression program (the PNG ``_png_plan_exprs`` pattern) so the
+    program — a pure function of ``payload_col`` — is memoized
+    across builds; analysis, codegen and execution are untouched."""
+    df = media
+    for sel in _gif_plan_selects_cached(payload_col):
+        df = df.select(*sel)
+    return df
+
+
+@lru_cache(maxsize=8)
+def _gif_plan_selects_cached(payload_col: str):
+    """Memoized select-stage program for ``_decode_pixels_gif`` —
+    the Column trees are immutable, data-independent expression
+    handles (same argument as ``_png_plan_exprs_cached``), so repeat
+    plan builds skip the py4j construction round trips."""
+    return tuple(tuple(sel) for sel in _gif_plan_selects(payload_col))
+
+
+def _gif_plan_selects(payload_col: str):
+    """The ``_decode_pixels_gif`` expression program: an ordered
+    list of ``select`` argument tuples applied in sequence to the
+    media frame (``"*"`` keeps the caller's columns riding along)."""
+    selects = []
     p = F.col(payload_col)
     flags = _u8(p, 11)
     has_gct = F.floor(F.coalesce(flags, F.lit(0)) / 128) == 1
@@ -5562,9 +5642,7 @@ def _decode_pixels_gif(media: DataFrame, payload_col: str) -> DataFrame:
     one = F.lit(1).cast("bigint")
     npix_c = F.when(sane, npix).otherwise(one)
     pos0 = F.when(sane, 14 + 3 * n_ent_g).otherwise(one)
-    staged = media.select(
-        "*", _gif_block_walk(p, pos0).alias("__gbw")
-    )
+    selects.append(("*", _gif_block_walk(p, pos0).alias("__gbw")))
     id_pos = F.col("__gbw")["pos"]
     # r14: a LOCAL color table (descriptor flag bit 7) sits between
     # the descriptor and the mcs byte and takes precedence over the
@@ -5610,7 +5688,7 @@ def _decode_pixels_gif(media: DataFrame, payload_col: str) -> DataFrame:
         )
         == 1
     )
-    staged = staged.select(
+    selects.append((
         "*",
         _gif_subblock_walk(
             p,
@@ -5618,7 +5696,7 @@ def _decode_pixels_gif(media: DataFrame, payload_col: str) -> DataFrame:
                 sane & desc_ok, id_pos + 11 + lct_len
             ).otherwise(one),
         ).alias("__gsb"),
-    )
+    ))
     sb = F.col("__gsb")
     stream_ok = (
         sb["ok"]
@@ -5628,12 +5706,12 @@ def _decode_pixels_gif(media: DataFrame, payload_col: str) -> DataFrame:
         & (sb["pos"] + 1 == F.length(p))             # nothing after
     )
     walk_pre = sane & desc_ok & stream_ok
-    staged = staged.select(
+    selects.append((
         "*",
         F.when(
             walk_pre, _gif_lzw_walk(p, sb, mcs_c, npix_c)
         ).alias("__glw"),
-    )
+    ))
     lw = F.col("__glw")
     out = lw["out"]
     idx_ok = F.coalesce(
@@ -5679,13 +5757,14 @@ def _decode_pixels_gif(media: DataFrame, payload_col: str) -> DataFrame:
     pixels = F.transform(
         F.sequence(F.lit(0), npix_c * 3 - 1), gif_byte
     )
-    return staged.select(
+    selects.append((
         "media_id",
         F.when(ok, "gif").alias("img_format"),
         F.when(ok, w).cast("int").alias("width"),
         F.when(ok, h).cast("int").alias("height"),
         F.when(ok, pixels).alias("pixels"),
-    )
+    ))
+    return selects
 
 
 _GIF_ANIM_MAX_BLOCKS = 12  #: frame-walk bound (ext + image per frame)
@@ -6027,7 +6106,29 @@ def decode_gif_frames(
     bounds-checked color-table lookup. Envelope: every frame covers
     the screen under the global color table; caps
     ``_GIF_MAX_FRAMES`` / ``_GIF_ANIM_MAX_BLOCKS`` (twin:
-    ``decode_gif_anim``)."""
+    ``decode_gif_anim``).
+
+    r14 optimization round: same program/assembly split + memo as
+    ``_decode_pixels_gif`` — the select program is a pure function
+    of ``payload_col``."""
+    df = media
+    for sel in _gif_frames_plan_selects_cached(payload_col):
+        df = df.select(*sel)
+    return df
+
+
+@lru_cache(maxsize=8)
+def _gif_frames_plan_selects_cached(payload_col: str):
+    """Memoized select-stage program for ``decode_gif_frames``."""
+    return tuple(
+        tuple(sel) for sel in _gif_frames_plan_selects(payload_col)
+    )
+
+
+def _gif_frames_plan_selects(payload_col: str):
+    """The ``decode_gif_frames`` expression program (ordered select
+    argument tuples; see ``_gif_plan_selects``)."""
+    selects = []
     p0 = F.col(payload_col)
     flags0 = _u8(p0, 11)
     n_ent0 = _pow2w(
@@ -6057,13 +6158,13 @@ def decode_gif_frames(
         & (npix0 <= F.lit(_GIF_MAX_PIXELS).cast("bigint"))
         & (F.length(p0) >= 13 + 3 * n_ent0g + 3)
     )
-    base = media.select(
+    selects.append((
         "media_id",
         p0.alias("__p"),
         _gif_frame_walk(
             p0, F.when(sane0, 14 + 3 * n_ent0g).otherwise(one)
         ).alias("__gfw"),
-    )
+    ))
 
     # everything below reads from __p (header expressions are cheap
     # closed-form byte reads, recomputed per stage)
@@ -6100,14 +6201,14 @@ def decode_gif_frames(
         & F.coalesce(gfw["ok"] & gfw["done"], F.lit(False))
         & (F.size(gfw["descs"]) >= 1)
     )
-    frames = base.select(
+    selects.append((
         "media_id",
         "__p",
         F.when(pre_ok, F.size(gfw["descs"])).alias("__nf"),
         F.posexplode_outer(F.when(pre_ok, gfw["descs"])).alias(
             "frame_idx", "__dpos"
         ),
-    )
+    ))
     dpos = F.col("__dpos")
     # per-frame local color table (r14): sits between the descriptor
     # and the mcs byte, takes precedence over the global table
@@ -6128,7 +6229,7 @@ def decode_gif_frames(
     tbl_base = F.when(has_lct, dpos + 10).otherwise(
         F.lit(14).cast("bigint")
     )
-    staged = frames.select(
+    selects.append((
         "*",
         _gif_subblock_walk(
             p,
@@ -6136,7 +6237,7 @@ def decode_gif_frames(
                 dpos.isNotNull(), dpos + 11 + lct_len
             ).otherwise(one),
         ).alias("__gsb"),
-    )
+    ))
     mcs = _u8(p, dpos + 10 + lct_len)
     mcs_c = F.when(
         dpos.isNotNull() & mcs.between(2, 8), mcs.cast("bigint")
@@ -6161,12 +6262,12 @@ def decode_gif_frames(
     sb = F.col("__gsb")
     stream_ok = sb["ok"] & sb["done"] & (sb["total"] > 0)
     walk_pre = F.coalesce(desc_ok & stream_ok, F.lit(False))
-    staged = staged.select(
+    selects.append((
         "*",
         F.when(
             walk_pre, _gif_lzw_walk(p, sb, mcs_c, npix_c)
         ).alias("__glw"),
-    )
+    ))
     lw = F.col("__glw")
     out = lw["out"]
     idx_ok = F.coalesce(
@@ -6209,7 +6310,7 @@ def decode_gif_frames(
     pixels = F.transform(
         F.sequence(F.lit(0), npix_c * 3 - 1), gif_byte
     )
-    return staged.select(
+    selects.append((
         "media_id",
         F.when(ok, "gif").alias("gif_format"),
         F.when(ok, w).cast("int").alias("width"),
@@ -6217,4 +6318,5 @@ def decode_gif_frames(
         F.when(ok, F.col("__nf")).cast("int").alias("n_frames"),
         F.when(ok, F.col("frame_idx")).cast("int").alias("frame_idx"),
         F.when(ok, pixels).alias("pixels"),
-    )
+    ))
+    return selects

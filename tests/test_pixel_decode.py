@@ -2360,3 +2360,37 @@ def test_png_16bit_rejections_both_paths(spark):
     assert r["img_format"] is None
     with pytest.raises(ValueError):
         decode_png(short, depth16=True)
+
+
+def test_plan_memo_cached_equals_fresh(spark, sf_dir):
+    """r14 optimization: the memoized expression programs
+    (`_png_plan_exprs_cached`, `_decodable_payload_expr`,
+    `_gif_plan_selects_cached`, `_gif_frames_plan_selects_cached`)
+    must yield frames identical to fresh-built ones — the caches
+    hold only immutable unresolved Column trees, never data."""
+    from pyspark.sql import functions as F
+
+    from decision_tree_stuff_spark.operators import multimodal as mm
+    from decision_tree_stuff_spark.queries import ALL_QUERIES
+
+    def clear():
+        mm._png_plan_exprs_cached.cache_clear()
+        mm._decodable_payload_expr.cache_clear()
+        mm._gif_plan_selects_cached.cache_clear()
+        mm._gif_frames_plan_selects_cached.cache_clear()
+
+    def dhash(df):
+        cols = [F.col(c).cast("string") for c in df.columns]
+        return (
+            df.select(
+                F.sha2(F.concat_ws("\x1f", *cols), 256).alias("h")
+            )
+            .agg(F.sum(F.conv(F.substring("h", 1, 15), 16, 10)))
+            .first()[0]
+        )
+
+    for name in ("e6_png_decode", "e6_gif_decode", "e6_gif_frames"):
+        clear()
+        fresh = dhash(ALL_QUERIES[name](spark, sf_dir))
+        cached = dhash(ALL_QUERIES[name](spark, sf_dir))  # memo warm
+        assert fresh == cached, name
