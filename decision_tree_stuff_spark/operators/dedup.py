@@ -70,7 +70,7 @@ def ngram_jaccard_pairs(
     max_df: Optional[int] = None,
     prefix_filter: bool = True,
     key: str = "text",
-    cache_docsets: bool = False,
+    cache_docsets: bool = True,
 ) -> DataFrame:
     """E-2a: exact token-set Jaccard near-dup pairs within blocks.
 
@@ -134,11 +134,14 @@ def ngram_jaccard_pairs(
     both verify sides), and Spark's exchange reuse does not fire
     across their differing projections — the executed plan rescans
     the corpus and replays tokenize→df-join→collect_list once per
-    consumer (8 parquet scans at sf0.001, measured). At bench scale
-    this is a WASH (4.5 s either way at sf0.1 — the replayed chain is
-    ~1 s and parallelizes; SCALING_r13.md §3), so the default stays
-    False/lazy; at corpus scale the 4× text-column rescan dominates,
-    and ``True`` persists ``docsets`` (MEMORY_AND_DISK, lineage kept
+    consumer (8 parquet scans at sf0.001, measured). r13 measured a WASH at
+    bench scale (4.5 s either way at sf0.1) and kept the default
+    False/lazy; the r14 optimization round re-measured on the
+    current tree and ``True`` now WINS consistently (same-session
+    interleaved min-of-2 at sf0.1: False 6.33/8.09 s vs True
+    5.52/4.98 s over two rounds, OPTIMIZATION_r14.md), and at corpus
+    scale the 4× text-column rescan dominates regardless — so
+    ``True`` is now the default. ``True`` persists ``docsets`` (MEMORY_AND_DISK, lineage kept
     for executor-loss recovery — the ``bpe_train`` pattern) so the
     corpus is scanned ONCE. The persisted frame's lifecycle follows
     the returned DataFrame (r14: ``unpersist_when_dropped`` — the

@@ -405,7 +405,33 @@ def kmv_set_estimates(
     scale) — overlap estimation between two 100 TB corpora costs two
     sketch builds and a k-row join. Deterministic: counts are
     integers, the divisions are single double ops.
+
+    r14 optimization round (guide §5 caching rule — reused AND
+    expensive to recompute): each sketch feeds TWO consumers (its
+    theta aggregate and its side of the h join; theta additionally
+    rides two crossJoin branches), and Spark's exchange reuse does
+    not fire across the differing projections — the executed plan
+    replayed the ENTIRE upstream sketch build (corpus scan + shingle
+    explode + md5 + two windows in the e4_kmv_overlap shape) once
+    per consumer. Persisting the ≤ k-row sketches materializes that
+    upstream exactly once; the blocks are freed when the caller
+    drops the result (``unpersist_when_dropped``, the minhash
+    precedent). Values are unchanged; streaming inputs skip the
+    persist (not supported on streaming frames).
 """
+    from decision_tree_stuff_spark.utils import unpersist_when_dropped
+
+    cached = []
+    if not sketch_a.isStreaming:
+        from pyspark import StorageLevel
+
+        sketch_a = sketch_a.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(sketch_a)
+    if not sketch_b.isStreaming:
+        from pyspark import StorageLevel
+
+        sketch_b = sketch_b.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(sketch_b)
     theta_expr = lambda s: s.groupBy().agg(  # noqa: E731
         F.when(F.count(F.lit(1)) < k, F.lit(KMV_SPACE).cast("bigint"))
         .otherwise(F.max("h"))
@@ -435,7 +461,7 @@ def kmv_set_estimates(
         F.coalesce(F.col("n_union"), F.lit(0)).alias("n_union"),
     )
     scale = F.lit(float(KMV_SPACE)) / F.col("theta").cast("double")
-    return counts.select(
+    out = counts.select(
         F.col("theta"),
         F.col("n_inter").cast("bigint").alias("n_inter"),
         F.round(F.col("n_inter").cast("double") * scale, 6).alias(
@@ -452,6 +478,9 @@ def kmv_set_estimates(
             6,
         ).alias("jaccard"),
     )
+    for c in cached:
+        out = unpersist_when_dropped(out, c)
+    return out
 
 
 def kmv_pairwise(
@@ -473,7 +502,28 @@ def kmv_pairwise(
     6dp-rounded — all deterministic integer/double arithmetic, so a
     DuckDB twin running the same program matches exactly. Returns
     (group_a, group_b, theta, n_inter, est_intersection, est_union,
-    jaccard)."""
+    jaccard).
+
+    r14 optimization round (guide §5 caching rule): ``sketches``
+    feeds FIVE consumers (theta, both na/nb sides, and both sides of
+    the intersection join), and exchange reuse does not fire across
+    their differing projections — the executed plan replayed the
+    entire upstream sketch build (corpus scan + shingle explode +
+    md5 + two windows in the e4_kmv_matrix shape) once per consumer
+    (same measured pathology as the jaccard ``cache_docsets``
+    story). The sketch table is ≤ G·k rows, so persisting it
+    materializes the corpus pass exactly ONCE — the 100 TB shape the
+    docstring promises; blocks are freed when the caller drops the
+    result (``unpersist_when_dropped``). Values unchanged; same-
+    session A/B in OPTIMIZATION_r14.md."""
+    from decision_tree_stuff_spark.utils import unpersist_when_dropped
+
+    cached = None
+    if not sketches.isStreaming:
+        from pyspark import StorageLevel
+
+        sketches = sketches.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = sketches
     g = F.col(group_col)
     th = sketches.groupBy(g.alias("grp")).agg(
         F.when(F.count(F.lit(1)) < k, F.lit(KMV_SPACE).cast("bigint"))
@@ -529,7 +579,7 @@ def kmv_pairwise(
     )
     scale = F.lit(float(KMV_SPACE)) / F.col("theta").cast("double")
     n_union = F.col("__na") + F.col("__nb") - F.col("n_inter")
-    return out.select(
+    res = out.select(
         "group_a",
         "group_b",
         "theta",
@@ -546,6 +596,9 @@ def kmv_pairwise(
             6,
         ).alias("jaccard"),
     )
+    if cached is not None:
+        res = unpersist_when_dropped(res, cached)
+    return res
 
 
 def kmv_sql_pairwise(source_sql: str, group_col: str, k: int = KMV_K) -> str:
