@@ -385,7 +385,10 @@ def kmv_estimate(
 
 
 def kmv_set_estimates(
-    sketch_a: DataFrame, sketch_b: DataFrame, k: int = KMV_K
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int = KMV_K,
+    cache_sketches: bool = False,
 ) -> DataFrame:
     """Theta-sketch set operations between two (ungrouped) KMV
     sketches: one row ``(theta, n_inter, est_intersection, est_union,
@@ -406,28 +409,33 @@ def kmv_set_estimates(
     sketch builds and a k-row join. Deterministic: counts are
     integers, the divisions are single double ops.
 
-    r14 optimization round (guide §5 caching rule — reused AND
-    expensive to recompute): each sketch feeds TWO consumers (its
-    theta aggregate and its side of the h join; theta additionally
-    rides two crossJoin branches), and Spark's exchange reuse does
-    not fire across the differing projections — the executed plan
-    replayed the ENTIRE upstream sketch build (corpus scan + shingle
-    explode + md5 + two windows in the e4_kmv_overlap shape) once
-    per consumer. Persisting the ≤ k-row sketches materializes that
-    upstream exactly once; the blocks are freed when the caller
-    drops the result (``unpersist_when_dropped``, the minhash
-    precedent). Values are unchanged; streaming inputs skip the
-    persist (not supported on streaming frames).
+    ``cache_sketches`` (r14 optimization round, guide §5 caching
+    rule): each sketch feeds TWO consumers (its theta aggregate and
+    its side of the h join), and exchange reuse does not fire across
+    the differing projections — the plan replays the upstream sketch
+    build once per consumer. ``True`` persists the ≤ k-row sketches
+    so that upstream runs exactly once (blocks freed via
+    ``unpersist_when_dropped``; streaming inputs skip the persist) —
+    the single-scan shape for a 100 TB corpus pair. The default
+    stays ``False`` because at bench scale the persist MEASURED A
+    CONSISTENT LOSS (same-session interleaved min-of-2 ×3 rounds at
+    sf0.1, /tmp A/B recorded in OPTIMIZATION_r14.md: lazy
+    4.16-4.93 s vs persisted 6.21-6.90 s, identity True): with only
+    two consumers per side, the lazy replays overlap across cores
+    inside one job, while the eager persists serialize into
+    materialization barriers. (Contrast ``kmv_pairwise`` below —
+    five consumers, persist is a local wash — and the corpus-sized
+    ``cache_docsets``, where the rescan dominates at scale.)
 """
     from decision_tree_stuff_spark.utils import unpersist_when_dropped
 
     cached = []
-    if not sketch_a.isStreaming:
+    if cache_sketches and not sketch_a.isStreaming:
         from pyspark import StorageLevel
 
         sketch_a = sketch_a.persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(sketch_a)
-    if not sketch_b.isStreaming:
+    if cache_sketches and not sketch_b.isStreaming:
         from pyspark import StorageLevel
 
         sketch_b = sketch_b.persist(StorageLevel.MEMORY_AND_DISK)
