@@ -51,6 +51,7 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
+    cache_tf: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents per query under Okapi BM25.
 
@@ -59,6 +60,28 @@ def bm25_topk(
     counts ALL documents (token-less docs contribute dl=0 to avgdl but
     can never score). Returns (query_id, doc_id, score, rank), rank
     1-based by (rounded score desc, doc_id asc).
+
+    ``cache_tf`` (r14 optimization round, guide §5 caching rule): the
+    term-frequency table feeds TWO consumers — the per-query scoring
+    join and the document-frequency aggregate behind the broadcast
+    idf side — and without a cache each consumer replays the full
+    corpus tokenize + explode + groupBy (the plan shows the documents
+    scan twice per call through this subtree). ``tf`` is query-
+    vocabulary-pruned (only (doc, query-term) rows survive the
+    broadcast semi-join), four narrow columns, so persisting it
+    trades one full tokenize pass for a small materialization. The
+    same-session A/B at sf0.1 split exactly like the KMV
+    ``cache_sketches`` story: with only two consumers the lazy
+    replays overlap across cores inside one job and the persist's
+    materialization barrier LOSES on the standalone rows
+    (e4_bm25_topk 1.9-2.1 s lazy vs 2.1-2.2 s persisted;
+    e4_hybrid_rrf 2.7-3.1 vs 3.0-3.5), while inside the composed
+    retrieval pipeline (decontam stages downstream) it measures a
+    wash-to-win (6.2/5.1/4.8 vs 5.7/4.8/4.7). Default stays lazy;
+    composed or corpus-scale callers opt in (the retrieval-pipeline
+    query does). MEMORY_AND_DISK, released when the returned frame
+    is dropped (keep the RETURNED wrapper alive until execution —
+    see ``utils.keepalive``); skipped for streaming inputs.
     """
     from decision_tree_stuff_spark.operators import spread_small
 
@@ -93,6 +116,12 @@ def bm25_topk(
         F.count(F.lit(1)).alias("tf"),
         F.max("dl").alias("dl"),  # constant per doc; max = deterministic pick
     )
+    cached_tf = None
+    if cache_tf and not docs.isStreaming:
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        cached_tf = tf
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = base.agg(
         F.count(F.lit(1)).alias("__n_docs"),
@@ -119,11 +148,16 @@ def bm25_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )
+    if cached_tf is not None:
+        from decision_tree_stuff_spark.utils import unpersist_when_dropped
+
+        out = unpersist_when_dropped(out, cached_tf)
+    return out
 
 
 def rrf_fuse(

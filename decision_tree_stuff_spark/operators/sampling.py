@@ -256,6 +256,7 @@ def temperature_sample(
     alpha: float,
     key_cols: List[str],
     seed: str = "temp",
+    cache_counts: bool = True,
 ) -> DataFrame:
     """Temperature-scaled mixture sampling — the multilingual-corpus
     recipe (mT5/XLM-R style): group d receives a share of the
@@ -263,6 +264,20 @@ def temperature_sample(
     proportional sampling, alpha→0 approaches uniform-across-groups,
     and 0<alpha<1 up-weights rare groups (the published fix for
     head-language dominance).
+
+    ``cache_counts`` (r14 optimization round, guide §5 caching rule):
+    the quota derivation references the group-count table through two
+    self-joining branches (shares × its own leftover sum), so without
+    a cache the INPUT subtree executes 4× for the quota plus once for
+    the ranked stream — 5 full replays of whatever feeds this
+    operator (measured: the e12 ingest tail replayed its semantic
+    stage's cosine scoring through exactly this multiplier). The
+    count table is |groups| rows — bounded model-artifact size — so
+    it persists by default (MEMORY_AND_DISK, released when the
+    returned frame is dropped), cutting input replays to 2 (counts
+    build + ranked stream). Skipped automatically for streaming
+    inputs (persist is illegal there; the streaming twin has its own
+    stateful fold).
 
     Allocation is EXACT and deterministic: largest-remainder method
     over the (tiny, bounded) group-count table — floor shares first,
@@ -286,6 +301,12 @@ def temperature_sample(
         raise ValueError(f"alpha must be >= 0, got {alpha}")
     _check_reserved(df)
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_c"))
+    cached_counts = None
+    if cache_counts and not df.isStreaming:
+        from pyspark import StorageLevel
+
+        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+        cached_counts = counts
     wsum = counts.agg(
         F.sum(F.pow(F.col("_c"), F.lit(float(alpha)))).alias("_wsum")
     )
@@ -321,12 +342,17 @@ def temperature_sample(
         hash_key(key_cols, seed).asc(),
         *[F.col(c).asc() for c in key_cols],
     )
-    return (
+    out = (
         df.withColumn("_rank", F.row_number().over(w))
         .join(F.broadcast(quota), group_col)
         .where(F.col("_rank") <= F.col("_quota"))
         .drop("_rank", "_quota")
     )
+    if cached_counts is not None:
+        from decision_tree_stuff_spark.utils import unpersist_when_dropped
+
+        out = unpersist_when_dropped(out, cached_counts)
+    return out
 
 
 def leakage_safe_split(

@@ -231,11 +231,21 @@ def q_e12_batch_ingest(spark, sf_dir):
     raw ``documents`` to packed-sequence layout. Returns
     (doc_id, lang, n_tokens, pack_id, pack_offset) for every sampled
     doc — the training-data manifest."""
+    from decision_tree_stuff_spark.utils import keepalive
+
     docs = _docs(spark, sf_dir)
     out = docs
+    stage_frames = []
     for _, fn in ingest_stages(spark, sf_dir):
         out = fn(out)
-    return out.select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+        # the rebinding drops each stage's Python wrapper; pin them to
+        # the final frame so caches tied to a stage result's lifetime
+        # (temperature_sample's quota counts) survive until execution
+        stage_frames.append(out)
+    return keepalive(
+        out.select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset"),
+        *stage_frames,
+    )
 
 
 ORACLE_SQL: Dict[str, str] = {}

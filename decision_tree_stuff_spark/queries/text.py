@@ -136,15 +136,21 @@ def q_e4_hybrid_rrf(spark, sf_dir):
         F.col("doc_id").alias("query_id"),
         F.col("text").alias("query_text"),
     )
-    lex = bm25_topk(
-        docs, probes, k=HYBRID_K, k1=BM25_K1, b=BM25_B
-    ).select("query_id", "doc_id", "rank")
+    # bm25 keeps the lazy default (cache_tf=False measured faster on
+    # this standalone row — see bm25_topk docstring); the keepalive is
+    # inert then, but keeps the row correct for a caller who flips the
+    # knob: the tf cache is released by a weakref on the bm25 wrapper,
+    # which the .select() would otherwise drop before execution
+    from decision_tree_stuff_spark.utils import keepalive
+
+    lex0 = bm25_topk(docs, probes, k=HYBRID_K, k1=BM25_K1, b=BM25_B)
+    lex = lex0.select("query_id", "doc_id", "rank")
     dense = cosine_topk(
         _emb(spark, sf_dir), HYBRID_PROBES, k=HYBRID_K
     ).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
     )
-    return rrf_fuse(lex, dense, k=HYBRID_K)
+    return keepalive(rrf_fuse(lex, dense, k=HYBRID_K), lex0)
 
 
 def q_e4_retrieval_pipeline(spark, sf_dir):
@@ -173,13 +179,30 @@ def q_e4_retrieval_pipeline(spark, sf_dir):
         F.col("doc_id").alias("query_id"),
         F.col("text").alias("query_text"),
     )
-    lex = bm25_topk(
-        docs, probes, k=HYBRID_K, k1=BM25_K1, b=BM25_B
-    ).select("query_id", "doc_id", "rank")
+    # lex0 kept alive on the returned frame (utils.keepalive): its tf
+    # cache would otherwise unpersist when .select() drops the
+    # wrapper. cache_tf=True here — the composed-pipeline case is
+    # where the A/B measured it a wash-to-win (see bm25_topk
+    # docstring); the standalone rows keep the lazy default.
+    lex0 = bm25_topk(
+        docs, probes, k=HYBRID_K, k1=BM25_K1, b=BM25_B, cache_tf=True
+    )
+    lex = lex0.select("query_id", "doc_id", "rank")
     dense = cosine_topk(
         _emb(spark, sf_dir), HYBRID_PROBES, k=HYBRID_K
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     fused = rrf_fuse(lex, dense, k=HYBRID_K)
+    # r14 optimization round (guide §5 caching rule): ``fused`` feeds
+    # BOTH the decontam candidate stream and the final anti-join, and
+    # without a cache the entire BM25 + dense + RRF upstream executed
+    # twice in one plan (14 documents scans total). The fused list is
+    # ≤ |probes|·k rows — persist it (MEMORY_AND_DISK, released when
+    # the result frame is dropped) so retrieval runs once.
+    from pyspark import StorageLevel
+
+    from decision_tree_stuff_spark.utils import unpersist_when_dropped
+
+    fused = fused.persist(StorageLevel.MEMORY_AND_DISK)
     retrieved = docs.join(fused.select("doc_id").distinct(), "doc_id")
     contaminated = (
         ngram_contamination(
@@ -191,9 +214,12 @@ def q_e4_retrieval_pipeline(spark, sf_dir):
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
     )
-    return fused.join(contaminated, "doc_id", "left_anti").select(
+    out = fused.join(contaminated, "doc_id", "left_anti").select(
         "query_id", "doc_id", "rrf_score", "rank"
     )
+    from decision_tree_stuff_spark.utils import keepalive
+
+    return keepalive(unpersist_when_dropped(out, fused), lex0)
 
 
 def q_e4_cms_profile(spark, sf_dir):

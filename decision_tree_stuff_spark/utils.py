@@ -53,6 +53,26 @@ def unpersist_when_dropped(result: DataFrame, cached: DataFrame) -> DataFrame:
     return result
 
 
+def keepalive(df: DataFrame, *holders) -> DataFrame:
+    """Pin ``holders`` (Python DataFrame wrappers) to ``df``'s
+    lifetime and return ``df``.
+
+    Counterpart to ``unpersist_when_dropped``: that helper frees a
+    persisted intermediate when the RETURNED frame is dropped — but a
+    caller that immediately wraps the result (``op(...).select(...)``,
+    or a stage-composition loop that rebinds ``out = fn(out)``) drops
+    the returned wrapper long before execution, so the weakref fires
+    and the cache silently unpersists while the derived plan still
+    wants it (unpersist keeps lineage, so the plan recomputes instead
+    of failing — correct, but the replay the cache existed to prevent
+    comes back; found via plan diffs in the r14 optimization round).
+    Attaching the wrapped frames to the final result keeps their
+    finalizers — and therefore their caches — alive exactly until the
+    consumer drops the result."""
+    df._dts_keepalive = holders
+    return df
+
+
 def release_local_checkpoint(df: DataFrame) -> bool:
     """Eagerly free the storage blocks behind a ``localCheckpoint``-ed
     DataFrame. Returns True if blocks were released, False if the
