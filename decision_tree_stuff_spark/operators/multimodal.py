@@ -2715,6 +2715,13 @@ def _decode_pixels_png(
     df = media
     for n, e in staged_e:
         df = df.select("*", e.alias(n))
+    if os.environ.get("SPARK_GRAFT_PNG_SPLIT", "0") == "1":
+        # r15 A/B knob (verdict task 3): materialize the staged walk
+        # columns before the pixel-assembly select, splitting the one
+        # giant expression tree each task evaluates into two smaller
+        # ones. localCheckpoint (lazy) — computed per invocation
+        # inside the timed plan, nothing crosses runs.
+        df = df.localCheckpoint(eager=False)
     return df.select("media_id", *finals)
 
 

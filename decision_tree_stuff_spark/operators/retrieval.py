@@ -122,6 +122,21 @@ def bm25_topk(
 
         tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
         cached_tf = tf
+    try:
+        return _bm25_score(
+            base, tf, qterms, cached_tf, k, k1, b, id_col, query_id_col
+        )
+    except Exception:
+        # plan construction failed after the persist (e.g. an
+        # AnalysisException from a bad downstream column): without
+        # this, the CacheManager registration has no finalizer yet
+        # and leaks for the session (r14 advice).
+        if cached_tf is not None:
+            cached_tf.unpersist()
+        raise
+
+
+def _bm25_score(base, tf, qterms, cached_tf, k, k1, b, id_col, query_id_col):
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = base.agg(
         F.count(F.lit(1)).alias("__n_docs"),

@@ -307,6 +307,23 @@ def temperature_sample(
 
         counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
         cached_counts = counts
+    try:
+        return _temperature_quota_plan(
+            df, counts, cached_counts, total_n, alpha, group_col,
+            key_cols, seed,
+        )
+    except Exception:
+        # plan construction failed after the persist: no finalizer is
+        # attached yet, so the CacheManager entry would leak for the
+        # session (r14 advice).
+        if cached_counts is not None:
+            cached_counts.unpersist()
+        raise
+
+
+def _temperature_quota_plan(
+    df, counts, cached_counts, total_n, alpha, group_col, key_cols, seed
+):
     wsum = counts.agg(
         F.sum(F.pow(F.col("_c"), F.lit(float(alpha)))).alias("_wsum")
     )

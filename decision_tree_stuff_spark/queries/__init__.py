@@ -332,7 +332,14 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     "e7_dedup_clusters": q_e7_dedup_clusters,
     "e7b_minhash_dedup_keep": q_e7b_minhash_dedup_keep,
     "e10_asof_join": q_e10_asof_join,
-    "e2_minhash_km_pairs": q_e2_minhash_km_pairs,
+    # r15 rotation (GATE_ROTATION.md; r14 verdict task 8): the second
+    # compressed-container codec (GIF LZW) and the text-transform
+    # family's first gate row promoted in place of two long-green rows
+    # whose families stay covered (minhash: e2_simhash_md5_dups +
+    # e7b_minhash_dedup_keep gated; E-6 keeps media_meta + the PNG
+    # decode rows). Both promoted rows hash-green since birth and
+    # schema-contract-validated at swap time.
+    "e4_pii_scrub": q_e4_pii_scrub,
     # r6: e1d/e2_semdedup promoted into the gate window (judge r5 task
     # 5) in place of two hash-family/codec variants whose families
     # stay represented (simhash via e2_simhash_dups parity tests +
@@ -349,7 +356,7 @@ SPARK_QUERIES: Dict[str, QueryFn] = {
     # pre-validated against the gate-schema contract test and
     # sf0.01-hash-matched in CORRECTNESS_SELF_r10.json.
     "e4_hll_distinct": q_e4_hll_distinct,
-    "e6_y4m_decode": q_e6_y4m_decode,
+    "e6_gif_decode": q_e6_gif_decode,  # r15 rotation (see above)
     "e4_lm_quality": q_e4_lm_quality,
     "e3_cosine_topk": q_e3_cosine_topk,
     # r13 rotation (GATE_ROTATION.md; r12 verdict task 6): the newly
@@ -524,7 +531,6 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_hist_quantiles_auto_grouped_weighted": (
         q_e4_hist_quantiles_auto_grouped_weighted
     ),  # r13: weighted x per-group auto
-    "e4_pii_scrub": q_e4_pii_scrub,  # r13: PII redaction + audit counts
     "e4_url_dedup": q_e4_url_dedup,  # r13: URL canonicalization + dedup
     "e6_wav_features": q_e6_wav_features,          # r10: decoded-PCM features
     "e6_y4m_motion": q_e6_y4m_motion,              # r10: per-frame motion
@@ -567,8 +573,6 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     # r14: paletted (color type 3) — index stream + real PLTE lookup,
     # stored + DH-filtered in one plan
     "e6_png_palette_decode": q_e6_png_palette_decode,
-    # r14: REAL GIF (LZW) decode — root-code + dictionary streams
-    "e6_gif_decode": q_e6_gif_decode,
     "e6_gif_interlaced": q_e6_gif_interlaced,  # r14: 4-pass interlace
     "e6_gif_frames": q_e6_gif_frames,  # r14: animated, one row/frame
     "e6_gif_lct": q_e6_gif_lct,  # r14: local color tables
@@ -579,6 +583,10 @@ EXTRA_PARITY_QUERIES: Dict[str, QueryFn] = {
     "e4_corpus_profile": q_e4_corpus_profile,
     "e5_sessions": q_e5_sessions,
     "e9d_contamination_spans": q_e9d_contamination_spans,
+    # r15 rotation: two long-green rows demoted to make room for
+    # e6_gif_decode / e4_pii_scrub (GATE_ROTATION.md)
+    "e6_y4m_decode": q_e6_y4m_decode,
+    "e2_minhash_km_pairs": q_e2_minhash_km_pairs,
 }
 
 EXTRA_PARITY_ORACLE_SQL: Dict[str, str] = {

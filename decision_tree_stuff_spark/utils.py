@@ -68,8 +68,14 @@ def keepalive(df: DataFrame, *holders) -> DataFrame:
     comes back; found via plan diffs in the r14 optimization round).
     Attaching the wrapped frames to the final result keeps their
     finalizers — and therefore their caches — alive exactly until the
-    consumer drops the result."""
-    df._dts_keepalive = holders
+    consumer drops the result.
+
+    Accumulates: a second ``keepalive`` call on the same frame (query
+    composition pinning at two levels) must not drop the first call's
+    holders — overwriting the attribute would let those caches
+    unpersist before execution, the exact silent regression this
+    helper exists to prevent (r14 advice)."""
+    df._dts_keepalive = getattr(df, "_dts_keepalive", ()) + tuple(holders)
     return df
 
 

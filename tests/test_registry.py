@@ -41,10 +41,12 @@ GATE_KEYS = [
     "e7_dedup_clusters",
     "e7b_minhash_dedup_keep",
     "e10_asof_join",
-    "e2_minhash_km_pairs",
+    # r15 rotation (GATE_ROTATION.md): e4_pii_scrub, e6_gif_decode in;
+    # e2_minhash_km_pairs, e6_y4m_decode out
+    "e4_pii_scrub",
     "e1d_span_dedup",
     "e4_hll_distinct",
-    "e6_y4m_decode",
+    "e6_gif_decode",
     "e4_lm_quality",
     "e3_cosine_topk",
     "e2_simhash_md5_dups",
