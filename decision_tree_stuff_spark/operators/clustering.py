@@ -36,7 +36,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from decision_tree_stuff_spark.utils import release_local_checkpoint
+from decision_tree_stuff_spark.utils import (
+    broadcast_if_small,
+    release_local_checkpoint,
+)
 
 
 def connected_components(
@@ -143,8 +146,19 @@ def connected_components(
                 F.least(F.col("src"), F.col("__mn")).alias("m"),
             )
         )
-        msrc = mmap.select(F.col("node").alias("src"), F.col("m").alias("ms"))
-        mdst = mmap.select(F.col("node").alias("dst"), F.col("m").alias("md"))
+        # r15 (guide §3.1): mmap is checkpoint-backed, so its measured
+        # block size is known — broadcast the rewrite map (when it
+        # fits) instead of sort-merging the symmetric edge stream
+        # against a stats-less LogicalRDD; at 100 TB the measured-size
+        # gate keeps these as shuffle joins
+        msrc = broadcast_if_small(
+            mmap.select(F.col("node").alias("src"), F.col("m").alias("ms")),
+            size_hint_of=mmap,
+        )
+        mdst = broadcast_if_small(
+            mmap.select(F.col("node").alias("dst"), F.col("m").alias("md")),
+            size_hint_of=mmap,
+        )
         edges = ckpt(
             sym.join(msrc, "src")
             .join(mdst, "dst")
@@ -180,13 +194,23 @@ def connected_components(
     # higher max_rounds would otherwise accumulate executor storage
     try:
         for _ in range(max_rounds):
+            # labels is checkpoint-backed every round: broadcast it
+            # (and the frames it bounds) when measurably small, so the
+            # edge stream joins map-side instead of re-shuffling each
+            # round (guide §2.4/§3.1; the size gate keeps 100 TB label
+            # frames on the shuffle path)
             nbr_min = (
-                edges.join(labels, edges["src"] == labels["node"])
+                edges.join(
+                    broadcast_if_small(labels, size_hint_of=labels),
+                    edges["src"] == labels["node"],
+                )
                 .groupBy("dst")
                 .agg(F.min("label").alias("nbr_label"))
             )
             stepped = labels.join(
-                nbr_min, labels["node"] == nbr_min["dst"], "left"
+                broadcast_if_small(nbr_min, size_hint_of=labels),
+                labels["node"] == nbr_min["dst"],
+                "left",
             ).select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
@@ -198,7 +222,11 @@ def connected_components(
                 F.col("node").alias("h_node"), F.col("label").alias("h_label")
             )
             new_labels = (
-                stepped.join(hop, stepped["label"] == hop["h_node"], "left")
+                stepped.join(
+                    broadcast_if_small(hop, size_hint_of=labels),
+                    stepped["label"] == hop["h_node"],
+                    "left",
+                )
                 .select(
                     "node",
                     F.least(

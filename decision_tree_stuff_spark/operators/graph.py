@@ -95,9 +95,14 @@ def pagerank(
     # otherwise re-run on BOTH sides of the degree join (measured 2x
     # at sf0.1) and once more per iteration through the lineage
     edges = edges.localCheckpoint(eager=True)
+    # r15 (guide §3.1): the checkpointed edge list has no size stats,
+    # so joins against frames derived from it never auto-broadcast;
+    # hint from the MEASURED block size instead (see triangle_counts)
+    from decision_tree_stuff_spark.utils import broadcast_if_small
+
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # built once, partitioned on the per-iteration join key, reused
-    ew = edges.join(deg, "src").persist()
+    ew = edges.join(broadcast_if_small(deg, size_hint_of=edges), "src").persist()
 
     ranks = nodes.select(
         F.col(id_col).alias("src"), F.lit(MICRO).cast("bigint").alias("rank_micro")
@@ -107,7 +112,11 @@ def pagerank(
     deltas = []
     prev = None
     for it in range(iterations):
-        contribs = ew.join(ranks, "src").select(
+        # ranks is checkpoint-backed from round 2 on — broadcast it
+        # (when measurably small) so the persisted ew side streams
+        # without a sort; round 1's ranks is a plain projection of
+        # the caller's nodes (no measured size -> hint is a no-op)
+        contribs = ew.join(broadcast_if_small(ranks), "src").select(
             F.col("dst").alias("src"),
             F.expr("rank_micro div deg").alias("c"),
         )
@@ -224,6 +233,7 @@ def label_propagation(
     # the pair emitter (an LSH/PPJoin pipeline) runs once, not once
     # per iteration through the lineage — the pagerank lesson
     edges = edges.localCheckpoint(eager=True)
+    from decision_tree_stuff_spark.utils import broadcast_if_small
 
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
@@ -232,9 +242,17 @@ def label_propagation(
     changes = []
     prev = None
     for it in range(iterations):
+        # labels is checkpoint-backed from round 2 on: broadcasting
+        # it (when measurably small — see triangle_counts note) lets
+        # the checkpointed edge list stream map-side instead of being
+        # re-shuffled every round (guide §2.4/§3.1)
         votes = (
             edges.join(
-                labels.select(F.col("id").alias("src"), "label"), "src"
+                broadcast_if_small(
+                    labels.select(F.col("id").alias("src"), "label"),
+                    size_hint_of=labels,
+                ),
+                "src",
             )
             .groupBy(F.col("dst").alias("id"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
@@ -293,7 +311,17 @@ def triangle_counts(
     # (edges feeds deg twice + the wedge join; measured 15.5 -> 6.5 s
     # at sf0.1 with both materializations)
     edges = edges.localCheckpoint(eager=True)
+    # r15 (guide §3.1): every frame below derives from the checkpointed
+    # edge list, whose LogicalRDD plan has no size stats — the planner
+    # estimates it as infinite and sort-merges every join. The blocks
+    # ARE materialized, so their true size is known: broadcast the
+    # small side when it measurably fits (threshold = the session's
+    # autoBroadcastJoinThreshold; a 100 TB edge list keeps its
+    # shuffle joins because the measured bytes gate the hint).
+    from decision_tree_stuff_spark.utils import broadcast_if_small
+
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    deg = broadcast_if_small(deg, size_hint_of=edges)
     # orientation rank: (degree, id) lexicographic
     ranked = (
         edges.join(deg, "u")
@@ -320,12 +348,21 @@ def triangle_counts(
         F.col("v").alias("w"),
         F.col("deg_v").alias("deg_w"),
     )
-    wedges = ranked.join(e2, F.col("u") == F.col("u2")).where(
+    wedges = ranked.join(
+        broadcast_if_small(e2, size_hint_of=ranked),
+        F.col("u") == F.col("u2"),
+    ).where(
         (F.col("deg_v") < F.col("deg_w"))
         | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
     )
+    # the semi-join probe side is the oriented edge list again —
+    # broadcasting it (when measurably small) keeps the wedge stream,
+    # which can be orders of magnitude larger, from being shuffled
     closed = wedges.join(
-        ranked.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        broadcast_if_small(
+            ranked.select(F.col("u").alias("v"), F.col("v").alias("w")),
+            size_hint_of=ranked,
+        ),
         ["v", "w"],
         "leftsemi",
     )

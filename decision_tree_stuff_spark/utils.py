@@ -79,6 +79,81 @@ def keepalive(df: DataFrame, *holders) -> DataFrame:
     return df
 
 
+def materialized_size_bytes(df: DataFrame):
+    """Best-effort stored byte size of a ``localCheckpoint``-ed frame.
+
+    Why it exists (r15, guide §3.1): a checkpointed frame's plan is a
+    ``LogicalRDD``, which carries NO size statistics — Catalyst falls
+    back to ``spark.sql.defaultSizeInBytes`` (effectively infinite),
+    so the planner never auto-broadcasts it and every join against it
+    is a full sort-merge/shuffle even when the materialized blocks are
+    a few MB. The blocks are already materialized, so their true size
+    is sitting in the block manager; read it and let the caller make
+    the size-conditional broadcast decision the planner cannot.
+
+    Returns bytes (mem + disk) or None when the frame is not a plain
+    checkpoint scan / the storage info is unavailable.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return None
+        rdd_id = plan.rdd().id()
+        for info in df.sparkSession.sparkContext._jsc.sc().getRDDStorageInfo():
+            if info.id() == rdd_id:
+                return int(info.memSize()) + int(info.diskSize())
+    except Exception:  # py4j hiccup — caller falls back to no hint
+        return None
+    return None
+
+
+def _broadcast_threshold_bytes(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (<=0 means
+    broadcasting is disabled and we honor that)."""
+    try:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    except Exception:
+        return 10 * 1024 * 1024
+    s = str(raw).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+                   ("k", 1024), ("m", 1024**2), ("g", 1024**3),
+                   ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    try:
+        return int(float(s)) * mult
+    except ValueError:
+        return 10 * 1024 * 1024
+
+
+def broadcast_if_small(df: DataFrame, size_hint_of: DataFrame = None):
+    """``F.broadcast(df)`` when the MEASURED materialized size of
+    ``size_hint_of`` (default: ``df`` itself) is known and under the
+    session's autoBroadcastJoinThreshold; ``df`` unchanged otherwise.
+
+    ``size_hint_of`` covers the common shape where ``df`` is a narrow
+    projection/aggregate OF a checkpointed frame (its own plan has no
+    storage, but it is bounded above by its checkpointed parent).
+    Scale-safe by construction: the hint only fires when the bytes
+    are actually small, so a 100 TB edge list keeps its shuffle join.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    if os.environ.get("SPARK_GRAFT_NO_SIZE_HINT", "0") == "1":
+        return df  # A/B kill-switch / escape hatch
+    src = size_hint_of if size_hint_of is not None else df
+    size = materialized_size_bytes(src)
+    if size is None:
+        return df
+    if size <= _broadcast_threshold_bytes(df.sparkSession):
+        return F.broadcast(df)
+    return df
+
+
 def release_local_checkpoint(df: DataFrame) -> bool:
     """Eagerly free the storage blocks behind a ``localCheckpoint``-ed
     DataFrame. Returns True if blocks were released, False if the
